@@ -1,0 +1,114 @@
+"""Local differential harness mimicking the driver's t2 gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
+DuckDB over the same parquet tables, then compares row count, schema
+arity, and order-insensitive values (columns sorted by name, rows
+sorted by their full value tuple — STRICTER than a hash compare).
+
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _canon(rows: list[dict]) -> list[tuple]:
+    if not rows:
+        return []
+    cols = sorted(rows[0].keys())
+    out = [tuple(_norm(r[c]) for c in cols) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from yelp_data_engineering_pipeline_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    n_pass = n_fail = n_weak = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [r.asDict() for r in sdf.collect()]
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {type(ex).__name__}: {str(ex)[:400]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"weak {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            n_weak += 1
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            cols = [d[0] for d in cur.description]
+            drows = [dict(zip(cols, row)) for row in cur.fetchall()]
+        except Exception as ex:
+            print(f"FAIL {name}: duckdb error: {type(ex).__name__}: {str(ex)[:400]}")
+            n_fail += 1
+            continue
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: row count spark={len(srows)} duckdb={len(drows)}")
+            n_fail += 1
+            continue
+        scols = sorted(srows[0].keys()) if srows else sorted(sdf.columns)
+        dcols = sorted(cols)
+        if scols != dcols:
+            print(f"FAIL {name}: columns spark={scols} duckdb={dcols}")
+            n_fail += 1
+            continue
+        sc, dc = _canon(srows), _canon(drows)
+        if sc != dc:
+            bad = next(i for i, (a, b) in enumerate(zip(sc, dc)) if a != b)
+            print(f"FAIL {name}: values differ at sorted-row {bad}:")
+            print(f"  cols : {scols}")
+            print(f"  spark: {sc[bad]}")
+            print(f"  duck : {dc[bad]}")
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+        n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

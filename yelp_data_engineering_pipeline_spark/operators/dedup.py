@@ -1,0 +1,435 @@
+"""Deduplication operators (extension, BASELINE.json): exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (the point of each variant):
+- **exact** — hash-groupBy on a fingerprint: one shuffle keyed by
+  md5(text); partial aggregation makes the shuffle carry one row per
+  distinct fingerprint per map partition.
+- **minhash_lsh** — the 100 TB near-dup path: per-doc signature is a
+  narrow map-side computation (array higher-order functions, no
+  explode); candidate generation is an equi-join on (band_idx,
+  band_key) — shuffle bounded by band-bucket sizes, never |docs|²;
+  verification joins only the candidate pairs back to their shingle
+  sets. This is the standard shingle→minhash→band→bucket-join pipeline
+  (Broder resemblance / LSH banding).
+- **simhash** — 16-bit signature via per-token hash bit-voting; near-dup
+  = small Hamming distance. Bit arithmetic only, engine-portable.
+- **ngram_jaccard** — exact Jaccard on word-3-gram shingle sets for a
+  bounded query subset (brute-force verification tier; at scale you
+  run it only on LSH candidates).
+- **embedding near-dup** — cosine ≥ threshold against a bounded query
+  subset; the scale path buckets by LSH first (see similarity.py).
+
+All hashing is md5-based so the DuckDB oracle reproduces signatures
+bit-for-bit (portable across engines, unlike xxhash64/murmur).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.catalog import register
+from ..tables import load
+from .similarity import cosine
+
+# ---------------------------------------------------------------------------
+# Shared shingling / signature expressions
+# ---------------------------------------------------------------------------
+
+N_HASHES = 8
+N_BANDS = 4  # rows-per-band r = N_HASHES / N_BANDS = 2
+
+
+def words(text: Column) -> Column:
+    return F.filter(F.split(text, " "), lambda x: x != "")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; empty array when < n words."""
+    ws = words(text)
+    starts = F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(ws, i, n), " "))
+    return F.when(F.size(ws) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _seeded_md5(seed: int):
+    # NB: a plain `lambda x, s=s: ...` would be treated by Spark as a
+    # two-argument (element, index) lambda — the factory keeps it unary.
+    prefix = f"{seed}:"
+    return lambda x: F.md5(F.concat(F.lit(prefix), x))
+
+
+def minhash_signature(shingle_col: Column, n_hashes: int = N_HASHES) -> list[Column]:
+    """One min-md5 per seeded hash family; NULL when no shingles."""
+    return [F.array_min(F.transform(shingle_col, _seeded_md5(s))) for s in range(n_hashes)]
+
+
+def band_keys(sig_cols: list[Column], n_bands: int = N_BANDS) -> list[Column]:
+    r = len(sig_cols) // n_bands
+    return [
+        F.md5(F.concat_ws("|", *sig_cols[b * r : (b + 1) * r])) for b in range(n_bands)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Operators
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct content fingerprint: canonical (min) id +
+    group size. Reference analogue: distinct-set build
+    (web_scraping.py:518-519) generalized to content hashing."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_keep_first(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Row-preserving dedup: keep the lowest-id row per content group."""
+    w = Window.partitionBy(text_col).orderBy(id_col)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, id_col: str, text_col: str, jaccard_threshold: float = 0.0
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding, verified with exact
+    Jaccard on shingle sets. Returns (doc_a, doc_b, jaccard)."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col)).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = base.select("doc_id", "sh", *[c.alias(f"h{i}") for i, c in enumerate(minhash_signature(F.col("sh")))])
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*band_keys([F.col(f"h{i}") for i in range(N_HASHES)]))).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_idx", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = base.select("doc_id", "sh")
+    verified = (
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            # exact-int ratio: IEEE division is bit-identical across
+            # engines — rounding (not dividing) is what diverges.
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= jaccard_threshold)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, query_pred: Column, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for (query subset × corpus) pairs sharing ≥1
+    shingle — the shingle join bounds the pair space."""
+    base = docs.select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col)).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    q = base.filter(query_pred).select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    qx = q.select("doc_a", F.explode("sh_a").alias("shingle"))
+    cx = base.select(F.col("doc_id").alias("doc_b"), F.explode("sh").alias("shingle"))
+    cand = (
+        qx.join(cx, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = (
+        cand.join(q, "doc_a")
+        .join(base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            # exact-int ratio: IEEE division is bit-identical across
+            # engines — rounding (not dividing) is what diverges.
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# --- SimHash ---------------------------------------------------------------
+
+def token_hash16(token: Column) -> Column:
+    """16-bit token hash: first 4 hex chars of md5, hex→int. Spark uses
+    conv(_, 16, 10); the DuckDB oracle reproduces it with strpos nibble
+    arithmetic — identical values either way."""
+    return F.conv(F.substring(F.md5(token), 1, 4), 16, 10).cast("bigint")
+
+
+def simhash16(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash per document (bit-voting over token hashes,
+    multiplicity counted)."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("w")
+    ).withColumn("hv", token_hash16(F.col("w")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(16)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for i in range(16):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+def simhash_near_pairs(sim: DataFrame, query_pred: Column, max_hamming: int) -> DataFrame:
+    q = sim.filter(query_pred).select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
+    )
+    c = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup(emb: DataFrame, query_pred: Column, threshold: float) -> DataFrame:
+    q = emb.filter(query_pred).select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    c = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Catalog entries + DuckDB oracles
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+register(
+    "dedup_exact",
+    dedup_exact,
+    """
+    SELECT md5(text) AS fingerprint,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+
+
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load(spark, sf_dir, "documents")
+    return dedup_keep_first(doc, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+register(
+    "dedup_exact_keep_first",
+    dedup_exact_keep_first,
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+
+
+# Shared DuckDB SQL fragments reproducing the shingle/signature pipeline.
+_WORDS_SQL = "list_filter(string_split(text, ' '), x -> x != '')"
+_SHINGLES_SQL = f"""
+  SELECT doc_id, list_distinct(
+           list_transform(range(1, greatest(len({_WORDS_SQL}) - 1, 1)),
+                          i -> array_to_string(({_WORDS_SQL})[i:i+2], ' '))
+         ) AS sh
+  FROM documents
+  WHERE len({_WORDS_SQL}) >= 3
+"""
+
+_SIG_COLS_SQL = ", ".join(
+    f"list_min(list_transform(sh, x -> md5('{s}:' || x))) AS h{s}" for s in range(N_HASHES)
+)
+_BAND_COLS_SQL = ", ".join(
+    "md5(concat_ws('|', "
+    + ", ".join(f"h{b * (N_HASHES // N_BANDS) + j}" for j in range(N_HASHES // N_BANDS))
+    + f")) AS band{b}"
+    for b in range(N_BANDS)
+)
+_BANDS_UNION_FROM_BANDED = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM banded" for b in range(N_BANDS)
+)
+
+_MINHASH_ORACLE = f"""
+    WITH shingled AS ({_SHINGLES_SQL}),
+    sigs AS (SELECT doc_id, sh, {_SIG_COLS_SQL} FROM shingled),
+    banded AS (SELECT doc_id, {_BAND_COLS_SQL} FROM sigs),
+    bands AS ({_BANDS_UNION_FROM_BANDED}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+    FROM cand
+    JOIN shingled sa ON sa.doc_id = doc_a
+    JOIN shingled sb ON sb.doc_id = doc_b
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+register("dedup_minhash_lsh", dedup_minhash_lsh, _MINHASH_ORACLE)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(doc, F.col("doc_id") < 50, "doc_id", "text", threshold=0.2)
+
+
+register(
+    "dedup_ngram_jaccard",
+    dedup_ngram_jaccard,
+    f"""
+    WITH shingled AS ({_SHINGLES_SQL}),
+    q AS (SELECT doc_id AS doc_a, sh AS sh_a FROM shingled WHERE doc_id < 50),
+    qx AS (SELECT doc_a, unnest(sh_a) AS shingle FROM q),
+    cx AS (SELECT doc_id AS doc_b, unnest(sh) AS shingle FROM shingled),
+    cand AS (SELECT DISTINCT doc_a, doc_b FROM qx JOIN cx USING (shingle) WHERE doc_a < doc_b)
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(q.sh_a, sb.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(q.sh_a, sb.sh))) AS jaccard
+      FROM cand JOIN q USING (doc_a) JOIN shingled sb ON sb.doc_id = doc_b
+    ) WHERE jaccard >= 0.2
+    """,
+)
+
+
+_HV_SQL = (
+    "CAST((strpos('0123456789abcdef', substring(md5(w), 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substring(md5(w), 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substring(md5(w), 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substring(md5(w), 4, 1)) - 1) AS BIGINT)"
+)
+_VOTE_COLS_SQL = ", ".join(
+    f"SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}" for i in range(16)
+)
+_SIM_VALUE_SQL = " + ".join(f"CASE WHEN s{i} > 0 THEN {2**i} ELSE 0 END" for i in range(16))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash16(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+register(
+    "dedup_simhash",
+    dedup_simhash,
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_HV_SQL} AS hv
+      FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+            FROM documents)
+    ),
+    votes AS (SELECT doc_id, {_VOTE_COLS_SQL} FROM tok GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIM_VALUE_SQL} AS BIGINT) AS simhash FROM votes
+    """,
+)
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = simhash16(load(spark, sf_dir, "documents"), "doc_id", "text")
+    return simhash_near_pairs(sim, F.col("doc_id") < 100, max_hamming=3)
+
+
+register(
+    "dedup_simhash_pairs",
+    dedup_simhash_pairs,
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_HV_SQL} AS hv
+      FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+            FROM documents)
+    ),
+    votes AS (SELECT doc_id, {_VOTE_COLS_SQL} FROM tok GROUP BY doc_id),
+    sims AS (SELECT doc_id, CAST({_SIM_VALUE_SQL} AS BIGINT) AS simhash FROM votes)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE a.doc_id < 100 AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, F.col("vec_id") < 100, threshold=0.2)
+
+
+from .similarity import _COS_SQL  # noqa: E402
+
+register(
+    "dedup_embedding_cosine",
+    dedup_embedding_cosine,
+    f"""
+    WITH q AS (SELECT vec_id AS vec_a, embedding AS emb_a FROM embeddings WHERE vec_id < 100),
+    pairs AS (
+      SELECT vec_a, e.vec_id AS vec_b,
+             {_COS_SQL.format(a='emb_a', b='e.embedding')} AS cos_sim
+      FROM q CROSS JOIN embeddings e
+      WHERE vec_a < e.vec_id
+    )
+    SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.2
+    """,
+)

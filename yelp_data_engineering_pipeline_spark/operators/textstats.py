@@ -1,0 +1,257 @@
+"""Text-analysis operators (extension, BASELINE.json): token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All are narrow per-row transformations (no shuffle at all until an
+optional aggregate) built from JVM higher-order/regex functions — the
+shape that scales linearly with input splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.catalog import register
+from ..tables import load
+
+# BPE-ish tokenizer: letter runs, digit runs, single punctuation.
+_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+_STOPWORDS = ["the", "a", "of", "and", "in", "to", "is"]
+
+# Marker vocabularies for the n-gram/stopword language heuristic. The
+# synthetic corpus is English-ish for every `lang`; the heuristic is
+# still a faithful implementation of marker-based lang-ID.
+_LANG_MARKERS = {
+    "en": ["the", "a", "and", "of"],
+    "es": ["el", "la", "de", "que"],
+    "fr": ["le", "la", "et", "les"],
+    "de": ["der", "die", "und", "das"],
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.regexp_extract_all(text, F.lit(_TOKEN_RE), 0)
+
+
+def whitespace_tokens(text: Column) -> Column:
+    return F.filter(F.split(text, r"\s+"), lambda x: x != "")
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    ws = whitespace_tokens(text)
+    n_tokens = F.size(ws)
+    n_chars = F.length(text)
+    n_stop = F.size(F.filter(ws, lambda x: F.lower(x).isin(*_STOPWORDS)))
+    n_alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    # Ratios of exact ints are NOT rounded: IEEE double division of
+    # identical integer operands is bit-identical across engines, while
+    # rounding diverges when the true value sits on a rounding boundary
+    # (Spark rounds the shortest decimal repr, DuckDB the raw double).
+    avg_word_len = n_chars.cast("double") / F.nullif(n_tokens, F.lit(0))
+    stop_ratio = n_stop.cast("double") / F.nullif(n_tokens, F.lit(0))
+    alpha_ratio = n_alpha.cast("double") / F.nullif(n_chars, F.lit(0))
+    return {
+        "n_tokens": n_tokens.cast("int"),
+        "avg_word_len": avg_word_len,
+        "stop_ratio": stop_ratio,
+        "alpha_ratio": alpha_ratio,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish score: stopword presence + length sanity +
+    alphabetic density (heuristics in the C4/Gopher tradition)."""
+    f = quality_features(text)
+    length_ok = F.when((f["n_tokens"] >= 5) & (f["n_tokens"] <= 10000), 1.0).otherwise(0.0)
+    # Same-order double arithmetic on both engines — no rounding (see
+    # quality_features note).
+    return (
+        0.4 * F.coalesce(f["stop_ratio"] * 4, F.lit(0.0))
+        + 0.3 * length_ok
+        + 0.3 * F.coalesce(f["alpha_ratio"], F.lit(0.0))
+    )
+
+
+def _marker_filter(markers: list[str]):
+    # Unary-lambda factory (a default-arg lambda would be read by Spark
+    # as a two-argument (element, index) lambda).
+    return lambda x: F.lower(x).isin(*markers)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    ws = whitespace_tokens(text)
+    return {
+        lang: F.size(F.filter(ws, _marker_filter(markers)))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+
+
+def predict_lang(text: Column) -> Column:
+    """argmax over marker hits with fixed precedence en>es>fr>de;
+    'und' (undetermined) when no marker hits at all."""
+    s = lang_scores(text)
+    pred = (
+        F.when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]) & (s["en"] > 0), "en")
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]) & (s["es"] > 0), "es")
+        .when((s["fr"] >= s["de"]) & (s["fr"] > 0), "fr")
+        .when(s["de"] > 0, "de")
+        .otherwise("und")
+    )
+    return pred
+
+
+_FP_MOD = 1_000_000_007
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash over characters (base 31, mod 1e9+7) —
+    the classic Rabin-Karp document fingerprint, computed with a
+    fold over the character array (stays in codegen)."""
+    chars = F.filter(F.split(text, ""), lambda x: x != "")
+    return F.when(
+        F.length(text) == 0, F.lit(0).cast("bigint")
+    ).otherwise(
+        F.aggregate(
+            chars,
+            F.lit(0).cast("bigint"),
+            lambda acc, c: (acc * 31 + F.ascii(c)) % _FP_MOD,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Catalog entries + DuckDB oracles
+# ---------------------------------------------------------------------------
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        F.size(whitespace_tokens(F.col("text"))).cast("int").alias("n_ws_tokens"),
+        F.size(tokens(F.col("text"))).cast("int").alias("n_bpe_tokens"),
+    )
+
+
+register(
+    "text_token_count",
+    text_token_count,
+    rf"""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load(spark, sf_dir, "documents")
+    f = quality_features(F.col("text"))
+    return doc.select(
+        "doc_id",
+        f["n_tokens"].alias("n_tokens"),
+        f["avg_word_len"].alias("avg_word_len"),
+        f["stop_ratio"].alias("stop_ratio"),
+        f["alpha_ratio"].alias("alpha_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+_STOP_IN = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+register(
+    "text_quality",
+    text_quality,
+    rf"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS ws,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             CAST(len(ws) AS INT) AS n_tokens,
+             CAST(n_chars AS DOUBLE) / nullif(len(ws), 0) AS avg_word_len,
+             CAST(len(list_filter(ws, x -> lower(x) IN ({_STOP_IN}))) AS DOUBLE)
+                   / nullif(len(ws), 0) AS stop_ratio,
+             CAST(n_alpha AS DOUBLE) / nullif(n_chars, 0) AS alpha_ratio
+      FROM base
+    )
+    SELECT doc_id, n_tokens, avg_word_len, stop_ratio, alpha_ratio,
+           CAST(0.4 AS DOUBLE) * COALESCE(stop_ratio * 4, 0)
+                 + CAST(0.3 AS DOUBLE) * (CASE WHEN n_tokens >= 5 AND n_tokens <= 10000 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+                 + CAST(0.3 AS DOUBLE) * COALESCE(alpha_ratio, 0) AS quality
+    FROM feats
+    """,
+)
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load(spark, sf_dir, "documents")
+    s = lang_scores(F.col("text"))
+    return doc.select(
+        "doc_id",
+        "lang",
+        predict_lang(F.col("text")).alias("pred_lang"),
+        s["en"].cast("int").alias("score_en"),
+    )
+
+
+def _markers_in(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+
+
+register(
+    "text_lang_id",
+    text_lang_id,
+    rf"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(ws, x -> lower(x) IN ({_markers_in('en')}))) AS s_en,
+             len(list_filter(ws, x -> lower(x) IN ({_markers_in('es')}))) AS s_es,
+             len(list_filter(ws, x -> lower(x) IN ({_markers_in('fr')}))) AS s_fr,
+             len(list_filter(ws, x -> lower(x) IN ({_markers_in('de')}))) AS s_de
+      FROM (SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS ws
+            FROM documents)
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
+                WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+                WHEN s_de > 0 THEN 'de'
+                ELSE 'und' END AS pred_lang,
+           CAST(s_en AS INT) AS score_en
+    FROM scored
+    """,
+)
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        rolling_fingerprint(F.col("text")).alias("fp"),
+        F.md5("text").alias("fp_md5"),
+    )
+
+
+register(
+    "text_fingerprint",
+    text_fingerprint,
+    f"""
+    SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 0
+                ELSE list_reduce(
+                       list_transform(list_filter(string_split(text, ''), c -> c != ''),
+                                      c -> CAST(ascii(c) AS BIGINT)),
+                       (acc, x) -> (acc * 31 + x) % {_FP_MOD})
+           END AS fp,
+           md5(text) AS fp_md5
+    FROM documents
+    """,
+)

@@ -1,0 +1,740 @@
+"""Relational operator catalog: filters, projections, joins, aggregates,
+windows, set ops (SURVEY.md §2.2-2.6).
+
+Each query cites the reference operator(s) it re-expresses. All run on
+the driver's synthetic star schema; every computed column is aliased
+identically in the Spark plan and the DuckDB oracle.
+
+Scale notes inline per query; common posture:
+- dimension joins (nation/region, bounded cardinality) broadcast;
+- fact-fact joins rely on AQE (sort-merge vs shuffled-hash + skew split);
+- aggregations are hash-aggregates with map-side partial aggregation;
+- window queries partition by a key (never a global single-partition
+  window) except deterministic pagination, which is documented as a
+  driver-bound operation exactly like the reference's LIMIT/OFFSET.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dim_merge import merge_dimension
+from ..operators.pagination import paginate
+from ..tables import load
+from .catalog import register
+
+
+# --- P1/P2/P3: filter + project with pushdown --------------------------------
+# Reference: ad filter + column drop + subset projection
+# (web_scraping.py:112,115,407). Filter and projection reach the parquet
+# scan (PushedFilters / ReadSchema) — verified in tests/test_plans.py.
+def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") < 10))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+register(
+    "filter_project_pushdown",
+    filter_project_pushdown,
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity < 10
+    """,
+)
+
+
+# --- P4/F9/F10: computed projection (URL-normalize shape) ---------------------
+# Reference: prefix + strip-query-string (web_scraping.py:114).
+def proj_compute_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://example.com/"), F.col("source"), F.lit("?ref="), F.col("doc_id"))
+    return doc.select(
+        "doc_id",
+        F.substring_index(url, "?", 1).alias("base_url"),
+        F.upper(F.trim(F.col("lang"))).alias("lang_uc"),
+    )
+
+
+register(
+    "proj_compute_url",
+    proj_compute_url,
+    """
+    SELECT doc_id,
+           split_part('https://example.com/' || source || '?ref=' || doc_id, '?', 1) AS base_url,
+           upper(trim(lang)) AS lang_uc
+    FROM documents
+    """,
+)
+
+
+# --- P7: equality predicate on FK (app.py:69,79,118,128) ----------------------
+def filter_fk_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 7)
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+register(
+    "filter_fk_equality",
+    filter_fk_equality,
+    "SELECT c_custkey, c_name, c_nationkey FROM customer WHERE c_nationkey = 7",
+)
+
+
+# --- P8: case-insensitive match without wildcards (app.py:60,107) -------------
+# Rewritten as lower()=lower() so the comparison stays sargable/pushable.
+def filter_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .filter(F.lower(F.col("c_mktsegment")) == F.lower(F.lit("bUiLdInG")))
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+register(
+    "filter_ilike",
+    filter_ilike,
+    "SELECT c_custkey, c_mktsegment FROM customer WHERE lower(c_mktsegment) = lower('bUiLdInG')",
+)
+
+
+# --- P9: disjunctive range predicate incl. wraparound (app.py:177-193) --------
+# The open-now predicate's shape: OR of AND-ed range conditions, one of
+# which wraps around a boundary (overnight hours ≙ hour-of-day wrap).
+def filter_disjunctive_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    h = F.hour("ts")
+    overnight = (h >= 22) | (h < 6)
+    daytime_big = (h >= 9) & (h < 17) & (F.col("value") > 400)
+    return ev.filter(overnight | daytime_big).select("event_id", "user_id", "value")
+
+
+register(
+    "filter_disjunctive_range",
+    filter_disjunctive_range,
+    """
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE (hour(ts) >= 22 OR hour(ts) < 6)
+       OR (hour(ts) >= 9 AND hour(ts) < 17 AND value > 400)
+    """,
+)
+
+
+# --- P10/F17: digit-dispatch predicate (app.py:57,104) -------------------------
+def filter_isdigit_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    brand_num = F.regexp_extract("p_brand", r"#(\d+)$", 1)
+    return (
+        part.filter(brand_num.rlike(r"^[0-9]+$") & (brand_num.cast("int") % 2 == 0))
+        .select("p_partkey", "p_brand")
+    )
+
+
+register(
+    "filter_isdigit_dispatch",
+    filter_isdigit_dispatch,
+    r"""
+    SELECT p_partkey, p_brand
+    FROM part
+    WHERE regexp_extract(p_brand, '#(\d+)$', 1) SIMILAR TO '[0-9]+'
+      AND CAST(regexp_extract(p_brand, '#(\d+)$', 1) AS INT) % 2 = 0
+    """,
+)
+
+
+# --- P11: constraint validation / quarantine split ----------------------------
+# Reference: pydantic regex constraints (web_scraping.py:232-247) →
+# declarative quarantine filter. Here: "valid" = value in [0, 500) and
+# props parses to a non-null k.
+def filter_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    valid = (F.col("value") >= 0) & (F.col("value") < 500) & k.isNotNull()
+    return ev.groupBy(valid.alias("is_valid")).agg(F.count(F.lit(1)).alias("n"))
+
+
+register(
+    "filter_quarantine",
+    filter_quarantine,
+    """
+    SELECT (value >= 0 AND value < 500 AND json_extract(props, '$.k') IS NOT NULL) AS is_valid,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+
+
+# --- J1 + A1: inner equi-join fact↔dim + aggregate (app.py:66-82) -------------
+def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+register(
+    "join_inner_agg",
+    join_inner_agg,
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+
+
+# --- J2/J3: equi-join with residual theta predicate (app.py:195-210) ----------
+# The reference's "open now" is an equi-join plus interval predicates;
+# the residual (non-equi) part is pushed into the join by Catalyst.
+def join_theta_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        li.join(orders, (F.col("l_orderkey") == F.col("o_orderkey")) & (F.col("l_shipdate") > F.col("o_orderdate")))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_shipped_after_order"))
+    )
+
+
+register(
+    "join_theta_residual",
+    join_theta_residual,
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_shipped_after_order
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    GROUP BY o_orderstatus
+    """,
+)
+
+
+# --- J4/U2: left anti join — resume/dedup (web_scraping.py:517-521) -----------
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+register(
+    "join_left_anti",
+    join_left_anti,
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+
+
+# --- left semi (extension: positive form of J4) --------------------------------
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey")
+    )
+
+
+register(
+    "join_left_semi",
+    join_left_semi,
+    "SELECT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+)
+
+
+# --- left outer join with null-aware aggregate ---------------------------------
+def join_left_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+register(
+    "join_left_outer_agg",
+    join_left_outer_agg,
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+
+
+# --- full outer join ------------------------------------------------------------
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation")
+    supplier = load(spark, sf_dir, "supplier")
+    return (
+        nation.join(supplier, F.col("n_nationkey") == F.col("s_nationkey"), "full_outer")
+        .select("n_nationkey", "n_name", "s_suppkey")
+    )
+
+
+register(
+    "join_full_outer",
+    join_full_outer,
+    """
+    SELECT n_nationkey, n_name, s_suppkey
+    FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
+    """,
+)
+
+
+# --- cross join (small-small; extension) ----------------------------------------
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").select(F.col("r_name").alias("r1"))
+    region2 = load(spark, sf_dir, "region").select(F.col("r_name").alias("r2"))
+    return region.crossJoin(region2).filter(F.col("r1") < F.col("r2"))
+
+
+register(
+    "join_cross_small",
+    join_cross_small,
+    """
+    SELECT a.r_name AS r1, b.r_name AS r2
+    FROM region a CROSS JOIN region b
+    WHERE a.r_name < b.r_name
+    """,
+)
+
+
+# --- J6: broadcast dimension lookup (app.py:144-162) ----------------------------
+# The reference collects the 7-row weekday dim into a python dict; in
+# Spark the idiom is an explicit broadcast join — zero shuffle on the
+# dim side at any scale.
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_name", F.col("r_name").alias("region_name"))
+    )
+
+
+register(
+    "join_broadcast_dim",
+    join_broadcast_dim,
+    """
+    SELECT n_name, r_name AS region_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+
+
+# --- J5: batch dim-merge (get_or_create, parse_and_upload_to_db.py:31-47) ------
+# The N+1 lookup-or-insert rewritten set-oriented: existing dim ∪ new
+# values, surrogate ids assigned by window (see operators/dim_merge.py).
+# Here: "existing" dim = brands of parts with p_partkey <= 100; incoming
+# values = all brands; result must assign old ids stably and new ids
+# densely after max(existing).
+def dim_merge_get_or_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    existing_names = (
+        part.filter(F.col("p_partkey") <= 100).select(F.col("p_brand").alias("name")).distinct()
+    )
+    w = Window.orderBy("name")
+    existing = existing_names.select(F.row_number().over(w).cast("bigint").alias("id"), "name")
+    incoming = part.select(F.col("p_brand").alias("name"))
+    return merge_dimension(existing, incoming)
+
+
+register(
+    "dim_merge_get_or_create",
+    dim_merge_get_or_create,
+    """
+    WITH existing AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY name) AS id, name
+      FROM (SELECT DISTINCT p_brand AS name FROM part WHERE p_partkey <= 100)
+    ),
+    incoming AS (SELECT DISTINCT p_brand AS name FROM part),
+    novel AS (
+      SELECT name FROM incoming
+      WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.name = incoming.name)
+    ),
+    mx AS (SELECT COALESCE(MAX(id), 0) AS m FROM existing)
+    SELECT id, name FROM existing
+    UNION ALL
+    SELECT (SELECT m FROM mx) + ROW_NUMBER() OVER (ORDER BY name) AS id, name FROM novel
+    """,
+)
+
+
+# --- A-ext: TPC-H Q1-shaped grouped aggregate -----------------------------------
+def agg_groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            # disc-price sums live on a 1e-4 grid → round 4 (a 2-digit
+            # round could land exactly on a boundary and diverge between
+            # engines); averages round 6 for the same reason.
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+register(
+    "agg_groupby_stats",
+    agg_groupby_stats,
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+
+# --- A1/A2: scalar count over join (app.py:66-72) -------------------------------
+def agg_count_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("o_orderstatus") == "F")
+        .agg(F.count(F.lit(1)).alias("total_results"))
+    )
+
+
+register(
+    "agg_count_join",
+    agg_count_join,
+    """
+    SELECT COUNT(*) AS total_results
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    """,
+)
+
+
+# --- A3: DISTINCT set build (web_scraping.py:518-519) ---------------------------
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+
+
+register("agg_distinct", agg_distinct, "SELECT DISTINCT o_orderpriority FROM orders")
+
+
+# --- exact count-distinct per group (extension) ---------------------------------
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+register(
+    "agg_count_distinct",
+    agg_count_distinct,
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_partkey) AS n_parts
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+
+
+# --- exact percentile (extension; approx_percentile is the 100TB path) ----------
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+    )
+
+
+register(
+    "agg_percentile",
+    agg_percentile,
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+
+
+# --- rollup (grouping-set extension) ---------------------------------------------
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+register(
+    "agg_rollup",
+    agg_rollup,
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+
+
+# --- pivot (extension) ------------------------------------------------------------
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "l_returnflag",
+            F.coalesce("F", F.lit(0)).alias("ls_f"),
+            F.coalesce("O", F.lit(0)).alias("ls_o"),
+        )
+    )
+
+
+register(
+    "agg_pivot",
+    agg_pivot,
+    """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS ls_f,
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS ls_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+
+
+# --- W1: deterministic LIMIT/OFFSET pagination (app.py:74,80-81) ----------------
+# The reference paginates with no ORDER BY (nondeterministic in Postgres);
+# we add an explicit total order — documented semantic delta (SURVEY §7.2).
+def window_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return paginate(orders.select("o_orderkey", "o_totalprice"), ["o_orderkey"], page=3, page_size=10)
+
+
+register(
+    "window_pagination",
+    window_pagination,
+    """
+    SELECT o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn > 20 AND rn <= 30
+    """,
+)
+
+
+# --- W2: custom categorical sort via array_position (app.py:22,157-160) ---------
+_PRIORITY_ORDER = ["5-LOW", "4-NOT SPECIFIED", "3-MEDIUM", "2-HIGH", "1-URGENT"]
+
+
+def window_custom_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    pos = F.array_position(F.array(*[F.lit(v) for v in _PRIORITY_ORDER]), F.col("o_orderpriority"))
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("sort_pos", pos.cast("int"))
+    )
+
+
+register(
+    "window_custom_sort",
+    window_custom_sort,
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(list_position(['5-LOW','4-NOT SPECIFIED','3-MEDIUM','2-HIGH','1-URGENT'],
+                              o_orderpriority) AS INT) AS sort_pos
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+
+
+# --- W3: surrogate-key assignment (autoincrement PK mapping, model.py:11) --------
+def window_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    w = Window.orderBy("p_type")
+    return (
+        part.select("p_type").distinct().select(F.row_number().over(w).cast("bigint").alias("id"), "p_type")
+    )
+
+
+register(
+    "window_surrogate_keys",
+    window_surrogate_keys,
+    """
+    SELECT ROW_NUMBER() OVER (ORDER BY p_type) AS id, p_type
+    FROM (SELECT DISTINCT p_type FROM part)
+    """,
+)
+
+
+# --- top-k per group (W4 ranking generalized) -------------------------------------
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+register(
+    "window_topk_per_group",
+    window_topk_per_group,
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+
+
+# --- lag/lead analytics (extension over events) ------------------------------------
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+register(
+    "window_lag_lead",
+    window_lag_lead,
+    """
+    SELECT user_id, event_id,
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta_prev,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+    """,
+)
+
+
+# --- running aggregate with frame (extension) ---------------------------------------
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+register(
+    "window_running_sum",
+    window_running_sum,
+    """
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+    FROM events
+    """,
+)
+
+
+# --- U1: UNION ALL (append semantics, web_scraping.py:221-224) -----------------------
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 400000).select("o_orderkey", "o_totalprice")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey", "o_totalprice")
+    return hi.unionByName(urgent)
+
+
+register(
+    "setop_union_all",
+    setop_union_all,
+    """
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+
+
+# --- U2: EXCEPT (resume semantics, web_scraping.py:517-521) ---------------------------
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    orders = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return customer.exceptAll(orders.distinct())
+
+
+register(
+    "setop_except",
+    setop_except,
+    """
+    SELECT c_custkey AS k FROM customer
+    EXCEPT ALL
+    SELECT DISTINCT o_custkey AS k FROM orders
+    """,
+)
+
+
+# --- INTERSECT (extension) --------------------------------------------------------------
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp_nations = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    cust_nations = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    return supp_nations.intersect(cust_nations)
+
+
+register(
+    "setop_intersect",
+    setop_intersect,
+    """
+    SELECT s_nationkey AS nk FROM supplier
+    INTERSECT
+    SELECT c_nationkey AS nk FROM customer
+    """,
+)

@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+One place to encode the engine-wide execution posture:
+
+- **AQE on** — runtime re-planning (coalesce shuffle partitions,
+  skew-join splitting, dynamic broadcast) is the main lever that makes
+  the same declarative plan work at sf0.001 and at 100 TB.
+- **UTC session timezone** — the DuckDB oracle compares timestamps as
+  UTC-naive; Spark timestamps are session-TZ (pitfall in the PySpark
+  guide), so we pin UTC everywhere.
+- **Arrow on** — every ``toPandas``/Pandas-UDF boundary is Arrow-batched.
+- **shuffle partitions ~ cores** locally; on a real cluster this is
+  overridden by the submitter (AQE coalescing makes the initial number
+  much less sensitive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def sf_dir(default: str = _DEFAULT_SF_DIR) -> str:
+    """Testdata directory, overridable via SPARK_GRAFT_SF_DIR."""
+    return os.environ.get("SPARK_GRAFT_SF_DIR", default)
+
+
+def cpu_count() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
+
+
+def get_spark(app_name: str = "yelp-pipeline-spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the session with engine defaults.
+
+    ``shuffle_partitions`` defaults to the local core count; a cluster
+    deployment should leave AQE to coalesce from a higher initial value
+    (rule of thumb: 2-3x total executor cores).
+    """
+    cores = cpu_count()
+    parts = shuffle_partitions if shuffle_partitions is not None else cores
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(parts))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # The driver's events.parquet stores TIMESTAMP(NANOS) which the
+        # vectorized reader rejects; read as long, convert in tables.py.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Files: pack small test files, bound huge scans at scale.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if not SparkSession.getActiveSession():
+        builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]"))
+    return builder.getOrCreate()

@@ -1,0 +1,148 @@
+"""Time-window aggregations (SURVEY.md §2.9 extensions).
+
+These use Spark's ``window()`` / sessionization expressions, which are
+the SAME expressions Structured Streaming plans incrementally — the
+batch queries here are the correctness oracle surface; the streaming
+wiring (readStream → withWatermark → writeStream) lives in
+streaming/ingest.py and is exercised by tests/test_streaming.py.
+
+Scale posture: tumbling/sliding windows are hash-aggregates keyed by
+(window, key) — partial aggregation happens map-side, so the shuffle
+carries one row per window per key per map partition. Sessionization is
+a per-key window function — one shuffle keyed by user, no skew at
+bounded per-user event counts; for whale users combine with salting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.catalog import register
+from ..tables import load
+
+
+def tumbling_agg(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", duration).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(load(spark, sf_dir, "events"))
+
+
+register(
+    "stream_tumbling_window",
+    stream_tumbling,
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+
+
+def sliding_agg(events: DataFrame) -> DataFrame:
+    """2-hour windows sliding by 1 hour — every event lands in exactly
+    two windows."""
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"))
+        # avg as round(sum,2)/n: the rounded sum is an exact grid point
+        # in both engines and integer division is IEEE-deterministic —
+        # unlike round(avg, d), which can land exactly on a rounding
+        # boundary (e.g. n a power of two) and diverge across engines.
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("avg_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "n", "avg_value")
+    )
+
+
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_agg(load(spark, sf_dir, "events"))
+
+
+register(
+    "stream_sliding_window",
+    stream_sliding,
+    """
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour' AS win_start, value FROM events
+    )
+    SELECT win_start, COUNT(*) AS n, ROUND(SUM(value), 2) / COUNT(*) AS avg_value
+    FROM assigned
+    GROUP BY win_start
+    """,
+)
+
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, microseconds
+
+
+def sessionize(events: DataFrame, gap_us: int = _GAP_US) -> DataFrame:
+    """Gap-based sessionization: lag + cumulative sum of gap-breaks.
+    Batch analogue of session_window(ts, gap)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    is_new = F.when(us - F.lag(us).over(w) > gap_us, 1).otherwise(0)
+    return events.withColumn(
+        "session_id", F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    sess = sessionize(ev)
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            (F.max("session_id") + 1).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
+register(
+    "stream_sessionize",
+    stream_sessionize,
+    f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) > {_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(MAX(session_id) + 1 AS BIGINT) AS n_sessions,
+           MAX(n_events) AS max_session_events,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM per_session
+    GROUP BY user_id
+    """,
+)
