@@ -1,0 +1,173 @@
+"""Stage-2 ETL: nested scrape results → 11-table star schema
+(SURVEY.md §2.8, E2; reference parse_and_upload_to_db.py:84-183).
+
+The reference loads row-at-a-time with per-value ``get_or_create``
+round trips (N+1). This plan is the set-oriented rewrite (SURVEY E2.4):
+
+    bronze (nested)                    # one cached pass
+      ├─ quarantine split (P11: pydantic constraint regexes)
+      ├─ business + surrogate ids (W3)
+      ├─ per collection: explode → distinct → dim ids → broadcast-join
+      │  FKs back (J5 batch dim-merge — no per-row lookups)
+      └─ open_hours: explode entries → parse ranges (F2/F4/F5) →
+         second explode (N1: split shifts → multiple rows)
+
+Semantic deltas vs the reference (deliberate, documented):
+- surrogate ids are deterministic (row_number over natural key), not
+  insertion-order autoincrement — same shape, different values;
+- weekday ids follow Mon..Sun canonical order;
+- constraint-violating rows and unparseable hour strings go to
+  quarantine outputs instead of failing the whole transaction
+  (the reference rolls back everything on one bad row,
+  parse_and_upload_to_db.py:175-179).
+
+Scale notes: every dim is bounded-cardinality → broadcast joins for FK
+attachment; the only fact-scale shuffles are the surrogate-id sort and
+the explodes' downstream writes. Dense-id assignment uses a global
+row_number window — fine for dimension-sized outputs; for fact-scale id
+assignment at 100 TB swap in the two-phase per-partition-offset scheme
+(count per partition → prefix-sum offsets) noted in operators/dim_merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hours import hours_ranges
+from ..schemas import HEALTH_SCORE_PATTERN, PRICE_PATTERN, WEEKDAY_ORDER
+
+
+def _dense_ids(df: DataFrame, *order_cols: str) -> DataFrame:
+    """Deterministic dense bigint ids 1..n ordered by the natural key."""
+    w = Window.orderBy(*order_cols)
+    return df.withColumn("id", F.row_number().over(w).cast("bigint"))
+
+
+def _name_dim(values: DataFrame) -> DataFrame:
+    """distinct name → (id, name) dim, ids dense by name order."""
+    return _dense_ids(values.select("name").distinct(), "name").select("id", "name")
+
+
+def validity_predicate() -> F.Column:
+    """P11: the pydantic constraints as a quarantine predicate
+    (web_scraping.py:232-247)."""
+    price_ok = F.col("price").isNull() | F.col("price").rlike(PRICE_PATTERN)
+    health_ok = F.col("health_score").isNull() | F.col("health_score").rlike(HEALTH_SCORE_PATTERN)
+    return F.col("name").isNotNull() & price_ok & health_ok
+
+
+def normalize(results: DataFrame) -> dict[str, DataFrame]:
+    """Nested results (RESULTS_SCHEMA) → star schema tables.
+
+    Returns the 11 star tables plus ``quarantine`` (constraint-violating
+    input rows) and ``hours_rejects`` (unparseable hour strings — the
+    rows the reference would abort the batch on).
+    """
+    valid = results.filter(validity_predicate())
+    quarantine = results.filter(~validity_predicate())
+
+    keyed = _dense_ids(valid, "bizId").cache()
+
+    business = keyed.select(
+        "id", "name", "website", "phone_number", "address", "price", "health_score"
+    )
+
+    # --- weekday dim: canonical Mon..Sun ordering (W2) ----------------------
+    weekday_pos = F.array_position(
+        F.array(*[F.lit(d) for d in WEEKDAY_ORDER]), F.col("name")
+    )
+    weekday = (
+        keyed.select(F.explode("open_hours").alias("oh"))
+        .select(F.col("oh.weekday").alias("name"))
+        .distinct()
+        .withColumn("id", F.row_number().over(Window.orderBy(weekday_pos)).cast("bigint"))
+        .select("id", "name")
+    )
+
+    # --- simple name dims + bridges (N2-N4 / J5) ----------------------------
+    def bridge(array_col: str, dim: DataFrame, fk_name: str) -> DataFrame:
+        ex = keyed.select(F.col("id").alias("business_id"), F.explode(array_col).alias("name"))
+        joined = ex.join(F.broadcast(dim.withColumnRenamed("id", fk_name)), "name").select(
+            "business_id", fk_name
+        )
+        return _dense_ids(joined, "business_id", fk_name).select("id", "business_id", fk_name)
+
+    food_category = _name_dim(
+        keyed.select(F.explode("food_category").alias("name"))
+    )
+    search_term = _name_dim(keyed.select(F.explode("related_search_terms").alias("name")))
+    highlight = _name_dim(keyed.select(F.explode("highlights").alias("name")))
+    amenity = _name_dim(keyed.select(F.explode("amenities.amenity").alias("name")))
+
+    business_food_category = bridge("food_category", food_category, "food_category_id")
+    business_search_term = bridge("related_search_terms", search_term, "search_term_id")
+    business_highlight = bridge("highlights", highlight, "highlight_id")
+
+    # --- amenity bridge carries the is_available payload (N5) ---------------
+    am_ex = keyed.select(
+        F.col("id").alias("business_id"),
+        F.explode("amenities").alias("am"),
+    ).select("business_id", F.col("am.amenity").alias("name"), F.col("am.is_available").alias("is_available"))
+    business_amenity = _dense_ids(
+        am_ex.join(F.broadcast(amenity.withColumnRenamed("id", "amenity_id")), "name").select(
+            "business_id", "amenity_id", "is_available"
+        ),
+        "business_id",
+        "amenity_id",
+    ).select("id", "business_id", "amenity_id", "is_available")
+
+    # --- open_hours: double explode with range parsing (N1) -----------------
+    entries = keyed.select(
+        F.col("id").alias("business_id"), F.explode("open_hours").alias("oh")
+    ).select(
+        "business_id",
+        F.col("oh.weekday").alias("weekday_name"),
+        F.col("oh.open_hours").alias("hours_str"),
+        hours_ranges(F.col("oh.open_hours")).alias("ranges"),
+    )
+    hours_rejects = entries.filter(F.col("ranges").isNull()).select(
+        "business_id", "weekday_name", "hours_str"
+    )
+    open_hours = (
+        entries.filter(F.col("ranges").isNotNull())
+        .select("business_id", "weekday_name", F.explode("ranges").alias("r"))
+        .join(
+            F.broadcast(
+                weekday.select(F.col("id").alias("weekday_id"), F.col("name").alias("weekday_name"))
+            ),
+            "weekday_name",
+        )
+        .select(
+            "business_id",
+            "weekday_id",
+            F.col("r.open_time").alias("open_time"),
+            F.col("r.close_time").alias("close_time"),
+        )
+    )
+    open_hours = _dense_ids(
+        open_hours, "business_id", "weekday_id", "open_time", "close_time"
+    ).select("id", "business_id", "weekday_id", "open_time", "close_time")
+
+    return {
+        "business": business,
+        "weekday": weekday,
+        "food_category": food_category,
+        "search_term": search_term,
+        "highlight": highlight,
+        "amenity": amenity,
+        "open_hours": open_hours,
+        "business_food_category": business_food_category,
+        "business_search_term": business_search_term,
+        "business_highlight": business_highlight,
+        "business_amenity": business_amenity,
+        "quarantine": quarantine,
+        "hours_rejects": hours_rejects,
+    }
+
+
+def write_star_schema(tables: dict[str, DataFrame], out_dir: str) -> None:
+    """Persist the star schema as parquet (the engine's native store;
+    the JDBC sink in sources/jdbc.py is the drop-in alternative)."""
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")

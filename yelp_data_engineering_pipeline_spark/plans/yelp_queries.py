@@ -1,0 +1,166 @@
+"""Stage-3 query surface: the three API endpoints as parameterized
+DataFrame plans (SURVEY.md §3 E3; reference database/app.py).
+
+Deltas vs the reference (deliberate, documented):
+- pagination has an explicit total order (business id, then the
+  attribute key) — the reference's LIMIT/OFFSET without ORDER BY is
+  nondeterministic in a distributed engine (SURVEY §7 hard point 2);
+- ``now`` is a parameter, never wall-clock (§7 hard point 3): callers
+  resolve the tz-aware instant to (seconds-of-day, today, yesterday)
+  once, driver-side — exactly what the reference computes with
+  ``datetime.now(LA_TZ)`` (app.py:151,174);
+- row semantics preserved: a business with two qualifying open_hours
+  rows appears twice and counts twice (A2 nuance, app.py:195-201).
+
+Scale: the count and the page come from ONE cached join (the reference
+re-runs the join per request, app.py:66-82); dims broadcast; the page
+fetch is a pushed-down filter + top-k (see operators/pagination.py).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import WEEKDAY_ORDER
+
+_BUSINESS_COLS = ["id", "name", "website", "phone_number", "address", "price", "health_score"]
+
+
+def _page(df: DataFrame, order_by: list[str], page: int, page_size: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    offset = (page - 1) * page_size
+    w = Window.orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + page_size))
+        .drop("_rn")
+    )
+
+
+def _resolve_dim_id(dim: DataFrame, key: int | str) -> int | None:
+    """Digit-dispatch id/name resolution (P10, app.py:57-64): ints pass
+    through; names match case-insensitively (ilike with no wildcards)."""
+    if isinstance(key, int) or (isinstance(key, str) and key.isdigit()):
+        return int(key)
+    row = dim.filter(F.lower(F.col("name")) == str(key).lower()).select("id").first()
+    return row[0] if row else None
+
+
+def restaurants_by_category(
+    tables: dict[str, DataFrame], category: int | str, page: int = 1, page_size: int = 10
+) -> dict:
+    """GET /restaurants/category/{category} (app.py:46-91)."""
+    category_id = _resolve_dim_id(tables["food_category"], category)
+    if category_id is None:
+        return {"error": "Category not found"}
+    joined = (
+        tables["business"]
+        .join(
+            tables["business_food_category"]
+            .filter(F.col("food_category_id") == category_id)
+            .select("business_id"),
+            F.col("id") == F.col("business_id"),
+        )
+        .select(*_BUSINESS_COLS)
+        .cache()
+    )
+    total = joined.count()
+    return {
+        "page": page,
+        "page_size": page_size,
+        "total_results": total,
+        "businesses": _page(joined, ["id"], page, page_size),
+    }
+
+
+def restaurants_by_day(
+    tables: dict[str, DataFrame], weekday: int | str, page: int = 1, page_size: int = 10
+) -> dict:
+    """GET /restaurants/day/{weekday} (app.py:94-142). Row semantics:
+    one output row per qualifying open_hours row (split shifts appear
+    twice, as in the reference)."""
+    weekday_id = _resolve_dim_id(tables["weekday"], weekday)
+    if weekday_id is None:
+        return {"error": "Invalid weekday"}
+    joined = (
+        tables["business"]
+        .join(
+            tables["open_hours"]
+            .filter(F.col("weekday_id") == weekday_id)
+            .select("business_id", "open_time", "close_time"),
+            F.col("id") == F.col("business_id"),
+        )
+        .select(*_BUSINESS_COLS, "open_time", "close_time")
+        .cache()
+    )
+    total = joined.count()
+    return {
+        "weekday": weekday,
+        "page": page,
+        "page_size": page_size,
+        "total_results": total,
+        "restaurants": _page(joined, ["id", "open_time", "close_time"], page, page_size),
+    }
+
+
+def resolve_now(now: datetime) -> tuple[int, str, str]:
+    """Tz-aware instant → (seconds-of-day, today, yesterday) — the
+    driver-side equivalent of app.py:151,174 with `now` as a parameter."""
+    secs = now.hour * 3600 + now.minute * 60 + now.second
+    today = now.strftime("%a")
+    prev = WEEKDAY_ORDER[(WEEKDAY_ORDER.index(today) - 1) % 7]
+    return secs, today, prev
+
+
+def open_now_predicate(now_secs: int, today_id: int, prev_id: int) -> Column:
+    """The three-branch point-in-interval predicate (P9,
+    app.py:177-193) on seconds-of-day encoded columns."""
+    o, c, w = F.col("open_time"), F.col("close_time"), F.col("weekday_id")
+    normal = (w == today_id) & (o <= now_secs) & (c > now_secs)
+    overnight_today = (w == today_id) & (o <= now_secs) & (c < o)
+    overnight_prev = (w == prev_id) & (o > c) & (c > now_secs)
+    return normal | overnight_today | overnight_prev
+
+
+def time_until_close_secs(now_secs: int) -> Column:
+    """F8: close is tomorrow when it already passed today (overnight
+    rollover, app.py:217-226) — expressed in built-ins, no UDF."""
+    c = F.col("close_time")
+    return F.when(c < now_secs, c + 86400 - now_secs).otherwise(c - now_secs).cast("int")
+
+
+def restaurants_open_now(
+    tables: dict[str, DataFrame], now: datetime, page: int = 1, page_size: int = 10
+) -> dict:
+    """GET /restaurants/now (app.py:165-233), ``now`` parameterized."""
+    now_secs, today, prev = resolve_now(now)
+    weekday = tables["weekday"]
+    today_id = _resolve_dim_id(weekday, today)
+    prev_id = _resolve_dim_id(weekday, prev)
+    if today_id is None:
+        raise ValueError(f"Weekday {today} not found in the database!")
+    if prev_id is None:
+        prev_id = -1  # yesterday absent from the dim → branch 3 matches nothing
+    joined = (
+        tables["business"]
+        .join(
+            tables["open_hours"]
+            .filter(open_now_predicate(now_secs, today_id, prev_id))
+            .select("business_id", "close_time"),
+            F.col("id") == F.col("business_id"),
+        )
+        .select(*_BUSINESS_COLS, "close_time")
+        .withColumn("time_until_close", time_until_close_secs(now_secs))
+        .cache()
+    )
+    total = joined.count()
+    return {
+        "page": page,
+        "page_size": page_size,
+        "total_results": total,
+        "restaurants": _page(joined, ["id", "close_time"], page, page_size),
+    }
