@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+
+    {"metric": "...", "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+One query per operator family (SURVEY.md §2) so a regression anywhere in
+the engine shows up. Each query is timed end-to-end (plan → execute →
+noop sink, no driver materialization cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "flagship_revenue_by_nation",   # multi-join + agg + sort
+    "agg_groupby_stats",            # TPC-H Q1 shape
+    "join_inner_agg",               # fact⋈dim agg
+    "join_left_anti",               # resume/dedup join
+    "window_topk_per_group",        # partitioned window
+    "window_pagination",            # global-order page
+    "setop_except",                 # set op
+    "explode_word_counts",          # explode + agg
+    "func_json_extract",            # JSON path
+    "dedup_exact",                  # hash-groupBy dedup
+    "dedup_minhash_lsh",            # shingle→minhash→band→verify
+    "dedup_simhash",                # bit-voting signature
+    "similarity_topk_bruteforce",   # cosine top-k
+    "similarity_topk_lsh",          # bucketed ANN
+    "text_quality",                 # text feature extraction
+    "text_fingerprint",             # rolling hash
+    "stream_tumbling_window",       # windowed agg
+    "stream_sessionize",            # sessionization
+    "mm_decode_stub",               # Arrow-batched Python stage
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+
+    import __spark_entry__ as entrymod
+    from yelp_data_engineering_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    # Warm the JVM + parquet footers once so per-query numbers measure
+    # the queries, not session startup.
+    qs["flagship_revenue_by_nation"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+"""Stage-1 acquisition tests with deterministic synthetic fetchers
+(SURVEY.md §5; the reference has no tests — FIXTURES.md A1/A4 drive the
+fixture shapes)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelp_data_engineering_pipeline_spark.sources.http import (
+    extract_apollo_state,
+    fetch_search_pages,
+    parse_search_pages,
+    retrying,
+    scrape_businesses,
+    scrape_search_pages,
+)
+
+N_BUSINESSES = 57  # 5.7 pages of 10 → sentinel on page 6
+
+
+def _search_row(i: int) -> str:
+    is_ad = "true" if i % 7 == 3 else "false"
+    return (
+        f'{{"bizId": "biz-{i:05d}", "ranking": {i + 1}, "isAd": {is_ad}, '
+        f'"name": "Biz {i}", "businessUrl": "/biz/biz-{i:05d}?osq=thai"}}'
+    )
+
+
+def search_fetcher(url: str) -> str | None:
+    start = int(url.split("start=")[1])
+    if start >= N_BUSINESSES:
+        return '{"excessivePaging": true}'
+    rows = [_search_row(i) for i in range(start, min(start + 10, N_BUSINESSES))]
+    return "\n".join(rows)
+
+
+def _page_html(biz_id: str) -> str:
+    state = {
+        "business": {
+            "name": f"Restaurant {biz_id}",
+            "website": f"https://{biz_id}.example.com",
+            "phone": "(555) 555-0100",
+            "address": "1 Main St",
+            "price": "$$",
+            "healthScore": "A",
+            "openHours": [
+                {"weekday": "Mon", "hours": "11:00 AM - 3:00 PM"},
+                {"weekday": "Sat", "hours": "5:00 PM - 1:00 AM (Next day)"},
+            ],
+            "categories": ["Thai", "Noodles"],
+            "amenities": [{"name": "wifi", "available": True}],
+        }
+    }
+    # the reference strips 4 leading/3 trailing chars around the JSON
+    # blob (web_scraping.py:292) — reproduce that framing, escaped
+    blob = "<!--" + json.dumps(state) + "-->"
+    escaped = blob.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    return f'<html><head><script type="json" data-apollo-state>{escaped}</script></head></html>'
+
+
+def business_fetcher(url: str) -> str | None:
+    if url.endswith("/props"):
+        return json.dumps({"highlights": ["wifi"], "relatedSearches": ["thai near me"]})
+    biz_id = url.rsplit("/", 1)[-1].split("?")[0]
+    return _page_html(biz_id)
+
+
+def test_search_parse_filters_ads_and_normalizes_urls(spark):
+    raw = fetch_search_pages(spark, search_fetcher, [0, 10])
+    parsed = parse_search_pages(raw)
+    rows = {r["bizId"]: r for r in parsed.collect()}
+    assert "biz-00003" not in rows  # isAd filtered (P1)
+    r = rows["biz-00000"]
+    assert r["businessUrl"] == "https://www.yelp.com/biz/biz-00000"  # P4: origin + query stripped
+    assert r["ranking"] == 1
+
+
+def test_search_sentinel_stops_cursor(spark):
+    out = scrape_search_pages(spark, search_fetcher, batch_size=2, page_size=10, max_batches=50)
+    ids = [r["bizId"] for r in out.select("bizId").collect()]
+    n_ads = sum(1 for i in range(N_BUSINESSES) if i % 7 == 3)
+    assert len(ids) == N_BUSINESSES - n_ads
+    assert len(set(ids)) == len(ids)
+
+
+def test_apollo_state_roundtrip():
+    state = extract_apollo_state(_page_html("biz-x"))
+    assert state["business"]["name"] == "Restaurant biz-x"
+    assert extract_apollo_state("<html>no script</html>") is None
+
+
+def test_scrape_businesses_full(spark):
+    worklist = parse_search_pages(fetch_search_pages(spark, search_fetcher, [0]))
+    results = scrape_businesses(worklist, business_fetcher)
+    rows = results.collect()
+    assert len(rows) == worklist.count()
+    r = {x["bizId"]: x for x in rows}["biz-00000"]
+    assert r["name"] == "Restaurant biz-00000"
+    assert r["food_category"] == ["Thai", "Noodles"]
+    assert r["amenities"][0]["amenity"] == "wifi" and r["amenities"][0]["is_available"]
+    assert r["open_hours"][1]["open_hours"] == "5:00 PM - 1:00 AM (Next day)"
+    assert r["highlights"] == ["wifi"]
+
+
+def test_resume_anti_join_idempotent(spark):
+    """ST1/J4 property: re-running with existing output scrapes only
+    the missing rows; a full re-run adds nothing."""
+    worklist = parse_search_pages(fetch_search_pages(spark, search_fetcher, [0, 10]))
+    first = scrape_businesses(worklist.filter(F.col("ranking") <= 9), business_fetcher).cache()
+    second = scrape_businesses(worklist, business_fetcher, already_scraped=first).cache()
+    assert first.join(second, "bizId", "inner").count() == 0  # disjoint
+    assert first.count() + second.count() == worklist.count()  # complete
+    third = scrape_businesses(
+        worklist, business_fetcher, already_scraped=first.unionByName(second)
+    )
+    assert third.count() == 0  # idempotent
+
+
+def test_retrying_fetcher_recovers_and_raises():
+    calls = {"n": 0}
+
+    def flaky(url: str) -> str:
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("boom")
+        return "ok"
+
+    assert retrying(flaky, attempts=5)("u") == "ok"
+    with pytest.raises(RuntimeError, match="after 2 attempts"):
+        retrying(lambda u: (_ for _ in ()).throw(ConnectionError()), attempts=2)("u")
+
+
+def test_normalize_consumes_scrape_output(spark):
+    """E1 → E2 seam: scrape output feeds normalize directly."""
+    from yelp_data_engineering_pipeline_spark.plans.normalize import normalize
+
+    worklist = parse_search_pages(fetch_search_pages(spark, search_fetcher, [0]))
+    results = scrape_businesses(worklist, business_fetcher)
+    tables = normalize(results)
+    assert tables["business"].count() == results.count()
+    assert tables["open_hours"].filter(F.col("close_time") < F.col("open_time")).count() > 0

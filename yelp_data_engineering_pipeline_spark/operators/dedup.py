@@ -46,11 +46,20 @@ def words(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles; empty array when < n words."""
+    """Distinct word n-gram shingles; empty array when < n words.
+
+    Built by zipping n shifted slices of the word array — a constant
+    number of O(words) passes per row. (Per-gram slice() or element_at
+    formulations re-evaluate the words() subexpression per gram ⇒
+    O(words²) per doc; measured 2x slower at sf0.1.)"""
     ws = words(text)
-    starts = F.sequence(F.lit(1), F.size(ws) - (n - 1))
-    grams = F.transform(starts, lambda i: F.array_join(F.slice(ws, i, n), " "))
-    return F.when(F.size(ws) >= n, F.array_distinct(grams)).otherwise(
+    m = F.size(ws) - (n - 1)  # gram count
+    zipped = F.slice(ws, 1, m)
+    for k in range(1, n):
+        zipped = F.zip_with(
+            zipped, F.slice(ws, k + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(m >= 1, F.array_distinct(zipped)).otherwise(
         F.array().cast("array<string>")
     )
 
@@ -107,16 +116,22 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, verified with exact
     Jaccard on shingle sets. Returns (doc_a, doc_b, jaccard)."""
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), shingles(F.col(text_col)).alias("sh")
-    ).filter(F.size("sh") > 0)
+    # The shingle/signature subtree feeds the band self-join (twice) and
+    # the verification joins (twice more) — persist it once instead of
+    # letting Catalyst recompute the md5 pipeline per branch (measured
+    # ~5x on bench). MEMORY_AND_DISK so the 100 TB path spills.
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col)).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
     sig = base.select("doc_id", "sh", *[c.alias(f"h{i}") for i, c in enumerate(minhash_signature(F.col("sh")))])
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*band_keys([F.col(f"h{i}") for i in range(N_HASHES)]))).alias(
             "band_idx", "band_key"
         ),
-    )
+    ).persist()
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band_idx", "band_key"])
@@ -147,8 +162,10 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard for (query subset × corpus) pairs sharing ≥1
     shingle — the shingle join bounds the pair space."""
-    base = docs.select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col)).alias("sh")).filter(
-        F.size("sh") > 0
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col)).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
     )
     q = base.filter(query_pred).select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")

@@ -57,6 +57,7 @@ def _ensure_loaded() -> None:
     from . import scalar_funcs  # noqa: F401
     from . import nested  # noqa: F401
     from ..operators import dedup  # noqa: F401
+    from ..operators import multimodal  # noqa: F401
     from ..operators import similarity  # noqa: F401
     from ..operators import textstats  # noqa: F401
     from ..streaming import windows  # noqa: F401

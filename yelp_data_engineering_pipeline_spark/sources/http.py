@@ -1,0 +1,265 @@
+"""Stage-1 acquisition as Spark dataflow (SURVEY.md §2.1 S3-S6, §2.11
+UD1, §3 E1; reference web_scraper/web_scraping.py).
+
+The reference fans out HTTP fetches with asyncio coroutines
+(web_scraping.py:194-209,435-450). The Spark-native shape moves the
+data plane onto executors:
+
+    page-offset DataFrame → mapInPandas(fetch) → JVM-side regex parse
+    worklist DataFrame → anti-join(done) → mapInPandas(fetch+parse)
+
+The fetcher is **pluggable** (a ``Callable[[str], str | None]``): tests
+inject a deterministic synthetic fetcher; a production deployment
+injects an HTTP client (requests/urllib inside the executor task —
+bounded per-partition concurrency replaces the reference's
+``asyncio.Semaphore(20)``, ST3). Retries with backoff (ST4,
+web_scraping.py:28-48) wrap each call *inside* the task so one bad URL
+doesn't fail the partition.
+
+Search-result parsing (F1, web_scraping.py:84-120) happens JVM-side via
+regexp_extract_all — Python touches only the raw fetched text. The
+business-page parse (UD1, web_scraping.py:250-368) is the one genuine
+Python-UDF surface in the engine: HTML/embedded-JSON surgery
+(S6 apollo-state extraction: strip the script tag, html.unescape, trim
+4 leading / 3 trailing chars, json.loads — web_scraping.py:283-293)
+done with stdlib inside mapInPandas, Arrow-batched.
+
+Scale notes: fetch partitions are sized by ``repartition(n_tasks)`` so
+the HTTP fan-out is (partitions × in-task loop); no driver-side
+collect anywhere; the anti-join resume (ST1/J4, web_scraping.py:517-521)
+broadcasts the done-set when small and shuffles both sides otherwise.
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+import json
+import re
+import time
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..functions.strings import normalize_business_url
+from ..schemas import BUSINESS_LIST_SCHEMA, RESULTS_SCHEMA
+
+Fetcher = Callable[[str], str | None]
+
+# One regex, five groups — same extraction contract as the reference's
+# search-snippet parse (web_scraping.py:94-110).
+_SEARCH_ROW_RE = (
+    r'\{"bizId": "([^"]+)", "ranking": (\d+), "isAd": (true|false), '
+    r'"name": "([^"]+)", "businessUrl": "([^"]+)"\}'
+)
+
+_SENTINEL = "excessivePaging"
+
+
+def retrying(fetcher: Fetcher, attempts: int = 5, backoff: Callable[[int], float] | None = None) -> Fetcher:
+    """ST4: bounded retries with injectable backoff (the reference
+    sleeps random 2-8 s; tests inject a zero backoff)."""
+
+    def fetch(url: str) -> str | None:
+        last: Exception | None = None
+        for i in range(attempts):
+            try:
+                return fetcher(url)
+            except Exception as e:  # noqa: BLE001 - retry any fetch error
+                last = e
+                if backoff is not None:
+                    time.sleep(backoff(i))
+        raise RuntimeError(f"fetch failed after {attempts} attempts: {url}") from last
+
+    return fetch
+
+
+RAW_PAGE_SCHEMA = StructType(
+    [StructField("start", StringType(), False), StructField("page_text", StringType(), True)]
+)
+
+
+def fetch_search_pages(
+    spark: SparkSession, fetcher: Fetcher, starts: list[int], n_tasks: int = 8
+) -> DataFrame:
+    """S3: fetch a batch of search pages as (start, raw text) rows."""
+    offsets = spark.createDataFrame([(str(s),) for s in starts], ["start"]).repartition(n_tasks)
+
+    def fetch_batch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            texts = [fetcher(f"/search/snippet?start={s}") for s in pdf["start"]]
+            yield pd.DataFrame({"start": pdf["start"], "page_text": texts})
+
+    return offsets.mapInPandas(fetch_batch, RAW_PAGE_SCHEMA)
+
+
+def parse_search_pages(raw: DataFrame) -> DataFrame:
+    """F1 + P1/P2/P4: JVM-side multi-group regex extraction, ad filter,
+    URL normalization — returns BUSINESS_LIST_SCHEMA-shaped rows."""
+    groups = {
+        "bizId": 1,
+        "ranking": 2,
+        "isAd": 3,
+        "name": 4,
+        "businessUrl": 5,
+    }
+    arrays = [
+        F.regexp_extract_all(F.col("page_text"), F.lit(_SEARCH_ROW_RE), g).alias(name)
+        for name, g in groups.items()
+    ]
+    zipped = F.arrays_zip(*[F.col(n) for n in groups])
+    return (
+        raw.filter(~F.col("page_text").contains(_SENTINEL))
+        .select(*arrays)
+        .select(F.explode(zipped).alias("r"))
+        .select(
+            F.col("r.bizId").alias("bizId"),
+            F.col("r.ranking").cast("int").alias("ranking"),
+            (F.col("r.isAd") == "true").alias("isAd"),
+            F.col("r.name").alias("name"),
+            normalize_business_url(F.col("r.businessUrl")).alias("businessUrl"),
+        )
+        .filter(~F.col("isAd"))  # P1: drop advertisements
+        .drop("isAd")  # P2
+    )
+
+
+def scrape_search_pages(
+    spark: SparkSession,
+    fetcher: Fetcher,
+    *,
+    batch_size: int = 10,
+    page_size: int = 10,
+    max_batches: int = 100,
+) -> DataFrame:
+    """E1 phase 1: micro-batched cursor advance with sentinel stop
+    (ST2, web_scraping.py:190-229). Each batch is one Spark job; the
+    cursor loop stays on the driver exactly like the reference's."""
+    out: DataFrame | None = None
+    start = 0
+    for _ in range(max_batches):
+        starts = [start + i * page_size for i in range(batch_size)]
+        raw = fetch_search_pages(spark, fetcher, starts).cache()
+        hit_sentinel = raw.filter(
+            F.col("page_text").contains(_SENTINEL) | F.col("page_text").isNull()
+        ).count()
+        parsed = parse_search_pages(raw)
+        out = parsed if out is None else out.unionByName(parsed)
+        if hit_sentinel > 0:
+            break
+        start += batch_size * page_size
+    assert out is not None
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Stage-1b: business pages
+# ---------------------------------------------------------------------------
+
+
+def extract_apollo_state(page_html: str) -> dict | None:
+    """S6 (web_scraping.py:283-293): locate the apollo-state script tag,
+    unescape HTML entities, strip 4 leading / 3 trailing chars,
+    json.loads. stdlib only — no bs4 dependency."""
+    m = re.search(
+        r'<script[^>]*data-apollo-state[^>]*>(.*?)</script>', page_html, re.DOTALL
+    )
+    if not m:
+        return None
+    blob = html_mod.unescape(m.group(1))
+    blob = blob[4:-3]
+    try:
+        return json.loads(blob)
+    except (ValueError, TypeError):
+        return None
+
+
+def _business_info_from_state(state: dict, props: dict | None) -> dict[str, Any] | None:
+    """UD1 (web_scraping.py:250-368): assemble the BusinessInfo struct
+    from the embedded apollo-state + /props JSON."""
+    if not state or "business" not in state:
+        return None
+    b = state["business"]
+    info = {
+        "name": b.get("name"),
+        "website": b.get("website"),
+        "phone_number": b.get("phone"),
+        "address": b.get("address"),
+        "price": b.get("price"),
+        "health_score": b.get("healthScore"),
+        "open_hours": [
+            {"weekday": h.get("weekday"), "open_hours": h.get("hours")}
+            for h in b.get("openHours", [])
+        ],
+        "food_category": list(b.get("categories", [])),
+        "amenities": [
+            {"amenity": a.get("name"), "is_available": bool(a.get("available"))}
+            for a in b.get("amenities", [])
+        ],
+        "highlights": list((props or {}).get("highlights", [])),
+        "related_search_terms": list((props or {}).get("relatedSearches", [])),
+    }
+    if info["name"] is None:
+        return None
+    return info
+
+
+def scrape_businesses(
+    worklist: DataFrame,
+    fetcher: Fetcher,
+    already_scraped: DataFrame | None = None,
+    n_tasks: int = 8,
+) -> DataFrame:
+    """E1 phase 2: anti-join resume (ST1/J4) then per-row fetch+parse in
+    mapInPandas; output rows follow RESULTS_SCHEMA."""
+    todo = worklist
+    if already_scraped is not None:
+        todo = worklist.join(
+            already_scraped.select("bizId").distinct(), "bizId", "left_anti"
+        )
+    todo = todo.repartition(n_tasks)
+
+    result_fields = [f.name for f in RESULTS_SCHEMA.fields]
+
+    def fetch_parse(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict(orient="records"):
+                page = fetcher(rec["businessUrl"])
+                props_text = fetcher(f"/biz/{rec['bizId']}/props")
+                if page is None:
+                    continue
+                state = extract_apollo_state(page)
+                props = None
+                if props_text:
+                    try:
+                        props = json.loads(props_text)
+                    except ValueError:
+                        props = None
+                info = _business_info_from_state(state or {}, props)
+                if info is None:
+                    continue
+                # J7: merge the worklist keys with the parsed struct
+                # (web_scraping.py:407-408)
+                rows.append({"bizId": rec["bizId"], "ranking": rec["ranking"], **info})
+            yield pd.DataFrame(rows, columns=result_fields)
+
+    return todo.mapInPandas(fetch_parse, RESULTS_SCHEMA)
+
+
+__all__ = [
+    "BUSINESS_LIST_SCHEMA",
+    "Fetcher",
+    "extract_apollo_state",
+    "fetch_search_pages",
+    "parse_search_pages",
+    "retrying",
+    "scrape_businesses",
+    "scrape_search_pages",
+]

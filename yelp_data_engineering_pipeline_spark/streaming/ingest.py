@@ -1,0 +1,62 @@
+"""Structured Streaming ingest (SURVEY.md §2.9 ST1-ST6).
+
+The reference's incremental machinery — resume by output existence,
+bizId dedup, micro-batched cursor — maps onto a streaming file source
+with checkpointed exactly-once sinks:
+
+- **ST1 resume** → ``checkpointLocation``: reprocessing after restart
+  picks up only unseen input files; dedup state survives restarts.
+- **bizId dedup** (web_scraping.py:517-521) → ``dropDuplicates``;
+  unbounded state is fine for availableNow batch drains, and
+  ``dedup_within_watermark`` bounds it for continuous operation.
+- **ST2 micro-batching** → ``maxFilesPerTrigger`` / availableNow.
+- **ST6 at-least-once append** → the file sink's commit protocol makes
+  it exactly-once per query.
+
+Scale: dedup state is hash-partitioned by bizId across executors; with
+the watermark variant, state size is bounded by the late-data horizon
+rather than the full key cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import RESULTS_SCHEMA
+
+
+def read_results_stream(spark: SparkSession, in_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = spark.readStream.schema(RESULTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(in_dir)
+
+
+def dedup_stream(stream: DataFrame, watermark: str | None = None) -> DataFrame:
+    """bizId dedup; pass a watermark (e.g. '1 hour') with an event-time
+    column to bound state for continuous pipelines."""
+    if watermark is not None:
+        stream = stream.withColumn("ingest_ts", F.current_timestamp()).withWatermark(
+            "ingest_ts", watermark
+        )
+        return stream.dropDuplicatesWithinWatermark(["bizId"])
+    return stream.dropDuplicates(["bizId"])
+
+
+def run_ingest_available_now(
+    spark: SparkSession, in_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain everything currently in ``in_dir`` into parquet exactly
+    once, then stop — the streaming equivalent of the reference's
+    resume-capable batch loop (E1 + ST1)."""
+    stream = dedup_stream(read_results_stream(spark, in_dir))
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
