@@ -1,0 +1,68 @@
+"""Scalar-function unit tests for the pieces without a DuckDB oracle:
+JSONPath recursive descent (F14) and tz-aware conversions (F7) — each
+checked against a python-stdlib oracle."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+from zoneinfo import ZoneInfo
+
+from pyspark.sql import functions as F
+
+from yelp_data_engineering_pipeline_spark.functions.jsonpath import json_descend, json_descend_py
+
+
+NESTED = {
+    "page": {
+        "businessHighlights": ["wifi", "patio"],
+        "sections": [
+            {"businessHighlights": ["takeout"], "other": 1},
+            {"deep": {"businessHighlights": "single"}},
+        ],
+    }
+}
+
+
+def test_json_descend_python_matches_semantics():
+    hits = json_descend_py(json.dumps(NESTED), "businessHighlights")
+    assert hits == [json.dumps(["wifi", "patio"]), json.dumps(["takeout"]), "single"]
+    assert json_descend_py("not json", "k") is None
+    assert json_descend_py(json.dumps({"a": 1}), "missing") == []
+
+
+def test_json_descend_udf(spark):
+    df = spark.createDataFrame([(json.dumps(NESTED),)], ["blob"])
+    row = df.select(json_descend(F.col("blob"), "businessHighlights").alias("hits")).first()
+    assert row["hits"] == [json.dumps(["wifi", "patio"]), json.dumps(["takeout"]), "single"]
+
+
+def test_tz_conversion_matches_zoneinfo(spark, sf_dir):
+    """F7: convert_timezone UTC→America/Los_Angeles vs python zoneinfo
+    (covers a DST boundary implicitly via the events ts range)."""
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").limit(50)
+    got = ev.select(
+        "event_id",
+        "ts",
+        F.convert_timezone(F.lit("UTC"), F.lit("America/Los_Angeles"), F.col("ts")).alias("la_ts"),
+    ).collect()
+    la = ZoneInfo("America/Los_Angeles")
+    for r in got:
+        expected = (
+            r["ts"].replace(tzinfo=timezone.utc).astimezone(la).replace(tzinfo=None)
+        )
+        assert r["la_ts"] == expected, r["event_id"]
+
+
+def test_weekday_name_of_now_parameterized(spark):
+    """F6/F7: weekday-of-now uses a parameterized instant, never
+    wall-clock (SURVEY §7 hard point 3)."""
+    from yelp_data_engineering_pipeline_spark.plans.yelp_queries import resolve_now
+
+    la = ZoneInfo("America/Los_Angeles")
+    now = datetime(2026, 1, 4, 23, 30, tzinfo=la)  # Sunday local
+    secs, today, prev = resolve_now(now)
+    assert (today, prev) == ("Sun", "Sat")
+    assert secs == 23 * 3600 + 30 * 60

@@ -1,0 +1,44 @@
+"""Physical-plan regression tests: the properties that matter at 100 TB
+(predicate pushdown, column pruning, broadcast dim joins, codegen)
+asserted against the formatted plan text — so a refactor that silently
+breaks pushdown fails CI, not the cluster."""
+
+from __future__ import annotations
+
+import pytest
+
+from yelp_data_engineering_pipeline_spark.plans.flagship import revenue_by_nation
+from yelp_data_engineering_pipeline_spark.plans.relational import (
+    filter_project_pushdown,
+    join_broadcast_dim,
+)
+
+
+def _formatted(df) -> str:
+    qe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return qe.explainString(mode)
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):
+    plan = _formatted(filter_project_pushdown(spark, sf_dir))
+    assert "EqualTo(l_returnflag,R)" in plan  # predicate pushed down
+    assert "LessThan(l_quantity,10.0)" in plan
+    # column pruning: scan reads exactly the 4 needed columns
+    assert "struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_returnflag:string>" in plan
+    assert "codegen id" in plan  # filter+project fused in whole-stage codegen
+
+
+def test_flagship_broadcasts_dims_and_prunes(spark, sf_dir):
+    plan = _formatted(revenue_by_nation(spark, sf_dir))
+    # nation (bounded dim) must come in via broadcast, never shuffle
+    assert plan.count("BroadcastHashJoin") >= 1
+    # lineitem scan reads only the 3 columns the query needs
+    assert "struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in plan
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_dim_join_is_broadcast_not_shuffle(spark, sf_dir):
+    plan = _formatted(join_broadcast_dim(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

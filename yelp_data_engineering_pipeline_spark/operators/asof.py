@@ -1,0 +1,161 @@
+"""As-of join and bucketized range join — temporal operators Spark
+lacks natively (extensions; the pyspark guide's "as-of / range join"
+patterns, re-expressed scalably).
+
+**As-of join** (for each left row, the latest right row with
+``right.ts <= left.ts``, per key): implemented with the union+window
+formulation rather than per-key ``pd.merge_asof``:
+
+    tag both sides → union → window last(right value, ignorenulls)
+    over (key ORDER BY ts, side) → keep left rows
+
+One shuffle (by key), no Python, no per-group materialization — works
+for billions of rows per key-partition and AQE handles skewed keys.
+
+**Range join** (pairs within a time distance): naive formulation is a
+cross join; the scale-safe pattern buckets both sides by
+``floor(ts / width)`` and equi-joins on adjacent buckets, then applies
+the exact range filter — shuffle bounded by bucket population, and the
+equi-join is hash-based.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..plans.catalog import register
+from ..tables import load
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every left row: the most recent right row with
+    ``right[on] <= left[on]`` within the same ``by`` group. Left rows
+    with no prior right row keep NULLs.
+
+    Ties on ``on`` resolve right-before-left (a right row at exactly
+    left.ts matches), mirroring ASOF JOIN semantics.
+    """
+    lcols = left.columns
+    l = left.select(*lcols, F.lit(1).alias("_side"))
+    for c in value_cols:
+        l = l.withColumn(f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType))
+    r = right.select(
+        *[
+            F.col(c) if c in (by, on) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    )
+    unioned = l.unionByName(r)
+    # right rows sort before left rows at equal ts (_side 0 < 1)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(on, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *lcols,
+        "_side",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join_buckets(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    max_lag_seconds: int,
+) -> DataFrame:
+    """Pairs (l, r) with same ``by`` key and
+    ``left_ts - max_lag <= right_ts <= left_ts``, via bucketed
+    equi-join (bucket width = max_lag)."""
+    width_us = max_lag_seconds * 1_000_000
+    lb = left.withColumn("_bucket", F.floor(F.unix_micros(F.col(left_ts)) / width_us))
+    rb = right.withColumn("_rbucket", F.floor(F.unix_micros(F.col(right_ts)) / width_us))
+    # each right row can match left rows in its own or the next bucket
+    rb = rb.withColumn("_bucket", F.explode(F.array(F.col("_rbucket"), F.col("_rbucket") + 1)))
+    joined = lb.join(rb, [by, "_bucket"])
+    # exact range check in microseconds (second-truncated epochs would
+    # disagree with the sub-second oracle at the boundary)
+    return joined.filter(
+        (F.col(right_ts) <= F.col(left_ts))
+        & (F.unix_micros(F.col(right_ts)) > F.unix_micros(F.col(left_ts)) - width_us)
+    ).drop("_bucket", "_rbucket")
+
+
+# ---------------------------------------------------------------------------
+# Catalog entries (DuckDB has native ASOF JOIN → strong oracle)
+# ---------------------------------------------------------------------------
+
+
+def asof_purchase_before_error(spark, sf_dir: str) -> DataFrame:
+    """For each error event: the user's most recent purchase at or
+    before it (value carried as-of)."""
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(errors, purchases, on="ts", by="user_id", value_cols=["purchase_value"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("purchase_value_asof").alias("last_purchase_value"),
+    )
+
+
+register(
+    "join_asof",
+    asof_purchase_before_error,
+    """
+    SELECT e.user_id, e.event_id, p.value AS last_purchase_value
+    FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND p.ts <= e.ts
+    """,
+)
+
+
+def range_join_clicks_before_error(spark, sf_dir: str) -> DataFrame:
+    """Errors joined to clicks by the same user within the preceding
+    10 minutes — bucketized interval join."""
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("err_ts"), F.col("event_id").alias("err_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    pairs = range_join_buckets(
+        errors, clicks, by="user_id", left_ts="err_ts", right_ts="click_ts", max_lag_seconds=600
+    )
+    return pairs.select("user_id", "err_id", "click_id")
+
+
+register(
+    "join_range_bucketed",
+    range_join_clicks_before_error,
+    """
+    SELECT e.user_id, e.event_id AS err_id, c.event_id AS click_id
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id
+     AND e.event_type = 'error' AND c.event_type = 'click'
+     AND c.ts <= e.ts
+     AND epoch_us(c.ts) > epoch_us(e.ts) - 600000000
+    """,
+)

@@ -56,6 +56,7 @@ def _ensure_loaded() -> None:
     from . import relational  # noqa: F401
     from . import scalar_funcs  # noqa: F401
     from . import nested  # noqa: F401
+    from ..operators import asof  # noqa: F401
     from ..operators import dedup  # noqa: F401
     from ..operators import multimodal  # noqa: F401
     from ..operators import similarity  # noqa: F401

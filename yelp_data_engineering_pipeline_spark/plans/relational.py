@@ -738,3 +738,49 @@ register(
     SELECT c_nationkey AS nk FROM customer
     """,
 )
+
+
+# --- approximate aggregates (the 100 TB path for distinct/quantile) -----------
+# No SQL oracle: Spark's HLL++/GK sketches are engine-specific, so the
+# driver records a rows-only check (exact counterparts are
+# agg_count_distinct / agg_percentile above).
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("approx_p90_price"),
+    )
+
+
+register("agg_approx_sketches", agg_approx, None)
+
+
+# --- SQL API surface: the same engine via spark.sql over temp views -----------
+def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+register(
+    "sql_api_groupby",
+    sql_api_revenue,
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
