@@ -42,3 +42,28 @@ def test_dim_join_is_broadcast_not_shuffle(spark, sf_dir):
     plan = _formatted(join_broadcast_dim(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_date_partitioned_events_prune(spark, sf_dir, tmp_path):
+    """Partition pruning: a date predicate over the partitioned layout
+    must show up as PartitionFilters (directories skipped pre-I/O)."""
+    from pyspark.sql import functions as F
+
+    from yelp_data_engineering_pipeline_spark.sources.parquet_layout import (
+        read_events_partitioned,
+        write_events_partitioned,
+    )
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    out = str(tmp_path / "events_by_date")
+    write_events_partitioned(load(spark, sf_dir, "events"), out)
+    df = read_events_partitioned(spark, out).filter(F.col("event_date") == "2024-01-05")
+    plan = _formatted(df)
+    assert "PartitionFilters" in plan and "event_date" in plan
+    assert df.count() > 0
+    # pruned scan reads one partition's files only
+    n_files = df.select(F.input_file_name()).distinct().count()
+    import glob
+
+    total_files = len(glob.glob(f"{out}/event_date=*/*.parquet"))
+    assert n_files < total_files

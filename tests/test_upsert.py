@@ -1,0 +1,132 @@
+"""Incremental maintenance tests: cross-run id stability (SURVEY §7
+hard point 4), upsert semantics, SCD-2, salting equivalence."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.yelp_fixtures import make_results, write_ndjson
+from yelp_data_engineering_pipeline_spark.operators.salting import (
+    salted_count,
+    salted_join,
+    salted_sum,
+)
+from yelp_data_engineering_pipeline_spark.operators.upsert import (
+    merge_upsert,
+    normalize_incremental,
+    scd2_apply,
+)
+from yelp_data_engineering_pipeline_spark.plans.normalize import normalize
+from yelp_data_engineering_pipeline_spark.schemas import RESULTS_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def batches(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("inc")
+    all_rows = make_results(60, seed=21)
+    p1 = write_ndjson(all_rows[:40], tmp / "b1.ndjson")
+    p2 = write_ndjson(all_rows[40:], tmp / "b2.ndjson")
+    b1 = spark.read.schema(RESULTS_SCHEMA).json(str(p1))
+    b2 = spark.read.schema(RESULTS_SCHEMA).json(str(p2))
+    return b1, b2, all_rows
+
+
+def test_incremental_ids_stable_and_dense(spark, batches):
+    b1, b2, _ = batches
+    first = normalize(b1)
+    merged = normalize_incremental(b2, first)
+
+    # existing dim ids unchanged
+    before = dict(first["food_category"].rdd.map(lambda r: (r["name"], r["id"])).collect())
+    after = dict(merged["food_category"].rdd.map(lambda r: (r["name"], r["id"])).collect())
+    for name, old_id in before.items():
+        assert after[name] == old_id
+    # dense overall
+    ids = sorted(r["id"] for r in merged["food_category"].collect())
+    assert ids == list(range(1, len(ids) + 1))
+
+    # existing business rows untouched, new ids continue past max
+    b_before = {r["id"]: r["name"] for r in first["business"].collect()}
+    b_after = {r["id"]: r["name"] for r in merged["business"].collect()}
+    for i, name in b_before.items():
+        assert b_after[i] == name
+    assert len(b_after) == merged["business"].count()
+    assert set(b_after) == set(range(1, len(b_after) + 1))
+
+
+def test_incremental_fk_integrity(spark, batches):
+    b1, b2, _ = batches
+    merged = normalize_incremental(b2, normalize(b1))
+    biz = {r["id"] for r in merged["business"].collect()}
+    for bridge, dim, fk in [
+        ("business_amenity", "amenity", "amenity_id"),
+        ("open_hours", "weekday", "weekday_id"),
+        ("business_food_category", "food_category", "food_category_id"),
+    ]:
+        dim_ids = {r["id"] for r in merged[dim].collect()}
+        rows = merged[bridge].collect()
+        assert rows
+        for r in rows:
+            assert r["business_id"] in biz
+            assert r[fk] in dim_ids
+        ids = sorted(r["id"] for r in rows)
+        assert ids == list(range(1, len(ids) + 1)), bridge
+
+
+def test_incremental_matches_full_load_shape(spark, batches):
+    """Counts after incremental load == counts of a one-shot full load."""
+    b1, b2, _ = batches
+    merged = normalize_incremental(b2, normalize(b1))
+    full = normalize(b1.unionByName(b2))
+    for t in ("business", "open_hours", "business_amenity", "food_category"):
+        assert merged[t].count() == full[t].count(), t
+
+
+def test_merge_upsert(spark):
+    existing = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    incoming = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"])
+    got = {(r["k"], r["v"]) for r in merge_upsert(existing, incoming, "k").collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_scd2_close_and_insert(spark):
+    t0, t1 = datetime(2026, 1, 1), datetime(2026, 2, 1)
+    current = spark.createDataFrame(
+        [(1, "x", t0, None), (2, "y", t0, None)],
+        "k int, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    changes = spark.createDataFrame([(1, "x2"), (3, "z")], "k int, attr string")
+    out = scd2_apply(current, changes, "k", ["attr"], t1).collect()
+    rows = {(r["k"], r["attr"], r["valid_to"]) for r in out}
+    assert (1, "x", t1) in rows          # closed old version
+    assert (1, "x2", None) in rows       # new open version
+    assert (2, "y", None) in rows        # untouched stays open
+    assert (3, "z", None) in rows        # brand-new key inserted
+    assert len(out) == 4
+
+
+def test_salting_equivalence(spark, sf_dir):
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    plain = {
+        r["l_returnflag"]: round(r["s"], 2)
+        for r in li.groupBy("l_returnflag").agg(F.round(F.sum("l_quantity"), 2).alias("s")).collect()
+    }
+    salted = {
+        r["l_returnflag"]: round(r["sum_l_quantity"], 2)
+        for r in salted_sum(li, ["l_returnflag"], "l_quantity").collect()
+    }
+    assert plain == salted
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    plain_n = orders.join(customer, orders.o_custkey == customer.c_custkey).count()
+    assert salted_join(orders, customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey").count() == plain_n
+
+    plain_c = {(r["l_returnflag"], r["count(1)"]) for r in li.groupBy("l_returnflag").agg(F.count(F.lit(1))).collect()}
+    salted_c = {(r["l_returnflag"], r["n"]) for r in salted_count(li, ["l_returnflag"]).collect()}
+    assert plain_c == salted_c

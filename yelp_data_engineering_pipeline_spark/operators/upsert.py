@@ -1,0 +1,145 @@
+"""Incremental upsert / MERGE emulation (SURVEY.md §2.10 T1, §7 hard
+point 4 — cross-run surrogate-key stability).
+
+The reference reloads the whole NDJSON file in one transaction; ids are
+whatever autoincrement hands out that run. For incremental loads the
+engine needs MERGE semantics without a transactional table format, so:
+
+    merge_upsert(existing, incoming, key):
+        existing rows not in incoming  ∪  incoming   (UPSERT by key)
+
+    (a Delta/Iceberg deployment swaps this for a real MERGE INTO —
+    the emulation is the v1 parquet-only path, full-snapshot rewrite)
+
+and ``normalize_incremental`` applies the batch dim-merge
+(operators/dim_merge.py) against *existing* dimensions so previously
+assigned ids never change and new values extend densely past max(id).
+
+Scale: the upsert is one key-partitioned anti-join + union — shuffle
+bounded by the smaller side when broadcastable; snapshot rewrite cost
+is the parquet reality (bucketed output by key keeps the join
+co-partitioned across runs).
+"""
+
+from __future__ import annotations
+
+from functools import reduce as _reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.normalize import normalize
+from .dim_merge import merge_dimension
+
+
+def merge_upsert(existing: DataFrame, incoming: DataFrame, key: str) -> DataFrame:
+    """UPSERT by key: incoming wins on conflict, existing rows without a
+    matching incoming key survive."""
+    kept = existing.join(incoming.select(key).distinct(), key, "left_anti")
+    return kept.unionByName(incoming)
+
+
+def normalize_incremental(
+    new_results: DataFrame, existing: dict[str, DataFrame]
+) -> dict[str, DataFrame]:
+    """Load a new results batch into an existing star schema:
+
+    - business ids continue past max(existing.business.id), keyed by
+      bizId order within the batch (re-scraped bizIds are updates —
+      but the reference keys business rows by autoincrement only, so
+      we treat name as the upsert identity like the dims do);
+    - dimension ids are stable: existing names keep their ids, novel
+      names get max+1.. (merge_dimension);
+    - bridges/open_hours are rebuilt for the new businesses only and
+      appended.
+    """
+    batch = normalize(new_results)
+    out: dict[str, DataFrame] = {}
+
+    # -- dims: stable merge ---------------------------------------------------
+    dim_names = ("weekday", "food_category", "search_term", "highlight", "amenity")
+    remap: dict[str, DataFrame] = {}
+    for d in dim_names:
+        merged = merge_dimension(existing[d], batch[d].select("name"))
+        out[d] = merged
+        # batch-local id → merged id translation for FK rewrite
+        remap[d] = (
+            batch[d]
+            .select(F.col("id").alias("_old"), "name")
+            .join(merged, "name")
+            .select("_old", F.col("id").alias("_new"))
+        )
+
+    # -- business: offset past existing max ----------------------------------
+    max_b = existing["business"].agg(F.coalesce(F.max("id"), F.lit(0)).alias("m"))
+    shifted = batch["business"].crossJoin(F.broadcast(max_b)).withColumn(
+        "id", (F.col("id") + F.col("m")).cast("bigint")
+    ).drop("m")
+    out["business"] = existing["business"].unionByName(shifted)
+    b_off = F.broadcast(max_b)
+
+    def _shift_append(table: str, fk: str | None, dim: str | None, extra: list[str]) -> DataFrame:
+        df = batch[table].crossJoin(b_off).withColumn(
+            "business_id", (F.col("business_id") + F.col("m")).cast("bigint")
+        )
+        if fk is not None and dim is not None:
+            df = (
+                df.join(
+                    F.broadcast(remap[dim].withColumnRenamed("_old", fk)), fk
+                )
+                .drop(fk)
+                .withColumnRenamed("_new", fk)
+            )
+        max_t = existing[table].agg(F.coalesce(F.max("id"), F.lit(0)).alias("mt"))
+        df = df.crossJoin(F.broadcast(max_t)).withColumn(
+            "id", (F.col("id") + F.col("mt")).cast("bigint")
+        )
+        cols = ["id", "business_id"] + ([fk] if fk else []) + extra
+        return existing[table].unionByName(df.select(*cols))
+
+    out["open_hours"] = _shift_append("open_hours", "weekday_id", "weekday", ["open_time", "close_time"])
+    out["business_food_category"] = _shift_append(
+        "business_food_category", "food_category_id", "food_category", []
+    )
+    out["business_search_term"] = _shift_append(
+        "business_search_term", "search_term_id", "search_term", []
+    )
+    out["business_highlight"] = _shift_append("business_highlight", "highlight_id", "highlight", [])
+    out["business_amenity"] = _shift_append(
+        "business_amenity", "amenity_id", "amenity", ["is_available"]
+    )
+    out["quarantine"] = batch["quarantine"]
+    out["hours_rejects"] = batch["hours_rejects"]
+    return out
+
+
+def scd2_apply(
+    current: DataFrame, changes: DataFrame, key: str, tracked: list[str], batch_ts
+) -> DataFrame:
+    """SCD-2 emulation (pyspark-guide CDC pattern): close changed rows
+    (valid_to = batch_ts), insert new versions open-ended. ``current``
+    carries (key, tracked..., valid_from, valid_to NULL for open)."""
+    open_rows = current.filter(F.col("valid_to").isNull())
+    closed_rows = current.filter(F.col("valid_to").isNotNull())
+    diff_any = _reduce(
+        lambda a, b: a | b,
+        [~F.col(f"c.{t}").eqNullSafe(F.col(f"n.{t}")) for t in tracked],
+    )
+    changed_keys = (
+        open_rows.alias("c")
+        .join(changes.alias("n"), F.col(f"c.{key}") == F.col(f"n.{key}"))
+        .filter(diff_any)
+        .select(F.col(f"c.{key}").alias(key))
+        .distinct()
+    )
+    to_close = open_rows.join(changed_keys, key, "left_semi").withColumn(
+        "valid_to", F.lit(batch_ts)
+    )
+    unchanged_open = open_rows.join(changed_keys, key, "left_anti")
+    brand_new_keys = changes.join(open_rows.select(key), key, "left_anti").select(key).distinct()
+    inserts = (
+        changes.join(changed_keys.unionByName(brand_new_keys).distinct(), key, "left_semi")
+        .withColumn("valid_from", F.lit(batch_ts))
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+    )
+    return closed_rows.unionByName(to_close).unionByName(unchanged_open).unionByName(inserts)
