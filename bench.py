@@ -38,6 +38,8 @@ HEADLINE = [
     "text_fingerprint",             # rolling hash
     "stream_tumbling_window",       # windowed agg
     "stream_sessionize",            # sessionization
+    "join_asof",                    # as-of temporal join
+    "window_rank_distribution",     # ntile/percent_rank/cume_dist
     "mm_decode_stub",               # Arrow-batched Python stage
 ]
 

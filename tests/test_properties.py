@@ -1,0 +1,80 @@
+"""Property-based tests (hypothesis; SURVEY.md §5.4): hours-string
+round-trip, resolve_now wraparound, dim-merge invariants."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from yelp_data_engineering_pipeline_spark.functions.hours import hours_ranges
+from yelp_data_engineering_pipeline_spark.plans.yelp_queries import resolve_now
+from yelp_data_engineering_pipeline_spark.schemas import WEEKDAY_ORDER
+
+_secs = st.integers(min_value=0, max_value=86399 - 59).map(lambda s: s - s % 60)
+
+
+def _fmt(secs: int) -> str:
+    h24, m = divmod(secs, 3600)
+    m //= 60
+    h12 = h24 % 12 or 12
+    ampm = "AM" if h24 < 12 else "PM"
+    return f"{h12}:{m:02d} {ampm}"
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(_secs, _secs), min_size=1, max_size=20))
+def test_hours_roundtrip_batch(spark, pairs):
+    """format(seconds) → parse → same seconds, for arbitrary times and
+    multiple concatenated ranges per string (split shifts)."""
+    s = "".join(f"{_fmt(o)} - {_fmt(c)}" for o, c in pairs)
+    row = spark.range(1).select(hours_ranges(F.lit(s)).alias("r")).first()
+    got = [(x["open_time"], x["close_time"]) for x in row["r"]]
+    assert got == list(pairs)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.datetimes(
+        min_value=datetime(2000, 1, 1),
+        max_value=datetime(2040, 12, 31),
+    )
+)
+def test_resolve_now_wraparound(dt):
+    now = dt.replace(tzinfo=timezone.utc)
+    secs, today, prev = resolve_now(now)
+    assert 0 <= secs < 86400
+    assert today == now.strftime("%a")
+    # prev really is the previous calendar day, including Mon→Sun wrap
+    assert prev == (now - timedelta(days=1)).strftime("%a")
+    assert {today, prev} <= set(WEEKDAY_ORDER)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=12),
+    st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=12),
+)
+def test_dim_merge_invariants(spark, existing_names, incoming_names):
+    """merge_dimension: ids dense+unique, existing ids never change,
+    every incoming name present."""
+    from pyspark.sql import Window
+
+    from yelp_data_engineering_pipeline_spark.operators.dim_merge import merge_dimension
+
+    uniq = sorted(set(existing_names))
+    existing = spark.createDataFrame(
+        [(i + 1, n) for i, n in enumerate(uniq)] or [(None, None)], "id long, name string"
+    ).filter(F.col("id").isNotNull())
+    incoming = spark.createDataFrame(
+        [(n,) for n in incoming_names] or [(None,)], "name string"
+    ).filter(F.col("name").isNotNull())
+    merged = merge_dimension(existing, incoming).collect()
+    by_name = {r["name"]: r["id"] for r in merged}
+    ids = sorted(r["id"] for r in merged)
+    assert ids == list(range(1, len(ids) + 1))
+    for i, n in enumerate(uniq):
+        assert by_name[n] == i + 1
+    for n in set(incoming_names):
+        assert n in by_name

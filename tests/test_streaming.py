@@ -83,3 +83,48 @@ def test_tumbling_window_streaming_matches_batch(spark, tmp_path, sf_dir):
         for r in spark.sql("SELECT * FROM tumbling_test").collect()
     }
     assert stream_result == batch_result
+
+
+def test_stateful_running_stats(spark, tmp_path, sf_dir):
+    """applyInPandasWithState: running per-user stats across two
+    micro-batches accumulate (state survives between triggers)."""
+    from yelp_data_engineering_pipeline_spark.streaming.stateful import running_user_stats
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    events = load(spark, sf_dir, "events").select("user_id", "value")
+    expected = {
+        r["user_id"]: (r["n"], round(r["s"], 2))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+
+    in_dir = tmp_path / "sin"
+    in_dir.mkdir()
+    rows = events.collect()
+    half = len(rows) // 2
+    for name, chunk in [("a.ndjson", rows[:half]), ("b.ndjson", rows[half:])]:
+        with (in_dir / name).open("w") as f:
+            for r in chunk:
+                f.write(json.dumps({"user_id": r["user_id"], "value": r["value"]}) + "\n")
+
+    stream = spark.readStream.schema("user_id long, value double").option(
+        "maxFilesPerTrigger", "1"
+    ).json(str(in_dir))
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode memory sink holds one row per (user, batch); n_events
+    # is monotone, so the max row per user is the final state
+    final = {}
+    for r in spark.sql("SELECT * FROM stateful_test").collect():
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], round(r["total_value"], 2))
+    assert final == expected

@@ -1,0 +1,232 @@
+"""Analytic-function catalog (extensions past the reference's window
+surface, SURVEY.md §2.5 note: "rank/dense_rank/lag/lead/rowsBetween
+over events"): ranking distributions, value-range frames, map columns,
+date-series generation, unpivot, conditional aggregates.
+
+Parity notes: percent_rank/cume_dist are exact-integer ratios → output
+unrounded (IEEE-identical across engines); range-frame sums stay on the
+cents grid → round 2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .catalog import register
+
+
+# --- ranking distribution: ntile / percent_rank / cume_dist ------------------
+def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+register(
+    "window_rank_distribution",
+    window_rank_distribution,
+    """
+    SELECT o_orderkey,
+           NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
+           PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey) AS pct_rank,
+           CUME_DIST() OVER (ORDER BY o_totalprice, o_orderkey) AS cume
+    FROM orders
+    """,
+)
+
+
+# --- first/nth value with explicit frame -------------------------------------
+def window_first_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    # synthetic lineitem has duplicate linenumbers per order — tiebreak
+    # on partkey for a total order (else nth_value is nondeterministic)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first("l_partkey").over(w).alias("first_part"),
+        F.nth_value("l_partkey", 2).over(w).alias("second_part"),
+        F.last("l_partkey").over(w).alias("last_part"),
+    )
+
+
+register(
+    "window_first_nth",
+    window_first_nth,
+    """
+    SELECT l_orderkey, l_linenumber,
+           FIRST_VALUE(l_partkey) OVER w AS first_part,
+           NTH_VALUE(l_partkey, 2) OVER w AS second_part,
+           LAST_VALUE(l_partkey) OVER w AS last_part
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+
+
+# --- RANGE frame over a value ordering ----------------------------------------
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-10000, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_similar_cheaper"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_within_10k_below"),
+    )
+
+
+register(
+    "window_range_frame",
+    window_range_frame,
+    """
+    SELECT o_custkey, o_orderkey,
+           COUNT(*) OVER w AS n_similar_cheaper,
+           ROUND(SUM(o_totalprice) OVER w, 2) AS sum_within_10k_below
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+                 RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+    """,
+)
+
+
+# --- map column construction + access -----------------------------------------
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("bucket"), F.when(F.col("value") >= 250, F.lit("high")).otherwise(F.lit("low")),
+    )
+    return ev.select(
+        "event_id",
+        m.getItem("type").alias("m_type"),
+        m.getItem("bucket").alias("m_bucket"),
+        F.array_join(F.map_keys(m), ",").alias("m_keys"),
+        F.size(m).alias("m_size"),
+    )
+
+
+register(
+    "map_functions",
+    map_functions,
+    """
+    SELECT event_id,
+           event_type AS m_type,
+           CASE WHEN value >= 250 THEN 'high' ELSE 'low' END AS m_bucket,
+           'type,bucket' AS m_keys,
+           2 AS m_size
+    FROM events
+    """,
+)
+
+
+# --- date-series generation (sequence + explode) --------------------------------
+def date_series_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    months = F.sequence(
+        F.trunc(F.col("o_orderdate").cast("date"), "month"),
+        F.add_months(F.trunc(F.col("o_orderdate").cast("date"), "month"), 2),
+        F.expr("interval 1 month"),
+    )
+    return (
+        orders.select("o_orderkey", F.explode(months).alias("active_month"))
+    )
+
+
+register(
+    "date_series_explode",
+    date_series_explode,
+    """
+    SELECT o_orderkey, CAST(unnest(generate_series(
+             date_trunc('month', o_orderdate),
+             date_trunc('month', o_orderdate) + INTERVAL 2 MONTH,
+             INTERVAL 1 MONTH)) AS DATE) AS active_month
+    FROM orders WHERE o_orderkey <= 200
+    """,
+)
+
+
+# --- unpivot / stack -------------------------------------------------------------
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(2, 'qty', qty, 'price', price) AS (metric, metric_value)",
+    )
+
+
+register(
+    "unpivot_stack",
+    unpivot_stack,
+    """
+    WITH wide AS (
+      SELECT l_returnflag,
+             ROUND(SUM(l_quantity), 2) AS qty,
+             ROUND(SUM(l_extendedprice), 2) AS price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty' AS metric, qty AS metric_value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'price' AS metric, price AS metric_value FROM wide
+    """,
+)
+
+
+# --- conditional aggregates: count_if / bool_or / bool_and -----------------------
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 400).alias("n_big"),
+        F.bool_or(F.col("value") > 489).alias("any_huge"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.round(F.sum(F.when(F.col("value") > 400, F.col("value")).otherwise(0)), 2).alias("sum_big"),
+    )
+
+
+register(
+    "agg_conditional",
+    agg_conditional,
+    """
+    SELECT event_type,
+           count_if(value > 400) AS n_big,
+           bool_or(value > 489) AS any_huge,
+           bool_and(value >= 0) AS all_nonneg,
+           ROUND(SUM(CASE WHEN value > 400 THEN value ELSE 0 END), 2) AS sum_big
+    FROM events
+    GROUP BY event_type
+    """,
+)
+
+
+# --- cube grouping sets ----------------------------------------------------------
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+register(
+    "agg_cube",
+    agg_cube,
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)

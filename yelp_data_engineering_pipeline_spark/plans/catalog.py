@@ -53,6 +53,7 @@ def _ensure_loaded() -> None:
         return
     register("flagship_revenue_by_nation", revenue_by_nation, FLAGSHIP_ORACLE_SQL)
     # Registration modules (each calls register() at import time).
+    from . import analytics  # noqa: F401
     from . import relational  # noqa: F401
     from . import scalar_funcs  # noqa: F401
     from . import nested  # noqa: F401
