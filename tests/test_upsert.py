@@ -130,3 +130,19 @@ def test_salting_equivalence(spark, sf_dir):
     plain_c = {(r["l_returnflag"], r["count(1)"]) for r in li.groupBy("l_returnflag").agg(F.count(F.lit(1))).collect()}
     salted_c = {(r["l_returnflag"], r["n"]) for r in salted_count(li, ["l_returnflag"]).collect()}
     assert plain_c == salted_c
+
+
+def test_dense_ids_two_phase_equals_window(spark, sf_dir):
+    """The distributed two-phase id assigner must produce exactly the
+    ids of the single-partition window version."""
+    from yelp_data_engineering_pipeline_spark.operators.ids import (
+        dense_ids,
+        dense_ids_window,
+    )
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    a = {r["o_orderkey"]: r["id"] for r in dense_ids(orders, "o_orderkey", num_partitions=7).collect()}
+    b = {r["o_orderkey"]: r["id"] for r in dense_ids_window(orders, "o_orderkey").collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(1, len(a) + 1))

@@ -64,16 +64,33 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def _seeded_md5(seed: int):
-    # NB: a plain `lambda x, s=s: ...` would be treated by Spark as a
-    # two-argument (element, index) lambda — the factory keeps it unary.
-    prefix = f"{seed}:"
-    return lambda x: F.md5(F.concat(F.lit(prefix), x))
+_MERSENNE_P = 2_147_483_647  # 2^31 - 1
 
 
-def minhash_signature(shingle_col: Column, n_hashes: int = N_HASHES) -> list[Column]:
-    """One min-md5 per seeded hash family; NULL when no shingles."""
-    return [F.array_min(F.transform(shingle_col, _seeded_md5(s))) for s in range(n_hashes)]
+def shingle_ab(shingle_col: Column) -> Column:
+    """One md5 per shingle → (a, b) 32-bit pair for Carter-Wegman seed
+    derivation: h_i(x) = (a + i·b) mod p. One hash instead of
+    n_hashes hashes per shingle (~2x on the minhash bench), and the
+    per-seed min runs over ints, not hex strings."""
+    hashes = F.transform(shingle_col, lambda x: F.md5(x))
+    return F.transform(
+        hashes,
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("a"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("b"),
+        ),
+    )
+
+
+def minhash_signature(ab_col: Column, n_hashes: int = N_HASHES) -> list[Column]:
+    """Per-family min over the Carter-Wegman permutations of the (a,b)
+    pairs; NULL when no shingles. (The unary-lambda factory matters: a
+    default-arg lambda would be read by Spark as (element, index).)"""
+
+    def _family(i: int):
+        return lambda p: (p["a"] + i * p["b"]) % _MERSENNE_P
+
+    return [F.array_min(F.transform(ab_col, _family(s))) for s in range(n_hashes)]
 
 
 def band_keys(sig_cols: list[Column], n_bands: int = N_BANDS) -> list[Column]:
@@ -125,7 +142,9 @@ def minhash_lsh_pairs(
         .filter(F.size("sh") > 0)
         .persist()
     )
-    sig = base.select("doc_id", "sh", *[c.alias(f"h{i}") for i, c in enumerate(minhash_signature(F.col("sh")))])
+    sig = base.withColumn("ab", shingle_ab(F.col("sh"))).select(
+        "doc_id", "sh", *[c.alias(f"h{i}") for i, c in enumerate(minhash_signature(F.col("ab")))]
+    )
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*band_keys([F.col(f"h{i}") for i in range(N_HASHES)]))).alias(
@@ -311,8 +330,24 @@ _SHINGLES_SQL = f"""
   WHERE len({_WORDS_SQL}) >= 3
 """
 
+# hex→int for DuckDB (no conv()): positional nibble arithmetic.
+def _hex_int_sql(expr: str, start: int, n: int = 8) -> str:
+    terms = [
+        f"CAST((strpos('0123456789abcdef', substring({expr}, {start + k}, 1)) - 1) AS BIGINT) * {16 ** (n - 1 - k)}"
+        for k in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_AB_SQL = (
+    "list_transform(sh, x -> md5(x))"  # one md5 per shingle (matches Spark)
+)
 _SIG_COLS_SQL = ", ".join(
-    f"list_min(list_transform(sh, x -> md5('{s}:' || x))) AS h{s}" for s in range(N_HASHES)
+    f"list_min(list_transform(ab, p -> (p['a'] + {s} * p['b']) % {_MERSENNE_P})) AS h{s}"
+    for s in range(N_HASHES)
+)
+_AB_STRUCT_SQL = (
+    "list_transform(hashes, h -> {'a': " + _hex_int_sql("h", 1) + ", 'b': " + _hex_int_sql("h", 9) + "})"
 )
 _BAND_COLS_SQL = ", ".join(
     "md5(concat_ws('|', "
@@ -326,7 +361,9 @@ _BANDS_UNION_FROM_BANDED = " UNION ALL ".join(
 
 _MINHASH_ORACLE = f"""
     WITH shingled AS ({_SHINGLES_SQL}),
-    sigs AS (SELECT doc_id, sh, {_SIG_COLS_SQL} FROM shingled),
+    hashed AS (SELECT doc_id, sh, {_AB_SQL} AS hashes FROM shingled),
+    abbed AS (SELECT doc_id, sh, {_AB_STRUCT_SQL} AS ab FROM hashed),
+    sigs AS (SELECT doc_id, sh, {_SIG_COLS_SQL} FROM abbed),
     banded AS (SELECT doc_id, {_BAND_COLS_SQL} FROM sigs),
     bands AS ({_BANDS_UNION_FROM_BANDED}),
     cand AS (

@@ -1,0 +1,64 @@
+"""Dense surrogate-id assignment (SURVEY.md §2.5 W3, §7 hard point 4).
+
+Two implementations with identical results:
+
+- ``dense_ids_window`` — row_number over a global window. Simple, but
+  the window is a SINGLE partition: fine for dimension-sized outputs,
+  a straggler for fact-scale tables.
+- ``dense_ids`` — the scalable two-phase scheme:
+
+    1. range-repartition by the natural key (ordered partitions),
+    2. count rows per partition (tiny driver-side collect, one row per
+       partition), prefix-sum the counts into offsets,
+    3. row_number within each partition + broadcast offset.
+
+  Every stage is distributed; the only global structure is the
+  n_partitions-row offset table. Ids depend only on the global key
+  order, not on where Spark draws range boundaries, so results are
+  deterministic run-to-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dense_ids_window(df: DataFrame, *order_cols: str, id_col: str = "id") -> DataFrame:
+    w = Window.orderBy(*order_cols)
+    return df.withColumn(id_col, F.row_number().over(w).cast("bigint"))
+
+
+def dense_ids(
+    df: DataFrame, *order_cols: str, id_col: str = "id", num_partitions: int | None = None
+) -> DataFrame:
+    """Dense bigint ids 1..n in ``order_cols`` order, computed without a
+    single-partition window. Requires ``order_cols`` to be a total order
+    (add a tiebreak column if not unique)."""
+    cols = [F.col(c) for c in order_cols]
+    parted = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions is not None
+        else df.repartitionByRange(*cols)
+    ).withColumn("_pid", F.spark_partition_id())
+    # MUST persist: range partitioning samples boundaries per action —
+    # without this, the count job and the id job can draw different
+    # boundaries and the offsets silently mismatch the final layout.
+    parted = parted.persist()
+
+    counts = parted.groupBy("_pid").count().orderBy("_pid").collect()
+    offsets = {}
+    acc = 0
+    for r in counts:
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    offset_df = parted.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()] or [(0, 0)], "_pid int, _off long"
+    )
+
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        parted.join(F.broadcast(offset_df), "_pid", "left")
+        .withColumn(id_col, (F.row_number().over(w) + F.coalesce(F.col("_off"), F.lit(0))).cast("bigint"))
+        .drop("_pid", "_off")
+    )

@@ -35,18 +35,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hours import hours_ranges
+from ..operators.ids import dense_ids, dense_ids_window
 from ..schemas import HEALTH_SCORE_PATTERN, PRICE_PATTERN, WEEKDAY_ORDER
 
-
-def _dense_ids(df: DataFrame, *order_cols: str) -> DataFrame:
-    """Deterministic dense bigint ids 1..n ordered by the natural key."""
-    w = Window.orderBy(*order_cols)
-    return df.withColumn("id", F.row_number().over(w).cast("bigint"))
+# Fact-scale tables (business, bridges, open_hours) get the two-phase
+# distributed id assigner; bounded dims use the plain window (cheaper
+# below ~millions of rows, identical results — equivalence tested).
+_dense_ids = dense_ids
 
 
 def _name_dim(values: DataFrame) -> DataFrame:
     """distinct name → (id, name) dim, ids dense by name order."""
-    return _dense_ids(values.select("name").distinct(), "name").select("id", "name")
+    return dense_ids_window(values.select("name").distinct(), "name").select("id", "name")
 
 
 def validity_predicate() -> F.Column:
