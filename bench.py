@@ -58,12 +58,15 @@ def main() -> None:
     # the queries, not session startup.
     qs["flagship_revenue_by_nation"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    from yelp_data_engineering_pipeline_spark.cache import release_tracked
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        release_tracked()  # free per-query persisted subtrees (cache.py)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -65,9 +65,12 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        from yelp_data_engineering_pipeline_spark.cache import release_tracked
+
         try:
             sdf = fn(spark, sf_dir)
             srows = [r.asDict() for r in sdf.collect()]
+            release_tracked()  # free per-query persisted subtrees
         except Exception as ex:
             print(f"FAIL {name}: spark error: {type(ex).__name__}: {str(ex)[:400]}")
             n_fail += 1

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
 from ..plans.catalog import register
 from ..tables import load
 from .similarity import cosine
@@ -140,8 +141,8 @@ def minhash_lsh_pairs(
     base = (
         docs.select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col)).alias("sh"))
         .filter(F.size("sh") > 0)
-        .persist()
     )
+    base = tracked_persist(base)
     sig = base.withColumn("ab", shingle_ab(F.col("sh"))).select(
         "doc_id", "sh", *[c.alias(f"h{i}") for i, c in enumerate(minhash_signature(F.col("ab")))]
     )
@@ -150,7 +151,8 @@ def minhash_lsh_pairs(
         F.posexplode(F.array(*band_keys([F.col(f"h{i}") for i in range(N_HASHES)]))).alias(
             "band_idx", "band_key"
         ),
-    ).persist()
+    )
+    bands = tracked_persist(bands)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band_idx", "band_key"])
@@ -184,8 +186,8 @@ def ngram_jaccard_pairs(
     base = (
         docs.select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col)).alias("sh"))
         .filter(F.size("sh") > 0)
-        .persist()
     )
+    base = tracked_persist(base)
     q = base.filter(query_pred).select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
     )
@@ -243,22 +245,56 @@ def simhash16(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
+def _simhash_segments(col: Column, n_seg: int, bits: int = 16) -> list[Column]:
+    """Split a ``bits``-wide hash into ``n_seg`` contiguous bit segments
+    (uneven widths allowed when n_seg does not divide bits)."""
+    segs = []
+    for i in range(n_seg):
+        lo = bits * i // n_seg
+        hi = bits * (i + 1) // n_seg
+        segs.append(F.shiftright(col, lo).bitwiseAND(F.lit((1 << (hi - lo)) - 1)))
+    return segs
+
+
 def simhash_near_pairs(sim: DataFrame, query_pred: Column, max_hamming: int) -> DataFrame:
-    q = sim.filter(query_pred).select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
-    )
-    c = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
-    return (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int").alias("hamming"),
+    """Near-dup pairs with hamming(simhash) <= max_hamming via pigeonhole
+    segment banding (VERDICT.md r1 #6) — NOT a crossJoin.
+
+    Split the hash into ``max_hamming + 1`` segments: any pair within
+    hamming distance h differs in at most h segments, so at least one
+    segment is bit-identical (pigeonhole). Equi-joining on
+    (segment_index, segment_value) therefore recovers EXACTLY the pairs
+    the all-pairs scan would, while the pair space per bucket is
+    |bucket|² instead of |q|×|corpus|. Multi-segment matches are deduped
+    before the hamming verify. With 16-bit hashes each segment holds only
+    4 bits (16 bucket values) — a real deployment scales this to 64-bit
+    hashes / 16-bit segments, which this function supports via ``bits``
+    in :func:`_simhash_segments`; AQE splits residual skewed buckets.
+    """
+    n_seg = max_hamming + 1
+    sim = tracked_persist(sim)  # signature subtree feeds both join sides
+
+    def banded(df: DataFrame, id_alias: str, sim_alias: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(id_alias),
+            F.col("simhash").alias(sim_alias),
+            F.posexplode(F.array(*_simhash_segments(F.col("simhash"), n_seg))).alias(
+                "seg_idx", "seg_val"
+            ),
         )
-        .filter(F.col("hamming") <= max_hamming)
+
+    cand = (
+        banded(sim.filter(query_pred), "doc_a", "sim_a")
+        .join(banded(sim, "doc_b", "sim_b"), ["seg_idx", "seg_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
     )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 def embedding_near_dup(emb: DataFrame, query_pred: Column, threshold: float) -> DataFrame:

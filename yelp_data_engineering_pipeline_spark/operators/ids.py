@@ -44,7 +44,11 @@ def dense_ids(
     # MUST persist: range partitioning samples boundaries per action —
     # without this, the count job and the id job can draw different
     # boundaries and the offsets silently mismatch the final layout.
-    parted = parted.persist()
+    # Tracked so harness loops can release it after materialization
+    # (cache.release_tracked).
+    from ..cache import tracked_persist
+
+    parted = tracked_persist(parted)
 
     counts = parted.groupBy("_pid").count().orderBy("_pid").collect()
     offsets = {}

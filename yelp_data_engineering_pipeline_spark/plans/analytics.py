@@ -19,13 +19,47 @@ from .catalog import register
 
 # --- ranking distribution: ntile / percent_rank / cume_dist ------------------
 def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return orders.select(
+    """Global ranking WITHOUT a single-partition window (VERDICT.md r1
+    flagged `Window.orderBy` over the whole fact table as a scale-killer:
+    one task serializes the table). Two-phase instead, reusing the
+    ``dense_ids`` range-repartition scheme (operators/ids.py): global
+    rank = per-partition row_number + prefix-sum offset; every stage is
+    distributed. The ordering (o_totalprice, o_orderkey) is total, so
+    rank == row_number and the SQL-standard definitions reduce to pure
+    integer arithmetic on (rank, n):
+
+      percent_rank = (rank-1)/(n-1);  cume_dist = rank/n
+      ntile(k): first n%k tiles get n//k+1 rows, the rest n//k.
+
+    Exact-integer ratios are emitted unrounded (IEEE-identical in
+    DuckDB, see module docstring).
+    """
+    from ..operators.ids import dense_ids
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n = orders.count()  # parquet metadata count; O(1) driver value
+    ranked = dense_ids(orders, "o_totalprice", "o_orderkey", id_col="_rank")
+
+    k = 4
+    q, r = divmod(n, k)
+    rank = F.col("_rank")
+    if q == 0:  # fewer rows than tiles: tile == rank
+        quartile = rank.cast("int")
+    else:
+        # integer `div` keeps the arithmetic exact at any n (no doubles)
+        quartile = (
+            F.when(rank <= r * (q + 1), F.expr(f"(_rank - 1) div {q + 1}"))
+            .otherwise(F.expr(f"{r} + (_rank - {r * (q + 1)} - 1) div {q}"))
+            + 1
+        ).cast("int")
+    pct_rank = (
+        F.lit(0.0) if n <= 1 else ((rank - 1) / F.lit(float(n - 1))).cast("double")
+    )
+    return ranked.select(
         "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        quartile.alias("quartile"),
+        pct_rank.alias("pct_rank"),
+        (rank / F.lit(float(n))).cast("double").alias("cume"),
     )
 
 

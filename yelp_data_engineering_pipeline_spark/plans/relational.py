@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dim_merge import merge_dimension
-from ..operators.pagination import paginate
+from ..operators.pagination import paginate_keyset
 from ..tables import load
 from .catalog import register
 
@@ -545,9 +545,30 @@ register(
 # --- W1: deterministic LIMIT/OFFSET pagination (app.py:74,80-81) ----------------
 # The reference paginates with no ORDER BY (nondeterministic in Postgres);
 # we add an explicit total order — documented semantic delta (SURVEY §7.2).
+# Round 2: the checked/benched path is now KEYSET pagination
+# (operators/pagination.py paginate_keyset) — VERDICT.md r1 flagged the
+# row_number variant's unpartitioned window as a scale-killer. Plan
+# shape: seek the page boundary via distributed top-k (per-partition
+# top-20 + driver merge), then a pushed-down range filter + top-k for
+# the page itself; no global shuffle, no full-table window. The O(1)
+# driver scalar is the seek key — that IS the keyset pattern. Output
+# (incl. global rn) is identical to the OFFSET formulation, so the
+# oracle is unchanged.
 def window_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
-    return paginate(orders.select("o_orderkey", "o_totalprice"), ["o_orderkey"], page=3, page_size=10)
+    page, page_size = 3, 10
+    offset = (page - 1) * page_size
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    boundary = (
+        orders.select("o_orderkey").orderBy("o_orderkey").limit(offset)
+        .agg(F.max("o_orderkey").alias("k")).collect()[0]["k"]
+    )
+    page_df = paginate_keyset(orders, "o_orderkey", page_size, after_key=boundary)
+    # re-attach the global row number for oracle parity; this window sees
+    # only page_size rows (bounded), not the table.
+    w = Window.orderBy("o_orderkey")
+    return page_df.withColumn(
+        "rn", (F.row_number().over(w) + F.lit(offset)).cast("bigint")
+    )
 
 
 register(
@@ -741,18 +762,62 @@ register(
 
 
 # --- approximate aggregates (the 100 TB path for distinct/quantile) -----------
-# No SQL oracle: Spark's HLL++/GK sketches are engine-specific, so the
-# driver records a rows-only check (exact counterparts are
-# agg_count_distinct / agg_percentile above).
+# Spark's HLL++/GK sketch VALUES are engine-specific, so the oracle
+# cannot reproduce them; instead both engines emit the exact answer plus
+# booleans asserting the sketch honored its error bound (VERDICT.md r1
+# "What's missing" #5).  Spark computes |approx-exact|/exact <= 0.05 for
+# HLL++ (rsd=0.02 → 2.5σ) and the realized rank coverage of the GK p90
+# (accuracy=10000 → rank error 1e-4; [0.88, 0.92] also absorbs the 1/n
+# rank granularity at tiny SFs); DuckDB asserts TRUE.  Hash equality
+# therefore IS the accuracy check.
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey", "l_extendedprice"
+    )
+    sketch = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("approx_p90_price"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("approx_p90"),
+    )
+    # Second pass joins the 3-row sketch back (broadcast) to measure the
+    # realized coverage of the approximate p90 and the exact distinct.
+    checked = (
+        li.join(F.broadcast(sketch), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.first("approx_parts").alias("approx_parts"),
+            (
+                F.sum(
+                    F.when(F.col("l_extendedprice") <= F.col("approx_p90"), 1).otherwise(0)
+                )
+                / F.count(F.lit(1))
+            ).alias("p90_cover"),
+        )
+    )
+    return checked.select(
+        "l_returnflag",
+        F.col("exact_parts").cast("bigint").alias("exact_parts"),
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= F.lit(0.05)
+        ).alias("cd_within_5pct"),
+        ((F.col("p90_cover") >= 0.88) & (F.col("p90_cover") <= 0.92)).alias("p90_cover_ok"),
     )
 
 
-register("agg_approx_sketches", agg_approx, None)
+register(
+    "agg_approx_sketches",
+    agg_approx,
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS cd_within_5pct,
+           TRUE AS p90_cover_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 
 
 # --- SQL API surface: the same engine via spark.sql over temp views -----------

@@ -36,10 +36,19 @@ ALWAYS_BROADCAST = {"region", "nation"}
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
+        # ([PARQUET_TYPE_ILLEGAL]) unless nanosAsLong is on. It is a
+        # runtime-settable SQL conf, so set it HERE rather than in the
+        # session factory: load() must work under ANY SparkSession,
+        # including externally built ones that never saw session.py.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # immutable in some deployments; the read below may still work
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as a
-        # nanos-since-epoch long (legacy.parquet.nanosAsLong); convert
+        # With nanosAsLong, ts arrives as a nanos-since-epoch long; convert
         # to a micros timestamp with integer division (no double
         # round-trip: 1.7e18 ns exceeds double's 53-bit mantissa).
         from pyspark.sql import functions as F
