@@ -85,6 +85,51 @@ def test_incremental_matches_full_load_shape(spark, batches):
         assert merged[t].count() == full[t].count(), t
 
 
+def test_incremental_overlapping_batch_upserts(spark, tmp_path):
+    """ADVICE r1: a re-scraped business must UPDATE (keep its id, replace
+    attributes and child rows), not append a duplicate."""
+    all_rows = make_results(60, seed=21)
+    p1 = write_ndjson(all_rows[:40], tmp_path / "o1.ndjson")
+    p2 = write_ndjson(all_rows[30:], tmp_path / "o2.ndjson")  # 10 overlap
+    b1 = spark.read.schema(RESULTS_SCHEMA).json(str(p1))
+    b2 = spark.read.schema(RESULTS_SCHEMA).json(str(p2))
+
+    first = normalize(b1)
+    merged = normalize_incremental(b2, first)
+
+    # one row per name — overlap did not duplicate
+    n_biz = merged["business"].count()
+    assert n_biz == merged["business"].select("name").distinct().count()
+
+    # re-scraped names kept their round-1 ids
+    before = {r["name"]: r["id"] for r in first["business"].collect()}
+    after = {r["name"]: r["id"] for r in merged["business"].collect()}
+    overlap_names = [
+        r["name"]
+        for r in b2.join(b1, "bizId", "left_semi").select("name").collect()
+        if r["name"] in before  # quarantined rows never reach the star schema
+    ]
+    assert overlap_names
+    for name in overlap_names:
+        assert after[name] == before[name]
+
+    # child rows: no business carries both old and new versions
+    for bridge in ("open_hours", "business_amenity", "business_food_category"):
+        per_biz_full = {
+            r["business_id"]: r["n"]
+            for r in normalize(b1.unionByName(b2.join(b1, "bizId", "left_anti")))[bridge]
+            .groupBy("business_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        per_biz_merged = {
+            r["business_id"]: r["n"]
+            for r in merged[bridge].groupBy("business_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        # same number of child rows per business as a dedup'd full load
+        assert sorted(per_biz_merged.values()) == sorted(per_biz_full.values()), bridge
+        # ids unique
+        assert merged[bridge].select("id").distinct().count() == merged[bridge].count(), bridge
+
+
 def test_merge_upsert(spark):
     existing = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
     incoming = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"])

@@ -42,17 +42,22 @@ def merge_upsert(existing: DataFrame, incoming: DataFrame, key: str) -> DataFram
 def normalize_incremental(
     new_results: DataFrame, existing: dict[str, DataFrame]
 ) -> dict[str, DataFrame]:
-    """Load a new results batch into an existing star schema:
+    """Load a new results batch into an existing star schema with MERGE
+    semantics (``name`` is the upsert identity — the reference keys
+    business rows by autoincrement only, so the stable natural key the
+    dims already use is the honest identity; ADVICE.md r1):
 
-    - business ids continue past max(existing.business.id), keyed by
-      bizId order within the batch (re-scraped bizIds are updates —
-      but the reference keys business rows by autoincrement only, so
-      we treat name as the upsert identity like the dims do);
+    - a re-scraped business KEEPS its previously assigned id, its
+      attribute columns update, and its bridge/open_hours rows are
+      rebuilt under that id (old child rows dropped);
+    - novel businesses get ids past max(existing.business.id);
     - dimension ids are stable: existing names keep their ids, novel
       names get max+1.. (merge_dimension);
-    - bridges/open_hours are rebuilt for the new businesses only and
-      appended.
+    - child-row ids continue past max(existing) — unique always, dense
+      only when batches don't overlap (gaps where rows were replaced).
     """
+    from ..cache import tracked_persist
+
     batch = normalize(new_results)
     out: dict[str, DataFrame] = {}
 
@@ -70,17 +75,46 @@ def normalize_incremental(
             .select("_old", F.col("id").alias("_new"))
         )
 
-    # -- business: offset past existing max ----------------------------------
-    max_b = existing["business"].agg(F.coalesce(F.max("id"), F.lit(0)).alias("m"))
-    shifted = batch["business"].crossJoin(F.broadcast(max_b)).withColumn(
-        "id", (F.col("id") + F.col("m")).cast("bigint")
-    ).drop("m")
-    out["business"] = existing["business"].unionByName(shifted)
-    b_off = F.broadcast(max_b)
+    # -- business id map: existing id where the name matches, else shift ------
+    # The batch side is bounded (one scrape run), so it broadcasts; the
+    # match result is batch-sized and broadcasts back. min(id) guards
+    # against duplicate names in existing.
+    ex_b = existing["business"]
+    batch_b = batch["business"]
+    max_b = ex_b.agg(F.coalesce(F.max("id"), F.lit(0)).alias("m"))
+    matched = (
+        ex_b.select("id", "name")
+        .join(F.broadcast(batch_b.select("name").distinct()), "name", "left_semi")
+        .groupBy("name")
+        .agg(F.min("id").alias("_exid"))
+    )
+    bmap = tracked_persist(
+        batch_b.select(F.col("id").alias("_old"), "name")
+        .join(F.broadcast(matched), "name", "left")
+        .crossJoin(F.broadcast(max_b))
+        .select(
+            "_old",
+            F.coalesce(F.col("_exid"), F.col("_old") + F.col("m")).cast("bigint").alias("_new"),
+            F.col("_exid").isNotNull().alias("_is_update"),
+        )
+    )
+    incoming_b = (
+        batch_b.withColumnRenamed("id", "_old")
+        .join(F.broadcast(bmap.select("_old", "_new")), "_old")
+        .withColumn("id", F.col("_new"))
+        .drop("_old", "_new")
+        .select(*ex_b.columns)
+    )
+    out["business"] = merge_upsert(ex_b, incoming_b, "id")
+    updated_biz = bmap.filter(F.col("_is_update")).select(F.col("_new").alias("business_id"))
 
-    def _shift_append(table: str, fk: str | None, dim: str | None, extra: list[str]) -> DataFrame:
-        df = batch[table].crossJoin(b_off).withColumn(
-            "business_id", (F.col("business_id") + F.col("m")).cast("bigint")
+    def _upsert_child(table: str, fk: str | None, dim: str | None, extra: list[str]) -> DataFrame:
+        df = (
+            batch[table]
+            .withColumnRenamed("business_id", "_old")
+            .join(F.broadcast(bmap.select("_old", "_new")), "_old")
+            .withColumn("business_id", F.col("_new"))
+            .drop("_old", "_new")
         )
         if fk is not None and dim is not None:
             df = (
@@ -90,22 +124,25 @@ def normalize_incremental(
                 .drop(fk)
                 .withColumnRenamed("_new", fk)
             )
+        # ids continue past the PRE-drop max so replaced rows' ids are
+        # never reused for different content
         max_t = existing[table].agg(F.coalesce(F.max("id"), F.lit(0)).alias("mt"))
         df = df.crossJoin(F.broadcast(max_t)).withColumn(
             "id", (F.col("id") + F.col("mt")).cast("bigint")
         )
         cols = ["id", "business_id"] + ([fk] if fk else []) + extra
-        return existing[table].unionByName(df.select(*cols))
+        kept = existing[table].join(F.broadcast(updated_biz), "business_id", "left_anti")
+        return kept.unionByName(df.select(*cols))
 
-    out["open_hours"] = _shift_append("open_hours", "weekday_id", "weekday", ["open_time", "close_time"])
-    out["business_food_category"] = _shift_append(
+    out["open_hours"] = _upsert_child("open_hours", "weekday_id", "weekday", ["open_time", "close_time"])
+    out["business_food_category"] = _upsert_child(
         "business_food_category", "food_category_id", "food_category", []
     )
-    out["business_search_term"] = _shift_append(
+    out["business_search_term"] = _upsert_child(
         "business_search_term", "search_term_id", "search_term", []
     )
-    out["business_highlight"] = _shift_append("business_highlight", "highlight_id", "highlight", [])
-    out["business_amenity"] = _shift_append(
+    out["business_highlight"] = _upsert_child("business_highlight", "highlight_id", "highlight", [])
+    out["business_amenity"] = _upsert_child(
         "business_amenity", "amenity_id", "amenity", ["is_available"]
     )
     out["quarantine"] = batch["quarantine"]
