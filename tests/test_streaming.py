@@ -128,3 +128,31 @@ def test_stateful_running_stats(spark, tmp_path, sf_dir):
         if cur is None or r["n_events"] > cur[0]:
             final[r["user_id"]] = (r["n_events"], round(r["total_value"], 2))
     assert final == expected
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    """Continuous-pipeline dedup variant: dropDuplicatesWithinWatermark
+    bounds state by the late-data horizon instead of full key
+    cardinality (ingest.py dedup_stream(watermark=...))."""
+    from yelp_data_engineering_pipeline_spark.streaming.ingest import (
+        dedup_stream,
+        read_results_stream,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rows = make_results(20, seed=9)
+    write_ndjson(rows + rows[:7], in_dir / "b1.ndjson")  # 7 in-stream dups
+
+    stream = dedup_stream(read_results_stream(spark, str(in_dir)), watermark="10 minutes")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wmdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT bizId FROM wmdedup")
+    assert got.count() == 20
+    assert got.distinct().count() == 20

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..cache import tracked_persist
+from ..partitioning import widen_for_compute
 from ..plans.catalog import register
 from ..tables import load
 from .similarity import cosine
@@ -134,6 +135,7 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, verified with exact
     Jaccard on shingle sets. Returns (doc_a, doc_b, jaccard)."""
+    docs = widen_for_compute(docs)  # md5 pipeline must not run on 1 split
     # The shingle/signature subtree feeds the band self-join (twice) and
     # the verification joins (twice more) — persist it once instead of
     # letting Catalyst recompute the md5 pipeline per branch (measured
@@ -183,6 +185,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard for (query subset × corpus) pairs sharing ≥1
     shingle — the shingle join bounds the pair space."""
+    docs = widen_for_compute(docs)
     base = (
         docs.select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col)).alias("sh"))
         .filter(F.size("sh") > 0)
@@ -228,6 +231,7 @@ def token_hash16(token: Column) -> Column:
 def simhash16(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash per document (bit-voting over token hashes,
     multiplicity counted)."""
+    docs = widen_for_compute(docs)
     tok = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("w")
     ).withColumn("hv", token_hash16(F.col("w")))
@@ -519,6 +523,56 @@ register(
              {_COS_SQL.format(a='emb_a', b='e.embedding')} AS cos_sim
       FROM q CROSS JOIN embeddings e
       WHERE vec_a < e.vec_id
+    )
+    SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.2
+    """,
+)
+
+
+def embedding_near_dup_lsh(emb: DataFrame, threshold: float) -> DataFrame:
+    """Full-corpus embedding near-dup via random-hyperplane buckets —
+    the 100 TB path for ``embedding_near_dup`` (whose broadcast-query
+    shape is a verification tier, VERDICT.md r1). Self-equi-join on the
+    8-bit RPH bucket: pair space is sum(|bucket|²), never |corpus|²;
+    recall is the LSH tradeoff (near-identical vectors collide in all
+    bits with high probability)."""
+    from .similarity import RPH_PLANES, rph_bucket
+
+    b = widen_for_compute(emb).select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        rph_bucket(F.col("embedding"), RPH_PLANES).alias("bucket"),
+    )
+    b = tracked_persist(b)  # bucket expression feeds both join sides
+    return (
+        b.alias("a")
+        .join(b.alias("b"), "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_lsh(load(spark, sf_dir, "embeddings"), threshold=0.2)
+
+
+from .similarity import _RPH_BUCKET_SQL  # noqa: E402
+
+register(
+    "dedup_embedding_lsh",
+    dedup_embedding_lsh,
+    f"""
+    WITH b AS (SELECT vec_id, embedding, {_RPH_BUCKET_SQL.format(v='embedding')} AS bucket FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b,
+             {_COS_SQL.format(a='a.embedding', b='bb.embedding')} AS cos_sim
+      FROM b a JOIN b bb USING (bucket)
+      WHERE a.vec_id < bb.vec_id
     )
     SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.2
     """,

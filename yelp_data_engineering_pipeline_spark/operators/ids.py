@@ -29,12 +29,12 @@ def dense_ids_window(df: DataFrame, *order_cols: str, id_col: str = "id") -> Dat
     return df.withColumn(id_col, F.row_number().over(w).cast("bigint"))
 
 
-def dense_ids(
+def dense_ids_with_total(
     df: DataFrame, *order_cols: str, id_col: str = "id", num_partitions: int | None = None
-) -> DataFrame:
-    """Dense bigint ids 1..n in ``order_cols`` order, computed without a
-    single-partition window. Requires ``order_cols`` to be a total order
-    (add a tiebreak column if not unique)."""
+) -> tuple[DataFrame, int]:
+    """:func:`dense_ids` plus the total row count (already known from the
+    per-partition count collect — no extra job for callers that need n,
+    e.g. percent_rank/cume_dist)."""
     cols = [F.col(c) for c in order_cols]
     parted = (
         df.repartitionByRange(num_partitions, *cols)
@@ -61,8 +61,21 @@ def dense_ids(
     )
 
     w = Window.partitionBy("_pid").orderBy(*cols)
-    return (
+    out = (
         parted.join(F.broadcast(offset_df), "_pid", "left")
         .withColumn(id_col, (F.row_number().over(w) + F.coalesce(F.col("_off"), F.lit(0))).cast("bigint"))
         .drop("_pid", "_off")
     )
+    return out, acc
+
+
+def dense_ids(
+    df: DataFrame, *order_cols: str, id_col: str = "id", num_partitions: int | None = None
+) -> DataFrame:
+    """Dense bigint ids 1..n in ``order_cols`` order, computed without a
+    single-partition window. Requires ``order_cols`` to be a total order
+    (add a tiebreak column if not unique)."""
+    out, _ = dense_ids_with_total(
+        df, *order_cols, id_col=id_col, num_partitions=num_partitions
+    )
+    return out

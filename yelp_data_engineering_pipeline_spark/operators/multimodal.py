@@ -105,6 +105,12 @@ def decode_media(media: DataFrame) -> DataFrame:
 def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a media table from documents (text bytes as opaque
     payload) — exercises the binary plumbing on driver testdata."""
+    # NOT widened: the downstream decode is an Arrow-batched Python
+    # stage whose per-partition cost (worker spin-up + Arrow stream) is
+    # high — fewer, larger batches win at this input size (measured:
+    # widening to 32 splits took the decode 1.5 s -> 5.5 s at sf0.1).
+    # At real scale the scan arrives pre-split and batch size is
+    # governed by spark.sql.execution.arrow.maxRecordsPerBatch.
     doc = load(spark, sf_dir, "documents")
     return doc.select(
         F.col("doc_id").alias("media_id"),

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..partitioning import widen_for_compute
 from ..tables import load
 from ..plans.catalog import register
 
@@ -60,7 +61,9 @@ def topk_bruteforce(queries: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
     from pyspark.sql import Window
 
     q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
-    c = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    c = widen_for_compute(corpus).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
     pairs = (
         F.broadcast(q)
         .crossJoin(c)
@@ -87,13 +90,135 @@ def topk_lsh_buckets(queries: DataFrame, corpus: DataFrame, k: int, n_planes: in
         F.col("embedding").alias("q_emb"),
         sign_bucket(F.col("embedding"), n_planes).alias("bucket"),
     )
-    c = corpus.select(
+    c = widen_for_compute(corpus).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         sign_bucket(F.col("embedding"), n_planes).alias("bucket"),
     )
     pairs = (
         q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return pairs.withColumn("rk", F.row_number().over(w).cast("bigint")).filter(F.col("rk") <= k)
+
+
+def _rph_planes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic random hyperplanes (fixed-seed LCG — no numpy
+    dependency in the plan layer, reproducible across runs/engines).
+    Coordinates are small half-integers so the literal SQL stays short."""
+    state = seed & 0x7FFFFFFF
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append(((state >> 16) % 9 - 4) / 2.0)  # {-2.0, -1.5, .. 2.0}
+        planes.append(row)
+    return planes
+
+
+def _plane_dot(vec: Column, plane: list[float]) -> Column:
+    """dot(vec, plane) as an EXPLICIT left-associated sum of products —
+    the same IEEE operation sequence the SQL oracle spells out, so the
+    sign bit can never flip between engines (a fold/list_sum makes the
+    summation order engine-defined)."""
+    expr = None
+    for i, p in enumerate(plane):
+        term = F.try_element_at(vec, F.lit(i + 1)).cast("double") * F.lit(p)
+        expr = term if expr is None else expr + term
+    return expr
+
+
+def rph_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket: concatenated sign bits of the
+    plane dot products (SimHash for real-valued vectors). Unlike
+    ``sign_bucket``'s axis-aligned planes, random hyperplanes give the
+    standard cosine-LSH collision guarantee P[collide] = 1 - θ/π."""
+    bits = [
+        F.when(_plane_dot(vec, p) >= 0, F.lit("1")).otherwise(F.lit("0")) for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def topk_rph(
+    queries: DataFrame, corpus: DataFrame, k: int, planes: list[list[float]]
+) -> DataFrame:
+    """ANN top-k with random-hyperplane buckets — the production LSH
+    path (round-1 axis-aligned buckets were a documented simplification).
+    Same join shape as :func:`topk_lsh_buckets`: bucket equi-join, rank
+    within bucket; AQE splits skewed buckets."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        rph_bucket(F.col("embedding"), planes).alias("bucket"),
+    )
+    c = widen_for_compute(corpus).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        rph_bucket(F.col("embedding"), planes).alias("bucket"),
+    )
+    pairs = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return pairs.withColumn("rk", F.row_number().over(w).cast("bigint")).filter(F.col("rk") <= k)
+
+
+def topk_ivf(
+    queries: DataFrame, corpus: DataFrame, k: int, n_centroids: int
+) -> DataFrame:
+    """IVF-style ANN (nprobe=1): assign every vector to its nearest
+    centroid (broadcast join against the tiny centroid set — map-side,
+    no shuffle of the corpus), then search only the query's cell.
+
+    Centroids here are the first ``n_centroids`` vectors by id — a
+    deterministic, engine-portable stand-in for a k-means codebook (a
+    production deployment trains centroids offline and broadcasts them
+    identically). The plan shape IS the IVF shape: cell assignment cost
+    |corpus|×C map-side, search cost bounded by cell sizes, never
+    all-pairs."""
+    from pyspark.sql import Window
+
+    cents = corpus.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+
+    def assign(df: DataFrame, id_alias: str, emb_alias: str) -> DataFrame:
+        scored = (
+            df.select(F.col("vec_id").alias(id_alias), F.col("embedding").alias(emb_alias))
+            .join(F.broadcast(cents))
+            .select(
+                id_alias,
+                emb_alias,
+                "cent_id",
+                F.round(cosine(F.col(emb_alias), F.col("cent_emb")), 4).alias("cent_sim"),
+            )
+        )
+        w = Window.partitionBy(id_alias).orderBy(F.col("cent_sim").desc(), F.col("cent_id"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_alias, emb_alias, F.col("cent_id").alias("cell"))
+        )
+
+    q = assign(queries, "query_id", "q_emb")
+    c = assign(widen_for_compute(corpus), "neighbor_id", "c_emb")
+    pairs = (
+        q.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -149,6 +274,29 @@ _BUCKET_SQL = (
     + ")"
 )
 
+# Random-hyperplane bucket as literal SQL: the dot product is the SAME
+# explicit left-associated sum the Spark side builds (_plane_dot), so
+# IEEE rounding is bit-identical and a sign can never flip between
+# engines.
+EMB_DIM = 64
+RPH_PLANES = _rph_planes(8, EMB_DIM)
+
+
+def _plane_dot_sql(vec: str, plane: list[float]) -> str:
+    return " + ".join(
+        f"CAST({vec}[{i + 1}] AS DOUBLE) * ({p!r})" for i, p in enumerate(plane)
+    )
+
+
+_RPH_BUCKET_SQL = (
+    "concat("
+    + ", ".join(
+        f"CASE WHEN {_plane_dot_sql('{v}', p)} >= 0 THEN '1' ELSE '0' END"
+        for p in RPH_PLANES
+    )
+    + ")"
+)
+
 
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
@@ -165,6 +313,67 @@ register(
       SELECT query_id, c.vec_id AS neighbor_id,
              {_COS_SQL.format(a='q_emb', b='c.embedding')} AS cos_sim
       FROM q JOIN b c USING (bucket)
+      WHERE c.vec_id != query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM pairs
+    ) WHERE rk <= 5
+    """,
+)
+
+
+def similarity_topk_rph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return topk_rph(emb.filter(F.col("vec_id") < 10), emb, k=5, planes=RPH_PLANES)
+
+
+register(
+    "similarity_topk_rph",
+    similarity_topk_rph,
+    f"""
+    WITH b AS (SELECT vec_id, embedding, {_RPH_BUCKET_SQL.format(v='embedding')} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM b WHERE vec_id < 10),
+    pairs AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.format(a='q_emb', b='c.embedding')} AS cos_sim
+      FROM q JOIN b c USING (bucket)
+      WHERE c.vec_id != query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM pairs
+    ) WHERE rk <= 5
+    """,
+)
+
+
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return topk_ivf(emb.filter(F.col("vec_id") < 10), emb, k=5, n_centroids=10)
+
+
+register(
+    "similarity_topk_ivf",
+    similarity_topk_ivf,
+    f"""
+    WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cent_id,
+             {_COS_SQL.format(a='e.embedding', b='c.cent_emb')} AS cent_sim
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cent_id AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, cell FROM assigned WHERE vec_id < 10),
+    pairs AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.format(a='q_emb', b='c.embedding')} AS cos_sim
+      FROM q JOIN assigned c USING (cell)
       WHERE c.vec_id != query_id
     )
     SELECT query_id, neighbor_id, cos_sim, rk FROM (

@@ -8,10 +8,11 @@ shape that scales linearly with input splits at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.catalog import register
+from ..partitioning import widen_for_compute
 from ..tables import load
 
 # BPE-ish tokenizer: letter runs, digit runs, single punctuation.
@@ -126,7 +127,7 @@ def rolling_fingerprint(text: Column) -> Column:
 
 
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    doc = load(spark, sf_dir, "documents")
+    doc = widen_for_compute(load(spark, sf_dir, "documents"))
     return doc.select(
         "doc_id",
         F.size(whitespace_tokens(F.col("text"))).cast("int").alias("n_ws_tokens"),
@@ -147,7 +148,7 @@ register(
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    doc = load(spark, sf_dir, "documents")
+    doc = widen_for_compute(load(spark, sf_dir, "documents"))
     f = quality_features(F.col("text"))
     return doc.select(
         "doc_id",
@@ -191,7 +192,7 @@ register(
 
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    doc = load(spark, sf_dir, "documents")
+    doc = widen_for_compute(load(spark, sf_dir, "documents"))
     s = lang_scores(F.col("text"))
     return doc.select(
         "doc_id",
@@ -232,7 +233,7 @@ register(
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    doc = load(spark, sf_dir, "documents")
+    doc = widen_for_compute(load(spark, sf_dir, "documents"))
     return doc.select(
         "doc_id",
         rolling_fingerprint(F.col("text")).alias("fp"),
@@ -253,5 +254,53 @@ register(
            END AS fp,
            md5(text) AS fp_md5
     FROM documents
+    """,
+)
+
+
+# --- composed training-data prep pipeline -------------------------------------
+def pipeline_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep as ONE declarative plan: token-count
+    quality gate -> exact dedup (keep lowest doc_id per content hash) ->
+    per-language corpus stats. Demonstrates that the extension operators
+    compose without materialization barriers — Catalyst fuses the gate
+    and the fingerprint into the scan projection, and the only shuffles
+    are the dedup window and the final aggregate."""
+    doc = widen_for_compute(load(spark, sf_dir, "documents"))
+    feat = doc.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.size(whitespace_tokens(F.col("text"))).cast("int").alias("n_tokens"),
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        feat.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(F.col("n_tokens") >= 10)
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+register(
+    "pipeline_quality_dedup",
+    pipeline_quality_dedup,
+    r"""
+    WITH feat AS (
+      SELECT doc_id, text, lang,
+             CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS INT) AS n_tokens
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS _rn
+        FROM feat
+      ) WHERE _rn = 1 AND n_tokens >= 10
+    )
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM kept GROUP BY lang
     """,
 )

@@ -34,11 +34,12 @@ def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact-integer ratios are emitted unrounded (IEEE-identical in
     DuckDB, see module docstring).
     """
-    from ..operators.ids import dense_ids
+    from ..operators.ids import dense_ids_with_total
 
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    n = orders.count()  # parquet metadata count; O(1) driver value
-    ranked = dense_ids(orders, "o_totalprice", "o_orderkey", id_col="_rank")
+    # n comes free from the two-phase scheme's per-partition count
+    # collect — no separate count job
+    ranked, n = dense_ids_with_total(orders, "o_totalprice", "o_orderkey", id_col="_rank")
 
     k = 4
     q, r = divmod(n, k)

@@ -6,8 +6,9 @@ equivalent is the JDBC batch writer; the engine's *native* store is
 parquet (plans/normalize.write_star_schema) and JDBC is the drop-in
 alternative behind the same dict-of-DataFrames interface.
 
-No database runs in this container, so these wrappers are exercised
-only for plan construction in tests; options mirror the reference's
+The container runs no Postgres, but Spark's bundled embedded Derby
+gives the wrappers a REAL round-trip test (tests/test_ingest.py::
+test_jdbc_roundtrip_embedded_derby); options mirror the reference's
 asyncpg DSN (base/connect.py:5-21).
 
 Scale notes: ``numPartitions``+``partitionColumn`` bound parallel read
@@ -36,6 +37,7 @@ def read_jdbc(
     lower_bound: int | None = None,
     upper_bound: int | None = None,
     num_partitions: int = 8,
+    driver: str = "org.postgresql.Driver",
 ):
     """S8: partitioned JDBC scan."""
     reader = (
@@ -44,7 +46,7 @@ def read_jdbc(
         .option("dbtable", table)
         .option("user", user)
         .option("password", password)
-        .option("driver", "org.postgresql.Driver")
+        .option("driver", driver)
     )
     if partition_column is not None:
         reader = (
@@ -65,6 +67,7 @@ def write_jdbc(
     *,
     mode: str = "append",
     batch_size: int = 10_000,
+    driver: str = "org.postgresql.Driver",
 ) -> None:
     """S7: batched JDBC sink (the set-oriented replacement for the
     reference's per-row ORM inserts)."""
@@ -74,7 +77,7 @@ def write_jdbc(
         .option("dbtable", table)
         .option("user", user)
         .option("password", password)
-        .option("driver", "org.postgresql.Driver")
+        .option("driver", driver)
         .option("batchsize", str(batch_size))
         .mode(mode)
         .save()
