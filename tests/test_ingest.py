@@ -227,3 +227,24 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     rows = {r[0]: (r[1], r[2]) for r in parted.collect()}
     assert rows[42] == ("name-042", 63.0)
     assert len(rows) == 100
+
+
+def test_ndjson_gzip_transparent(spark, tmp_path):
+    """Compressed NDJSON reads through the same schema-first scan —
+    training corpora ship as .jsonl.gz; Spark's text codecs decode by
+    extension with no source changes."""
+    import gzip
+
+    from tests.yelp_fixtures import make_results
+    from yelp_data_engineering_pipeline_spark.schemas import RESULTS_SCHEMA
+    from yelp_data_engineering_pipeline_spark.sources.ndjson import read_ndjson
+
+    rows = make_results(25, seed=11)
+    p = tmp_path / "corpus.ndjson.gz"
+    with gzip.open(p, "wt") as f:
+        for r in rows:
+            json.dump(r, f)
+            f.write("\n")
+    got = read_ndjson(spark, str(p), RESULTS_SCHEMA)
+    assert got.count() == 25
+    assert {r["bizId"] for r in got.select("bizId").collect()} == {r["bizId"] for r in rows}

@@ -156,3 +156,59 @@ def test_dedup_within_watermark(spark, tmp_path):
     got = spark.sql("SELECT bizId FROM wmdedup")
     assert got.count() == 20
     assert got.distinct().count() == 20
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Watermarked windowed agg must finalize windows and DROP events
+    arriving past the late-data horizon — the state-bounding contract a
+    continuous 100 TB pipeline relies on."""
+    import json as _json
+
+    in_dir, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    in_dir.mkdir()
+
+    def write_events(path, rows):
+        with open(path, "w") as f:
+            for ts, v in rows:
+                _json.dump({"ts": ts, "v": v}, f)
+                f.write("\n")
+
+    # batch 1: events up to 12:00 -> watermark advances to 11:50
+    write_events(in_dir / "b1.ndjson", [("2024-01-01 10:05:00", 1.0), ("2024-01-01 12:00:00", 2.0)])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, v double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(in_dir))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.expr("unix_micros(w.start) div 1000000").alias("w_start"), "n")
+    )
+
+    out_dir = tmp_path / "out"
+
+    def drain():
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return [(r["w_start"], r["n"]) for r in spark.read.parquet(str(out_dir)).collect()]
+
+    got1 = drain()
+    # the 10:00 window is final (watermark passed 11:00); a late event
+    # for it must be discarded on the next drain
+    write_events(in_dir / "b2.ndjson", [("2024-01-01 10:30:00", 9.9)])
+    got2 = drain()
+    from datetime import datetime, timezone
+
+    ten_am = int(datetime(2024, 1, 1, 10, tzinfo=timezone.utc).timestamp())
+    assert (ten_am, 1) in got1  # finalized with the on-time event only
+    # the output dir accumulates across drains; the late arrival must add
+    # NOTHING — no reopened window row, no updated count
+    assert sorted(got2) == sorted(got1)

@@ -5,7 +5,13 @@ DuckDB over the same parquet tables, then compares row count, schema
 arity, and order-insensitive values (columns sorted by name, rows
 sorted by their full value tuple — STRICTER than a hash compare).
 
-Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+Usage: python tools/check_oracle.py [--bare] [--first-n N] [sf_dir] [query_name ...]
+
+``--bare`` builds a PLAIN SparkSession (no session-factory confs, JVM
+default timezone) to simulate the round driver's harness — catches
+anything that silently depends on get_spark's configuration.
+``--first-n N`` restricts to the first N catalog entries (the driver
+checks only a prefix).
 """
 
 from __future__ import annotations
@@ -48,18 +54,37 @@ def _canon(rows: list[dict]) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    bare = "--bare" in args
+    if bare:
+        args.remove("--bare")
+    first_n = None
+    if "--first-n" in args:
+        i = args.index("--first-n")
+        first_n = int(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as e
-    from yelp_data_engineering_pipeline_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if bare:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]").appName("bare-oracle").getOrCreate()
+        )
+    else:
+        from yelp_data_engineering_pipeline_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if first_n is not None:
+        qs = dict(list(qs.items())[:first_n])
     n_pass = n_fail = n_weak = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -110,7 +110,10 @@ register(
 # which wraps around a boundary (overnight hours ≙ hour-of-day wrap).
 def filter_disjunctive_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    h = F.hour("ts")
+    # hour-of-day from the tz-free epoch, NOT F.hour(ts): hour() renders
+    # in the session timezone, which an external harness may not pin to
+    # UTC, while the oracle's naive timestamps are UTC wall-clock.
+    h = F.expr("(unix_micros(ts) div 1000000 % 86400) div 3600")
     overnight = (h >= 22) | (h < 6)
     daytime_big = (h >= 9) & (h < 17) & (F.col("value") > 400)
     return ev.filter(overnight | daytime_big).select("event_id", "user_id", "value")

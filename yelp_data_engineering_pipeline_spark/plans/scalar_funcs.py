@@ -43,13 +43,19 @@ register(
 
 
 # --- F4: 12-hour time parse with fallback (parse_and_upload_to_db.py:50-55) ----
-# Spark round-trips ts → "h:mm a" string → parse → seconds-of-day; the
-# oracle computes seconds-of-day directly (same answer, exercises the
-# parse path in Spark). The fallback coalesce mirrors the reference's
-# "%I:%M %p" → "%I %p" retry.
+# Spark builds an "h:mm a" string and parses it back → seconds-of-day;
+# the oracle computes seconds-of-day directly (same answer, exercises
+# the parse path in Spark). The fallback coalesce mirrors the
+# reference's "%I:%M %p" → "%I %p" retry. The string is BUILT from the
+# tz-free epoch (not date_format, which renders in session tz); the
+# parse→extract round trip itself is tz-invariant for tz-free strings.
 def func_time_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    s = F.date_format("ts", "h:mm a")
+    h24 = F.expr("(unix_micros(ts) div 1000000 % 86400) div 3600")
+    mins = F.expr("(unix_micros(ts) div 1000000 % 3600) div 60")
+    h12 = ((h24 + 11) % 12) + 1
+    ampm = F.when(h24 < 12, F.lit("AM")).otherwise(F.lit("PM"))
+    s = F.format_string("%d:%02d %s", h12, mins, ampm)
     parsed = F.coalesce(F.try_to_timestamp(s, F.lit("h:mm a")), F.try_to_timestamp(s, F.lit("h a")))
     secs = (F.hour(parsed) * 3600 + F.minute(parsed) * 60 + F.second(parsed)).cast("int")
     return ev.select("event_id", secs.alias("secs_of_day"))

@@ -34,14 +34,23 @@ def tumbling_agg(events: DataFrame, duration: str = "1 hour") -> DataFrame:
 
 
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tumbling_agg(load(spark, sf_dir, "events"))
+    # Catalog output carries the window start as EPOCH SECONDS, not a
+    # timestamp: a collected timestamp renders in the harness session's
+    # timezone (unknown for external harnesses), while unix_micros reads
+    # the tz-free internal epoch — hash-stable under ANY session tz.
+    return tumbling_agg(load(spark, sf_dir, "events")).select(
+        F.expr("unix_micros(win_start) div 1000000").alias("win_start_epoch"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
 
 
 register(
     "stream_tumbling_window",
     stream_tumbling,
     """
-    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS win_start_epoch,
            event_type,
            COUNT(*) AS n,
            ROUND(SUM(value), 2) AS sum_value
@@ -69,7 +78,12 @@ def sliding_agg(events: DataFrame) -> DataFrame:
 
 
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sliding_agg(load(spark, sf_dir, "events"))
+    # epoch-seconds output for tz-independent hashing (see stream_tumbling)
+    return sliding_agg(load(spark, sf_dir, "events")).select(
+        F.expr("unix_micros(win_start) div 1000000").alias("win_start_epoch"),
+        "n",
+        "avg_value",
+    )
 
 
 register(
@@ -81,7 +95,8 @@ register(
       UNION ALL
       SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour' AS win_start, value FROM events
     )
-    SELECT win_start, COUNT(*) AS n, ROUND(SUM(value), 2) / COUNT(*) AS avg_value
+    SELECT CAST(epoch(win_start) AS BIGINT) AS win_start_epoch,
+           COUNT(*) AS n, ROUND(SUM(value), 2) / COUNT(*) AS avg_value
     FROM assigned
     GROUP BY win_start
     """,
@@ -140,6 +155,60 @@ register(
     )
     SELECT user_id,
            CAST(MAX(session_id) + 1 AS BIGINT) AS n_sessions,
+           MAX(n_events) AS max_session_events,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM per_session
+    GROUP BY user_id
+    """,
+)
+
+
+def sessionize_native(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessions via the NATIVE ``session_window`` expression —
+    the operator Structured Streaming plans with merging session state
+    (vs. :func:`sessionize`'s lag+cumsum batch analogue). Verified to
+    share boundary semantics: an event exactly ``gap`` after the
+    previous one MERGES (new session only when diff > gap)."""
+    return events.groupBy("user_id", F.session_window("ts", gap).alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def stream_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_session = sessionize_native(ev)
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+# Same oracle as stream_sessionize (the two formulations must agree) —
+# only the n_sessions derivation differs (count of sessions vs max id+1).
+register(
+    "stream_session_window_native",
+    stream_sessionize_native,
+    f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) > {_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
            MAX(n_events) AS max_session_events,
            CAST(SUM(n_events) AS BIGINT) AS n_events
     FROM per_session
