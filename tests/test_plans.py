@@ -191,3 +191,31 @@ def test_rph_buckets_match_between_expressions(spark, sf_dir):
     )
     want = dict(con.execute(sql).fetchall())
     assert got == want
+
+
+def test_bucketed_join_skips_exchange(spark, sf_dir):
+    """Bucketing is the co-located-join lever at 100 TB: two tables
+    bucketed+sorted on the join key must SortMergeJoin with NO Exchange
+    on either side (the shuffle was paid once, at write time)."""
+    from yelp_data_engineering_pipeline_spark.sources.parquet_layout import (
+        write_bucketed_table,
+    )
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    write_bucketed_table(orders.withColumnRenamed("o_custkey", "custkey"), "b_orders", "custkey", 8)
+    write_bucketed_table(customer.withColumnRenamed("c_custkey", "custkey"), "b_customer", "custkey", 8)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        joined = spark.table("b_orders").join(spark.table("b_customer"), "custkey")
+        plan = _formatted(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not reshuffle"
+        assert "SelectedBucketsCount" in plan
+        assert joined.count() == orders.count()  # FK: every order has a customer
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")

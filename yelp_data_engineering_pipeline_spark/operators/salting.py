@@ -54,3 +54,40 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return big_s.join(small_s, [key, "_salt"]).drop("_salt")
+
+
+# --- catalog entry: salted aggregation equals the plain aggregate -------------
+def agg_salted_groupby(spark, sf_dir):
+    """Driver-checkable proof the two-phase salted aggregation is
+    semantics-preserving: salted sum+count vs DuckDB's plain GROUP BY.
+    Parity note: l_quantity sits on the cents grid, so partial sums are
+    EXACT doubles and the two-phase summation order cannot drift."""
+    from ..tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    s = salted_sum(li, ["l_returnflag"], "l_quantity")
+    c = salted_count(li, ["l_returnflag"])
+    return s.join(c, "l_returnflag").select(
+        "l_returnflag",
+        F.round(F.col("sum_l_quantity"), 2).alias("sum_qty"),
+        "n",
+    )
+
+
+def _register() -> None:
+    from ..plans.catalog import register
+
+    register(
+        "agg_salted_groupby",
+        agg_salted_groupby,
+        """
+        SELECT l_returnflag,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        """,
+    )
+
+
+_register()
