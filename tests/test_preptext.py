@@ -1,0 +1,62 @@
+"""Training-corpus prep operators (operators/preptext.py): chunking
+coverage/overlap, deterministic split, packing budget, PII scrub."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yelp_data_engineering_pipeline_spark.operators.preptext import (
+    chunk_documents,
+    hash_split,
+    pack_by_token_budget,
+    scrub_pii,
+)
+
+
+def test_scrub_pii_replaces(spark):
+    df = spark.createDataFrame(
+        [("contact bob@example.com or (555) 123-4567 now",), ("clean text",)], ["text"]
+    )
+    got = [r["t"] for r in df.select(scrub_pii(F.col("text")).alias("t")).collect()]
+    assert got[0] == "contact <EMAIL> or <PHONE> now"
+    assert got[1] == "clean text"
+
+
+def test_chunking_coverage_and_overlap(spark):
+    words = " ".join(f"w{i}" for i in range(50))
+    df = spark.createDataFrame([(1, words), (2, "short doc"), (3, "")], ["doc_id", "text"])
+    out = chunk_documents(df, "text", "doc_id", chunk_size=32, overlap=8)
+    rows = {(r["doc_id"], r["chunk_idx"]): r["n_chunk_tokens"] for r in out.collect()}
+    # 50 tokens, stride 24 -> chunks at 0 (32 tokens) and 24 (26 tokens)
+    assert rows[(1, 0)] == 32 and rows[(1, 1)] == 26
+    assert rows[(2, 0)] == 2  # short doc: one undersized chunk
+    assert not any(d == 3 for d, _ in rows)  # empty doc: no chunks
+    # stride * last_idx + last_len >= n: every token covered
+    assert 24 * 1 + 26 == 50
+
+
+def test_hash_split_deterministic_and_sized(spark, sf_dir):
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    doc = load(spark, sf_dir, "documents")
+    split = hash_split(doc, F.col("text"), val_pct=10)
+    counts = {r["s"]: r["n"] for r in doc.groupBy(split.alias("s")).agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    assert 0.02 < counts.get("val", 0) / total < 0.25  # ~10%, loose bounds
+    # deterministic: same expression, same assignment
+    again = {r["s"]: r["n"] for r in doc.groupBy(split.alias("s")).agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == again
+
+
+def test_pack_bins_respects_budget(spark):
+    rows = [(i, "g", " ".join(["w"] * 100)) for i in range(20)]  # 100 tokens each
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    packed = pack_by_token_budget(df, "lang", "doc_id", "text", budget=512)
+    per_bin = (
+        packed.groupBy("bin").agg(F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("n")).collect()
+    )
+    for r in per_bin:
+        # contiguous packing: a bin holds at most budget tokens + one
+        # straddling doc (here: 6 docs * 100 <= 512 + 100)
+        assert r["t"] <= 512 + 100
+    assert sum(r["n"] for r in per_bin) == 20

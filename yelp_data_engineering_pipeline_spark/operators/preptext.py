@@ -1,0 +1,246 @@
+"""Training-corpus preparation operators (extension, BASELINE.json
+north star): document chunking, deterministic train/val splitting,
+token-budget packing, PII scrubbing.
+
+These are the remaining standard stages of an LLM data pipeline after
+dedup/quality/similarity (operators/dedup.py, textstats.py,
+similarity.py). All JVM-side expressions — no Python in the hot path —
+and every one is a narrow map or a single partitioned window, so each
+scales linearly with the corpus:
+
+- **chunking** — token windows of size C with overlap O: per-row array
+  slicing (no shuffle at all; output rows ≈ n_tokens/stride per doc).
+- **hash split** — md5-keyed assignment: deterministic across runs and
+  engines (no rand()), so a re-run never migrates a doc across splits.
+- **packing** — contiguous-sequence binning by cumulative token budget:
+  one window per group key. True bin-packing is order-dependent and
+  sequential; the contiguous approximation is the standard distributed
+  compromise (documented delta).
+- **PII scrub** — regexp_replace with engine-portable patterns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..partitioning import widen_for_compute
+from ..plans.catalog import register
+from ..tables import load
+from .textstats import whitespace_tokens
+
+# ---------------------------------------------------------------------------
+# Chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame, text_col: str, id_col: str, chunk_size: int, overlap: int
+) -> DataFrame:
+    """Split each document into token windows of ``chunk_size`` with
+    ``overlap`` tokens shared between consecutive chunks (stride =
+    chunk_size - overlap). Documents shorter than one chunk yield a
+    single chunk; empty documents yield none."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    ws = whitespace_tokens(F.col(text_col))
+    n = F.size(ws)
+    # number of windows that cover all tokens: 1 + ceil((n - C) / stride)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1) + F.greatest(F.lit(0), F.ceil((n - chunk_size) / F.lit(stride)).cast("int"))
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), ws.alias("_ws"), n_chunks.alias("_nc")
+    ).filter(F.col("_nc") > 0)
+    idx = F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_idx")
+    chunk = F.slice(F.col("_ws"), F.col("chunk_idx") * stride + 1, chunk_size)
+    return (
+        base.select("doc_id", "_ws", idx)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size(chunk).cast("int").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+        )
+    )
+
+
+def prep_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = widen_for_compute(load(spark, sf_dir, "documents"))
+    return chunk_documents(doc, "text", "doc_id", chunk_size=32, overlap=8)
+
+
+register(
+    "prep_chunk_documents",
+    prep_chunk_documents,
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS ws
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, ws,
+             CASE WHEN len(ws) <= 0 THEN 0
+                  ELSE 1 + greatest(0, CAST(ceil((len(ws) - 32) / 24.0) AS INT))
+             END AS nc
+      FROM base
+    ),
+    exploded AS (
+      SELECT doc_id, ws, unnest(range(0, nc)) AS chunk_idx
+      FROM sized WHERE nc > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(ws[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(ws[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')) AS chunk_md5
+    FROM exploded
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash split
+# ---------------------------------------------------------------------------
+
+
+def hash_split(df: DataFrame, key: Column, val_pct: int) -> Column:
+    """'val' for ~val_pct% of rows, 'train' for the rest — decided by
+    md5(key) so the assignment is deterministic across runs, engines,
+    and partitionings (never rand(): a re-run must not migrate docs
+    between splits)."""
+    bucket = F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("int") % 100
+    return F.when(bucket < val_pct, F.lit("val")).otherwise(F.lit("train"))
+
+
+def prep_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load(spark, sf_dir, "documents")
+    split = hash_split(doc, F.col("text"), val_pct=10)
+    return doc.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(whitespace_tokens(F.col("text")))).cast("bigint").alias("n_tokens"),
+    )
+
+
+# DuckDB int-from-hex via positional nibble arithmetic (no conv()).
+_HEX4 = (
+    "((strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substring(md5(text), 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substring(md5(text), 4, 1)) - 1))"
+)
+
+register(
+    "prep_train_val_split",
+    prep_train_val_split,
+    rf"""
+    SELECT lang,
+           CASE WHEN {_HEX4} % 100 < 10 THEN 'val' ELSE 'train' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''))) AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Token-budget packing
+# ---------------------------------------------------------------------------
+
+
+def pack_by_token_budget(
+    docs: DataFrame, group_col: str, id_col: str, text_col: str, budget: int
+) -> DataFrame:
+    """Assign documents (ordered by id within each group) to contiguous
+    bins of at most ~``budget`` tokens: bin = floor(cumulative_tokens_
+    before_doc / budget). Contiguous-sequence packing — the distributed
+    stand-in for greedy bin packing (which is inherently sequential); a
+    doc longer than the budget gets its own bin(s). One partitioned
+    window per group, no other shuffle."""
+    n_tok = F.size(whitespace_tokens(F.col(text_col))).cast("bigint")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tok).over(w)
+    return docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        ((cum - n_tok) / budget).cast("bigint").alias("bin"),
+    )
+
+
+def prep_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load(spark, sf_dir, "documents")
+    packed = pack_by_token_budget(doc, "lang", "doc_id", "text", budget=512)
+    return packed.groupBy("grp", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+    )
+
+
+register(
+    "prep_pack_bins",
+    prep_pack_bins,
+    r"""
+    WITH tok AS (
+      SELECT lang AS grp, doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT grp, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM tok
+    )
+    SELECT grp, CAST(floor((c - n_tokens) / 512.0) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM cum
+    GROUP BY 1, 2
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\(\d{3}\) \d{3}-\d{4}"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace emails and phone numbers with typed placeholder tokens
+    (engine-portable regex subset: no lookarounds, no \\b)."""
+    out = F.regexp_replace(text, _EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, _PHONE_RE, "<PHONE>")
+
+
+def prep_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = widen_for_compute(load(spark, sf_dir, "documents"))
+    return doc.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), 0)).cast("int").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), 0)).cast("int").alias("n_phones"),
+        F.md5(scrub_pii(F.col("text"))).alias("scrubbed_md5"),
+    )
+
+
+register(
+    "prep_pii_scrub",
+    prep_pii_scrub,
+    rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INT) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM documents
+    """,
+)

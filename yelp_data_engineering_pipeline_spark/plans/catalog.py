@@ -133,6 +133,7 @@ def _ensure_loaded() -> None:
     from ..operators import asof  # noqa: F401
     from ..operators import dedup  # noqa: F401
     from ..operators import multimodal  # noqa: F401
+    from ..operators import preptext  # noqa: F401
     from ..operators import salting  # noqa: F401
     from ..operators import similarity  # noqa: F401
     from ..operators import textstats  # noqa: F401
