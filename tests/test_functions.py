@@ -66,3 +66,30 @@ def test_weekday_name_of_now_parameterized(spark):
     secs, today, prev = resolve_now(now)
     assert (today, prev) == ("Sun", "Sat")
     assert secs == 23 * 3600 + 30 * 60
+
+
+def test_offset_and_keyset_pagination_agree(spark, sf_dir):
+    """W1: both pagination formulations return the same page — offset
+    (row_number, driver-bound pages) and keyset (seek + top-k, the
+    100 TB path used by the catalog entry)."""
+    from yelp_data_engineering_pipeline_spark.operators.pagination import (
+        paginate,
+        paginate_keyset,
+    )
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    import pyspark.sql.functions as F
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    off_page = sorted(
+        r["o_orderkey"] for r in paginate(orders, ["o_orderkey"], page=3, page_size=10).collect()
+    )
+    boundary = (
+        orders.select("o_orderkey").orderBy("o_orderkey").limit(20)
+        .agg(F.max("o_orderkey").alias("k")).collect()[0]["k"]
+    )
+    key_page = sorted(
+        r["o_orderkey"]
+        for r in paginate_keyset(orders, "o_orderkey", 10, after_key=boundary).collect()
+    )
+    assert off_page == key_page and len(off_page) == 10

@@ -244,3 +244,73 @@ register(
     FROM documents
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher/C4-style quality rules, public heuristics)
+# ---------------------------------------------------------------------------
+
+
+def prep_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition signals used by public corpus-filtering rules:
+    duplicate-line fraction and most-frequent-bigram mass. Exact-integer
+    ratios are emitted UNROUNDED (IEEE division matches across engines).
+
+    The bigram array is materialized as a column BEFORE the counting
+    lambdas: Spark re-evaluates outer array subexpressions per lambda
+    element (no CSE across higher-order functions), so an inline bigram
+    build would be O(n²) per row."""
+    doc = widen_for_compute(load(spark, sf_dir, "documents"))
+    ws = whitespace_tokens(F.col("text"))
+    lines = F.filter(F.split(F.col("text"), "\\."), lambda s: F.trim(s) != "")
+    m = F.size(ws) - 1
+    bigrams = F.when(
+        m >= 1,
+        F.zip_with(F.slice(ws, 1, m), F.slice(ws, 2, m), lambda a, b: F.concat_ws(" ", a, b)),
+    ).otherwise(F.array().cast("array<string>"))
+    base = doc.select("doc_id", lines.alias("_ln"), bigrams.alias("_bg"))
+    n_ln, n_bg = F.size("_ln"), F.size("_bg")
+    top_bg = F.array_max(
+        F.transform(
+            F.array_distinct("_bg"),
+            lambda x: F.size(F.filter(F.col("_bg"), lambda y: y == x)),
+        )
+    )
+    return base.select(
+        "doc_id",
+        n_ln.cast("int").alias("n_lines"),
+        F.when(n_ln > 0, 1.0 - F.size(F.array_distinct("_ln")) / n_ln)
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_frac"),
+        F.when(n_bg > 0, top_bg / n_bg).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
+register(
+    "prep_repetition_stats",
+    prep_repetition_stats,
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, '.'), s -> trim(s) != '') AS ln,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS ws
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, ln,
+             CASE WHEN len(ws) >= 2
+                  THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+                  ELSE [] END AS bgs
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(len(ln) AS INT) AS n_lines,
+           CASE WHEN len(ln) > 0 THEN 1.0 - len(list_distinct(ln)) / len(ln)
+                ELSE 0.0 END AS dup_line_frac,
+           CASE WHEN len(bgs) > 0
+                THEN list_max(list_transform(list_distinct(bgs),
+                                             x -> len(list_filter(bgs, y -> y = x)))) / len(bgs)
+                ELSE 0.0 END AS top_bigram_frac
+    FROM bg
+    """,
+)
