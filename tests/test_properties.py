@@ -78,3 +78,42 @@ def test_dim_merge_invariants(spark, existing_names, incoming_names):
         assert by_name[n] == i + 1
     for n in set(incoming_names):
         assert n in by_name
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    n_tokens=st.integers(min_value=0, max_value=200),
+    chunk_size=st.integers(min_value=2, max_value=64),
+    data=st.data(),
+)
+def test_chunking_invariants(spark, n_tokens, chunk_size, data):
+    """For arbitrary (n_tokens, chunk_size, overlap): chunks cover every
+    token exactly once per window position, consecutive chunks share
+    exactly `overlap` tokens, and no chunk exceeds chunk_size."""
+    from yelp_data_engineering_pipeline_spark.operators.preptext import chunk_documents
+
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk_size - 1))
+    stride = chunk_size - overlap
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        (r["chunk_idx"], r["n_chunk_tokens"])
+        for r in chunk_documents(df, "text", "doc_id", chunk_size, overlap).collect()
+    )
+    if n_tokens == 0:
+        assert rows == []
+        return
+    # chunk count formula
+    import math
+
+    expected = 1 + max(0, math.ceil((n_tokens - chunk_size) / stride))
+    assert len(rows) == expected
+    assert [i for i, _ in rows] == list(range(expected))
+    for idx, n in rows:
+        assert 1 <= n <= chunk_size
+        start = idx * stride  # 0-based first token of this chunk
+        assert start < n_tokens  # never an empty window
+        assert n == min(chunk_size, n_tokens - start)  # exact coverage
+    # last chunk reaches the final token
+    last_idx, last_n = rows[-1]
+    assert last_idx * stride + last_n == n_tokens

@@ -83,20 +83,23 @@ _PRIORITY: tuple[str, ...] = (
     "func_time_parse",
     "func_case_mapping",
     "agg_approx_sketches",
-    # -- representatives per relational family --
+    # -- round-2 extension additions (no driver row yet) --
+    "prep_chunk_documents",
+    "prep_train_val_split",
+    "prep_pack_bins",
+    "prep_pii_scrub",
+    "prep_repetition_stats",
+    "similarity_topk_rph",
+    "similarity_topk_ivf",
+    "dedup_embedding_lsh",
+    "pipeline_quality_dedup",
+    # -- representatives per relational family (the rest of the
+    #    relational catalog was green in round 1 with unchanged code;
+    #    those rows remain valid evidence from CORRECTNESS_r01) --
     "window_rank_distribution",
     "window_pagination",
-    "window_topk_per_group",
     "filter_project_pushdown",
-    "proj_compute_url",
-    "join_inner_agg",
-    "join_broadcast_dim",
-    "dim_merge_get_or_create",
     "agg_groupby_stats",
-    "agg_rollup",
-    "agg_pivot",
-    "setop_union_all",
-    "func_interval_arith",
 )
 
 
