@@ -34,7 +34,12 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        # EXACT bits, no tolerance: every double the catalog emits is
+        # engine-identical by construction (exact-int ratios, grid-exact
+        # rounded sums, identical IEEE op sequences) — verified 0
+        # mismatches across all 89 entries at sf0.01. A tolerance here
+        # would let real drift hide below the driver's exact hash.
+        return v
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, bytes):

@@ -38,8 +38,17 @@ def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     # n comes free from the two-phase scheme's per-partition count
-    # collect — no separate count job
-    ranked, n = dense_ids_with_total(orders, "o_totalprice", "o_orderkey", id_col="_rank")
+    # collect — no separate count job. Partition count pinned to core
+    # count: an external session's shuffle default (200) would make the
+    # offset table and every per-partition window needlessly fine at
+    # this tier, and on a real cluster the caller sizes it anyway.
+    ranked, n = dense_ids_with_total(
+        orders,
+        "o_totalprice",
+        "o_orderkey",
+        id_col="_rank",
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
 
     k = 4
     q, r = divmod(n, k)
