@@ -314,3 +314,139 @@ register(
     FROM bg
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: held-out n-gram containment in the training corpus
+# ---------------------------------------------------------------------------
+
+
+def contamination_fractions(
+    heldout: DataFrame, train: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """For each held-out doc: the fraction of its 3-gram shingles that
+    occur anywhere in the training corpus — the standard eval-set
+    decontamination signal. Plan: distinct train shingles (one shuffle,
+    partial-agg'd), LEFT SEMI join from exploded held-out shingles
+    (never materializes train x heldout), per-doc exact-int ratio."""
+    from .dedup import shingles
+
+    held_sh = (
+        heldout.select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col)).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("shingle"))
+    )
+    train_sh = (
+        train.select(F.explode(shingles(F.col(text_col))).alias("shingle")).distinct()
+    )
+    hits = (
+        held_sh.join(train_sh, "shingle", "left_semi")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = held_sh.select("doc_id", "n_shingles").distinct()
+    return base.join(hits, ["doc_id", "n_shingles"], "left").select(
+        "doc_id",
+        F.col("n_shingles").cast("int").alias("n_shingles"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_shingles")).alias("contaminated_frac"),
+    )
+
+
+def prep_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = widen_for_compute(load(spark, sf_dir, "documents"))
+    heldout = doc.filter(F.col("doc_id") < 50)
+    train = doc.filter(F.col("doc_id") >= 50)
+    return contamination_fractions(heldout, train, "doc_id", "text")
+
+
+# DuckDB twin reuses the shingle pipeline from the dedup oracles.
+_SHINGLE_WS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"
+_SHINGLE_LIST = (
+    f"list_distinct(list_transform(range(1, greatest(len({_SHINGLE_WS}) - 1, 1)),"
+    f" i -> array_to_string(({_SHINGLE_WS})[i:i+2], ' ')))"
+)
+
+register(
+    "prep_decontaminate",
+    prep_decontaminate,
+    rf"""
+    WITH held AS (
+      SELECT doc_id, {_SHINGLE_LIST} AS sh FROM documents
+      WHERE doc_id < 50 AND len({_SHINGLE_WS}) >= 3
+    ),
+    held_x AS (
+      SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS shingle FROM held
+    ),
+    train_sh AS (
+      SELECT DISTINCT unnest({_SHINGLE_LIST}) AS shingle FROM documents
+      WHERE doc_id >= 50 AND len({_SHINGLE_WS}) >= 3
+    ),
+    hits AS (
+      SELECT doc_id, n_shingles, COUNT(*) AS n_hits
+      FROM held_x WHERE shingle IN (SELECT shingle FROM train_sh)
+      GROUP BY doc_id, n_shingles
+    )
+    SELECT b.doc_id,
+           CAST(b.n_shingles AS INT) AS n_shingles,
+           COALESCE(h.n_hits, 0) / b.n_shingles AS contaminated_frac
+    FROM (SELECT DISTINCT doc_id, n_shingles FROM held_x) b
+    LEFT JOIN hits h ON b.doc_id = h.doc_id AND b.n_shingles = h.n_shingles
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary build (tokenizer-training prep)
+# ---------------------------------------------------------------------------
+
+
+def build_vocab(
+    docs: DataFrame, text_col: str, id_col: str, min_df: int, top_k: int
+) -> DataFrame:
+    """Top-``top_k`` tokens by corpus frequency with document frequency
+    >= ``min_df``. explode → two partial-agg'd shuffles → distributed
+    top-k (TakeOrdered merge, never a single-partition sort).
+
+    Requires a real document id column: a generated id
+    (monotonically_increasing_id) in the same select as the explode is
+    evaluated per EXPLODED row, silently turning doc_freq into an
+    occurrence count."""
+    tok = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(whitespace_tokens(F.col(text_col))).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("_doc").alias("doc_freq"),
+    )
+    return (
+        counts.filter(F.col("doc_freq") >= min_df)
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(top_k)
+        .select("token", "n_occurrences", F.col("doc_freq").cast("bigint").alias("doc_freq"))
+    )
+
+
+def prep_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = widen_for_compute(load(spark, sf_dir, "documents"))
+    return build_vocab(doc, "text", "doc_id", min_df=5, top_k=100)
+
+
+register(
+    "prep_vocab",
+    prep_vocab,
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS doc_freq
+      FROM tok GROUP BY token
+    )
+    SELECT token, n_occurrences, CAST(doc_freq AS BIGINT) AS doc_freq
+    FROM counts WHERE doc_freq >= 5
+    ORDER BY n_occurrences DESC, token
+    LIMIT 100
+    """,
+)
