@@ -93,13 +93,14 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_topk_ivf",
     "dedup_embedding_lsh",
     "pipeline_quality_dedup",
-    # -- representatives per relational family (the rest of the
-    #    relational catalog was green in round 1 with unchanged code;
-    #    those rows remain valid evidence from CORRECTNESS_r01) --
+    "prep_decontaminate",
+    "prep_vocab",
+    # -- entries whose PLAN changed in round 2 (two-phase rank, keyset
+    #    pagination) and therefore need a fresh driver row; the rest of
+    #    the relational catalog was green in round 1 with unchanged code
+    #    and those rows remain valid evidence from CORRECTNESS_r01 --
     "window_rank_distribution",
     "window_pagination",
-    "filter_project_pushdown",
-    "agg_groupby_stats",
 )
 
 
