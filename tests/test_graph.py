@@ -1,0 +1,63 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yelp_data_engineering_pipeline_spark.operators.graph import (
+    assign_clusters,
+    connected_components,
+    dedup_clusters,
+)
+
+
+def test_connected_components_chain_and_island(spark):
+    # Chain 1-2-3-4-5 (diameter 4 → needs several propagation rounds)
+    # plus island {10, 11} plus self-loop 20-20.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components(edges, "doc_a", "doc_b").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_empty_edges(spark):
+    edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(edges, "doc_a", "doc_b").count() == 0
+
+
+def test_assign_clusters_singletons_canonical(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "doc_a long, doc_b long")
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in assign_clusters(docs, pairs).collect()
+    }
+    assert rows == {
+        0: (0, True),
+        1: (1, True),
+        2: (2, True),
+        3: (0, False),
+        4: (4, True),
+        5: (0, False),
+        # 0,3,5 are one cluster; min id 0 is canonical.
+    }
+
+
+def test_dedup_clusters_covers_all_docs(spark, sf_dir):
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    out = dedup_clusters(spark, sf_dir)
+    rows = out.count()
+    assert rows == docs_n
+    # canonical count == distinct cluster count, and every cluster_id is
+    # the min doc_id of its members.
+    agg = out.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("min_id"),
+        F.sum(F.col("is_canonical").cast("int")).alias("n_canon"),
+    )
+    bad = agg.filter(
+        (F.col("min_id") != F.col("cluster_id")) | (F.col("n_canon") != 1)
+    ).count()
+    assert bad == 0

@@ -1,0 +1,132 @@
+"""Connected components over an edge list — near-dup CLUSTER assignment.
+
+The dedup pipeline (dedup.py) stops at verified pairs; an actual corpus
+dedup needs to transitively close those pairs into clusters and keep one
+canonical document per cluster. Reference analogue: the reference's
+dedup surface is pairwise only (web_scraping.py distinct-set build at
+:518-519 is the closest op) — cluster closure is part of the extension
+surface this engine adds for LLM-corpus prep.
+
+Algorithm: iterative hash-min label propagation. Every node starts
+labelled with its own id; each round it takes the min of its own and
+its neighbours' labels; converged when no label changes. Rounds needed
+= graph diameter, which for near-dup clusters is tiny (dup groups are
+near-cliques: LSH banding links most members directly, so diameter is
+1-3 in practice). Each round is ONE shuffle (join on node) + ONE
+hash-agg — both keyed, both AQE-coalesced.
+
+Scale notes (100 TB):
+- The per-round lineage is truncated with ``localCheckpoint`` —
+  without it, iteration k replays all k-1 previous joins per action and
+  the plan grows without bound. On a real cluster with lost-executor
+  risk, swap for reliable ``checkpoint()`` against a checkpoint dir.
+- For adversarial graphs with large diameter (long chains — NOT the
+  near-dup shape), the O(log n)-round alternative is large-star /
+  small-star (Kiveris et al., "Connected Components in MapReduce and
+  Beyond", SoCC'14). Min-propagation is preferred here because dup
+  clusters are near-cliques and each round is cheaper (no edge
+  rewriting).
+- The convergence check is a driver-side scalar count per round — an
+  O(1) result per job, not a collect of data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cache import tracked_persist
+from ..plans.catalog import register
+from ..tables import load
+from .dedup import _MINHASH_ORACLE, minhash_lsh_pairs
+
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 25
+) -> DataFrame:
+    """(node, label) for every node in ``edges``; label = min node id of
+    the node's connected component. Undirected: edges are symmetrized.
+    Raises if not converged within ``max_iter`` rounds (diameter bound),
+    rather than silently returning partial components."""
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+    )
+    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    sym = tracked_persist(sym)  # re-joined every round; compute the pair pipeline once
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["d"] == labels["node"])
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.col("label").alias("old_label"),
+                F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # truncate iterative lineage
+        )
+        changed = stepped.filter(F.col("label") < F.col("old_label")).count()
+        labels = stepped.select("node", "label")
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components: not converged in {max_iter} rounds")
+
+
+def assign_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Every document gets (cluster_id, is_canonical): transitive
+    closure of the near-dup ``pairs`` graph, singletons cluster with
+    themselves, canonical = min-id member. `docs.filter(is_canonical)`
+    IS the deduplicated corpus."""
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        docs.select(id_col)
+        .join(labels.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("label", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
+    return assign_clusters(docs, pairs)
+
+
+# Oracle: DuckDB recursive CTE. `reach` seeds every endpoint with itself
+# and follows symmetric edges, so MIN(b) per node = the component's min
+# id — identical semantics to converged min-propagation.
+register(
+    "dedup_clusters",
+    dedup_clusters,
+    f"""
+    WITH RECURSIVE
+    pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) WHERE jaccard >= 0.5),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+    ),
+    labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+           COALESCE(l.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN labels l USING (doc_id)
+    """,
+)

@@ -46,7 +46,7 @@ _PRIORITY: tuple[str, ...] = (
     "flagship_revenue_by_nation",
     # -- extensions: the BASELINE.json north star --
     "dedup_exact",
-    "dedup_exact_keep_first",
+    "dedup_clusters",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
@@ -136,6 +136,7 @@ def _ensure_loaded() -> None:
     from . import nested  # noqa: F401
     from ..operators import asof  # noqa: F401
     from ..operators import dedup  # noqa: F401
+    from ..operators import graph  # noqa: F401
     from ..operators import multimodal  # noqa: F401
     from ..operators import preptext  # noqa: F401
     from ..operators import salting  # noqa: F401
