@@ -1,0 +1,32 @@
+from __future__ import annotations
+
+from yelp_data_engineering_pipeline_spark.operators.textstats import tfidf_topk
+
+
+def test_tfidf_topk_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple date"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_topk(docs, "doc_id", "text", k=2).collect()
+    got = {(r["doc_id"], r["rk"]): (r["term"], r["tf"], r["df_docs"], r["tfidf"]) for r in rows}
+    # n_docs=3; df: apple 2, banana 2, cherry 1, date 1.
+    assert got == {
+        (1, 1): ("apple", 2, 2, 3.0),
+        (1, 2): ("banana", 1, 2, 1.5),
+        (2, 1): ("cherry", 1, 1, 3.0),
+        (2, 2): ("banana", 1, 2, 1.5),
+        (3, 1): ("date", 1, 1, 3.0),
+        (3, 2): ("apple", 1, 2, 1.5),
+    }
+
+
+def test_tfidf_tiebreak_is_lexicographic(spark):
+    docs = spark.createDataFrame([(1, "b a"), (2, "x")], "doc_id long, text string")
+    rows = tfidf_topk(docs, "doc_id", "text", k=2).filter("doc_id = 1").collect()
+    # a and b tie on tfidf (tf=1, df=1) — term ASC breaks the tie.
+    assert [r["term"] for r in sorted(rows, key=lambda r: r["rk"])] == ["a", "b"]

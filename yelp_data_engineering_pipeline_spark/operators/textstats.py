@@ -304,3 +304,72 @@ register(
     FROM kept GROUP BY lang
     """,
 )
+
+
+def tfidf_topk(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-``k`` most distinctive terms per document by tf-idf.
+
+    idf is the RAW ratio n_docs/df (log-free): monotone in 1/df so the
+    per-document ranking is preserved, and (tf*n_docs)/df is a single
+    IEEE division of exact integers — bit-identical across engines,
+    where log(x) would drift in the last ulp between libm builds.
+
+    Scale shape: explode→two hash-aggs (term counts per doc, then doc
+    freq per term) → broadcast 1-row corpus size → per-doc window.
+    The window partitions by document (bounded by per-doc vocabulary),
+    never globally. The df agg's key space is the corpus vocabulary —
+    partial aggregation collapses it map-side.
+    """
+    d = widen_for_compute(docs)
+    terms = d.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_docs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    total = d.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_docs, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "tfidf",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df_docs"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df_docs", "tfidf", "rk")
+    )
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_topk(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+register(
+    "text_tfidf_topk",
+    text_tfidf_topk,
+    r"""
+    WITH terms AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+    df_docs AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
+    total AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, df_docs,
+             CAST(tf * n_docs AS DOUBLE) / df_docs AS tfidf
+      FROM tf JOIN df_docs USING (term) CROSS JOIN total
+    )
+    SELECT doc_id, term, tf, df_docs, tfidf, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)

@@ -58,10 +58,10 @@ _PRIORITY: tuple[str, ...] = (
     "text_quality",
     "text_lang_id",
     "text_fingerprint",
+    "text_tfidf_topk",
     "mm_binary_meta",
     "mm_decode_stub",
     "stream_tumbling_window",
-    "stream_sliding_window",
     "stream_sessionize",
     "join_asof",
     "join_range_bucketed",
