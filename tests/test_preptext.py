@@ -60,3 +60,23 @@ def test_pack_bins_respects_budget(spark):
         # straddling doc (here: 6 docs * 100 <= 512 + 100)
         assert r["t"] <= 512 + 100
     assert sum(r["n"] for r in per_bin) == 20
+
+
+def test_stratified_sample_balances_groups(spark, sf_dir):
+    from yelp_data_engineering_pipeline_spark.operators.preptext import (
+        stratified_sample_balanced,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    before = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sampled = stratified_sample_balanced(docs, "lang", "text")
+    after = {r["lang"]: r["n"] for r in sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    min_n = min(before.values())
+    for lang, n in after.items():
+        # every group lands near the smallest group's size (binomial
+        # spread around min_n), and never above its own original count
+        assert n <= before[lang]
+        assert n <= 2 * min_n
+    # deterministic: same input -> identical sample
+    again = {r["lang"]: r["n"] for r in stratified_sample_balanced(docs, "lang", "text").groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert after == again

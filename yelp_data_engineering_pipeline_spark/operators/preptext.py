@@ -450,3 +450,53 @@ register(
     LIMIT 100
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Stratified (balanced) sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample_balanced(
+    docs: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """Downsample every group to ~the smallest group's size, keyed by
+    content hash (deterministic across runs/engines/partitionings, like
+    :func:`hash_split` — never rand()).
+
+    Acceptance is PURE INTEGER arithmetic: keep a row iff
+    ``bucket * n_g < min_n * 65536`` where bucket = first 16 bits of
+    md5(key). Equivalent to bucket/65536 < min_n/n_g but with no float
+    division to drift between engines.
+
+    Scale shape: one bounded-cardinality hash-agg for group counts, a
+    broadcast join of those counts plus a broadcast 1-row minimum, then
+    a map-side filter — the corpus itself is never shuffled.
+    """
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_g"))
+    min_n = counts.select(F.min("n_g").alias("min_n"))
+    bucket = F.conv(F.substring(F.md5(F.col(key_col)), 1, 4), 16, 10).cast("long")
+    return (
+        docs.join(F.broadcast(counts), group_col)
+        .crossJoin(F.broadcast(min_n))
+        .filter(bucket * F.col("n_g") < F.col("min_n") * 65536)
+        .drop("n_g", "min_n")
+    )
+
+
+def prep_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load(spark, sf_dir, "documents")
+    return stratified_sample_balanced(doc, "lang", "text").select("doc_id", "lang")
+
+
+register(
+    "prep_stratified_sample",
+    prep_stratified_sample,
+    rf"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n_g) AS min_n FROM counts)
+    SELECT doc_id, lang
+    FROM documents JOIN counts USING (lang) CROSS JOIN m
+    WHERE {_HEX4} * n_g < min_n * 65536
+    """,
+)
