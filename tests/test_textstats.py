@@ -30,3 +30,24 @@ def test_tfidf_tiebreak_is_lexicographic(spark):
     rows = tfidf_topk(docs, "doc_id", "text", k=2).filter("doc_id = 1").collect()
     # a and b tie on tfidf (tf=1, df=1) — term ASC breaks the tie.
     assert [r["term"] for r in sorted(rows, key=lambda r: r["rk"])] == ["a", "b"]
+
+
+def test_label_centroids_exact_and_order_stable(spark):
+    from yelp_data_engineering_pipeline_spark.operators.similarity import label_centroids
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, -2.0]), (0, [3.0, 4.0]), (1, [0.5, 0.5])],
+        "label int, embedding array<float>",
+    )
+    rows = {(r["label"], r["dim"]): (r["n_vecs"], r["sum_q"], r["centroid"])
+            for r in label_centroids(emb, "label", "embedding").collect()}
+    assert rows == {
+        (0, 0): (2, 40000, 2.0),
+        (0, 1): (2, 20000, 1.0),
+        (1, 0): (1, 5000, 0.5),
+        (1, 1): (1, 5000, 0.5),
+    }
+    # repartition shuffles row order — integer sums must not care
+    rows2 = {(r["label"], r["dim"]): (r["n_vecs"], r["sum_q"], r["centroid"])
+             for r in label_centroids(emb.repartition(7), "label", "embedding").collect()}
+    assert rows == rows2

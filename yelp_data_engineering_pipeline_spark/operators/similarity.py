@@ -382,3 +382,73 @@ register(
     ) WHERE rk <= 5
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-group vector centroids (class prototypes)
+# ---------------------------------------------------------------------------
+
+
+def label_centroids(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """Mean vector per label — the class-prototype aggregate a training
+    pipeline needs (nearest-centroid classification, cluster seeding,
+    drift monitoring).
+
+    Float sums are NOT order-associative, and Spark's shuffle order is
+    nondeterministic — a naive avg() of floats isn't even stable across
+    two Spark runs, let alone across engines. So values are quantized to
+    integers first (floor(v * 10000): float→double widening is exact,
+    the double multiply is one IEEE op, floor pins the
+    truncation-vs-round cast difference between engines) and the
+    integer sums are exact in ANY order. The emitted centroid is a
+    single division of exact integers — bit-identical everywhere.
+
+    Scale shape: posexplode multiplies rows by the dimension count, but
+    partial aggregation collapses them to (label × dim) per map
+    partition before the one shuffle — shuffle volume is
+    O(groups × dims × partitions), independent of corpus size.
+    """
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("dim", "v"),
+    )
+    q = F.floor(F.col("v").cast("double") * 10000).cast("bigint")
+    return (
+        ex.groupBy("label", "dim")
+        .agg(F.sum(q).alias("sum_q"), F.count(F.lit(1)).alias("n_vecs"))
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            "sum_q",
+            (F.col("sum_q").cast("double") / (F.col("n_vecs") * 10000)).alias("centroid"),
+        )
+    )
+
+
+def emb_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_centroids(
+        widen_for_compute(load(spark, sf_dir, "embeddings")), "label", "embedding"
+    )
+
+
+register(
+    "emb_label_centroid",
+    emb_label_centroid,
+    """
+    WITH ex AS (
+      SELECT label,
+             unnest(list_transform(range(len(embedding)),
+                                   i -> {'dim': i, 'v': embedding[i+1]})) AS u
+      FROM embeddings
+    ),
+    flat AS (
+      SELECT label, CAST(u.dim AS INT) AS dim,
+             CAST(FLOOR(CAST(u.v AS DOUBLE) * 10000) AS BIGINT) AS q
+      FROM ex
+    )
+    SELECT label, dim, COUNT(*) AS n_vecs, CAST(SUM(q) AS BIGINT) AS sum_q,
+           CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / (COUNT(*) * 10000) AS centroid
+    FROM flat GROUP BY label, dim
+    """,
+)
