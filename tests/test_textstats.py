@@ -51,3 +51,24 @@ def test_label_centroids_exact_and_order_stable(spark):
     rows2 = {(r["label"], r["dim"]): (r["n_vecs"], r["sum_q"], r["centroid"])
              for r in label_centroids(emb.repartition(7), "label", "embedding").collect()}
     assert rows == rows2
+
+
+def test_nearest_centroid_confusion_separable(spark):
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        nearest_centroid_confusion,
+    )
+
+    # two well-separated clusters + one vector planted in the wrong one
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.1]), (0, [0.1, 0.0]), (0, [0.0, 0.0]),
+            (1, [5.0, 5.1]), (1, [5.1, 5.0]),
+            (1, [0.05, 0.05]),  # labelled 1, sits in cluster 0
+        ],
+        "label int, embedding array<float>",
+    )
+    got = {(r["label"], r["pred_label"]): r["n"]
+           for r in nearest_centroid_confusion(emb, "label", "embedding").collect()}
+    assert got[(0, 0)] == 3
+    assert got[(1, 1)] == 2
+    assert got[(1, 0)] == 1

@@ -452,3 +452,109 @@ register(
     FROM flat GROUP BY label, dim
     """,
 )
+
+
+def nearest_centroid_confusion(
+    emb: DataFrame, label_col: str, vec_col: str
+) -> DataFrame:
+    """Assign every vector to its nearest label centroid (squared L2)
+    and return the (label, pred_label, n) confusion matrix — the
+    training-pipeline eval for embedding quality / label noise.
+
+    Scale shape: centroids are k × d values — bounded by definition —
+    so they are collected and re-broadcast as literals (exactly how
+    MLlib's KMeans distributes centers each iteration). Distances are
+    then a per-row fold over the vector: ZERO shuffle for assignment;
+    the only shuffle is the bounded (k × k) confusion aggregate.
+
+    Exactness: with q_v = floor(v*10000) and a label centroid
+    sum_q/(10000·n), the scaled squared distance
+    Σ_dim (q_v·n − sum_q)² is INTEGER arithmetic (order-exact); the
+    final distance is one exact-int division. Comparisons and the
+    label-asc tie-break are therefore engine-identical.
+    """
+    cent = label_centroids(emb, label_col, vec_col)
+    # k × d rows — bounded; the one sanctioned collect (MLlib pattern).
+    rows = cent.select("label", "dim", "sum_q", "n_vecs").collect()
+    by_label: dict[int, dict[int, int]] = {}
+    n_by_label: dict[int, int] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], {})[r["dim"]] = r["sum_q"]
+        n_by_label[r["label"]] = r["n_vecs"]
+
+    q_vec = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * 10000).cast("bigint")
+    )
+    dists = []
+    for lbl in sorted(by_label):
+        n = n_by_label[lbl]
+        sq = by_label[lbl]
+        sums = F.array(*[F.lit(sq[d]) for d in range(len(sq))])
+        num = F.aggregate(
+            F.zip_with(
+                q_vec, sums, lambda q, s: (q * F.lit(n) - s) * (q * F.lit(n) - s)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        dists.append(
+            F.struct(
+                (num.cast("double") / F.lit(float(100_000_000 * n * n))).alias("dist"),
+                F.lit(lbl).alias("pred_label"),
+            )
+        )
+    pred = F.array_min(F.array(*dists))["pred_label"]
+    return (
+        emb.select(F.col(label_col).alias("label"), pred.alias("pred_label"))
+        .groupBy("label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def emb_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nearest_centroid_confusion(
+        widen_for_compute(load(spark, sf_dir, "embeddings")), "label", "embedding"
+    )
+
+
+# Oracle: recompute centroids in SQL, then per-(vector, label) scaled
+# integer distances, argmin via (dist, label) ordering.
+register(
+    "emb_nearest_centroid",
+    emb_nearest_centroid,
+    """
+    WITH ex AS (
+      SELECT vec_id, label,
+             unnest(list_transform(range(len(embedding)),
+                                   i -> {'dim': i, 'v': embedding[i+1]})) AS u
+      FROM embeddings
+    ),
+    flat AS (
+      SELECT vec_id, label, CAST(u.dim AS INT) AS dim,
+             CAST(FLOOR(CAST(u.v AS DOUBLE) * 10000) AS BIGINT) AS q
+      FROM ex
+    ),
+    cent AS (
+      SELECT label AS c_label, dim, CAST(SUM(q) AS BIGINT) AS sum_q, COUNT(*) AS n
+      FROM flat GROUP BY label, dim
+    ),
+    dist AS (
+      SELECT f.vec_id, f.label, c.c_label,
+             CAST(SUM((f.q * c.n - c.sum_q) * (f.q * c.n - c.sum_q)) AS BIGINT) AS num,
+             ANY_VALUE(c.n) AS n
+      FROM flat f JOIN cent c USING (dim)
+      GROUP BY f.vec_id, f.label, c.c_label
+    ),
+    assigned AS (
+      SELECT vec_id, label, c_label AS pred_label,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY CAST(num AS DOUBLE) / (100000000.0 * n * n), c_label
+             ) AS rk
+      FROM dist
+    )
+    SELECT label, pred_label, COUNT(*) AS n
+    FROM assigned WHERE rk = 1
+    GROUP BY label, pred_label
+    """,
+)
