@@ -1,0 +1,34 @@
+from __future__ import annotations
+
+from yelp_data_engineering_pipeline_spark.operators.clustering import kmeans
+
+
+def _toy(spark):
+    # two tight blobs; seeds are vec_id 0 and 1 (one in each blob)
+    return spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [10.0, 10.0]),
+            (2, [0.1, 0.0]),
+            (3, [0.0, 0.1]),
+            (4, [10.1, 10.0]),
+            (5, [10.0, 10.1]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_kmeans_separates_blobs(spark):
+    out = {r["cluster"]: (r["n_members"], r["sum_q_total"])
+           for r in kmeans(_toy(spark), "vec_id", "embedding", k=2, rounds=3).collect()}
+    # blob A = {0,2,3}: sum_q = 1000+1000 = 2000; blob B = {1,4,5}: 601000... wait
+    # qv grid = floor(v*10000): blob A qv sums = (0+1000+0)+(0+0+1000) = 2000
+    # blob B = (100000+101000+100000)+(100000+100000+101000) = 602000
+    assert out[0] == (3, 2000)
+    assert out[1] == (3, 602000)
+
+
+def test_kmeans_partitioning_invariant(spark):
+    a = sorted(map(tuple, kmeans(_toy(spark), "vec_id", "embedding", k=2, rounds=2).collect()))
+    b = sorted(map(tuple, kmeans(_toy(spark).repartition(5), "vec_id", "embedding", k=2, rounds=2).collect()))
+    assert a == b
