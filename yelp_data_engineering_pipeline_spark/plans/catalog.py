@@ -54,7 +54,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "similarity_topk_bruteforce",
     "similarity_topk_lsh",
-    "text_token_count",
+    "emb_kmeans",
     "text_quality",
     "text_lang_id",
     "text_fingerprint",
