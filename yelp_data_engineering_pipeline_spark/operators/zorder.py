@@ -1,0 +1,100 @@
+"""Z-order (Morton) multi-dimensional layout — cluster a table so scans
+filtered on EITHER of two keys prune most files.
+
+A range-partition + sort on z = interleave(bits(x), bits(y)) gives
+every file a bounded rectangle in (x, y) space, so parquet min/max
+stats prune on both columns — single-column sort gives pruning on one
+column only. This is the standard lakehouse OPTIMIZE ZORDER BY
+technique, expressed as plain Spark: ``repartitionByRange(z) +
+sortWithinPartitions(z)`` before write.
+
+The z-value is built from literal shifts only (amounts are Python loop
+constants), so it is a pure JVM integer expression — portable to the
+DuckDB oracle as (x // 2^b % 2) * 2^(2b) arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.catalog import register
+from ..tables import load
+
+_BITS = 16
+
+
+def zvalue(x: Column, y: Column, bits: int = _BITS) -> Column:
+    """Interleave the low ``bits`` of x (even positions) and y (odd)."""
+    xm = x.cast("long") % (1 << bits)
+    ym = y.cast("long") % (1 << bits)
+    terms = []
+    for b in range(bits):
+        terms.append(F.shiftleft(F.shiftright(xm, b).bitwiseAND(F.lit(1)), 2 * b))
+        terms.append(F.shiftleft(F.shiftright(ym, b).bitwiseAND(F.lit(1)), 2 * b + 1))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def zorder_layout(df: DataFrame, x: str, y: str, n_files: int = 32) -> DataFrame:
+    """The write-side layout: range-partition by z so each output file
+    covers a bounded (x, y) rectangle; sort within for row-group stats."""
+    z = zvalue(F.col(x), F.col(y))
+    return (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+    )
+
+
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence query: bucket lineitem by the top z bits and emit each
+    bucket's (orderkey, partkey) bounding box — z-order makes BOTH
+    spans bounded per bucket, which is exactly why file-level min/max
+    stats can prune on either predicate."""
+    li = load(spark, sf_dir, "lineitem")
+    z = zvalue(F.col("l_orderkey"), F.col("l_partkey"))
+    return (
+        li.select(
+            F.floor(z / (1 << 22)).cast("long").alias("z_bucket"),
+            "l_orderkey",
+            "l_partkey",
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_ok"),
+            F.max("l_orderkey").alias("max_ok"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+        )
+    )
+
+
+def _interleave_sql(col: str, even: bool, bits: int = _BITS) -> str:
+    terms = [
+        f"(({col} % 65536) // {1 << b} % 2) * {1 << (2 * b + (0 if even else 1))}"
+        for b in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+register(
+    "layout_zorder",
+    layout_zorder,
+    f"""
+    WITH z AS (
+      SELECT {_interleave_sql('l_orderkey', True)}
+             + {_interleave_sql('l_partkey', False)} AS zv,
+             l_orderkey, l_partkey
+      FROM lineitem
+    )
+    SELECT CAST(zv // {1 << 22} AS BIGINT) AS z_bucket,
+           COUNT(*) AS n_rows,
+           MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+           MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk
+    FROM z GROUP BY 1
+    """,
+)
