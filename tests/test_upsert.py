@@ -191,3 +191,22 @@ def test_dense_ids_two_phase_equals_window(spark, sf_dir):
     b = {r["o_orderkey"]: r["id"] for r in dense_ids_window(orders, "o_orderkey").collect()}
     assert a == b
     assert sorted(a.values()) == list(range(1, len(a) + 1))
+
+
+def test_merge_agg_state_equals_full_recompute(spark):
+    from yelp_data_engineering_pipeline_spark.operators.upsert import merge_agg_state
+
+    rows = [(i % 3, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k int, v double")
+
+    def partial(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        )
+
+    merged = merge_agg_state(
+        partial(df.filter("v < 70")), partial(df.filter("v >= 70")), ["k"]
+    )
+    got = {r["k"]: (r["n"], r["s"]) for r in merged.collect()}
+    want = {r["k"]: (r["n"], r["s"]) for r in partial(df).collect()}
+    assert got == want

@@ -144,6 +144,7 @@ def _ensure_loaded() -> None:
     from ..operators import salting  # noqa: F401
     from ..operators import similarity  # noqa: F401
     from ..operators import textstats  # noqa: F401
+    from ..operators import upsert  # noqa: F401
     from ..operators import zorder  # noqa: F401
     from ..streaming import windows  # noqa: F401
     _LOADED = True
