@@ -117,3 +117,77 @@ def test_chunking_invariants(spark, n_tokens, chunk_size, data):
     # last chunk reaches the final token
     last_idx, last_n = rows[-1]
     assert last_idx * stride + last_n == n_tokens
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1 << 20),
+            st.integers(min_value=0, max_value=1 << 20),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_zvalue_bijective_on_16bit_pairs(spark, pts):
+    """interleave is a bijection on (x%2^16, y%2^16): distinct pairs map
+    to distinct z, and the Python de-interleave recovers both coords."""
+    from yelp_data_engineering_pipeline_spark.operators.zorder import zvalue
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select("x", "y", zvalue(F.col("x"), F.col("y")).alias("z")).collect()
+    for r in rows:
+        xe = sum((((r["z"] >> (2 * b)) & 1) << b) for b in range(16))
+        ye = sum((((r["z"] >> (2 * b + 1)) & 1) << b) for b in range(16))
+        assert xe == r["x"] % 65536 and ye == r["y"] % 65536
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.sets(st.integers(min_value=-(1 << 40), max_value=1 << 40), min_size=1, max_size=40)
+)
+def test_bloom_never_false_negative(spark, keys):
+    from yelp_data_engineering_pipeline_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom,
+    )
+
+    build = spark.createDataFrame([(k,) for k in keys], "k long")
+    words = build_bloom(build, F.col("k"))
+    passed = build.filter(bloom_might_contain(F.col("k"), words)).count()
+    assert passed == len(keys)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-1000, 1000)),
+        min_size=0,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=59),
+)
+def test_merge_agg_state_split_invariant(spark, rows, cut):
+    """monoid law: any split of the rows into (history, batch) merges
+    to the same state as aggregating everything at once."""
+    from yelp_data_engineering_pipeline_spark.operators.upsert import merge_agg_state
+
+    if not rows:
+        return
+
+    def partial(d):
+        return d.groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+
+    # split deterministically by row index (duplicate rows make
+    # limit/subtract splits ambiguous)
+    idx = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    dfi = spark.createDataFrame(idx, "i int, k int, v long")
+    merged = merge_agg_state(
+        partial(dfi.filter(F.col("i") < cut)),
+        partial(dfi.filter(F.col("i") >= cut)),
+        ["k"],
+    )
+    got = {r["k"]: (r["n"], r["s"]) for r in merged.collect()}
+    want = {r["k"]: (r["n"], r["s"]) for r in partial(dfi).collect()}
+    assert got == want
