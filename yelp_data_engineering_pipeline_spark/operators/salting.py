@@ -91,3 +91,73 @@ def _register() -> None:
 
 
 _register()
+
+
+# ---------------------------------------------------------------------------
+# Skew diagnostics (the measurement half: find the keys worth salting)
+# ---------------------------------------------------------------------------
+
+
+def key_skew_profile(df: DataFrame, key: str, top_n: int = 5) -> DataFrame:
+    """Top-``top_n`` heaviest keys with their share of a perfectly even
+    distribution: skew_x = cnt · n_keys / total (1.0 = even; the
+    threshold AQE uses for skew-join splitting is ~5× median — keys
+    showing up here with large skew_x are the salting candidates).
+
+    Shape: one hash-agg keyed by ``key`` (partial agg collapses
+    map-side), one bounded-cardinality stats agg crossed back in as a
+    broadcast literal row. The top-n is ``orderBy().limit()`` — Spark
+    plans that as TakeOrderedAndProject (per-partition top-n, merged on
+    the driver), NOT a single-partition global window; the only window
+    here ranks the ≤ top_n survivors. skew_x is an exact-int ratio —
+    engine-portable without rounding.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc(key)).limit(top_n)
+    w = Window.orderBy(F.desc("cnt"), F.asc(key))  # over ≤ top_n rows
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            key,
+            "cnt",
+            "n_keys",
+            "total_rows",
+            (F.col("cnt").cast("double") * F.col("n_keys") / F.col("total_rows")).alias(
+                "skew_x"
+            ),
+            "rk",
+        )
+    )
+
+
+def _register_diag() -> None:
+    from ..plans.catalog import register
+    from ..tables import load
+
+    def diag_key_skew(spark, sf_dir: str) -> DataFrame:
+        return key_skew_profile(load(spark, sf_dir, "orders"), "o_custkey")
+
+    register(
+        "diag_key_skew",
+        diag_key_skew,
+        """
+        WITH counts AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey),
+        stats AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS total_rows FROM counts)
+        SELECT o_custkey, cnt, n_keys, total_rows,
+               CAST(cnt AS DOUBLE) * n_keys / total_rows AS skew_x, rk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, o_custkey ASC) AS rk
+          FROM counts CROSS JOIN stats
+        ) WHERE rk <= 5
+        """,
+    )
+
+
+_register_diag()
