@@ -61,3 +61,24 @@ def test_dedup_clusters_covers_all_docs(spark, sf_dir):
         (F.col("min_id") != F.col("cluster_id")) | (F.col("n_canon") != 1)
     ).count()
     assert bad == 0
+
+
+def test_pagerank_star_hand_computed(spark):
+    from yelp_data_engineering_pipeline_spark.operators.graph import pagerank
+
+    # star: center 0 — leaves 1,2,3 (symmetrized). Micro-unit recurrence
+    # r' = 150000 + (85 * sum(r_in // deg)) // 100, hand-unrolled 3 rounds.
+    edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "doc_a long, doc_b long")
+    got = {r["node"]: r["r"] for r in pagerank(edges, "doc_a", "doc_b", rounds=3).collect()}
+    assert got == {0: 2483250, 1: 505583, 2: 505583, 3: 505583}
+
+
+def test_pagerank_partitioning_invariant(spark):
+    from yelp_data_engineering_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 20) for i in range(20)], "doc_a long, doc_b long"
+    )
+    a = sorted(map(tuple, pagerank(edges, "doc_a", "doc_b", rounds=2).collect()))
+    b = sorted(map(tuple, pagerank(edges.repartition(9), "doc_a", "doc_b", rounds=2).collect()))
+    assert a == b

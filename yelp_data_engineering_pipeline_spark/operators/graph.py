@@ -130,3 +130,88 @@ register(
     FROM documents d LEFT JOIN labels l USING (doc_id)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed rounds, integer micro-units)
+# ---------------------------------------------------------------------------
+
+
+def pagerank(
+    edges: DataFrame, src: str, dst: str, rounds: int = 3
+) -> DataFrame:
+    """PageRank over the symmetrized edge graph, fixed ``rounds``, all
+    arithmetic in integer micro-units so the result is bit-reproducible
+    across engines and shuffle orders (same discipline as clustering.py):
+
+        r⁰ = 1_000_000 per node
+        rᵏ = 150_000 + (85 · Σ_in (rᵏ⁻¹ ÷ deg)) ÷ 100     (÷ = floor)
+
+    (d = 0.85 with a uniform per-node teleport term; dangling nodes
+    cannot occur in a symmetrized graph — every node has deg ≥ 1.)
+
+    On the near-dup pair graph this scores "hub" documents that sit in
+    many overlapping duplicate neighbourhoods — a corpus diagnostic for
+    boilerplate and template families.
+
+    Scale shape per round: one join of ranks onto edges (both keyed by
+    node — co-partitioned after the first shuffle) + one hash-agg;
+    lineage truncated per round with localCheckpoint like
+    connected_components. Degrees are computed once and persisted.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+    )
+    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    sym = tracked_persist(sym)
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select(F.col("s").alias("node"), F.lit(1_000_000).cast("bigint").alias("r"))
+    for _ in range(rounds):
+        contrib = (
+            sym.join(deg, "s")
+            .join(ranks.withColumnRenamed("node", "s"), "s")
+            .select(F.col("d").alias("node"), F.expr("r div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            contrib.select(
+                "node",
+                (F.lit(150_000).cast("bigint") + F.expr("(85 * in_sum) div 100")).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.2)
+    return pagerank(pairs, "doc_a", "doc_b").withColumnRenamed("node", "doc_id")
+
+
+def _pagerank_oracle(rounds: int = 3) -> str:
+    parts = [
+        f"""
+    WITH pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) WHERE jaccard >= 0.2),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    deg AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s),
+    r0 AS (SELECT s AS node, CAST(1000000 AS BIGINT) AS r FROM deg)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+    r{k} AS (
+      SELECT e.d AS node,
+             CAST(150000 + (85 * SUM(r.r // g.deg)) // 100 AS BIGINT) AS r
+      FROM edges e JOIN deg g USING (s) JOIN r{k - 1} r ON r.node = e.s
+      GROUP BY e.d
+    )"""
+        )
+    parts.append(f"\n    SELECT node AS doc_id, r FROM r{rounds}")
+    return "".join(parts)
+
+
+register("graph_pagerank", doc_pagerank, _pagerank_oracle())
