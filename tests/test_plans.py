@@ -219,3 +219,40 @@ def test_bucketed_join_skips_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_funnel_conversion_hand_case(spark, tmp_path):
+    import datetime as dt
+
+    from yelp_data_engineering_pipeline_spark.plans.analytics import funnel_conversion
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    rows = [
+        # user 1: full funnel inside windows
+        (1, ts(0), 1, "view", 0.0, None),
+        (2, ts(1), 1, "click", 0.0, None),
+        (3, ts(2), 1, "purchase", 0.0, None),
+        # user 2: click 30h after view -> out of window
+        (4, ts(0), 2, "view", 0.0, None),
+        (5, ts(30), 2, "click", 0.0, None),
+        # user 3: view then purchase without click -> stops at view
+        (6, ts(0), 3, "view", 0.0, None),
+        (7, ts(1), 3, "purchase", 0.0, None),
+        # user 4: click before any view -> not counted at click stage
+        (8, ts(0), 4, "click", 0.0, None),
+        (9, ts(1), 4, "view", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    df.write.parquet(f"{sf}/events.parquet")
+    out = funnel_conversion(spark, sf).collect()[0]
+    assert (out["n_view"], out["n_click"], out["n_purchase"]) == (4, 1, 1)

@@ -274,3 +274,85 @@ register(
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Conversion funnel (sequence matching)
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400 * 1_000_000
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel, each step within 24 h of the
+    previous step's FIRST occurrence; one row of stage counts and
+    exact-ratio conversion rates.
+
+    Set-based, not per-row sequence scans: each stage is a keyed
+    (user_id) agg of the stage events joined to the previous stage's
+    first-timestamp — three shuffles total, all on user_id, so at scale
+    the stages stay co-partitioned after the first exchange. Time math
+    on epoch-micros BIGINTs (tz-free, engine-portable); ratios are
+    exact-int IEEE divisions, emitted unrounded.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("us").alias("v_us")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("us") > F.col("v_us")) & (F.col("us") <= F.col("v_us") + _DAY_US))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("us") > F.col("c_us")) & (F.col("us") <= F.col("c_us") + _DAY_US))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            (F.col("n_click").cast("double") / F.col("n_view")).alias("view_to_click"),
+            (F.col("n_purchase").cast("double") / F.col("n_click")).alias("click_to_purchase"),
+        )
+    )
+
+
+register(
+    "funnel_conversion",
+    funnel_conversion,
+    f"""
+    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    v AS (SELECT user_id, MIN(us) AS v_us FROM ev WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.us) AS c_us
+      FROM ev e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.us > v.v_us AND e.us <= v.v_us + {_DAY_US}
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.us) AS p_us
+      FROM ev e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.us > c.c_us AND e.us <= c.c_us + {_DAY_US}
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase,
+           CAST((SELECT COUNT(*) FROM c) AS DOUBLE) / (SELECT COUNT(*) FROM v) AS view_to_click,
+           CAST((SELECT COUNT(*) FROM p) AS DOUBLE) / (SELECT COUNT(*) FROM c) AS click_to_purchase
+    """,
+)
