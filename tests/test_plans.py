@@ -256,3 +256,49 @@ def test_funnel_conversion_hand_case(spark, tmp_path):
     df.write.parquet(f"{sf}/events.parquet")
     out = funnel_conversion(spark, sf).collect()[0]
     assert (out["n_view"], out["n_click"], out["n_purchase"]) == (4, 1, 1)
+
+
+def test_bloom_semi_join_plan_broadcasts_and_prefilters(spark, sf_dir):
+    """The bloom path must keep the probe side shuffle-free: bloom
+    filter evaluated map-side, exact join a broadcast semi — never a
+    sort-merge exchange of the probe table."""
+    from yelp_data_engineering_pipeline_spark.operators.bloom import join_bloom_prefilter
+
+    plan = _formatted(join_bloom_prefilter(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    # the probe-side bloom test compiles to a plain Filter over the scan
+    assert plan.count("Filter") >= 1 and "md5" in plan
+
+
+def test_zorder_layout_plan_range_partitions_and_sorts(spark):
+    from yelp_data_engineering_pipeline_spark.operators.zorder import zorder_layout
+
+    grid = spark.range(0, 1000).selectExpr("id as x", "id % 37 as y")
+    plan = _formatted(zorder_layout(grid, "x", "y", n_files=8))
+    assert "rangepartitioning(_z" in plan.lower()
+    assert "Sort" in plan
+
+
+def test_label_centroids_single_exchange(spark):
+    """posexplode + partial agg: exactly ONE shuffle (the final
+    hash-agg); no extra repartition or join exchanges."""
+    from yelp_data_engineering_pipeline_spark.operators.similarity import label_centroids
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "label int, embedding array<float>"
+    )
+    import re
+
+    plan = _formatted(label_centroids(emb, "label", "embedding"))
+    # formatted explain names each node twice (tree + detail section)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_funnel_plan_no_cartesian(spark, sf_dir):
+    from yelp_data_engineering_pipeline_spark.plans.analytics import funnel_conversion
+
+    plan = _formatted(funnel_conversion(spark, sf_dir))
+    assert "CartesianProduct" not in plan  # 1-row stage counts broadcast
