@@ -356,3 +356,65 @@ register(
            CAST((SELECT COUNT(*) FROM p) AS DOUBLE) / (SELECT COUNT(*) FROM c) AS click_to_purchase
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention
+# ---------------------------------------------------------------------------
+
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-activity
+    week (epoch-week ints — tz-free), each later week's distinct-active
+    count and exact-ratio retention against the cohort size.
+
+    Shape: one distinct over (user, week) — a keyed shuffle collapsed
+    map-side by partial agg; cohorts from a per-user min; the matrix is
+    a (cohort × offset) hash-agg joined to broadcast-sized cohort
+    counts. Nothing global, nothing windowed.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        # integer `div`, not floor(double /): a double quotient can round
+        # up across an integer boundary within half an ulp
+        F.expr(f"unix_micros(ts) div {_WEEK_US}").alias("week"),
+    )
+    activity = ev.distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    matrix = (
+        activity.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))  # (user, week) distinct already
+    )
+    return matrix.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
+    )
+
+
+register(
+    "cohort_retention",
+    cohort_retention,
+    f"""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(epoch_us(ts) // {_WEEK_US} AS BIGINT) AS week
+      FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM activity GROUP BY user_id),
+    sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM cohort GROUP BY cohort_week),
+    matrix AS (
+      SELECT c.cohort_week, a.week - c.cohort_week AS week_offset, COUNT(*) AS n_active
+      FROM activity a JOIN cohort c USING (user_id)
+      GROUP BY c.cohort_week, a.week - c.cohort_week
+    )
+    SELECT cohort_week, week_offset, n_active, cohort_size,
+           CAST(n_active AS DOUBLE) / cohort_size AS retention
+    FROM matrix JOIN sizes USING (cohort_week)
+    """,
+)
