@@ -418,3 +418,69 @@ register(
     FROM matrix JOIN sizes USING (cohort_week)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Multi-resolution time rollup cascade (continuous-aggregate pattern)
+# ---------------------------------------------------------------------------
+
+
+def rollup_time_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour → day aggregate cascade: the day level is computed FROM the
+    hour level's registers, never from raw events — the
+    continuous-aggregate / hypertable-rollup pattern. Works because the
+    registers (count, quantized-int value sum) are monoids, the same
+    property agg_incremental_merge exploits for batch maintenance; at
+    100 TB the day rollup touches |hours| rows instead of |events|.
+
+    The value register is quantized to integer hundredths BEFORE the
+    first sum (floor(v·100)): double sums would drift between the
+    cascaded and direct paths (different add order); integer sums make
+    cascade == direct BIT-exactly — which is what the oracle (computed
+    straight from raw) certifies. Time buckets are epoch-int `div`s,
+    tz-free.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 3600000000").alias("hour"),  # epoch hours
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("v_c"),
+    )
+    hourly = ev.groupBy("hour", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_c").alias("sum_c"),
+    )
+    daily = (
+        hourly.groupBy(
+            F.expr("hour div 24").alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sum_c").alias("sum_c"),
+            F.count(F.lit(1)).alias("n_hours_active"),
+        )
+    )
+    return daily.select(
+        "day",
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "n_hours_active",
+        (F.col("sum_c").cast("double") / 100).alias("sum_value"),
+    )
+
+
+register(
+    "rollup_time_cascade",
+    rollup_time_cascade,
+    """
+    WITH ev AS (
+      SELECT epoch_us(ts) // 3600000000 AS hour, event_type,
+             CAST(FLOOR(value * 100) AS BIGINT) AS v_c
+      FROM events
+    )
+    SELECT CAST(hour // 24 AS BIGINT) AS day, event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT hour) AS n_hours_active,
+           CAST(CAST(SUM(v_c) AS BIGINT) AS DOUBLE) / 100 AS sum_value
+    FROM ev GROUP BY 1, 2
+    """,
+)
