@@ -210,3 +210,25 @@ def test_merge_agg_state_equals_full_recompute(spark):
     got = {r["k"]: (r["n"], r["s"]) for r in merged.collect()}
     want = {r["k"]: (r["n"], r["s"]) for r in partial(df).collect()}
     assert got == want
+
+
+def test_snapshot_diff_classification(spark):
+    from yelp_data_engineering_pipeline_spark.operators.upsert import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    new = spark.createDataFrame([(2, "b"), (3, "CHANGED"), (4, "d")], "k long, v string")
+    got = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, "k", ["v"]).collect()}
+    assert got == {1: "deleted", 2: "unchanged", 3: "updated", 4: "inserted"}
+
+
+def test_profile_columns_stats(spark):
+    from yelp_data_engineering_pipeline_spark.operators.profiling import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y"), (None, "x")], "a long, s string"
+    )
+    got = {r["column"]: r for r in profile_columns(df, ["a", "s"]).collect()}
+    assert got["a"]["n_rows"] == 4 and got["a"]["n_nulls"] == 1
+    assert got["a"]["n_distinct"] == 2 and (got["a"]["min_int"], got["a"]["max_int"]) == (1, 2)
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["s"]["min_int"] is None

@@ -1,0 +1,86 @@
+"""Table profiling — per-column null / distinct / bounds statistics in
+ONE pass over the data (the ops tool you run before trusting a new
+100 TB drop; also the input to broadcast-vs-shuffle and salting
+decisions, see salting.key_skew_profile for the per-key variant).
+
+Shape: a single aggregate computes every column's registers
+simultaneously (one scan, no per-column jobs); the wide 1-row result is
+then unpivoted driver-side into (column, stat) rows — O(#columns), not
+data. count_distinct over multiple columns in one agg is exact here;
+swap any column to approx_count_distinct when its cardinality at full
+scale makes exact distinct-count state too heavy (documented trade).
+
+Bounds are emitted only for integer columns: double/string rendering
+differs across engines (engine-parity note in MEMORY: Spark `1.0E-4`
+vs DuckDB `0.0001`), and the profile's job is schema-shaped sanity, not
+value display.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType
+
+from ..plans.catalog import register
+from ..tables import load
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(column, n_rows, n_nulls, n_distinct, min_int, max_int) per
+    requested column; min/max are NULL for non-integer types."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+        if isinstance(df.schema[c].dataType, (IntegerType, LongType)):
+            aggs.append(F.min(c).cast("long").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("long").alias(f"{c}__max"))
+    wide = df.agg(*aggs)
+    rows = []
+    for c in cols:
+        has_bounds = f"{c}__min" in wide.columns
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                (F.col(f"{c}__min") if has_bounds else F.lit(None).cast("long")).alias("min_int"),
+                (F.col(f"{c}__max") if has_bounds else F.lit(None).cast("long")).alias("max_int"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_columns(
+        load(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+
+
+def _col_profile_sql(c: str, bounds: bool) -> str:
+    mn = f"CAST(MIN({c}) AS BIGINT)" if bounds else "CAST(NULL AS BIGINT)"
+    mx = f"CAST(MAX({c}) AS BIGINT)" if bounds else "CAST(NULL AS BIGINT)"
+    return f"""
+      SELECT '{c}' AS column, COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+             {mn} AS min_int, {mx} AS max_int
+      FROM orders"""
+
+
+register(
+    "profile_table",
+    profile_orders,
+    " UNION ALL ".join(
+        _col_profile_sql(c, b)
+        for c, b in [
+            ("o_orderkey", True),
+            ("o_custkey", True),
+            ("o_orderstatus", False),
+            ("o_totalprice", False),
+        ]
+    ),
+)

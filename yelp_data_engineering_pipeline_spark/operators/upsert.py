@@ -244,3 +244,89 @@ def _register_incremental() -> None:
 
 
 _register_incremental()
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC classification)
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, compare_cols: list[str]
+) -> DataFrame:
+    """Classify every key across two snapshots as inserted / deleted /
+    updated / unchanged — change-data-capture without a log, the
+    companion to :func:`merge_upsert` for pipelines that only ever see
+    full extracts.
+
+    One full-outer join keyed by ``key`` (the single shuffle; at scale
+    both snapshots bucket by the key and the join is co-partitioned).
+    Change detection compares md5 over the canonicalized compare
+    columns — one portable hash instead of N column equality tests with
+    NULL-semantics pitfalls."""
+    def fp(df: DataFrame) -> DataFrame:
+        sig = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in compare_cols]))
+        return df.select(F.col(key), sig.alias("sig"))
+
+    o = fp(old).withColumnRenamed("sig", "old_sig")
+    n = fp(new).withColumnRenamed("sig", "new_sig")
+    joined = o.join(n, key, "full_outer")
+    return joined.select(
+        key,
+        F.when(F.col("old_sig").isNull(), F.lit("inserted"))
+        .when(F.col("new_sig").isNull(), F.lit("deleted"))
+        .when(F.col("old_sig") != F.col("new_sig"), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    )
+
+
+def cdc_snapshot_diff(spark, sf_dir: str):
+    """Evidence query: two deterministic snapshots derived from orders
+    (old = keys ≢0 mod 7; new = keys ≢0 mod 5, with prices doubled on
+    keys ≡0 mod 3), classified and counted."""
+    from ..tables import load
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 2).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    d = snapshot_diff(old, new, "o_orderkey", ["o_orderstatus", "o_totalprice"])
+    return d.groupBy("change_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _register_cdc() -> None:
+    from ..plans.catalog import register
+
+    register(
+        "cdc_snapshot_diff",
+        cdc_snapshot_diff,
+        """
+        WITH old AS (
+          SELECT o_orderkey, md5(concat_ws(chr(31), COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0)),
+                 COALESCE(CAST(o_totalprice AS VARCHAR), chr(0)))) AS old_sig
+          FROM orders WHERE o_orderkey % 7 != 0
+        ),
+        new AS (
+          SELECT o_orderkey, md5(concat_ws(chr(31), COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0)),
+                 COALESCE(CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS VARCHAR), chr(0)))) AS new_sig
+          FROM orders WHERE o_orderkey % 5 != 0
+        )
+        SELECT CASE WHEN old_sig IS NULL THEN 'inserted'
+                    WHEN new_sig IS NULL THEN 'deleted'
+                    WHEN old_sig != new_sig THEN 'updated'
+                    ELSE 'unchanged' END AS change_type,
+               COUNT(*) AS n
+        FROM old FULL OUTER JOIN new USING (o_orderkey)
+        GROUP BY 1
+        """,
+    )
+
+
+_register_cdc()

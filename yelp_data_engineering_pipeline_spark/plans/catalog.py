@@ -141,6 +141,7 @@ def _ensure_loaded() -> None:
     from ..operators import graph  # noqa: F401
     from ..operators import multimodal  # noqa: F401
     from ..operators import preptext  # noqa: F401
+    from ..operators import profiling  # noqa: F401
     from ..operators import salting  # noqa: F401
     from ..operators import similarity  # noqa: F401
     from ..operators import textstats  # noqa: F401
