@@ -500,3 +500,85 @@ register(
     WHERE {_HEX4} * n_g < min_n * 65536
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus prep (composed pipeline)
+# ---------------------------------------------------------------------------
+
+
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole prep flow as ONE Catalyst plan: quality gate
+    (n_tokens ≥ 10) → exact-dedup keep-first → 32/8 token chunking →
+    deterministic train/val split of the CHUNKS (keyed on chunk content
+    hash, so a re-chunk never migrates chunks between splits) →
+    per-split corpus stats. No materialization between stages — the
+    optimizer sees the full pipeline and fuses the narrow stages; the
+    only shuffles are the dedup window and the final bounded agg.
+
+    This is the composition a real training-data run executes; the
+    single-op entries (text_quality, dedup_exact_keep_first,
+    prep_chunk_documents, prep_train_val_split) are its unit tests.
+    """
+    from .dedup import dedup_keep_first
+
+    doc = widen_for_compute(load(spark, sf_dir, "documents"))
+    feat = doc.withColumn("n_tokens", F.size(whitespace_tokens(F.col("text"))))
+    kept = dedup_keep_first(feat.filter(F.col("n_tokens") >= 10), "text", "doc_id")
+    chunks = chunk_documents(kept, "text", "doc_id", chunk_size=32, overlap=8)
+    split = hash_split(chunks, F.col("chunk_md5"), val_pct=10)
+    return (
+        chunks.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("bigint").alias("n_tokens"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+_CHUNK_HEX4 = (
+    "((strpos('0123456789abcdef', substring(md5(chunk_md5), 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substring(md5(chunk_md5), 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substring(md5(chunk_md5), 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substring(md5(chunk_md5), 4, 1)) - 1))"
+)
+
+register(
+    "pipeline_corpus_prep",
+    pipeline_corpus_prep,
+    rf"""
+    WITH feat AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS ws
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, ws FROM (
+        SELECT doc_id, ws, len(ws) AS n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM feat
+      ) WHERE rn = 1 AND n_tokens >= 10
+    ),
+    sized AS (
+      SELECT doc_id, ws,
+             CASE WHEN len(ws) <= 0 THEN 0
+                  ELSE 1 + greatest(0, CAST(ceil((len(ws) - 32) / 24.0) AS INT))
+             END AS nc
+      FROM kept
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(len(ws[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS INT) AS n_chunk_tokens,
+             md5(array_to_string(ws[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')) AS chunk_md5
+      FROM (SELECT doc_id, ws, unnest(range(0, nc)) AS chunk_idx FROM sized WHERE nc > 0)
+    )
+    SELECT CASE WHEN {_CHUNK_HEX4} % 100 < 10 THEN 'val' ELSE 'train' END AS split,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(n_chunk_tokens) AS BIGINT) AS n_tokens,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM chunks
+    GROUP BY 1
+    """,
+)
