@@ -82,3 +82,26 @@ def test_pagerank_partitioning_invariant(spark):
     a = sorted(map(tuple, pagerank(edges, "doc_a", "doc_b", rounds=2).collect()))
     b = sorted(map(tuple, pagerank(edges.repartition(9), "doc_a", "doc_b", rounds=2).collect()))
     assert a == b
+
+
+def test_fuzzy_join_blocked_finds_near_names(spark):
+    from yelp_data_engineering_pipeline_spark.operators.linkage import (
+        fuzzy_self_join_blocked,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "red widget"),
+            (2, "rad widget"),     # dist 1 from id 1, same block
+            (3, "blue widget"),    # dist 3 from id 1 -> excluded at k=2
+            (4, "red bolt"),       # different block, never compared
+        ],
+        "id long, name string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_self_join_blocked(
+            df, "id", "name", F.regexp_extract(F.col("name"), r"(\S+)$", 1), 2
+        ).collect()
+    }
+    assert got == {(1, 2): 1}

@@ -1,0 +1,84 @@
+"""Entity resolution: blocked fuzzy self-join (record linkage).
+
+The standard two-phase shape — cheap BLOCKING key to bound the pair
+space (never |rows|² — same principle as the LSH band join in
+dedup.py), then an exact edit-distance verify inside each block:
+
+    block key → equi-join (shuffle bounded by block sizes)
+              → levenshtein ≤ k filter (JVM expression, no Python)
+
+At 100 TB the only scale risk is a hot block (every record sharing one
+token): AQE skew-join splitting covers the join itself, and
+diag_key_skew (salting.py) is the pre-flight that finds blocks worth
+refining with a second blocking token.
+
+levenshtein is JVM built-in in Spark and native in DuckDB with
+identical unit-cost edit-distance semantics — oracle-parity-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.catalog import register
+from ..tables import load
+
+
+def fuzzy_self_join_blocked(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_expr: Column,
+    max_dist: int,
+) -> DataFrame:
+    """(id_a, id_b, block, dist) for distinct pairs sharing a block key
+    with levenshtein(name_a, name_b) <= max_dist."""
+    side = df.select(
+        F.col(id_col).alias("id"),
+        F.col(name_col).alias("name"),
+        block_expr.alias("block"),
+    )
+    a = side.select(
+        F.col("id").alias("id_a"), F.col("name").alias("name_a"), "block"
+    )
+    b = side.select(
+        F.col("id").alias("id_b"), F.col("name").alias("name_b"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "block", "dist")
+    )
+
+
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical part names (catalog dedup): block on the last
+    name token, verify with edit distance ≤ 2."""
+    part = load(spark, sf_dir, "part")
+    return fuzzy_self_join_blocked(
+        part,
+        "p_partkey",
+        "p_name",
+        F.regexp_extract(F.col("p_name"), r"(\S+)$", 1),
+        max_dist=2,
+    )
+
+
+register(
+    "join_fuzzy_blocked",
+    join_fuzzy_blocked,
+    r"""
+    WITH side AS (
+      SELECT p_partkey AS id, p_name AS name,
+             regexp_extract(p_name, '(\S+)$', 1) AS block
+      FROM part
+    )
+    SELECT a.id AS id_a, b.id AS id_b, a.block AS block,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist
+    FROM side a JOIN side b USING (block)
+    WHERE a.id < b.id AND levenshtein(a.name, b.name) <= 2
+    """,
+)

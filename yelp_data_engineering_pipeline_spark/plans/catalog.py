@@ -139,6 +139,7 @@ def _ensure_loaded() -> None:
     from ..operators import clustering  # noqa: F401
     from ..operators import dedup  # noqa: F401
     from ..operators import graph  # noqa: F401
+    from ..operators import linkage  # noqa: F401
     from ..operators import multimodal  # noqa: F401
     from ..operators import preptext  # noqa: F401
     from ..operators import profiling  # noqa: F401
