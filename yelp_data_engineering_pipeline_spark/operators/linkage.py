@@ -48,8 +48,18 @@ def fuzzy_self_join_blocked(
     return (
         a.join(b, "block")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("dist") <= max_dist)
+        # length band: |len(a)-len(b)| <= k is NECESSARY for lev <= k —
+        # a one-instruction prune before the O(len²) edit distance
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= max_dist
+        )
+        # 3-arg levenshtein computes a BOUNDED distance (early-exits the
+        # DP once > threshold; returns -1 above it) — equal to the exact
+        # distance whenever it is <= max_dist, so oracle-identical
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b", max_dist)
+        )
+        .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", "block", "dist")
     )
 
