@@ -566,11 +566,17 @@ def window_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("o_orderkey").alias("k")).collect()[0]["k"]
     )
     page_df = paginate_keyset(orders, "o_orderkey", page_size, after_key=boundary)
-    # re-attach the global row number for oracle parity; this window sees
-    # only page_size rows (bounded), not the table.
-    w = Window.orderBy("o_orderkey")
-    return page_df.withColumn(
-        "rn", (F.row_number().over(w) + F.lit(offset)).cast("bigint")
+    # Re-attach the global row number for oracle parity WITHOUT a window:
+    # rank within the page = count of page keys <= this key, via a
+    # broadcast non-equi self-join over the page_size-row page. Catalyst
+    # folds a constant partitionBy away, so a window here would plan as
+    # WindowExec-with-no-partition — this join formulation keeps the
+    # benched pagination plan free of single-partition window stages.
+    keys = page_df.select(F.col("o_orderkey").alias("_rk"))
+    return (
+        page_df.join(F.broadcast(keys), F.col("_rk") <= F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg((F.count(F.lit(1)) + F.lit(offset)).cast("bigint").alias("rn"))
     )
 
 
