@@ -1,0 +1,79 @@
+"""Unit + plan tests for gap fill/LOCF, interval-overlap join, and
+bigram collocations (operators/timeseries.py, asof.py, collocations.py)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from yelp_data_engineering_pipeline_spark.operators.asof import interval_overlap_join
+from yelp_data_engineering_pipeline_spark.operators.collocations import bigram_lift
+from yelp_data_engineering_pipeline_spark.operators.timeseries import gapfill_locf
+
+
+def test_gapfill_locf_fills_and_carries(spark):
+    agg = spark.createDataFrame(
+        [("a", 10, 5), ("a", 13, 7), ("b", 2, 1)],
+        "k string, b long, v long",
+    )
+    out = gapfill_locf(agg, "k", "b", ["v"]).orderBy("k", "b").collect()
+    a_rows = [(r.b, r.v, r.v_locf) for r in out if r.k == "a"]
+    # buckets 11 and 12 are generated, v stays NULL, v_locf carries 5
+    assert a_rows == [(10, 5, 5), (11, None, 5), (12, None, 5), (13, 7, 7)]
+    b_rows = [(r.b, r.v_locf) for r in out if r.k == "b"]
+    assert b_rows == [(2, 1)]
+
+
+def test_gapfill_window_is_key_partitioned(spark):
+    agg = spark.createDataFrame([("a", 1, 1)], "k string, b long, v long")
+    plan = gapfill_locf(agg, "k", "b", ["v"])._jdf.queryExecution().executedPlan().toString()
+    # the LOCF window must carry a partition spec (no single-partition stage)
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert re.search(r"windowspecdefinition\(k#", line), line
+
+
+def test_interval_overlap_join_exact_pairs(spark):
+    left = spark.createDataFrame(
+        [(1, 0, 100), (2, 5000, 5100), (3, 9000, 9050)], "id long, s long, e long"
+    )
+    right = spark.createDataFrame(
+        [(10, 50, 60), (20, 99, 200), (30, 4000, 5500), (40, 20000, 20010)],
+        "id long, s long, e long",
+    )
+    pairs = {
+        (r.l_id, r.r_id)
+        for r in interval_overlap_join(left, right).select("l_id", "r_id").collect()
+    }
+    # interval 1 overlaps 10 and 20; 2 overlaps 30; 3 overlaps nothing
+    assert pairs == {(1, 10), (1, 20), (2, 30)}
+
+
+def test_interval_overlap_join_no_cartesian(spark):
+    df = spark.createDataFrame([(1, 0, 10)], "id long, s long, e long")
+    plan = interval_overlap_join(df, df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_overlap_counts_pair_once_across_buckets(spark):
+    # both intervals span many buckets and overlap in several — the
+    # greatest-start dedup must count the pair exactly once
+    left = spark.createDataFrame([(1, 0, 40000)], "id long, s long, e long")
+    right = spark.createDataFrame([(2, 3500, 39000)], "id long, s long, e long")
+    assert interval_overlap_join(left, right).count() == 1
+
+
+def test_bigram_lift_counts(spark):
+    docs = spark.createDataFrame(
+        [("spark shuffle spark shuffle",), ("spark join",)], "text string"
+    )
+    rows = {r.bg: r for r in bigram_lift(docs).collect()}
+    # unigrams: spark x3, shuffle x2, join x1 (M=6); bigrams: N=4
+    assert rows["spark shuffle"].cxy == 2
+    assert rows["spark shuffle"].cx == 3 and rows["spark shuffle"].cy == 2
+    # lift = floor(2*6*6*1000 / (4*3*2)) = 3000
+    assert rows["spark shuffle"].lift_milli == 3000
+    assert rows["shuffle spark"].cxy == 1
+    assert rows["spark join"].lift_milli == 3000  # 1*36*1000/(4*3*1)

@@ -159,3 +159,108 @@ register(
      AND epoch_us(c.ts) > epoch_us(e.ts) - 600000000
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Keyless interval-overlap join (extension)
+# ---------------------------------------------------------------------------
+
+_OVL_BUCKET_S = 3600
+_DAY_S = 86400
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str = "s",
+    l_end: str = "e",
+    r_start: str = "s",
+    r_end: str = "e",
+    bucket_seconds: int = _OVL_BUCKET_S,
+) -> DataFrame:
+    """All pairs (l, r) whose [start, end] intervals overlap, with NO
+    equi key — the genuinely hard interval join.
+
+    Naive formulation is a cross join; the scale-safe plan explodes
+    each interval onto the coarse time buckets it spans (bounded by
+    interval length / bucket width), hash equi-joins on bucket, applies
+    the exact overlap predicate, and deduplicates each pair to the ONE
+    bucket containing ``greatest(l.start, r.start)`` — every
+    overlapping pair intersects that bucket exactly once, so no
+    distinct is needed. Shuffle volume is bucket-population-bounded;
+    AQE splits hot buckets. Interval columns are epoch-second longs.
+    """
+    lcols = [F.col(c).alias(f"l_{c}") for c in left.columns]
+    rcols = [F.col(c).alias(f"r_{c}") for c in right.columns]
+    lb = left.select(*lcols).withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.expr(f"l_{l_start} div {bucket_seconds}"),
+                F.expr(f"l_{l_end} div {bucket_seconds}"),
+            )
+        ),
+    )
+    rb = right.select(*rcols).withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.expr(f"r_{r_start} div {bucket_seconds}"),
+                F.expr(f"r_{r_end} div {bucket_seconds}"),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, "_bkt")
+        .filter(
+            (F.col(f"l_{l_start}") <= F.col(f"r_{r_end}"))
+            & (F.col(f"r_{r_start}") <= F.col(f"l_{l_end}"))
+        )
+        .filter(
+            F.col("_bkt")
+            == F.expr(f"greatest(l_{l_start}, r_{r_start}) div {bucket_seconds}")
+        )
+        .drop("_bkt")
+    )
+
+
+def overlap_clicks_errors(spark, sf_dir: str) -> DataFrame:
+    """Daily count of (click, error) pairs whose activity intervals
+    overlap, across ALL users (keyless). Interval = [ts, ts + value
+    minutes] with the duration floored to whole seconds (integer-exact
+    in both engines)."""
+    ev = load(spark, sf_dir, "events")
+    epoch_s = F.expr("unix_micros(ts) div 1000000")
+    base = ev.select(
+        "event_type",
+        epoch_s.alias("s"),
+        (epoch_s + F.greatest(F.floor(F.col("value") * 60).cast("long"), F.lit(0))).alias("e"),
+    )
+    clicks = base.filter(F.col("event_type") == "click").select("s", "e")
+    errors = base.filter(F.col("event_type") == "error").select("s", "e")
+    pairs = interval_overlap_join(clicks, errors)
+    return (
+        pairs.groupBy(F.expr(f"greatest(l_s, r_s) div {_DAY_S}").cast("bigint").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+register(
+    "join_interval_overlap",
+    overlap_clicks_errors,
+    """
+    WITH iv AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s,
+             CAST(epoch_us(ts) // 1000000
+                  + GREATEST(CAST(FLOOR(value * 60) AS BIGINT), 0) AS BIGINT) AS e
+      FROM events
+    ),
+    a AS (SELECT s, e FROM iv WHERE event_type = 'click'),
+    b AS (SELECT s, e FROM iv WHERE event_type = 'error')
+    SELECT CAST(GREATEST(a.s, b.s) // 86400 AS BIGINT) AS day,
+           COUNT(*) AS n_pairs
+    FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
+    GROUP BY 1
+    """,
+)

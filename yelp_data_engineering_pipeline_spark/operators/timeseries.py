@@ -1,0 +1,116 @@
+"""Time-series gap fill + LOCF resample (hypertable-style operator).
+
+Spark has no native ``time_bucket_gapfill`` (the TimescaleDB/hypertable
+continuous-rollup companion op); this is the declarative composition:
+
+    aggregate to (key, bucket) → per-key bucket grid via
+    ``sequence`` + ``explode`` → left join observed buckets →
+    LOCF via ``last(value, ignorenulls)`` over a KEY-PARTITIONED window
+
+Scale notes (100 TB): every stage is key-partitioned. The grid explode
+is bounded by the observation time span (buckets per key =
+span / width — independent of input row count), the grid join
+co-partitions on (key, bucket), and the LOCF window partitions by key,
+so no global sort or single-partition stage exists anywhere. Skewed
+keys cost grid-width work, not data-volume work. For multi-year spans
+at second granularity, chunk the sequence per (key, day) first — the
+same pattern one level down.
+
+Complements plans/analytics.py ``rollup_time_cascade`` (hour→day
+monoid cascade); reference parity: the reference has no time-series
+gap semantics at all — this is part of the extension surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence as Seq
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..plans.catalog import register
+from ..tables import load
+
+_HOUR_US = 3_600_000_000
+
+
+def gapfill_locf(
+    agg: DataFrame,
+    key: str,
+    bucket_col: str,
+    locf_cols: Seq[str],
+) -> DataFrame:
+    """Fill missing buckets of an aggregated (key, bucket) frame.
+
+    ``agg`` must hold one row per (key, bucket). Missing buckets inside
+    each key's [min, max] bucket range are generated; ``locf_cols`` get
+    last-observation-carried-forward values, all other columns stay
+    NULL on generated rows (callers coalesce as needed).
+    """
+    bounds = agg.groupBy(key).agg(
+        F.min(bucket_col).alias("_b0"), F.max(bucket_col).alias("_b1")
+    )
+    grid = bounds.select(
+        key, F.explode(F.sequence("_b0", "_b1")).alias(bucket_col)
+    )
+    filled = grid.join(agg, [key, bucket_col], "left")
+    w = Window.partitionBy(key).orderBy(bucket_col)
+    for c in locf_cols:
+        filled = filled.withColumn(
+            f"{c}_locf", F.last(c, ignorenulls=True).over(w)
+        )
+    return filled
+
+
+def ts_gapfill_hourly(spark, sf_dir: str) -> DataFrame:
+    """Hourly per-event-type resample of ``events`` with gap fill.
+
+    Buckets are epoch-hour ints (tz-free); the carried value is the
+    quantized hourly sum (FLOOR(value*100) — integer sums are
+    order-exact across engines). The first bucket per key is the key's
+    first observation, so LOCF is never NULL.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("bucket_hour"),
+        F.floor(F.col("value") * 100).cast("long").alias("q"),
+    )
+    agg = ev.groupBy("event_type", "bucket_hour").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("q").alias("sum_q")
+    )
+    filled = gapfill_locf(agg, "event_type", "bucket_hour", ["sum_q"])
+    return filled.select(
+        "event_type",
+        F.col("bucket_hour").cast("bigint").alias("bucket_hour"),
+        F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"),
+        F.col("sum_q_locf").cast("bigint").alias("sum_q_locf"),
+    )
+
+
+register(
+    "ts_gapfill_locf",
+    ts_gapfill_hourly,
+    """
+    WITH agg AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bucket_hour,
+             COUNT(*) AS cnt,
+             SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_q
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, MIN(bucket_hour) AS b0, MAX(bucket_hour) AS b1
+      FROM agg GROUP BY 1
+    ), grid AS (
+      SELECT event_type, UNNEST(generate_series(b0, b1)) AS bucket_hour
+      FROM bounds
+    )
+    SELECT g.event_type,
+           CAST(g.bucket_hour AS BIGINT) AS bucket_hour,
+           CAST(COALESCE(a.cnt, 0) AS BIGINT) AS cnt,
+           CAST(LAST_VALUE(a.sum_q IGNORE NULLS) OVER (
+                  PARTITION BY g.event_type ORDER BY g.bucket_hour
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS BIGINT) AS sum_q_locf
+    FROM grid g LEFT JOIN agg a USING (event_type, bucket_hour)
+    """,
+)

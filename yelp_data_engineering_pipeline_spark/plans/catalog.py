@@ -137,6 +137,7 @@ def _ensure_loaded() -> None:
     from ..operators import asof  # noqa: F401
     from ..operators import bloom  # noqa: F401
     from ..operators import clustering  # noqa: F401
+    from ..operators import collocations  # noqa: F401
     from ..operators import dedup  # noqa: F401
     from ..operators import graph  # noqa: F401
     from ..operators import linkage  # noqa: F401
@@ -146,6 +147,7 @@ def _ensure_loaded() -> None:
     from ..operators import salting  # noqa: F401
     from ..operators import similarity  # noqa: F401
     from ..operators import textstats  # noqa: F401
+    from ..operators import timeseries  # noqa: F401
     from ..operators import upsert  # noqa: F401
     from ..operators import zorder  # noqa: F401
     from ..streaming import windows  # noqa: F401
