@@ -67,3 +67,51 @@ def test_orc_predicate_pushdown_reaches_scan(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "id" in plan
+
+
+def test_training_shards_roundtrip_deterministic(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from yelp_data_engineering_pipeline_spark.operators.preptext import shard_assignment
+    from yelp_data_engineering_pipeline_spark.sources.parquet_layout import (
+        read_training_shards,
+        write_training_shards,
+    )
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, "doc_id", n_shards=8, max_records_per_file=10)
+
+    back = read_training_shards(spark, out)
+    assert back.count() == docs.count()
+    # shard column is a directory partition → pruning applies
+    assert [f.name for f in (tmp_path / "shards").iterdir() if f.name.startswith("shard=")]
+    # membership is the md5 assignment, not whatever task wrote the row
+    expected = docs.select(
+        "doc_id", shard_assignment(F.col("doc_id").cast("string"), 8).alias("shard")
+    )
+    got = back.select("doc_id", F.col("shard").cast("int").alias("shard"))
+    assert got.exceptAll(expected).count() == 0 and expected.exceptAll(got).count() == 0
+    # maxRecordsPerFile bounds every data file
+    import pyarrow.parquet as pq
+
+    for f in (tmp_path / "shards").rglob("*.parquet"):
+        assert pq.ParquetFile(f).metadata.num_rows <= 10
+
+
+def test_training_shards_one_task_per_shard(spark, sf_dir, tmp_path):
+    # repartition(n, shard) → each shard dir holds few files, not one
+    # per input task (the small-file explosion the writer guards against)
+    from yelp_data_engineering_pipeline_spark.sources.parquet_layout import (
+        write_training_shards,
+    )
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").repartition(16)
+    out = str(tmp_path / "s2")
+    write_training_shards(docs, out, "doc_id", n_shards=4)
+    for d in (tmp_path / "s2").iterdir():
+        if d.name.startswith("shard="):
+            files = [f for f in d.iterdir() if f.suffix == ".parquet"]
+            assert len(files) == 1, f"{d.name}: {len(files)} files"

@@ -20,7 +20,7 @@ Two implementations with identical results:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -79,3 +79,32 @@ def dense_ids(
         df, *order_cols, id_col=id_col, num_partitions=num_partitions
     )
     return out
+
+
+def _floordiv(a: Column, b: int) -> Column:
+    """Exact integer floor-division of a non-negative long Column by a
+    positive int, without `div` (needs a named column) or bare double
+    division (float floor can misround near integer quotients):
+    (a - a % b) / b divides exactly, so the IEEE result IS the integer.
+    """
+    return ((a - a % F.lit(b)) / F.lit(b)).cast("long")
+
+
+def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
+    """SQL-standard NTILE(k) computed from a global rank (1..n) with
+    pure integer arithmetic — the companion to the two-phase rank
+    scheme, so equi-depth tiling never needs a single-partition window.
+
+    NTILE semantics: the first ``n % k`` tiles hold ``n//k + 1`` rows,
+    the rest ``n//k`` (NOT the even-spread ``floor((r-1)*k/n)+1``
+    closed form, which disagrees whenever k does not divide n).
+    """
+    q, r = divmod(n, k)
+    if q == 0:  # fewer rows than tiles: tile == rank
+        return rank.cast("int")
+    big = r * (q + 1)  # rows covered by the n%k larger tiles
+    return (
+        F.when(rank <= F.lit(big), _floordiv(rank - 1, q + 1))
+        .otherwise(F.lit(r) + _floordiv(rank - F.lit(big) - 1, q))
+        + 1
+    ).cast("int")

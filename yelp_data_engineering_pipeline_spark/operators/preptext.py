@@ -582,3 +582,95 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth length binning (batch-balancing prep for sequence packing)
+# ---------------------------------------------------------------------------
+
+
+def length_bins(docs: DataFrame, k: int, length_col: str, tiebreak: str) -> DataFrame:
+    """Assign each document to one of ``k`` equi-depth length bins
+    (NTILE semantics over (length, tiebreak) total order).
+
+    Length-bucketed batching/packing wants equal-POPULATION bins, not
+    equal-width ones (token lengths are heavy-tailed: fixed-width bins
+    put 90% of docs in bin 1). Computed with the two-phase distributed
+    rank (operators/ids.py) + integer NTILE arithmetic — no
+    single-partition window at any scale.
+    """
+    from .ids import dense_ids_with_total, ntile_from_rank
+
+    ranked, n = dense_ids_with_total(
+        docs,
+        length_col,
+        tiebreak,
+        id_col="_rank",
+        num_partitions=docs.sparkSession.sparkContext.defaultParallelism,
+    )
+    return ranked.withColumn("bin", ntile_from_rank(F.col("_rank"), n, k)).drop("_rank")
+
+
+def prep_length_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return length_bins(docs, 4, "n_chars", "doc_id").select(
+        "doc_id", "n_chars", F.col("bin").alias("len_bin")
+    )
+
+
+register(
+    "prep_length_bins",
+    prep_length_bins,
+    """
+    SELECT doc_id, n_chars,
+           NTILE(4) OVER (ORDER BY n_chars, doc_id) AS len_bin
+    FROM documents
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shard assignment (training-shard export companion)
+# ---------------------------------------------------------------------------
+
+
+def shard_assignment(key: Column, n_shards: int) -> Column:
+    """Stable shard id in [0, n_shards) from md5(key) — deterministic
+    across runs, engines, partitionings, and cluster sizes (never
+    rand()/spark_partition_id(): a re-export must not migrate rows
+    between shards, or downstream trainers lose resume points).
+    8 hex nibbles = 32 bits, exact in a long."""
+    return (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % n_shards).cast(
+        "int"
+    )
+
+
+def prep_shard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard balance evidence: row count per deterministic shard. A
+    skewed histogram here means skewed training files — check it
+    BEFORE a 100 TB export, not after."""
+    doc = load(spark, sf_dir, "documents")
+    shard = shard_assignment(F.col("doc_id").cast("string"), 16)
+    return doc.groupBy(shard.alias("shard")).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# DuckDB int-from-hex for the first 8 md5 nibbles of the doc_id string.
+_HEX8_DOCID = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ")"
+)
+
+register(
+    "prep_shard_histogram",
+    prep_shard_histogram,
+    f"""
+    SELECT CAST({_HEX8_DOCID} % 16 AS INT) AS shard, COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)

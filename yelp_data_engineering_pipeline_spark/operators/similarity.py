@@ -558,3 +558,91 @@ register(
     GROUP BY label, pred_label
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the LSH path vs exact top-k
+# ---------------------------------------------------------------------------
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Per-query recall@k of an approximate top-k against the exact one.
+
+    Both inputs are (query_id, neighbor_id[, ...]) top-k frames. Recall
+    is an exact small-integer ratio (hits / k) — a single IEEE division
+    of identical ints, bit-stable across engines. The join is per-query
+    k×k bounded, so this evaluation scales with #queries, not corpus.
+    """
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    hits = (
+        e.join(a, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        e.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(float(k))).alias(
+                f"recall_at_{k}"
+            ),
+        )
+    )
+
+
+def similarity_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluating ANN entry: how much of the exact top-5 the
+    sign-bucket LSH path recovers, per query — the measurement you run
+    before trusting an ANN index at scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = topk_bruteforce(q, emb, k=5)
+    approx = topk_lsh_buckets(q, emb, k=5, n_planes=8)
+    return recall_at_k(exact, approx, k=5)
+
+
+register(
+    "similarity_recall_at_k",
+    similarity_recall_lsh,
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+    epairs AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             {_COS_SQL.format(a='q_emb', b='e.embedding')} AS cos_sim
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id != query_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM epairs
+      ) WHERE rk <= 5
+    ),
+    b AS (SELECT vec_id, embedding, {_BUCKET_SQL.format(v='embedding')} AS bucket FROM embeddings),
+    qb AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM b WHERE vec_id < 10),
+    apairs AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.format(a='q_emb', b='c.embedding')} AS cos_sim
+      FROM qb JOIN b c USING (bucket)
+      WHERE c.vec_id != query_id
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM apairs
+      ) WHERE rk <= 5
+    ),
+    hits AS (
+      SELECT e.query_id, COUNT(a.neighbor_id) AS n_hits
+      FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
+      GROUP BY 1
+    )
+    SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_hits AS DOUBLE) / 5.0 AS recall_at_5
+    FROM hits
+    """,
+)

@@ -50,18 +50,10 @@ def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_partitions=spark.sparkContext.defaultParallelism,
     )
 
-    k = 4
-    q, r = divmod(n, k)
+    from ..operators.ids import ntile_from_rank
+
     rank = F.col("_rank")
-    if q == 0:  # fewer rows than tiles: tile == rank
-        quartile = rank.cast("int")
-    else:
-        # integer `div` keeps the arithmetic exact at any n (no doubles)
-        quartile = (
-            F.when(rank <= r * (q + 1), F.expr(f"(_rank - 1) div {q + 1}"))
-            .otherwise(F.expr(f"{r} + (_rank - {r * (q + 1)} - 1) div {q}"))
-            + 1
-        ).cast("int")
+    quartile = ntile_from_rank(rank, n, 4)
     pct_rank = (
         F.lit(0.0) if n <= 1 else ((rank - 1) / F.lit(float(n - 1))).cast("double")
     )

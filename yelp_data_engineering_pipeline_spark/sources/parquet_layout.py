@@ -43,3 +43,41 @@ def write_bucketed_table(
         .sortBy(bucket_col)
         .saveAsTable(table_name)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str,
+    n_shards: int = 16,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Deterministic sharded export for training pipelines.
+
+    - shard id = md5(key) % n_shards (operators/preptext.py
+      ``shard_assignment``) — re-exports produce byte-identical shard
+      membership, so trainer resume points survive a rewrite;
+    - ``repartition(n_shards, shard)`` routes each shard to one task
+      BEFORE the partitioned write — without it every task appends to
+      every shard directory (tasks × shards small files);
+    - ``maxRecordsPerFile`` bounds file sizes for streaming loaders.
+    """
+    from ..operators.preptext import shard_assignment
+
+    sharded = df.withColumn(
+        "shard", shard_assignment(F.col(key_col).cast("string"), n_shards)
+    )
+    writer = (
+        sharded.repartition(n_shards, F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(out_dir)
+
+
+def read_training_shards(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read a sharded export back; ``shard`` returns as a partition
+    column (filterable with directory pruning)."""
+    return spark.read.parquet(out_dir)
