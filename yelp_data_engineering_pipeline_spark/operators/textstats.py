@@ -373,3 +373,43 @@ register(
     ) WHERE rk <= 3
     """,
 )
+
+
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the labeled ``lang``
+    column vs the n-gram-marker prediction — the quality gate you read
+    before trusting lang-id to route a 100 TB corpus. Bounded output
+    (|langs|² rows), one hash-agg shuffle."""
+    doc = widen_for_compute(load(spark, sf_dir, "documents"))
+    return (
+        doc.groupBy("lang", predict_lang(F.col("text")).alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+register(
+    "text_lang_confusion",
+    text_lang_confusion,
+    rf"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(ws, x -> lower(x) IN ({_markers_in('en')}))) AS s_en,
+             len(list_filter(ws, x -> lower(x) IN ({_markers_in('es')}))) AS s_es,
+             len(list_filter(ws, x -> lower(x) IN ({_markers_in('fr')}))) AS s_fr,
+             len(list_filter(ws, x -> lower(x) IN ({_markers_in('de')}))) AS s_de
+      FROM (SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS ws
+            FROM documents)
+    ),
+    pred AS (
+      SELECT lang,
+             CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+                  WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
+                  WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+                  WHEN s_de > 0 THEN 'de'
+                  ELSE 'und' END AS pred_lang
+      FROM scored
+    )
+    SELECT lang, pred_lang, COUNT(*) AS n_docs FROM pred GROUP BY 1, 2
+    """,
+)
