@@ -100,13 +100,13 @@ def test_pagination_keyset_plan_is_distributed(spark, sf_dir):
     plan = _formatted(window_pagination(spark, sf_dir))
     assert "GreaterThan(o_orderkey" in plan  # seek predicate reached the scan
     assert "TakeOrderedAndProject" in plan  # per-partition top-k + merge
-    # the only Window left ranks the 10-row page: formatted-plan nodes are
-    # numbered bottom-up, so the top-k must carry a LOWER id (= run first)
+    # the global row number is re-attached by a broadcast self-count over
+    # the page_size-row page — there must be NO window stage at all
+    # (Catalyst folds constant partition specs, so any Window here would
+    # plan single-partition and warn)
     import re
 
-    topk_id = int(re.search(r"\((\d+)\) TakeOrderedAndProject", plan).group(1))
-    win_id = int(re.search(r"\((\d+)\) Window", plan).group(1))
-    assert topk_id < win_id, "window must rank the page, not the table"
+    assert not re.search(r"\(\d+\) Window", plan), "pagination must be window-free"
 
 
 def test_rank_distribution_has_no_global_window(spark, sf_dir):
