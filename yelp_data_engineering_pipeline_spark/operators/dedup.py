@@ -577,3 +577,74 @@ register(
     SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.2
     """,
 )
+
+
+# --- Near-containment (asymmetric Jaccard) ---------------------------------
+
+
+def ngram_containment_pairs(
+    docs: DataFrame, query_pred: Column, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """Containment C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| for (query subset
+    × corpus) pairs sharing ≥1 shingle.
+
+    Symmetric Jaccard misses quote/subset duplication: a short doc fully
+    embedded in a long one has tiny Jaccard but containment ≈ 1 — the
+    signal corpus-prep actually wants for "this doc is a fragment of
+    that one". Same shingle-join candidate bound as the Jaccard path;
+    the ratio is exact-int division (bit-identical across engines).
+    """
+    docs = widen_for_compute(docs)
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col)).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    base = tracked_persist(base)
+    q = base.filter(query_pred).select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    qx = q.select("doc_a", F.explode("sh_a").alias("shingle"))
+    cx = base.select(F.col("doc_id").alias("doc_b"), F.explode("sh").alias("shingle"))
+    cand = (
+        qx.join(cx, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = (
+        cand.join(q, "doc_a")
+        .join(base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")) / F.size("sh_a")
+            ).alias("containment"),
+        )
+    )
+    return verified.filter(F.col("containment") >= threshold)
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        doc, F.col("doc_id") < 50, "doc_id", "text", threshold=0.5
+    )
+
+
+register(
+    "dedup_containment",
+    dedup_containment,
+    f"""
+    WITH shingled AS ({_SHINGLES_SQL}),
+    q AS (SELECT doc_id AS doc_a, sh AS sh_a FROM shingled WHERE doc_id < 50),
+    qx AS (SELECT doc_a, unnest(sh_a) AS shingle FROM q),
+    cx AS (SELECT doc_id AS doc_b, unnest(sh) AS shingle FROM shingled),
+    cand AS (SELECT DISTINCT doc_a, doc_b FROM qx JOIN cx USING (shingle) WHERE doc_a != doc_b)
+    SELECT doc_a, doc_b, containment FROM (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(q.sh_a, sb.sh)) AS DOUBLE) / len(q.sh_a) AS containment
+      FROM cand JOIN q USING (doc_a) JOIN shingled sb ON sb.doc_id = doc_b
+    ) WHERE containment >= 0.5
+    """,
+)
