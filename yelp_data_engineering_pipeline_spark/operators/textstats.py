@@ -413,3 +413,40 @@ register(
     SELECT lang, pred_lang, COUNT(*) AS n_docs FROM pred GROUP BY 1, 2
     """,
 )
+
+
+def canonical_text(text: Column) -> Column:
+    """Formatting-insensitive canonical form: lowercase, strip
+    punctuation, collapse whitespace runs, trim. The normalization
+    applied BEFORE exact-hash dedup so "Hello,  World!" and "hello
+    world" collapse — the cheap tier that removes most boilerplate
+    duplication before any MinHash spend. Pure JVM regex chain (narrow,
+    zero shuffle); identical regex classes run in the oracle."""
+    c = F.lower(text)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", "")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = widen_for_compute(load(spark, sf_dir, "documents"))
+    return (
+        doc.groupBy(F.md5(canonical_text(F.col("text"))).alias("canon_fp"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+register(
+    "dedup_canonical",
+    dedup_canonical,
+    """
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS canon_fp,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
