@@ -84,3 +84,44 @@ register(
         ]
     ),
 )
+
+
+def profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus triage: volume, exact-dup rate, size and token
+    mass — the table a curator reads to decide which sources to keep,
+    re-crawl, or drop before spending dedup/similarity budget.
+    One hash-agg over (source); ratios are single IEEE divisions of
+    exact ints (bit-stable)."""
+    doc = load(spark, sf_dir, "documents")
+    agg = doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_unique"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_unique").cast("bigint").alias("n_unique"),
+        (F.lit(1.0) - F.col("n_unique") / F.col("n_docs")).alias("dup_ratio"),
+        F.col("sum_chars").cast("bigint").alias("sum_chars"),
+        (F.col("sum_chars") / F.col("n_docs")).alias("chars_per_doc"),
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+    )
+
+
+register(
+    "profile_by_source",
+    profile_by_source,
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique,
+           1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE) / COUNT(*) AS dup_ratio,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS chars_per_doc,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    GROUP BY source
+    """,
+)
