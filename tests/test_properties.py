@@ -191,3 +191,51 @@ def test_merge_agg_state_split_invariant(spark, rows, cut):
     got = {r["k"]: (r["n"], r["s"]) for r in merged.collect()}
     want = {r["k"]: (r["n"], r["s"]) for r in partial(dfi).collect()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50000), st.integers(0, 20000)), min_size=1, max_size=12
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 50000), st.integers(0, 20000)), min_size=1, max_size=12
+    ),
+)
+def test_interval_overlap_matches_naive(spark, lspec, rspec):
+    """Bucketed keyless overlap join == the O(n²) reference answer, for
+    arbitrary intervals (including many-bucket spans and duplicates)."""
+    from yelp_data_engineering_pipeline_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    lrows = [(i, s, s + d) for i, (s, d) in enumerate(lspec)]
+    rrows = [(i, s, s + d) for i, (s, d) in enumerate(rspec)]
+    expected = {
+        (li, ri)
+        for li, ls, le in lrows
+        for ri, rs, re_ in rrows
+        if ls <= re_ and rs <= le
+    }
+    left = spark.createDataFrame(lrows, "id long, s long, e long")
+    right = spark.createDataFrame(rrows, "id long, s long, e long")
+    got = {
+        (r.l_id, r.r_id)
+        for r in interval_overlap_join(left, right).select("l_id", "r_id").collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=8))
+def test_canonical_text_idempotent(spark, texts):
+    """canonical(canonical(x)) == canonical(x): normalization is a
+    projection, so the cheap dedup tier is stable under re-runs."""
+    from yelp_data_engineering_pipeline_spark.operators.textstats import canonical_text
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    rows = df.select(
+        canonical_text(F.col("t")).alias("once")
+    ).select("once", canonical_text(F.col("once")).alias("twice")).collect()
+    for r in rows:
+        assert r.once == r.twice
