@@ -302,3 +302,27 @@ def test_funnel_plan_no_cartesian(spark, sf_dir):
 
     plan = _formatted(funnel_conversion(spark, sf_dir))
     assert "CartesianProduct" not in plan  # 1-row stage counts broadcast
+
+
+def test_tpch_q1_pushdown_and_partial_agg(spark, sf_dir):
+    from yelp_data_engineering_pipeline_spark.plans.tpch import tpch_q1_pricing_summary
+
+    plan = _formatted(tpch_q1_pricing_summary(spark, sf_dir))
+    # the shipdate cutoff must reach the parquet scan (row-group pruning)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan
+    # 6-group agg: partial (map-side) + final HashAggregate pair
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_q9_broadcasts_nation_and_prunes_part(spark, sf_dir):
+    from yelp_data_engineering_pipeline_spark.plans.tpch import tpch_q9_nation_profit
+
+    plan = _formatted(tpch_q9_nation_profit(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # nation comes in broadcast
+    # p_type filter pushed into the part scan, not applied post-join
+    assert "EqualTo(p_type,PROMO)" in plan
+    # lineitem scan pruned to exactly the columns q9 touches
+    assert (
+        "struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,"
+        "l_extendedprice:double,l_discount:double>" in plan
+    )

@@ -1,0 +1,251 @@
+"""Classic TPC-H-pattern analytics over the synthetic star schema.
+
+The reference pipeline's query surface (SURVEY.md §2.3/§2.4) is
+join+aggregate shaped; these three canonical decision-support queries
+exercise the same operator families at their hardest — wide scans with
+selective date predicates, multi-way fact⋈dim joins, and grouped money
+arithmetic — and serve as the engine's "would a warehouse user trust
+this" smoke suite (TPC-H spec is public; queries adapted to the columns
+the synthetic schema actually has).
+
+Parity discipline (see catalog module docstring): money lives on the
+cents grid and discount/tax on the 1e-2 grid, so every aggregate here
+is computed in INTEGER units (cents, 1e-4 "discounted cents",
+1e-6 "charged cents") and divided back to doubles exactly once at the
+end. Integer sums are order-independent — bit-exact vs DuckDB under any
+partitioning — where double sums are not (a lesson encoded in
+MEMORY/duckdb-spark-parity-rules).
+
+Scale posture:
+- Date predicates are `cast(date)` comparisons on the scan column →
+  pushed into the parquet reader (min/max row-group pruning).
+- q1 aggregates to ≤ 6 groups → map-side partial agg, tiny shuffle.
+- q3/q9 join facts on their natural keys (AQE picks the physical
+  join + splits skew); `nation` is broadcast (bounded 25 rows).
+- At 100 TB the BIGINT "charge" sums stay < 2^63 up to ~10^12
+  lineitems per group; past that, swap the unit columns to
+  DECIMAL(38,0) — same plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# Integer money units (shared by all three queries)
+# ---------------------------------------------------------------------------
+
+
+def _cents(col: str) -> Column:
+    """Price on the cents grid → exact BIGINT cents."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _pct(col: str) -> Column:
+    """0.01-grid rate (discount/tax) → exact BIGINT percent."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+# l_extendedprice*(1-l_discount) in 1e-4 units: ep_cents * (100 - d_pct)
+_DISC_UNITS = "_ep_c * (100 - _d_p)"
+# *(1+l_tax) in 1e-6 units
+_CHARGE_UNITS = "_ep_c * (100 - _d_p) * (100 + _t_p)"
+
+
+def _li_units(li: DataFrame) -> DataFrame:
+    return li.withColumns(
+        {
+            "_ep_c": _cents("l_extendedprice"),
+            "_d_p": _pct("l_discount"),
+            "_t_p": _pct("l_tax"),
+        }
+    )
+
+
+# SQL fragment mirror (DuckDB): identical integer units.
+_SQL_UNITS = """
+  CAST(round(l_extendedprice * 100) AS BIGINT) AS _ep_c,
+  CAST(round(l_discount * 100) AS BIGINT) AS _d_p,
+  CAST(round(l_tax * 100) AS BIGINT) AS _t_p
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q1 — pricing summary report
+# ---------------------------------------------------------------------------
+
+
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: one selective scan, 6-group hash aggregate.
+
+    All sums run in integer units; the single trailing division per
+    column is one IEEE op on identical operands in both engines.
+    Averages are SUM/COUNT of integers (never ROUND(AVG) — boundary
+    trap), matching the oracle token-for-token.
+    """
+    li = _li_units(load(spark, sf_dir, "lineitem"))
+    li = li.filter(F.col("l_shipdate").cast("date") <= F.lit("2000-12-01"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            (F.sum("_ep_c") / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(F.expr(_DISC_UNITS)) / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(F.expr(_CHARGE_UNITS)) / F.lit(1000000.0)).alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast("long")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum("_ep_c") / F.lit(100.0) / cnt).alias("avg_price"),
+            (F.sum("_d_p") / F.lit(100.0) / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = f"""
+WITH u AS (
+  SELECT l_returnflag, l_linestatus, l_quantity, {_SQL_UNITS}
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+)
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(_ep_c) AS BIGINT) / 100.0 AS sum_base_price,
+  CAST(SUM({_DISC_UNITS}) AS BIGINT) / 10000.0 AS sum_disc_price,
+  CAST(SUM({_CHARGE_UNITS}) AS BIGINT) / 1000000.0 AS sum_charge,
+  CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(_ep_c) AS BIGINT) / 100.0 / COUNT(*) AS avg_price,
+  CAST(SUM(_d_p) AS BIGINT) / 100.0 / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM u
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3 — shipping priority (top unshipped orders by revenue)
+# ---------------------------------------------------------------------------
+
+
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem,
+    grouped revenue, total-ordered top 10.
+
+    The synthetic orders table has o_orderpriority (no o_shippriority);
+    dates are emitted as ISO strings (tz-free — timestamp-typed output
+    renders through the session tz and is hash-unstable; see
+    MEMORY/duckdb-spark-parity-rules).
+    """
+    cutoff = "1998-01-01"
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate").cast("date") < F.lit(cutoff))
+    li = _li_units(load(spark, sf_dir, "lineitem")).filter(
+        F.col("l_shipdate").cast("date") > F.lit(cutoff)
+    )
+    return (
+        li.select("l_orderkey", F.expr(_DISC_UNITS).alias("_rev_u"))
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg((F.sum("_rev_u") / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = f"""
+WITH u AS (
+  SELECT l_orderkey, {_SQL_UNITS}
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+)
+SELECT
+  l_orderkey,
+  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+  o_orderpriority,
+  CAST(SUM({_DISC_UNITS}) AS BIGINT) / 10000.0 AS revenue
+FROM u
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+GROUP BY l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 — nation/year profit for a product line
+# ---------------------------------------------------------------------------
+
+
+def tpch_q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp table, so profit =
+    discounted revenue): part-filtered 4-way join rolled up to
+    (supplier nation, order year).
+
+    `part` is filtered before the join (selective predicate pushed to
+    its scan) and `nation` is broadcast; the fact-fact joins stay on
+    natural keys for AQE to plan.
+    """
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    sup = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    li = _li_units(load(spark, sf_dir, "lineitem"))
+    return (
+        li.select("l_orderkey", "l_partkey", "l_suppkey", F.expr(_DISC_UNITS).alias("_amt_u"))
+        .join(part.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(sup.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
+        )
+        .agg((F.sum("_amt_u") / F.lit(10000.0)).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+_Q9_SQL = f"""
+WITH u AS (
+  SELECT l_orderkey, l_partkey, l_suppkey, {_SQL_UNITS}
+  FROM lineitem
+)
+SELECT
+  n_name AS nation,
+  CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+  CAST(SUM({_DISC_UNITS}) AS BIGINT) / 10000.0 AS profit
+FROM u
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_type = 'PROMO'
+GROUP BY n_name, year(CAST(o_orderdate AS DATE))
+ORDER BY nation, o_year DESC
+"""
+
+
+register("tpch_q1_pricing_summary", tpch_q1_pricing_summary, _Q1_SQL)
+register("tpch_q3_shipping_priority", tpch_q3_shipping_priority, _Q3_SQL)
+register("tpch_q9_nation_profit", tpch_q9_nation_profit, _Q9_SQL)
