@@ -326,3 +326,23 @@ def test_tpch_q9_broadcasts_nation_and_prunes_part(spark, sf_dir):
         "struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,"
         "l_extendedprice:double,l_discount:double>" in plan
     )
+
+
+def test_tpch_q5_pushes_region_and_date_filters(spark, sf_dir):
+    from yelp_data_engineering_pipeline_spark.plans.tpch import tpch_q5_local_supplier_volume
+
+    plan = _formatted(tpch_q5_local_supplier_volume(spark, sf_dir))
+    # region literal reaches the region scan; orderdate range reaches orders scan
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_token_budget_mix_single_hash_shuffle(spark, sf_dir):
+    from yelp_data_engineering_pipeline_spark.operators.preptext import prep_token_budget_mix
+
+    plan = _formatted(prep_token_budget_mix(spark, sf_dir))
+    # the per-source window's hash partitioning must be REUSED by the
+    # groupBy (source is a subset of the grouping keys) — exactly one
+    # hash exchange in the whole plan, or the mixture op double-shuffles
+    assert plan.count("hashpartitioning") == 1, plan

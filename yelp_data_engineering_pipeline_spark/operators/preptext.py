@@ -674,3 +674,98 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture selection (data-mixing step)
+# ---------------------------------------------------------------------------
+
+
+def select_by_token_budget(
+    docs: DataFrame, source_col: str, id_col: str, text_col: str, budget: Column
+) -> DataFrame:
+    """Greedy per-source document selection up to a token ``budget`` —
+    the mixture-construction step of a training-data pipeline ("take
+    400M tokens of src A, 800M of src B").
+
+    Docs are taken in md5(id) priority order (deterministic pseudo-random
+    — a re-run or engine change must select the SAME docs, so never
+    rand()); a doc is selected while the tokens accumulated BEFORE it are
+    still under budget, i.e. the first doc to cross the line is kept and
+    the budget may overshoot by at most one document — the standard
+    greedy contract, and crucially a PREFIX property: selection of doc k
+    depends only on docs ahead of it in the order, never on a global
+    optimum.
+
+    Scale: one hash shuffle on source + one per-source sort — the same
+    shape as contiguous bin packing above. A whale source serializes its
+    own partition only; if one source is >~100 GB of tokens, pre-split it
+    into salted sub-sources upstream and give each a share of the budget.
+    """
+    n_tok = F.size(whitespace_tokens(F.col(text_col))).cast("bigint")
+    prio = F.md5(F.col(id_col).cast("string"))
+    before = (
+        Window.partitionBy(source_col)
+        .orderBy(prio, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(n_tok).over(before), F.lit(0))
+    return docs.select(
+        F.col(source_col),
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        budget.alias("budget"),
+        (cum_before < budget).alias("selected"),
+    )
+
+
+def prep_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture report: how many docs/tokens the greedy
+    selection kept against an even/odd-source budget rule (even-numbered
+    sources get 2x the token budget — a stand-in for real mixture
+    weights, chosen as a RULE not a literal map so the query is
+    scale-factor independent)."""
+    doc = load(spark, sf_dir, "documents")
+    src_num = F.expr("substring(source, 4)").cast("int")
+    budget = F.when(src_num % 2 == 0, F.lit(800)).otherwise(F.lit(400)).cast("bigint")
+    sel = select_by_token_budget(doc, "source", "doc_id", "text", budget)
+    return (
+        sel.groupBy("source", "budget")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_total"),
+            F.sum(F.when(F.col("selected"), 1).otherwise(0)).cast("bigint").alias("n_selected"),
+            F.sum(F.when(F.col("selected"), F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_selected"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    "prep_token_budget_mix",
+    prep_token_budget_mix,
+    r"""
+    WITH tok AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS BIGINT) AS n_tokens,
+             CAST(CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0 THEN 800 ELSE 400 END AS BIGINT) AS budget
+      FROM documents
+    ),
+    cum AS (
+      SELECT source, doc_id, n_tokens, budget,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM tok
+    )
+    SELECT source, budget,
+           COUNT(*) AS n_docs_total,
+           CAST(SUM(CASE WHEN cum_before < budget THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           CAST(SUM(CASE WHEN cum_before < budget THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_selected
+    FROM cum
+    GROUP BY source, budget
+    ORDER BY source
+    """,
+)

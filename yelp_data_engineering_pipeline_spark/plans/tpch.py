@@ -246,6 +246,186 @@ ORDER BY nation, o_year DESC
 """
 
 
+# ---------------------------------------------------------------------------
+# Q5 — local supplier volume (region-filtered 6-way join)
+# ---------------------------------------------------------------------------
+
+
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where the ordering customer and
+    the supplying supplier share a nation, restricted to one region.
+
+    The distinguishing feature vs Q9 is the SECOND equi-condition
+    ``c_nationkey = s_nationkey`` — it rides on the same join row, so it
+    plans as a post-join residual filter, not an extra shuffle. Both
+    ``nation`` and ``region`` are bounded dims → broadcast; the region
+    filter prunes nations BEFORE the broadcast, so the fact side is
+    filtered by the hash-join probe itself at scan speed.
+    """
+    cutoff_lo, cutoff_hi = "1996-01-01", "1997-01-01"
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # prune the nation dim to the region up front (5x25 broadcast join)
+    asia_nations = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit(cutoff_lo))
+        & (F.col("o_orderdate").cast("date") < F.lit(cutoff_hi))
+    )
+    cust = load(spark, sf_dir, "customer")
+    sup = load(spark, sf_dir, "supplier")
+    li = _li_units(load(spark, sf_dir, "lineitem"))
+    return (
+        li.select("l_orderkey", "l_suppkey", F.expr(_DISC_UNITS).alias("_rev_u"))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            cust.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            sup.select("s_suppkey", "s_nationkey"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg((F.sum("_rev_u") / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+_Q5_SQL = f"""
+WITH u AS (
+  SELECT l_orderkey, l_suppkey, {_SQL_UNITS}
+  FROM lineitem
+)
+SELECT
+  n_name AS nation,
+  CAST(SUM({_DISC_UNITS}) AS BIGINT) / 10000.0 AS revenue
+FROM u
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) <  DATE '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer distribution (outer-join count histogram)
+# ---------------------------------------------------------------------------
+
+
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of per-customer order counts INCLUDING
+    zero-order customers — the left-outer + count(col) + re-group double
+    aggregation.
+
+    All-integer arithmetic → exact under any partitioning. Scale: first
+    agg shuffles on c_custkey (high cardinality, well distributed),
+    second on c_count (bounded by max orders/customer — tiny). The
+    filtered orders side prunes before the join.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        cust.select("c_custkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume orders (HAVING on aggregate, join back to detail)
+# ---------------------------------------------------------------------------
+
+
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    decorated with customer detail — aggregate-then-filter (HAVING), then
+    the tiny survivor set joins back to the dimension rows.
+
+    Scale: the heavy agg happens FIRST on l_orderkey (map-side partial
+    sums shrink the shuffle), the > 250 filter passes ~1% of orders, and
+    AQE converts the survivors⋈orders/customer joins to broadcasts at
+    runtime. o_orderdate goes out as an ISO string (tz-free), totalprice
+    re-gridded to cents for hash parity.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            (_cents("o_totalprice") / F.lit(100.0)).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+    )
+
+
+_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) > 250
+)
+SELECT
+  c_name,
+  c_custkey,
+  l_orderkey AS o_orderkey,
+  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+  CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS o_totalprice,
+  total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+"""
+
+
 register("tpch_q1_pricing_summary", tpch_q1_pricing_summary, _Q1_SQL)
 register("tpch_q3_shipping_priority", tpch_q3_shipping_priority, _Q3_SQL)
+register("tpch_q5_local_supplier_volume", tpch_q5_local_supplier_volume, _Q5_SQL)
 register("tpch_q9_nation_profit", tpch_q9_nation_profit, _Q9_SQL)
+register("tpch_q13_customer_distribution", tpch_q13_customer_distribution, _Q13_SQL)
+register("tpch_q18_large_orders", tpch_q18_large_orders, _Q18_SQL)
