@@ -423,9 +423,127 @@ ORDER BY total_qty DESC, o_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Q11 — important part types (HAVING vs a scalar global total)
+# ---------------------------------------------------------------------------
+
+
+def tpch_q11_important_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose aggregate exceeds a FRACTION of the
+    global aggregate — the scalar-subquery HAVING that decorrelates into
+    a broadcast of one total row.
+
+    Parity hard point: ``sum > total/50`` in doubles is a boundary trap
+    and ``total/50`` in DuckDB integer division is `//` not `/` — so the
+    comparison is cross-multiplied into pure BIGINT terms
+    (``50*sum > total``), exact in both engines. Scale: per-type partial
+    aggs shuffle ~|p_type| rows; the global total is ONE row crossJoined
+    as a broadcast — no second pass over the fact table.
+    """
+    li = _li_units(load(spark, sf_dir, "lineitem"))
+    part = load(spark, sf_dir, "part")
+    from ..cache import tracked_persist
+
+    per_type = (
+        li.select("l_partkey", F.expr(_DISC_UNITS).alias("_rev_u"))
+        .join(part.select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(F.sum("_rev_u").alias("_type_u"))
+    )
+    # both the HAVING probe and the scalar total hang off per_type —
+    # persist the tiny grouped result so the fact join+agg runs ONCE
+    per_type = tracked_persist(per_type)
+    total = per_type.agg(F.sum("_type_u").alias("_total_u"))
+    return (
+        per_type.crossJoin(F.broadcast(total))
+        .filter(F.col("_type_u") * 50 > F.col("_total_u"))
+        .select("p_type", (F.col("_type_u") / F.lit(10000.0)).alias("value"))
+        .orderBy(F.col("value").desc(), "p_type")
+    )
+
+
+_Q11_SQL = f"""
+WITH u AS (
+  SELECT l_partkey, {_SQL_UNITS}
+  FROM lineitem
+),
+per_type AS (
+  SELECT p_type, CAST(SUM({_DISC_UNITS}) AS BIGINT) AS type_u
+  FROM u JOIN part ON l_partkey = p_partkey
+  GROUP BY p_type
+)
+SELECT p_type, type_u / 10000.0 AS value
+FROM per_type
+WHERE type_u * 50 > (SELECT CAST(SUM(type_u) AS BIGINT) FROM per_type)
+ORDER BY value DESC, p_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 — dormant high-balance customers (scalar avg + anti join)
+# ---------------------------------------------------------------------------
+
+
+def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers whose balance beats the global average
+    of positive balances AND who placed no orders — scalar-subquery
+    filter plus NOT EXISTS anti-join, rolled up per nation.
+
+    The average compare is cross-multiplied to integers
+    (``bal_cents * n > sum_cents``) because an AVG of doubles is
+    order-dependent and engine-divergent on ties. Anti join shuffles on
+    custkey; the 1-row average broadcasts.
+    """
+    cust = load(spark, sf_dir, "customer")
+    # "dormant" = no orders since the cutoff (an unrestricted NOT EXISTS
+    # is empty on this schema — every customer has SOME order)
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") >= F.lit("2000-01-01")
+    )
+    c = cust.select(
+        "c_custkey", "c_nationkey", _cents("c_acctbal").alias("_bal_c")
+    )
+    pos = c.filter(F.col("_bal_c") > 0).agg(
+        F.sum("_bal_c").alias("_sum_c"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(F.col("_bal_c") * F.col("_n") > F.col("_sum_c"))
+        .join(orders.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("_bal_c") / F.lit(100.0)).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_Q22_SQL = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+),
+avgpos AS (
+  SELECT CAST(SUM(bal_c) AS BIGINT) AS sum_c, COUNT(*) AS n FROM c WHERE bal_c > 0
+)
+SELECT c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(SUM(bal_c) AS BIGINT) / 100.0 AS totacctbal
+FROM c, avgpos
+WHERE bal_c * n > sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 register("tpch_q1_pricing_summary", tpch_q1_pricing_summary, _Q1_SQL)
 register("tpch_q3_shipping_priority", tpch_q3_shipping_priority, _Q3_SQL)
 register("tpch_q5_local_supplier_volume", tpch_q5_local_supplier_volume, _Q5_SQL)
 register("tpch_q9_nation_profit", tpch_q9_nation_profit, _Q9_SQL)
+register("tpch_q11_important_types", tpch_q11_important_types, _Q11_SQL)
 register("tpch_q13_customer_distribution", tpch_q13_customer_distribution, _Q13_SQL)
 register("tpch_q18_large_orders", tpch_q18_large_orders, _Q18_SQL)
+register("tpch_q22_dormant_customers", tpch_q22_dormant_customers, _Q22_SQL)
