@@ -215,3 +215,90 @@ def _pagerank_oracle(rounds: int = 3) -> str:
 
 
 register("graph_pagerank", doc_pagerank, _pagerank_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / global clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+def triangle_stats(pairs: DataFrame) -> DataFrame:
+    """Triangle census of an undirected pair graph: nodes, edges, wedges
+    (open triplets, from degrees — pure integer math), triangles (closed
+    triplets via the oriented two-join), and the global clustering
+    coefficient 3T/W.
+
+    Scale: edges are oriented u<v so each triangle is generated exactly
+    once; the wedge→closure join is the standard distributed algorithm
+    (MapReduce triangle counting, Suri & Vassilvitskii WWW'11). At whale
+    degrees, switch orientation to (degree, id) ordering so high-degree
+    hubs fan out to sqrt work; id ordering is fine at near-dup-graph
+    densities. The coefficient division happens ONCE on identical BIGINT
+    operands in both engines.
+    """
+    e = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("u"), F.greatest("doc_a", "doc_b").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = tracked_persist(e)  # feeds three join sides + the degree union
+    sym = e.select(F.col("u").alias("s")).unionAll(e.select(F.col("v").alias("s")))
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+    nodes_wedges = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("dg * (dg - 1) div 2")).cast("bigint").alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        nodes_wedges.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                (F.lit(3.0) * F.col("n_triangles")) / F.col("n_wedges"),
+            ).alias("global_clustering"),
+        )
+    )
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
+    return triangle_stats(pairs)
+
+
+register(
+    "graph_triangles",
+    graph_triangles,
+    f"""
+    WITH p AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) WHERE jaccard >= 0.5),
+    e AS (SELECT DISTINCT least(doc_a, doc_b) AS u, greatest(doc_a, doc_b) AS v
+          FROM p WHERE doc_a <> doc_b),
+    sym AS (SELECT u AS s FROM e UNION ALL SELECT v FROM e),
+    deg AS (SELECT s, COUNT(*) AS dg FROM sym GROUP BY s),
+    nw AS (SELECT COUNT(*) AS n_nodes,
+                  CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges
+           FROM deg),
+    ne AS (SELECT COUNT(*) AS n_edges FROM e),
+    tri AS (SELECT COUNT(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN (3.0 * n_triangles) / n_wedges END AS global_clustering
+    FROM nw, ne, tri
+    """,
+)

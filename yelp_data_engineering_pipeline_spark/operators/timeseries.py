@@ -114,3 +114,63 @@ register(
     FROM grid g LEFT JOIN agg a USING (event_type, bucket_hour)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix (first-order Markov counts)
+# ---------------------------------------------------------------------------
+
+
+def transition_counts(
+    events: DataFrame, key: str, order_cols: Seq[str], type_col: str
+) -> DataFrame:
+    """First-order transition matrix of an event log: for each user the
+    per-``key`` event sequence (ordered by ``order_cols``) is paired with
+    its successor via ``lead``, then (from, to) pairs are counted and
+    given a within-``from`` share.
+
+    Scale: one hash shuffle on ``key`` for the lead window (the same
+    partitioning any sessionization needs), then a partial-agg'd count
+    to |types|² rows — the share window runs on that tiny grid. The
+    share division happens once on identical BIGINT operands in both
+    engines (bit-exact)."""
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    paired = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = paired.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    per_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n") / F.sum("n").over(per_from)).alias("share"),
+    ).orderBy("from_type", "to_type")
+
+
+def event_transitions(spark, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return transition_counts(ev, "user_id", ["ts", "event_id"], "event_type")
+
+
+register(
+    "event_transitions",
+    event_transitions,
+    """
+    WITH paired AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    counts AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM paired WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           n / SUM(n) OVER (PARTITION BY from_type) AS share
+    FROM counts
+    ORDER BY from_type, to_type
+    """,
+)

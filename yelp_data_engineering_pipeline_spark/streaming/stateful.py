@@ -11,6 +11,15 @@ timeout-based eviction.
 Scale: state is hash-partitioned by user across executors and persisted
 in the state store per checkpoint; ProcessingTimeTimeout + the idle
 horizon bound state size for abandoned keys.
+
+API note: Spark 4 also ships ``transformWithStateInPandas`` (the
+successor API: typed value/list/map state, timers, TTL). It is NOT used
+here because its driver-side Python runner requires ``google.protobuf``,
+which this container lacks (probed: StreamingPythonRunner init fails
+with ImportError) — ``applyInPandasWithState`` expresses the same
+per-key state semantics without that dependency. On a cluster with
+protobuf installed, ``running_user_stats`` ports 1:1 to a
+StatefulProcessor with a single value state.
 """
 
 from __future__ import annotations
