@@ -346,3 +346,35 @@ def test_token_budget_mix_single_hash_shuffle(spark, sf_dir):
     # groupBy (source is a subset of the grouping keys) — exactly one
     # hash exchange in the whole plan, or the mixture op double-shuffles
     assert plan.count("hashpartitioning") == 1, plan
+
+
+def test_bucketed_tables_join_without_exchange(spark, sf_dir):
+    """Write-time bucketing is THE shuffle eliminator for repeated joins
+    on a fact key at 100 TB: both sides pre-hashed into the same bucket
+    scheme → the sort-merge join needs no Exchange on either side."""
+    from yelp_data_engineering_pipeline_spark.sources.parquet_layout import (
+        write_bucketed_table,
+    )
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed_table(orders, "t_orders_bucketed", "o_orderkey", n_buckets=4)
+    write_bucketed_table(li, "t_lineitem_bucketed", "l_orderkey", n_buckets=4)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a shuffle-family join so the assertion is about bucketing
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_lineitem_bucketed").join(
+            spark.table("t_orders_bucketed"),
+            spark.table("t_lineitem_bucketed").l_orderkey
+            == spark.table("t_orders_bucketed").o_orderkey,
+        )
+        plan = _formatted(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan  # bucket scheme co-locates both sides
+        assert j.count() == li.count()  # every lineitem finds its order
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_bucketed")
