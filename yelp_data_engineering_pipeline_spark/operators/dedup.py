@@ -648,3 +648,57 @@ register(
     ) WHERE containment >= 0.5
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Threshold sweep (dedup tuning table)
+# ---------------------------------------------------------------------------
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-rate vs threshold in ONE pass: the banded candidate pairs are
+    computed once (the expensive part), then every threshold tier counts
+    its surviving pairs and affected docs — the table you read to pick a
+    near-dup cutoff BEFORE spending cluster time on the full dedup.
+
+    Thresholds ride as integer percents (a double join key invites
+    representation drift); each pair row fans out to |tiers| rows, so
+    the sweep costs |pairs|×4 tiny rows on top of one LSH run."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text")  # all candidates + exact jaccard
+    tiers = F.explode(F.array(*[F.lit(t) for t in (30, 50, 70, 90)])).alias("t_pct")
+    kept = (
+        pairs.select("doc_a", "doc_b", "jaccard", tiers)
+        .filter(F.col("jaccard") >= F.col("t_pct") / F.lit(100.0))
+    )
+    n_pairs = kept.groupBy("t_pct").agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_docs = (
+        kept.select("t_pct", F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .groupBy("t_pct")
+        .agg(F.countDistinct("d").alias("n_docs"))
+    )
+    return n_pairs.join(n_docs, "t_pct").orderBy("t_pct")
+
+
+register(
+    "dedup_threshold_sweep",
+    dedup_threshold_sweep,
+    f"""
+    WITH pairs AS ({_MINHASH_ORACLE}),
+    tiers AS (SELECT unnest([30, 50, 70, 90]) AS t_pct),
+    kept AS (
+      SELECT t.t_pct, p.doc_a, p.doc_b
+      FROM pairs p JOIN tiers t ON p.jaccard >= t.t_pct / 100.0
+    ),
+    np AS (SELECT t_pct, COUNT(*) AS n_pairs FROM kept GROUP BY t_pct),
+    nd AS (
+      SELECT t_pct, COUNT(DISTINCT d) AS n_docs
+      FROM (SELECT t_pct, doc_a AS d FROM kept
+            UNION ALL SELECT t_pct, doc_b FROM kept)
+      GROUP BY t_pct
+    )
+    SELECT np.t_pct AS t_pct, np.n_pairs, nd.n_docs
+    FROM np JOIN nd USING (t_pct)
+    ORDER BY t_pct
+    """,
+)

@@ -268,6 +268,51 @@ register(
 )
 
 
+# --- explicit grouping sets -------------------------------------------------------
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form CUBE/ROLLUP desugar to):
+    per-status, per-priority, and grand-total groups in ONE pass with
+    ``grouping()`` flags disambiguating real NULLs from rolled-up rows.
+
+    Scale: grouping sets expand rows by |sets| BEFORE the hash agg, but
+    partial aggregation collapses each set map-side, so the shuffle is
+    O(distinct groups × sets) — never a second scan per set (DataFrame
+    API ``groupingSets``, Spark 4)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / F.lit(100.0)
+            ).alias("total_price"),
+        )
+        .orderBy("g_status", "g_prio", "o_orderstatus", "o_orderpriority")
+    )
+
+
+register(
+    "agg_grouping_sets",
+    agg_grouping_sets,
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Conversion funnel (sequence matching)
 # ---------------------------------------------------------------------------
