@@ -91,6 +91,31 @@ def test_events_load_in_bare_session(spark, sf_dir):
     assert ev.count() > 0
 
 
+def test_events_load_when_conf_is_immutable(spark, sf_dir, monkeypatch):
+    """Locked-down deployments can reject runtime conf changes entirely;
+    load() must then fall back to an explicit footer-sniffed schema
+    (ts as raw nanos long) and still deliver a timestamp column."""
+    from pyspark.sql.types import TimestampType
+
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    bare = spark.newSession()
+    bare.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    orig_set = bare.conf.set
+
+    def deny(key, value=None):
+        if key == "spark.sql.legacy.parquet.nanosAsLong":
+            raise RuntimeError("conf locked by deployment policy")
+        return orig_set(key, value)
+
+    monkeypatch.setattr(bare.conf, "set", deny)
+    ev = load(bare, sf_dir, "events")
+    assert isinstance(ev.schema["ts"].dataType, TimestampType)
+    assert ev.count() > 0
+    monkeypatch.undo()
+    orig_set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def test_pagination_keyset_plan_is_distributed(spark, sf_dir):
     """VERDICT r1 #5: the checked pagination path must plan as pushed
     range filter + top-k (TakeOrderedAndProject), not a full-table

@@ -33,6 +33,43 @@ TABLE_NAMES = (
 ALWAYS_BROADCAST = {"region", "nation"}
 
 
+def _nanos_safe_schema(path: str):
+    """Explicit Spark schema for a parquet file whose TIMESTAMP(NANOS)
+    columns are read as raw nanos longs. A user-supplied schema bypasses
+    Spark's nanos type rejection entirely (verified: the vectorized
+    reader hands back the INT64), so this is the fallback when
+    ``nanosAsLong`` cannot be set. Footer is sniffed with pyarrow so a
+    schema change upstream doesn't break the fallback."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    if os.path.isdir(path):
+        path = sorted(glob.glob(f"{path}/*.parquet"))[0]
+    arrow = pq.read_schema(path)
+    spark_types = {
+        pa.int32(): T.IntegerType(),
+        pa.int64(): T.LongType(),
+        pa.float32(): T.FloatType(),
+        pa.float64(): T.DoubleType(),
+        pa.string(): T.StringType(),
+        pa.large_string(): T.StringType(),
+        pa.bool_(): T.BooleanType(),
+    }
+    fields = []
+    for f in arrow:
+        if pa.types.is_timestamp(f.type):
+            fields.append(T.StructField(f.name, T.LongType()))  # raw nanos
+        elif f.type in spark_types:
+            fields.append(T.StructField(f.name, spark_types[f.type]))
+        else:
+            raise TypeError(f"no fallback mapping for parquet column {f.name}: {f.type}")
+    return T.StructType(fields)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -45,8 +82,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
-            pass  # immutable in some deployments; the read below may still work
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            pass  # immutable in some deployments; fall back to schema read
+    try:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    except Exception:
+        if name != "events":
+            raise
+        # conf could not take effect (immutable/locked deployment):
+        # an explicit schema with ts as LongType reads the file anyway.
+        df = spark.read.schema(_nanos_safe_schema(f"{sf_dir}/{name}.parquet")).parquet(
+            f"{sf_dir}/{name}.parquet"
+        )
     if name == "events":
         # With nanosAsLong, ts arrives as a nanos-since-epoch long; convert
         # to a micros timestamp with integer division (no double
