@@ -313,6 +313,81 @@ register(
 )
 
 
+# --- group-wise OLS trend ---------------------------------------------------------
+_X_EPOCH0 = 1_704_067_200  # 2024-01-01T00:00Z; centers x so Sxx fits in int64
+
+
+def agg_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend (value vs time) from SUFFICIENT
+    STATISTICS — the monoid pattern for distributed regression: five
+    integer sums (n, Σx, Σy, Σxx, Σxy) combine map-side, shuffle
+    O(groups) rows, and the closed-form slope/intercept are single
+    double divisions on identical BIGINT operands in both engines.
+
+    x is centered on a fixed epoch so Σxx stays far from int64 overflow
+    (3.5e6-second spans, cent-grid y: n·Σxx ≈ 3e16 « 2^63); at larger
+    spans re-center per partition-month and merge, same monoid. This is
+    how MLlib's linear summarizers work under the hood — expressed
+    declaratively."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        (F.expr("unix_micros(ts) div 1000000") - F.lit(_X_EPOCH0)).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    stats = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    return (
+        stats.select(
+            "event_type",
+            "n",
+            F.when(den != 0, slope).alias("slope_cents_per_sec"),
+            F.when(den != 0, (F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
+                "intercept_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "agg_groupwise_ols",
+    agg_groupwise_ols,
+    f"""
+    WITH pts AS (
+      SELECT event_type,
+             epoch_us(ts) // 1000000 - {_X_EPOCH0} AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope_cents_per_sec,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+           END AS intercept_cents
+    FROM stats
+    ORDER BY event_type
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Conversion funnel (sequence matching)
 # ---------------------------------------------------------------------------
