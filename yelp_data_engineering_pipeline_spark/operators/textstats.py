@@ -150,13 +150,26 @@ register(
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = widen_for_compute(load(spark, sf_dir, "documents"))
     f = quality_features(F.col("text"))
-    return doc.select(
+    feats = doc.select(
         "doc_id",
         f["n_tokens"].alias("n_tokens"),
         f["avg_word_len"].alias("avg_word_len"),
         f["stop_ratio"].alias("stop_ratio"),
         f["alpha_ratio"].alias("alpha_ratio"),
-        quality_score(F.col("text")).alias("quality"),
+    )
+    # Build the score from the PROJECTED feature columns rather than
+    # quality_score(text): lambda subtrees (split/stopword filter) are
+    # exempt from codegen subexpression elimination, so scoring the raw
+    # text would run every feature a second time (measured ~30% of the
+    # query at sf0.1). Same trees after inlining → bit-identical values.
+    length_ok = F.when((F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 10000), 1.0).otherwise(
+        0.0
+    )
+    return feats.withColumn(
+        "quality",
+        0.4 * F.coalesce(F.col("stop_ratio") * 4, F.lit(0.0))
+        + 0.3 * length_ok
+        + 0.3 * F.coalesce(F.col("alpha_ratio"), F.lit(0.0)),
     )
 
 
