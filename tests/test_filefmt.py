@@ -115,3 +115,21 @@ def test_training_shards_one_task_per_shard(spark, sf_dir, tmp_path):
         if d.name.startswith("shard="):
             files = [f for f in d.iterdir() if f.suffix == ".parquet"]
             assert len(files) == 1, f"{d.name}: {len(files)} files"
+
+
+def test_xml_round_trip_with_entities(spark, tmp_path):
+    """Native Spark 4 XML source: rowTag row-splitting, entity escaping
+    round-trips markup-significant characters, explicit schema on read."""
+    from yelp_data_engineering_pipeline_spark.sources.filefmt import read_xml, write_xml
+
+    df = spark.createDataFrame(
+        [(1, "Cafe & Co <deluxe>", 4.5), (2, None, 3.0), (3, "Diner", None)],
+        _SCHEMA,
+    )
+    p = str(tmp_path / "xml")
+    write_xml(df, p, root_tag="rows", row_tag="row")
+    back = read_xml(spark, p, row_tag="row", schema=_SCHEMA)
+    assert back.count() == 3
+    # & and <> survive the escape/unescape round-trip byte-exactly
+    assert back.filter("id = 1").collect()[0]["name"] == "Cafe & Co <deluxe>"
+    assert back.filter("id = 2").collect()[0]["name"] is None

@@ -51,3 +51,28 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 def write_orc(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").orc(path)
+
+
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str, schema: StructType | None = None
+) -> DataFrame:
+    """Schema-first XML scan (native in Spark 4 — the spark-xml package
+    was merged into core). ``rowTag`` splits the document into rows, so
+    a multi-GB XML dump parallelizes by row boundary like any text
+    source; entity unescaping (&amp; etc.) happens in the parser, not in
+    downstream expressions. Pass ``schema`` in production — inference is
+    a full extra scan, same rule as CSV."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(df: DataFrame, path: str, root_tag: str, row_tag: str) -> None:
+    (
+        df.write.format("xml")
+        .option("rootTag", root_tag)
+        .option("rowTag", row_tag)
+        .mode("overwrite")
+        .save(path)
+    )
