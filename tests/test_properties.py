@@ -239,3 +239,32 @@ def test_canonical_text_idempotent(spark, texts):
     ).select("once", canonical_text(F.col("once")).alias("twice")).collect()
     for r in rows:
         assert r.once == r.twice
+
+
+def test_incremental_pairs_equal_filtered_full_pairs(spark, sf_dir):
+    """The incremental band join (new_bands ⋈ all_bands) must find
+    EXACTLY the full pair set restricted to any-side-new — i.e. the
+    |batch|-scaled path loses nothing vs re-pairing the corpus."""
+    from yelp_data_engineering_pipeline_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_lsh_pairs,
+    )
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    with_mx = docs.crossJoin(F.broadcast(mx))
+    inc = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_incremental_pairs(
+            with_mx, "doc_id", "text", F.col("doc_id") * 10 >= F.col("mx") * 9
+        ).collect()
+    }
+    full = minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
+    mxv = docs.agg(F.max("doc_id")).collect()[0][0]
+    expected = {
+        (r.doc_a, r.doc_b)
+        for r in full.collect()
+        if r.doc_a * 10 >= mxv * 9 or r.doc_b * 10 >= mxv * 9
+    }
+    assert inc == expected

@@ -702,3 +702,105 @@ register(
     ORDER BY t_pct
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup (new batch vs corpus)
+# ---------------------------------------------------------------------------
+
+
+def minhash_incremental_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_new: Column,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs where AT LEAST ONE side is in the ``is_new`` batch
+    — the daily-ingest dedup path. The corpus signatures are computed
+    (or, in production, READ from the persisted signature store) but the
+    band self-join is replaced by new_bands ⋈ all_bands, so candidate
+    work scales with |batch|, not |corpus|²: re-pairing the whole corpus
+    on every ingest is the classic 100 TB dedup mistake.
+
+    Result set is identical to filtering the full pair set on
+    "any side new" (banding is deterministic, and every such pair is
+    reachable through its new member's bands)."""
+    docs = widen_for_compute(docs)
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            shingles(F.col(text_col)).alias("sh"),
+            is_new.alias("is_new"),
+        )
+        .filter(F.size("sh") > 0)
+    )
+    base = tracked_persist(base)
+    sig = base.withColumn("ab", shingle_ab(F.col("sh"))).select(
+        "doc_id",
+        "is_new",
+        *[c.alias(f"h{i}") for i, c in enumerate(minhash_signature(F.col("ab")))],
+    )
+    bands = sig.select(
+        "doc_id",
+        "is_new",
+        F.posexplode(F.array(*band_keys([F.col(f"h{i}") for i in range(N_HASHES)]))).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    bands = tracked_persist(bands)
+    cand = (
+        bands.filter(F.col("is_new"))
+        .alias("a")
+        .join(bands.alias("b"), ["band_idx", "band_key"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = base.select("doc_id", "sh")
+    verified = (
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= jaccard_threshold)
+
+
+def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog demo: the newest ~10% of doc_ids are "today's batch".
+    The new/old split is pure integer math (doc_id*10 >= max*9) so both
+    engines cut identically."""
+    docs = load(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    docs = docs.crossJoin(F.broadcast(mx))
+    return (
+        minhash_incremental_pairs(
+            docs, "doc_id", "text", F.col("doc_id") * 10 >= F.col("mx") * 9
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+register(
+    "dedup_incremental_pairs",
+    dedup_incremental_pairs,
+    f"""
+    WITH allpairs AS ({_MINHASH_ORACLE}),
+    m AS (SELECT MAX(doc_id) AS mx FROM documents)
+    SELECT doc_a, doc_b, jaccard
+    FROM allpairs, m
+    WHERE jaccard >= 0.5
+      AND (doc_a * 10 >= mx * 9 OR doc_b * 10 >= mx * 9)
+    ORDER BY doc_a, doc_b
+    """,
+)
