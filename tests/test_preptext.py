@@ -80,3 +80,26 @@ def test_stratified_sample_balances_groups(spark, sf_dir):
     # deterministic: same input -> identical sample
     again = {r["lang"]: r["n"] for r in stratified_sample_balanced(docs, "lang", "text").groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert after == again
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    """No near-dup cluster may straddle train/val — the invariant that
+    doc-level hash splitting violates and cluster-level splitting
+    guarantees by construction."""
+    from pyspark.sql import functions as F
+
+    from yelp_data_engineering_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from yelp_data_engineering_pipeline_spark.operators.preptext import leakage_safe_split
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
+    split = leakage_safe_split(docs, pairs)
+    spanning = (
+        split.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_sides"))
+        .filter(F.col("n_sides") > 1)
+        .count()
+    )
+    assert spanning == 0
+    assert split.count() == docs.count()  # total partition of the corpus

@@ -769,3 +769,82 @@ register(
     ORDER BY source
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split (cluster-aware train/val)
+# ---------------------------------------------------------------------------
+
+
+def leakage_safe_split(docs: DataFrame, pairs: DataFrame, val_pct: int = 10) -> DataFrame:
+    """Train/val split decided per NEAR-DUP CLUSTER, not per document:
+    hash-splitting raw doc ids puts near-duplicates of a training doc
+    into validation (the classic eval-leakage bug); here every member of
+    a connected near-dup cluster lands on the same side because the
+    hash key is the cluster id.
+
+    Returns (doc_id, cluster_id, split). Scale: cluster labels come from
+    the CC propagation (|pairs|-bounded), the split is a pure projection
+    — no extra shuffle beyond the label join."""
+    from .graph import assign_clusters
+
+    labeled = assign_clusters(docs, pairs)
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        hash_split(labeled, F.col("cluster_id").cast("string"), val_pct).alias("split"),
+    )
+
+
+def prep_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
+    split = leakage_safe_split(docs, pairs)
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+    ).orderBy("split")
+
+
+def _hex4_of(expr: str) -> str:
+    """DuckDB int of the first 4 md5 nibbles of ``expr`` (no conv())."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substring(md5({expr}), {i + 1}, 1)) - 1)"
+            f" * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        + ")"
+    )
+
+
+def _leakage_split_oracle() -> str:
+    from .dedup import _MINHASH_ORACLE
+
+    hex4 = _hex4_of("CAST(cluster_id AS VARCHAR)")
+    return f"""
+    WITH RECURSIVE
+    pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) WHERE jaccard >= 0.5),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+    ),
+    labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    lab AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN labels l USING (doc_id)),
+    splits AS (SELECT doc_id, cluster_id,
+                      CASE WHEN {hex4} % 100 < 10 THEN 'val' ELSE 'train' END AS split
+               FROM lab)
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+    FROM splits GROUP BY split ORDER BY split
+    """
+
+
+register("prep_leakage_safe_split", prep_leakage_safe_split, _leakage_split_oracle())
