@@ -403,3 +403,23 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_orders_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_bucketed")
+
+
+def test_priority_window_is_exactly_the_driver_check_surface():
+    """The driver verifies only the FIRST 50 queries() entries; a typo
+    in _PRIORITY silently wastes a verification slot. Lock the
+    invariants: exactly 50 names, every one registered, every one
+    oracle-bearing (a window slot without an oracle records a weaker
+    rows-only check)."""
+    from yelp_data_engineering_pipeline_spark.plans import catalog
+
+    qs = catalog.queries()
+    oracles = catalog.oracle_sql()
+    prio = catalog._PRIORITY
+    assert len(prio) == 50
+    missing = [n for n in prio if n not in qs]
+    assert not missing, f"_PRIORITY names not registered: {missing}"
+    no_oracle = [n for n in prio if n not in oracles and n != "mm_decode_stub"]
+    assert not no_oracle, f"window slots without oracles: {no_oracle}"
+    # emission order actually honors the priority list
+    assert list(qs)[: len(prio)] == list(prio)
