@@ -35,18 +35,30 @@ def asof_join(
     by: str,
     value_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
-    """For every left row: the most recent right row with
-    ``right[on] <= left[on]`` within the same ``by`` group. Left rows
-    with no prior right row keep NULLs.
+    """For every left row: the nearest right row in the same ``by``
+    group — ``backward`` (most recent right with right[on] <= left[on],
+    the default) or ``forward`` (earliest right with
+    right[on] >= left[on]). Left rows with no match keep NULLs.
 
-    Ties on ``on`` resolve right-before-left (a right row at exactly
-    left.ts matches), mirroring ASOF JOIN semantics.
+    ``tolerance_us`` (pandas ``merge_asof`` parity) NULLs the match when
+    the nearest row is further than the tolerance — by definition every
+    other candidate is further still, so no fallback scan is needed.
+
+    Ties on ``on`` resolve right-before-left in either direction (a
+    right row at exactly left.ts matches), mirroring ASOF JOIN
+    semantics. Same plan shape regardless of options: one union, one
+    key-partitioned window, no Python.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     l = left.select(*lcols, F.lit(1).alias("_side"))
     for c in value_cols:
         l = l.withColumn(f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType))
+    l = l.withColumn("_match_on", F.lit(None).cast(right.schema[on].dataType))
     r = right.select(
         *[
             F.col(c) if c in (by, on) else F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -54,23 +66,43 @@ def asof_join(
         ],
         F.lit(0).alias("_side"),
         *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.col(on).alias("_match_on"),
     )
     unioned = l.unionByName(r)
-    # right rows sort before left rows at equal ts (_side 0 < 1)
+    # right rows sort before left rows at equal ts (_side 0 < 1); the
+    # forward direction is the same scan over reversed time
+    order = [F.col(on).desc(), F.col("_side")] if direction == "forward" else [on, "_side"]
     w = (
         Window.partitionBy(by)
-        .orderBy(on, "_side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
         *lcols,
         "_side",
+        F.last("_match_on", ignorenulls=True).over(w).alias("_match_on"),
         *[
             F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
             for c in value_cols
         ],
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    out = filled.filter(F.col("_side") == 1).drop("_side")
+    if tolerance_us is not None:
+        gap = (
+            F.unix_micros(F.col("_match_on")) - F.unix_micros(F.col(on))
+            if direction == "forward"
+            else F.unix_micros(F.col(on)) - F.unix_micros(F.col("_match_on"))
+        )
+        in_tol = F.col("_match_on").isNotNull() & (gap <= F.lit(tolerance_us))
+        out = out.select(
+            *lcols,
+            "_match_on",
+            *[
+                F.when(in_tol, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
+                for c in value_cols
+            ],
+        )
+    return out.drop("_match_on")
 
 
 def range_join_buckets(
@@ -127,6 +159,48 @@ register(
     FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') e
     ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
       ON e.user_id = p.user_id AND p.ts <= e.ts
+    """,
+)
+
+
+def asof_next_purchase_after_error(spark, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: for each error, the FIRST purchase
+    by the same user at-or-after the error, NULLed when it happens more
+    than 6 hours later — pandas ``merge_asof(direction='forward',
+    tolerance=...)`` parity, distributed."""
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(
+        errors,
+        purchases,
+        on="ts",
+        by="user_id",
+        value_cols=["purchase_value"],
+        direction="forward",
+        tolerance_us=6 * 3600 * 1_000_000,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("purchase_value_asof").alias("next_purchase_value"),
+    ).orderBy("user_id", "event_id")
+
+
+register(
+    "join_asof_forward_tolerance",
+    asof_next_purchase_after_error,
+    """
+    SELECT e.user_id, e.event_id,
+           CASE WHEN p.ts IS NOT NULL
+                 AND epoch_us(p.ts) - epoch_us(e.ts) <= 21600000000
+                THEN p.value END AS next_purchase_value
+    FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND p.ts >= e.ts
+    ORDER BY e.user_id, e.event_id
     """,
 )
 
