@@ -268,3 +268,63 @@ def test_incremental_pairs_equal_filtered_full_pairs(spark, sf_dir):
         if r.doc_a * 10 >= mxv * 9 or r.doc_b * 10 >= mxv * 9
     }
     assert inc == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 300), st.integers(-50, 50)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 300), st.integers(-50, 50)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.sampled_from(["backward", "forward"]),
+    st.sampled_from([None, 30]),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows, direction, tol_s):
+    """The distributed union+window as-of must agree with pandas
+    merge_asof on every (direction, tolerance) combination. Right
+    (key, ts) pairs are deduped — with duplicate timestamps the chosen
+    row is tie-ordering-defined in both engines, not semantics."""
+    import pandas as pd
+
+    from yelp_data_engineering_pipeline_spark.operators.asof import asof_join
+
+    rdedup = {}
+    for k, t, v in rrows:
+        rdedup[(k, t)] = v
+    left = pd.DataFrame(
+        [(k, pd.Timestamp(t, unit="s"), i) for i, (k, t, _) in enumerate(lrows)],
+        columns=["k", "ts", "lid"],
+    )
+    right = pd.DataFrame(
+        [(k, pd.Timestamp(t, unit="s"), float(v)) for (k, t), v in rdedup.items()],
+        columns=["k", "ts", "val"],
+    )
+    expected = pd.merge_asof(
+        left.sort_values(["ts", "lid"]),
+        right.sort_values("ts"),
+        on="ts",
+        by="k",
+        direction=direction,
+        tolerance=None if tol_s is None else pd.Timedelta(seconds=tol_s),
+    )
+    exp = {int(r.lid): (None if pd.isna(r.val) else float(r.val)) for r in expected.itertuples()}
+
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    got_rows = asof_join(
+        ldf,
+        rdf,
+        on="ts",
+        by="k",
+        value_cols=["val"],
+        direction=direction,
+        tolerance_us=None if tol_s is None else tol_s * 1_000_000,
+    ).collect()
+    got = {int(r.lid): (None if r.val_asof is None else float(r.val_asof)) for r in got_rows}
+    assert got == exp
