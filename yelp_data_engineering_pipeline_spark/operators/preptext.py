@@ -848,3 +848,59 @@ def _leakage_split_oracle() -> str:
 
 
 register("prep_leakage_safe_split", prep_leakage_safe_split, _leakage_split_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Source-interleaved training order
+# ---------------------------------------------------------------------------
+
+
+def interleave_by_source(docs: DataFrame, source_col: str, id_col: str) -> DataFrame:
+    """Deterministic global training order that round-robins sources:
+    docs are ranked within their source by md5 priority, then ordered by
+    (rank, source) — position k·|sources|+j holds source j's k-th doc,
+    so no contiguous run of one source ever exceeds 1 (while any source
+    still has docs). Long single-source runs are the classic
+    training-order pathology this prevents.
+
+    Scale: one hash shuffle + per-source sort for the rank; the global
+    (rank, source) order is only materialized by whoever consumes it
+    (e.g. repartitionByRange into shards) — no single-partition stage
+    here."""
+    w = Window.partitionBy(source_col).orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+    return docs.select(
+        F.col(source_col),
+        F.col(id_col),
+        (F.row_number().over(w) - 1).alias("rank_in_source"),
+    )
+
+
+def prep_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 60 positions of the interleaved order — enough to SEE the
+    round-robin — plus each doc's global position."""
+    doc = load(spark, sf_dir, "documents")
+    ranked = interleave_by_source(doc, "source", "doc_id")
+    return (
+        ranked.orderBy("rank_in_source", "source")
+        .limit(60)
+        .select("source", "doc_id", "rank_in_source")
+    )
+
+
+register(
+    "prep_interleave_sources",
+    prep_interleave_sources,
+    """
+    WITH ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rank_in_source
+      FROM documents
+    )
+    SELECT source, doc_id, rank_in_source
+    FROM ranked
+    ORDER BY rank_in_source, source
+    LIMIT 60
+    """,
+)

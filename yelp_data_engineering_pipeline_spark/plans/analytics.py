@@ -313,6 +313,58 @@ register(
 )
 
 
+# --- running distinct count -------------------------------------------------------
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per key — not directly expressible as a
+    window aggregate in either engine; the standard decomposition is
+    first-occurrence flags (row_number == 1 over (key, value)) summed by
+    an ordinary running window. Two key-partitioned windows, no distinct
+    state blow-up: the flag costs O(1) per row.
+
+    Use: "how many distinct event types has this user touched as of each
+    event" — breadth-of-engagement over time."""
+    ev = load(spark, sf_dir, "events")
+    first_w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    run_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.row_number().over(first_w) == 1).cast("int").alias("_first"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("_first").over(run_w).cast("bigint").alias("n_types_seen"),
+    ).orderBy("user_id", "event_id")
+
+
+register(
+    "window_running_distinct",
+    window_running_distinct,
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id,
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen,
+             ts
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_types_seen
+    FROM flagged
+    ORDER BY user_id, event_id
+    """,
+)
+
+
 # --- group-wise OLS trend ---------------------------------------------------------
 _X_EPOCH0 = 1_704_067_200  # 2024-01-01T00:00Z; centers x so Sxx fits in int64
 
