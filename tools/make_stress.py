@@ -1,0 +1,61 @@
+"""Regenerate the 10x blowup stress dataset used by COVERAGE.md's
+"10x blowup stress" table.
+
+    python tools/make_stress.py [src_sf_dir] [out_dir]
+
+Defaults: /root/testdata/sf0.1 -> /tmp/stressx10. Replicas are MUTATED,
+not copied: replica i>0 tags every 3rd word (documents) / perturbs every
+float component (embeddings), so cross-replica pairs fall BELOW near-dup
+thresholds and the dup rate stays realistic — verbatim replication would
+create 10-clone clusters and quadratically inflate LSH verify pairs,
+stress-testing the wrong thing.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/stressx10"
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.sql(f"""
+    COPY (
+      SELECT d.doc_id + 5000*r.i AS doc_id,
+             CASE WHEN r.i = 0 THEN d.text
+                  ELSE array_to_string(
+                         list_transform(string_split(d.text, ' '),
+                           (w, j) -> CASE WHEN j % 3 = 0 THEN 'r' || r.i || '_' || w ELSE w END),
+                         ' ')
+             END AS text,
+             d.lang, d.source, d.n_chars
+      FROM '{src}/documents.parquet' d
+      CROSS JOIN (SELECT unnest(range(10)) AS i) r
+    ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.sql(f"""
+    COPY (
+      SELECT e.vec_id + 2000*r.i AS vec_id,
+             CASE WHEN r.i = 0 THEN e.embedding
+                  ELSE list_transform(e.embedding,
+                         (x, j) -> CAST(x + 0.01 * r.i *
+                           (CASE WHEN (j + r.i) % 2 = 0 THEN 1 ELSE -1 END) AS FLOAT))
+             END AS embedding,
+             e.label
+      FROM '{src}/embeddings.parquet' e
+      CROSS JOIN (SELECT unnest(range(10)) AS i) r
+    ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    for t in ("documents", "embeddings"):
+        n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
+        print(f"{out}/{t}.parquet: {n} rows")
+
+
+if __name__ == "__main__":
+    main()
