@@ -313,6 +313,69 @@ register(
 )
 
 
+# --- winsorized statistics --------------------------------------------------------
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust per-group mean: values clipped to the group's
+    [p05, p95] band before averaging (winsorization — the data-cleaning
+    step before quality metrics trust a mean).
+
+    Parity discipline: values ride the cents grid as BIGINT; the
+    percentile bounds are FLOORED to integer cents (floor of an
+    interpolated value is stable — it only moves if the double sits
+    within an ulp of an integer, which the exact-position case computes
+    without arithmetic); clipping and summing stay in integers, with ONE
+    trailing division. Scale: two aggs over the table, the |groups|-row
+    bounds table broadcasts back — no window, no sort."""
+    ev = load(spark, sf_dir, "events")
+    vc = ev.select("event_type", F.round(F.col("value") * 100).cast("long").alias("v_c"))
+    bounds = vc.groupBy("event_type").agg(
+        F.floor(F.expr("percentile(v_c, 0.05)")).cast("long").alias("lo_c"),
+        F.floor(F.expr("percentile(v_c, 0.95)")).cast("long").alias("hi_c"),
+    )
+    clipped = vc.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "lo_c",
+        "hi_c",
+        F.least(F.greatest(F.col("v_c"), F.col("lo_c")), F.col("hi_c")).alias("w_c"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("lo_c").alias("lo_c"),
+            F.first("hi_c").alias("hi_c"),
+            (F.sum("w_c") / F.lit(100.0) / F.count(F.lit(1))).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "agg_winsorized_stats",
+    agg_winsorized_stats,
+    """
+    WITH vc AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c FROM events
+    ),
+    bounds AS (
+      SELECT event_type,
+             CAST(floor(quantile_cont(v_c, 0.05)) AS BIGINT) AS lo_c,
+             CAST(floor(quantile_cont(v_c, 0.95)) AS BIGINT) AS hi_c
+      FROM vc GROUP BY event_type
+    )
+    SELECT vc.event_type AS event_type,
+           COUNT(*) AS n,
+           ANY_VALUE(lo_c) AS lo_c,
+           ANY_VALUE(hi_c) AS hi_c,
+           CAST(SUM(least(greatest(v_c, lo_c), hi_c)) AS BIGINT) / 100.0 / COUNT(*)
+             AS winsorized_mean
+    FROM vc JOIN bounds USING (event_type)
+    GROUP BY vc.event_type
+    ORDER BY event_type
+    """,
+)
+
+
 # --- running distinct count -------------------------------------------------------
 def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running COUNT(DISTINCT) per key — not directly expressible as a
