@@ -804,3 +804,103 @@ register(
     ORDER BY doc_a, doc_b
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimate-accuracy audit
+# ---------------------------------------------------------------------------
+
+
+def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit: for every banded candidate pair, the
+    signature-estimated Jaccard (matching components / N_HASHES) next to
+    the exact shingle Jaccard — the table you read before trusting an
+    8-hash signature at cluster scale (E[matches]/N = J; with N=8 the
+    estimate is coarse by design, and THIS query quantifies it).
+
+    Parity: per-pair integers only (match count, set sizes) plus the
+    single exact-Jaccard division — no cross-pair double aggregation
+    (averaging IEEE doubles is order-dependent and engine-divergent)."""
+    docs = widen_for_compute(load(spark, sf_dir, "documents"))
+    base = (
+        docs.select(F.col("doc_id"), shingles(F.col("text")).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    base = tracked_persist(base)
+    sig = base.withColumn("ab", shingle_ab(F.col("sh"))).select(
+        "doc_id", "sh", *[c.alias(f"h{i}") for i, c in enumerate(minhash_signature(F.col("ab")))]
+    )
+    sig = tracked_persist(sig)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*band_keys([F.col(f"h{i}") for i in range(N_HASHES)]))).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_idx", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(N_HASHES)],
+    )
+    matches = sum(
+        (F.col(f"ha{i}") == F.col(f"hb{i}")).cast("int") for i in range(N_HASHES)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            matches.alias("est_matches"),
+            F.lit(N_HASHES).alias("n_hashes"),
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("exact_jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_ACC_MATCHES_SQL = " + ".join(
+    f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+)
+
+register(
+    "dedup_minhash_accuracy",
+    dedup_minhash_accuracy,
+    f"""
+    WITH shingled AS ({_SHINGLES_SQL}),
+    hashed AS (SELECT doc_id, sh, {_AB_SQL} AS hashes FROM shingled),
+    abbed AS (SELECT doc_id, sh, {_AB_STRUCT_SQL} AS ab FROM hashed),
+    sigs AS (SELECT doc_id, sh, {_SIG_COLS_SQL} FROM abbed),
+    banded AS (SELECT doc_id, {_BAND_COLS_SQL} FROM sigs),
+    bands AS ({_BANDS_UNION_FROM_BANDED}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST({_ACC_MATCHES_SQL} AS INT) AS est_matches,
+           {N_HASHES} AS n_hashes,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))) AS exact_jaccard
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = doc_a
+    JOIN sigs sb ON sb.doc_id = doc_b
+    ORDER BY doc_a, doc_b
+    """,
+)
