@@ -52,7 +52,21 @@ def main() -> None:
       CROSS JOIN (SELECT unnest(range(10)) AS i) r
     ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
     """)
-    for t in ("documents", "embeddings"):
+    # events: 10 replicas as DISJOINT user populations (user_id offset) —
+    # per-key windows/sessions get 10x keys, the parallelism axis that
+    # matters; DuckDB re-writes ts as TIMESTAMP(US), which tables.load
+    # reads natively (the nanos path only triggers on the driver files).
+    con.sql(f"""
+    COPY (
+      SELECT e.event_id + 1000000*r.i AS event_id,
+             e.ts,
+             e.user_id + 10000*r.i AS user_id,
+             e.event_type, e.value, e.props
+      FROM '{src}/events.parquet' e
+      CROSS JOIN (SELECT unnest(range(10)) AS i) r
+    ) TO '{out}/events.parquet' (FORMAT PARQUET)
+    """)
+    for t in ("documents", "embeddings", "events"):
         n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(f"{out}/{t}.parquet: {n} rows")
 

@@ -98,10 +98,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # to a micros timestamp with integer division (no double
         # round-trip: 1.7e18 ns exceeds double's 53-bit mantissa).
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            # Parquet written without isAdjustedToUTC (e.g. DuckDB, some
+            # writers) loads as TIMESTAMP_NTZ, which unix_micros() and
+            # window() reject. Interpret the wall time in the session tz
+            # (the engine standardizes on UTC sessions); the driver's own
+            # files are NANOS and never take this branch.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
