@@ -423,3 +423,23 @@ def test_priority_window_is_exactly_the_driver_check_surface():
     assert not no_oracle, f"window slots without oracles: {no_oracle}"
     # emission order actually honors the priority list
     assert list(qs)[: len(prio)] == list(prio)
+
+
+def test_events_load_accepts_ntz_parquet(spark, sf_dir, tmp_path):
+    """Parquet written without isAdjustedToUTC (DuckDB et al.) loads as
+    TIMESTAMP_NTZ; load() must normalize it so unix_micros/window()
+    downstream still work."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    ev.withColumn("ts", F.col("ts").cast("timestamp_ntz")).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    back = load(spark, str(tmp_path), "events")
+    assert isinstance(back.schema["ts"].dataType, TimestampType)
+    # unix_micros works and round-trips the wall time under the UTC session
+    n = back.filter(F.unix_micros("ts") > 0).count()
+    assert n == ev.count()
