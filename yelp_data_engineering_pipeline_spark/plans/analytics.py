@@ -313,6 +313,47 @@ register(
 )
 
 
+# --- deterministic per-group mode (argmax) ----------------------------------------
+def agg_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type — the argmax-per-group family, done
+    DETERMINISTICALLY: native max_by/arg_max leave ties
+    engine/partitioning-defined, so the tie-break is explicit
+    (count desc, then type asc) via row_number over the counted grid.
+
+    Scale: count agg shuffles on (user, type); the ranking window runs
+    on the counted grid (|users|×|types| rows), never the raw events."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), "n")
+        .orderBy("user_id")
+    )
+
+
+register(
+    "agg_mode_argmax",
+    agg_mode_argmax,
+    """
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    ranked AS (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+      FROM counts
+    )
+    SELECT user_id, event_type AS modal_type, n
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+
+
 # --- winsorized statistics --------------------------------------------------------
 def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlier-robust per-group mean: values clipped to the group's
