@@ -1,0 +1,86 @@
+"""Generate PLANS.md: audited physical plans for representative queries.
+
+    python tools/gen_plans_md.py [sf_dir]
+
+For each showcased query: the formatted Spark plan plus the properties
+a 100 TB deployment depends on (pushdown, pruning, broadcast, shuffle
+count). Regenerate after any plan-affecting change; tests/test_plans.py
+asserts the same properties mechanically — this file is the
+human-readable companion.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+COMMENTARY = {
+    "flagship_revenue_by_nation": (
+        "Bounded dims (nation) broadcast; lineitem scan pruned to the 3 "
+        "needed columns; one shuffle for the grouped aggregate."
+    ),
+    "tpch_q5_local_supplier_volume": (
+        "Region literal and order-date range both reach their parquet "
+        "scans (PushedFilters); nation×region pre-joined and broadcast; "
+        "the c_nationkey = s_nationkey residual rides the supplier join."
+    ),
+    "dedup_minhash_lsh": (
+        "Signature subtree persisted once (feeds the band self-join and "
+        "both verification joins); candidates come from a band equi-join "
+        "— no all-pairs stage anywhere."
+    ),
+    "window_rank_distribution": (
+        "Two-phase global ranking: range-repartition + per-partition "
+        "windows keyed by _pid — no single-partition WindowExec."
+    ),
+    "window_pagination": (
+        "Keyset page: seek predicate pushed to the scan, "
+        "TakeOrderedAndProject top-k, zero Window nodes."
+    ),
+    "prep_token_budget_mix": (
+        "The per-source selection window's hash partitioning is reused "
+        "by the report aggregate — exactly one hash exchange."
+    ),
+    "join_asof": (
+        "Union + key-partitioned window formulation: one shuffle on the "
+        "key, no per-group Python, AQE handles key skew."
+    ),
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    import __spark_entry__ as entrymod
+    from yelp_data_engineering_pipeline_spark.session import get_spark
+
+    spark = get_spark("gen-plans")
+    qs = entrymod.queries()
+    out = [
+        "# PLANS.md — audited physical plans (generated)\n",
+        f"`python tools/gen_plans_md.py` at `{sf_dir}`. The same",
+        "properties are asserted mechanically in tests/test_plans.py;",
+        "this is the readable audit trail.\n",
+    ]
+    for name, note in COMMENTARY.items():
+        df = qs[name](spark, sf_dir)
+        qe = df._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        plan = qe.explainString(mode)
+        # keep the tree + scan details, drop the long column lists
+        lines = [
+            line
+            for line in plan.splitlines()
+            if not line.startswith("Output") and "Input [" not in line
+        ]
+        out.append(f"## {name}\n\n{note}\n\n```\n" + "\n".join(lines[:60]) + "\n```\n")
+        from yelp_data_engineering_pipeline_spark.cache import release_tracked
+
+        release_tracked()
+    Path("PLANS.md").write_text("\n".join(out))
+    print(f"wrote PLANS.md ({len(COMMENTARY)} plans)")
+
+
+if __name__ == "__main__":
+    main()
