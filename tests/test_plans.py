@@ -443,3 +443,29 @@ def test_events_load_accepts_ntz_parquet(spark, sf_dir, tmp_path):
     # unix_micros works and round-trips the wall time under the UTC session
     n = back.filter(F.unix_micros("ts") > 0).count()
     assert n == ev.count()
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime skew handling: a whale key must make AQE re-plan the
+    sort-merge join with the skewed partition SPLIT (SortMergeJoin
+    skew=true) — the no-code-change answer to hot keys, complementing
+    the explicit salting operator. Thresholds are scaled to test data;
+    note the skewedPartitionFactor conf is an INT — passing \"2.0\"
+    silently disables the whole rule."""
+    from pyspark.sql import functions as F
+
+    s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    left = s.range(800000).select(
+        F.when(F.col("id") < 750000, 0).otherwise((F.col("id") % 99) + 1).alias("k"),
+        F.md5(F.col("id").cast("string")).alias("pad"),
+    )
+    right = s.range(100).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("w")
+    )
+    agg = left.join(right, "k").groupBy().count()
+    assert agg.collect()[0]["count"] == 800000
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan, plan[:2000]
