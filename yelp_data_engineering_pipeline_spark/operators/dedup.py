@@ -904,3 +904,56 @@ register(
     ORDER BY doc_a, doc_b
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate which: near-dup pairs rolled up to an
+    (source_a, source_b) matrix with source names order-normalized so
+    (A,B) and (B,A) land in one cell. THE triage table before assigning
+    dedup blame/budget across crawl feeds — a hot diagonal means
+    within-source boilerplate, a hot off-diagonal means mirrored
+    content.
+
+    Scale: pairs are LSH-bounded; the doc→source map joins in (2x) and
+    the final agg is |sources|² — trivially small."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
+    src = docs.select("doc_id", "source")
+    tagged = (
+        pairs.join(src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")), "doc_a")
+        .join(src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return (
+        tagged.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+register(
+    "dedup_source_matrix",
+    dedup_source_matrix,
+    f"""
+    WITH pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) WHERE jaccard >= 0.5),
+    tagged AS (
+      SELECT least(sa.source, sb.source) AS source_a,
+             greatest(sa.source, sb.source) AS source_b
+      FROM pairs
+      JOIN documents sa ON sa.doc_id = doc_a
+      JOIN documents sb ON sb.doc_id = doc_b
+    )
+    SELECT source_a, source_b, COUNT(*) AS n_pairs
+    FROM tagged
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+)

@@ -313,6 +313,94 @@ register(
 )
 
 
+# --- median absolute deviation ----------------------------------------------------
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MAD (median absolute deviation) — the robust dispersion
+    companion to winsorization: median of |v - median(v)|. Two exact
+    percentile passes with the |groups|-row medians broadcast between
+    them; all deviations are integer cents, the floored-percentile
+    stability argument from agg_winsorized_stats applies to both
+    levels."""
+    ev = load(spark, sf_dir, "events")
+    vc = ev.select("event_type", F.round(F.col("value") * 100).cast("long").alias("v_c"))
+    med = vc.groupBy("event_type").agg(
+        F.floor(F.expr("percentile(v_c, 0.5)")).cast("long").alias("med_c")
+    )
+    dev = vc.join(F.broadcast(med), "event_type").select(
+        "event_type", "med_c", F.abs(F.col("v_c") - F.col("med_c")).alias("dev_c")
+    )
+    return (
+        dev.groupBy("event_type")
+        .agg(
+            F.first("med_c").alias("med_c"),
+            F.floor(F.expr("percentile(dev_c, 0.5)")).cast("long").alias("mad_c"),
+        )
+        .select(
+            "event_type",
+            (F.col("med_c") / F.lit(100.0)).alias("median_value"),
+            (F.col("mad_c") / F.lit(100.0)).alias("mad_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "agg_mad_robust",
+    agg_mad_robust,
+    """
+    WITH vc AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c FROM events
+    ),
+    med AS (
+      SELECT event_type, CAST(floor(quantile_cont(v_c, 0.5)) AS BIGINT) AS med_c
+      FROM vc GROUP BY event_type
+    ),
+    dev AS (
+      SELECT vc.event_type AS event_type, med_c, abs(v_c - med_c) AS dev_c
+      FROM vc JOIN med USING (event_type)
+    )
+    SELECT event_type,
+           ANY_VALUE(med_c) / 100.0 AS median_value,
+           CAST(floor(quantile_cont(dev_c, 0.5)) AS BIGINT) / 100.0 AS mad_value
+    FROM dev
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+
+
+# --- ordered string aggregation (LISTAGG family) ----------------------------------
+def agg_string_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region sorted nation roster as ONE string — the
+    LISTAGG/STRING_AGG family. Order inside the aggregate is explicit
+    (array_sort before concat): an unordered listagg is partitioning-
+    dependent and non-reproducible, the classic hidden flake."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+register(
+    "agg_string_listagg",
+    agg_string_listagg,
+    """
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+
+
 # --- deterministic per-group mode (argmax) ----------------------------------------
 def agg_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user modal event type — the argmax-per-group family, done
