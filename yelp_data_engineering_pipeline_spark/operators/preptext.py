@@ -904,3 +904,40 @@ register(
     LIMIT 60
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Quantile score normalization (cross-source fairness)
+# ---------------------------------------------------------------------------
+
+
+def prep_score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source percentile rank of a raw score (here n_chars) —
+    quantile normalization, the curation trick that makes quality
+    cutoffs comparable ACROSS sources with different score scales ("keep
+    every source's top 30%" instead of one absolute threshold that
+    empties some feeds and keeps others whole).
+
+    percent_rank = (rank-1)/(n-1) is a single division of identical
+    integers in both engines — bit-exact; ties share a rank by
+    definition. One per-source window, nothing global."""
+    doc = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return doc.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.percent_rank().over(w).alias("score_pct"),
+    ).orderBy("doc_id")
+
+
+register(
+    "prep_score_quantile_norm",
+    prep_score_quantile_norm,
+    """
+    SELECT doc_id, source, n_chars,
+           PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS score_pct
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
