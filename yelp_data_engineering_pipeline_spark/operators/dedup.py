@@ -957,3 +957,60 @@ register(
     ORDER BY source_a, source_b
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty (corpus redundancy growth)
+# ---------------------------------------------------------------------------
+
+
+def dedup_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's shingles whose
+    FIRST corpus occurrence (min doc_id) is this doc — the curve data
+    teams watch to decide when a growing crawl stops contributing new
+    content (novelty → 0 means you're paying to re-ingest the corpus).
+
+    Scale: explode shingles → one hash agg for first-owner → join back →
+    per-doc integer counts; the exploded volume is the same the minhash
+    path already pays, and the ratio is a single int/int division."""
+    docs = widen_for_compute(load(spark, sf_dir, "documents"))
+    base = (
+        docs.select(F.col("doc_id"), shingles(F.col("text")).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    ex = base.select("doc_id", F.explode("sh").alias("shingle"))
+    first = ex.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        ex.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .cast("bigint")
+            .alias("n_novel"),
+            (
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "dedup_ngram_novelty",
+    dedup_ngram_novelty,
+    f"""
+    WITH shingled AS ({_SHINGLES_SQL}),
+    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+    first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM ex GROUP BY shingle)
+    SELECT ex.doc_id AS doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN first_doc = ex.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(CAST(SUM(CASE WHEN first_doc = ex.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / COUNT(*) AS novelty
+    FROM ex JOIN first USING (shingle)
+    GROUP BY ex.doc_id
+    ORDER BY ex.doc_id
+    """,
+)
