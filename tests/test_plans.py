@@ -469,3 +469,40 @@ def test_aqe_splits_skewed_join_partition(spark):
     assert agg.collect()[0]["count"] == 800000
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "skew=true" in plan, plan[:2000]
+
+
+def test_tpch_q6_is_pure_scan_no_join(spark, sf_dir):
+    """Q6 must compile to scan→filter→two-phase agg: zero joins, all
+    three predicates pushed to the lineitem parquet scan."""
+    from yelp_data_engineering_pipeline_spark.plans.tpch_full import tpch_q6_forecast_revenue
+
+    plan = _formatted(tpch_q6_forecast_revenue(spark, sf_dir))
+    assert "Join" not in plan
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan
+    assert "LessThan(l_quantity,25" in plan  # qty cap pushed too
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_tpch_q19_keeps_equijoin_despite_disjunction(spark, sf_dir):
+    """The three OR-ed predicate arms must stay a residual on a
+    broadcast equi-join — a disjunction that degrades the join to a
+    nested-loop cross product is the classic Q19 planner failure."""
+    from yelp_data_engineering_pipeline_spark.plans.tpch_full import tpch_q19_disjunctive_revenue
+
+    plan = _formatted(tpch_q19_disjunctive_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the common pushable bounds still reach the scans
+    assert "LessThanOrEqual(l_quantity,30" in plan
+    assert "In(p_brand, [Brand#1,Brand#2,Brand#3])" in plan
+
+
+def test_tpch_q21_single_lineitem_pass(spark, sf_dir):
+    """The EXISTS / NOT EXISTS pair must decorrelate into ONE scan of
+    lineitem (per-order registers), not three correlated rescans."""
+    from yelp_data_engineering_pipeline_spark.plans.tpch_full import tpch_q21_waiting_suppliers
+
+    plan = _formatted(tpch_q21_waiting_suppliers(spark, sf_dir))
+    assert plan.count("lineitem.parquet") <= 2  # persisted pairs: ≤1 live + reuse
+    assert "BroadcastHashJoin" in plan  # supplier decoration broadcasts

@@ -135,6 +135,7 @@ def _ensure_loaded() -> None:
     from . import scalar_funcs  # noqa: F401
     from . import nested  # noqa: F401
     from . import tpch  # noqa: F401
+    from . import tpch_full  # noqa: F401
     from ..operators import asof  # noqa: F401
     from ..operators import bloom  # noqa: F401
     from ..operators import clustering  # noqa: F401
