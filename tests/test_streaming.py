@@ -286,3 +286,59 @@ def test_foreachbatch_upsert_maintains_dimension(spark, tmp_path):
         "k2": 2,
         "k3": 3,
     }
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path, sf_dir):
+    """Watermarked stream-stream interval join: the attribution pairs
+    from a real two-sided streaming join equal the batch formulation."""
+    from yelp_data_engineering_pipeline_spark.streaming.windows import attribution_pairs
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    events = load(spark, sf_dir, "events")
+    views_b = events.filter(F.col("event_type") == "view")
+    clicks_b = events.filter(F.col("event_type") == "click")
+    expected = {
+        (r["click_id"], r["view_id"])
+        for r in attribution_pairs(views_b, clicks_b).collect()
+    }
+    assert expected  # non-vacuous
+
+    in_dir = tmp_path / "ssj"
+    in_dir.mkdir()
+    with (in_dir / "events.ndjson").open("w") as f:
+        for r in events.filter(F.col("event_type").isin("view", "click")).collect():
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": r["event_id"],
+                        "ts": r["ts"].isoformat(sep=" "),
+                        "user_id": r["user_id"],
+                        "event_type": r["event_type"],
+                    }
+                )
+                + "\n"
+            )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    def side(t):
+        return (
+            spark.readStream.schema(schema)
+            .json(str(in_dir))
+            .filter(F.col("event_type") == t)
+            .withWatermark("ts", "1 hour")
+        )
+
+    q = (
+        attribution_pairs(side("view"), side("click"))
+        .writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["click_id"], r["view_id"])
+        for r in spark.sql("SELECT * FROM ssj_test").collect()
+    }
+    assert got == expected

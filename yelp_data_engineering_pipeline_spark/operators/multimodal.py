@@ -153,3 +153,152 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("mm_decode_stub", mm_decode_stub, None)
+
+
+# --- frame sampling (video-style payload → K uniform frames) -----------------
+#
+# The frame schedule is pure integer arithmetic on byte offsets and the
+# frame extraction is hex-domain slicing (2 hex chars per byte), so the
+# whole op stays JVM-side and the DuckDB oracle mirrors it exactly —
+# multimodal plumbing with a REAL correctness gate, not a rows-only
+# check. A real deployment swaps the hex slice for a codec frame-seek
+# inside a mapInPandas stage (decode_media above shows that shape).
+_N_FRAMES = 8  # frames sampled per payload
+_FRAME_BYTES = 16  # bytes per sampled frame
+
+
+def frame_sample(media: DataFrame, n_frames: int = _N_FRAMES,
+                 frame_bytes: int = _FRAME_BYTES) -> DataFrame:
+    """Uniform-stride frame sampling over an opaque binary payload:
+    frame i starts at byte ``i * max(1, n_bytes div n_frames)``; frames
+    past the payload end are dropped; the tail frame is truncated.
+
+    Scale: zero shuffle — sequence+posexplode fan-out is map-side, the
+    per-frame row count is bounded (≤ n_frames per media row), and the
+    hex/substring/md5 chain is whole-stage-codegen JVM work.
+    """
+    nb = F.octet_length("payload").cast("long")
+    stride = F.greatest(F.lit(1).cast("long"), F.expr(f"octet_length(payload) div {n_frames}"))
+    return (
+        media.select(
+            "media_id",
+            F.hex("payload").alias("_hx"),
+            nb.alias("_nb"),
+            stride.alias("_stride"),
+        )
+        .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))))
+        .withColumn("frame_offset", F.col("frame_idx") * F.col("_stride"))
+        .filter(F.col("frame_offset") < F.col("_nb"))
+        .select(
+            "media_id",
+            "frame_idx",
+            "frame_offset",
+            F.least(F.lit(frame_bytes).cast("long"), F.col("_nb") - F.col("frame_offset")).alias(
+                "frame_len"
+            ),
+            F.md5(
+                F.substring(F.col("_hx"), (F.col("frame_offset") * 2 + 1).cast("int"),
+                            F.lit(frame_bytes * 2))
+            ).alias("frame_md5"),
+        )
+    )
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_sample(documents_as_media(spark, sf_dir))
+
+
+register(
+    "mm_frame_sample",
+    mm_frame_sample,
+    f"""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             upper(hex(encode(text))) AS hx,
+             CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      FROM documents
+    ),
+    sched AS (
+      SELECT media_id, hx, nb,
+             greatest(1, nb // {_N_FRAMES}) AS stride,
+             unnest(range({_N_FRAMES})) AS frame_idx
+      FROM media
+    )
+    SELECT media_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           frame_idx * stride AS frame_offset,
+           least({_FRAME_BYTES}, nb - frame_idx * stride) AS frame_len,
+           md5(substring(hx, CAST(frame_idx * stride * 2 + 1 AS BIGINT), {_FRAME_BYTES * 2}))
+             AS frame_md5
+    FROM sched
+    WHERE frame_idx * stride < nb
+    """,
+)
+
+
+# --- audio chunking (typed metadata → fixed-duration chunk grid) -------------
+_SAMPLE_RATE = 16_000  # Hz (chunk = 1 second of samples)
+_SAMPLES_PER_CHAR = 331  # deterministic fake "duration" from text length
+
+
+def audio_chunks(media_meta: DataFrame, sample_rate: int = _SAMPLE_RATE) -> DataFrame:
+    """Fixed-duration chunk grid over audio-typed metadata (sample_rate,
+    n_samples): one row per 1-second chunk with exact sample bounds —
+    the partition plan a transcription/feature stage maps over.
+
+    Works from TYPED METADATA only (never decodes the payload), so the
+    chunk planning is pure integer math: chunk i covers samples
+    [i*sr, min((i+1)*sr, n)). Scale: sequence+explode bounded by the
+    clip duration; zero shuffle.
+    """
+    n_chunks = F.expr(f"(n_samples + {sample_rate} - 1) div {sample_rate}")
+    return (
+        media_meta.select("media_id", "n_samples")
+        .withColumn("chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)))
+        .select(
+            "media_id",
+            "chunk_idx",
+            (F.col("chunk_idx").cast("long") * sample_rate).alias("start_sample"),
+            F.least(
+                F.lit(sample_rate).cast("long"),
+                F.col("n_samples") - F.col("chunk_idx") * sample_rate,
+            ).alias("chunk_samples"),
+        )
+        .withColumn(
+            "chunk_ms", F.expr(f"chunk_samples * 1000 div {_SAMPLE_RATE}")
+        )
+    )
+
+
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load(spark, sf_dir, "documents")
+    meta = doc.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") * _SAMPLES_PER_CHAR).alias("n_samples"),
+    )
+    return audio_chunks(meta)
+
+
+register(
+    "mm_audio_chunks",
+    mm_audio_chunks,
+    f"""
+    WITH meta AS (
+      SELECT doc_id AS media_id,
+             CAST(n_chars * {_SAMPLES_PER_CHAR} AS BIGINT) AS n_samples
+      FROM documents
+    ),
+    expanded AS (
+      SELECT media_id, n_samples,
+             unnest(range((n_samples + {_SAMPLE_RATE} - 1) // {_SAMPLE_RATE})) AS chunk_idx
+      FROM meta
+    )
+    SELECT media_id,
+           chunk_idx,
+           chunk_idx * {_SAMPLE_RATE} AS start_sample,
+           least({_SAMPLE_RATE}, n_samples - chunk_idx * {_SAMPLE_RATE}) AS chunk_samples,
+           least({_SAMPLE_RATE}, n_samples - chunk_idx * {_SAMPLE_RATE}) * 1000
+             // {_SAMPLE_RATE} AS chunk_ms
+    FROM expanded
+    """,
+)

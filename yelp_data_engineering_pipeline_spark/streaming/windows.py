@@ -260,3 +260,93 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# --- stream-stream join: view→click attribution ------------------------------
+_ATTR_WINDOW_US = 6 * 3600 * 1_000_000  # 6-hour attribution lookback
+
+
+def attribution_pairs(views: DataFrame, clicks: DataFrame,
+                      window_us: int = _ATTR_WINDOW_US) -> DataFrame:
+    """Stream-stream inner join core: every (view, click) pair for the
+    same user where the click lands within ``window_us`` AFTER the view
+    (6 h default: sized so the sparse synthetic stream yields real matches).
+
+    The SAME plan runs batch and streaming: streaming callers watermark
+    both inputs first, and the two-sided time bound lets Spark expire
+    join state (views older than the window can never match again — the
+    canonical watermarked interval join). Scale: ONE shuffle keyed by
+    user_id on each side; state per key is bounded by the window, not
+    the stream length.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    c = clicks.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return c.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.unix_micros("v_ts") <= F.unix_micros("c_ts"))
+        & (F.unix_micros("v_ts") > F.unix_micros("c_ts") - F.lit(window_us)),
+        "inner",
+    )
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry: last-touch attribution — each click is credited to
+    the LATEST view within the lookback (ties broken by view_id).
+
+    The argmax is a row_number over the per-click candidate set (small:
+    views-per-user-per-10min), mirrored token-for-token in the oracle.
+    Timestamps leave as epoch micros (tz-free ints).
+    """
+    ev = load(spark, sf_dir, "events")
+    pairs = attribution_pairs(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+    w = Window.partitionBy("click_id").orderBy(
+        F.unix_micros("v_ts").desc(), F.col("view_id").desc()
+    )
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "click_id",
+            "view_id",
+            (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+        )
+    )
+
+
+register(
+    "stream_stream_join",
+    stream_stream_join,
+    f"""
+    WITH pairs AS (
+      SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+             epoch_us(c.ts) AS c_us, epoch_us(v.ts) AS v_us
+      FROM events c
+      JOIN events v
+        ON c.user_id = v.user_id
+       AND v.event_type = 'view'
+       AND epoch_us(v.ts) <= epoch_us(c.ts)
+       AND epoch_us(v.ts) >  epoch_us(c.ts) - {_ATTR_WINDOW_US}
+      WHERE c.event_type = 'click'
+    ),
+    ranked AS (
+      SELECT user_id, click_id, view_id, c_us - v_us AS gap_us,
+             ROW_NUMBER() OVER (PARTITION BY click_id ORDER BY v_us DESC, view_id DESC) AS rn
+      FROM pairs
+    )
+    SELECT user_id, click_id, view_id, gap_us
+    FROM ranked WHERE rn = 1
+    """,
+)
