@@ -103,3 +103,25 @@ def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
     )
     assert spanning == 0
     assert split.count() == docs.count()  # total partition of the corpus
+
+
+def test_passage_prune_keeps_first_occurrence(spark):
+    from yelp_data_engineering_pipeline_spark.operators.passages import (
+        prune_duplicate_passages,
+    )
+
+    # width=3: doc1 = [P1 P2], doc2 = [P1(dup) P3], doc3 = [P3(dup)]
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c x y z"),
+            (3, "x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in prune_duplicate_passages(docs, width=3).collect()}
+    assert rows[1] == {"doc_id": 1, "n_passages": 2, "n_kept": 2, "kept_text": "a b c d e f"}
+    # doc2 loses its first window (owned by doc1) but keeps the second
+    assert rows[2] == {"doc_id": 2, "n_passages": 2, "n_kept": 1, "kept_text": "x y z"}
+    # doc3's only window is owned by doc2 → fully pruned, empty text
+    assert rows[3] == {"doc_id": 3, "n_passages": 1, "n_kept": 0, "kept_text": ""}

@@ -72,3 +72,32 @@ def test_nearest_centroid_confusion_separable(spark):
     assert got[(0, 0)] == 3
     assert got[(1, 1)] == 2
     assert got[(1, 0)] == 1
+
+
+def test_boolean_search_requires_all_terms(spark):
+    from yelp_data_engineering_pipeline_spark.operators.textstats import boolean_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "dup spark merge table"),
+            (2, "spark merge only two of them"),
+            (3, "dup dup spark spark merge merge repeated counts once"),
+            (4, "nothing relevant"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [r["doc_id"] for r in boolean_search(docs).collect()]
+    assert got == [1, 3]  # repeats don't double-count; partial matches drop
+
+
+def test_lm_coverage_counts_instances_not_types(spark):
+    from yelp_data_engineering_pipeline_spark.operators.textstats import lm_coverage
+
+    # 'a b' occurs 3x (covered at min_count=3); 'b a' 2x; 'b c' once
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in lm_coverage(docs, min_count=3).collect()}
+    assert rows[1]["n_bigrams"] == 3 and rows[1]["n_covered"] == 2  # a b, b a, a b
+    assert rows[2]["n_bigrams"] == 2 and rows[2]["n_covered"] == 1  # a b, b c
+    assert rows[2]["coverage"] == 0.5

@@ -463,3 +463,134 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# --- conjunctive boolean search (inverted-index shape) -----------------------
+_SEARCH_TERMS = ("dup", "spark", "merge")  # 'dup' is the rare, selective term
+
+
+def boolean_search(docs: DataFrame, terms: tuple[str, ...] = _SEARCH_TERMS) -> DataFrame:
+    """Documents containing ALL query terms — the postings-intersection
+    formulation: distinct (doc, term) postings filtered to the query
+    vocabulary, then a count-equality set-containment check. No per-term
+    joins, no cross products.
+
+    Scale: the term filter happens INSIDE the explode projection (map
+    side), so the shuffle carries only postings for query terms — at
+    100 TB the rare term bounds the real work exactly like an inverted
+    index probe; the agg is one doc-keyed hash shuffle.
+    """
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    postings = (
+        docs.select("doc_id", F.explode(words).alias("word"))
+        .filter(F.col("word").isin(*terms))
+        .distinct()
+    )
+    return (
+        postings.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+        .filter(F.col("n_terms") == len(terms))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def text_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boolean_search(widen_for_compute(load(spark, sf_dir, "documents")))
+
+
+register(
+    "text_boolean_search",
+    text_boolean_search,
+    f"""
+    WITH postings AS (
+      SELECT DISTINCT doc_id, word
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+            FROM documents)
+      WHERE word IN {_SEARCH_TERMS!r}
+    )
+    SELECT doc_id
+    FROM postings
+    GROUP BY doc_id
+    HAVING COUNT(*) = {len(_SEARCH_TERMS)}
+    ORDER BY doc_id
+    """,
+)
+
+
+# --- bigram LM-coverage quality score ----------------------------------------
+_COVER_MIN_COUNT = 75  # a bigram is "covered" if the corpus saw it ≥ this often
+
+
+def lm_coverage(docs: DataFrame, min_count: int = _COVER_MIN_COUNT) -> DataFrame:
+    """Per-document language-model-coverage score: the fraction of the
+    doc's bigram INSTANCES whose corpus-wide bigram count is ≥
+    ``min_count``. A log-free, integer-exact stand-in for n-gram-LM
+    perplexity filtering (the CCNet/Gopher quality-gate shape): docs full
+    of corpus-rare transitions score low.
+
+    Scale: bigram explode is map-side; corpus counts are ONE content-
+    keyed hash agg (map-side combined); the count join-back rides the
+    same key; the per-doc rollup is one doc-keyed shuffle. The ratio is
+    a single int/int division — bit-exact in any engine.
+    """
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    base = docs.select("doc_id", words.alias("w")).filter(F.size("w") > 1)
+    bi = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.concat_ws(" ", F.element_at("w", i), F.element_at("w", i + 1)),
+            )
+        ).alias("bg"),
+    )
+    counts = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        bi.join(counts, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum((F.col("_n") >= min_count).cast("long")).alias("n_covered"),
+            (
+                F.sum((F.col("_n") >= min_count).cast("long")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("coverage"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_coverage(widen_for_compute(load(spark, sf_dir, "documents")))
+
+
+register(
+    "text_lm_coverage",
+    text_lm_coverage,
+    f"""
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    sched AS (
+      SELECT doc_id, w, unnest(range(1, len(w))) AS i
+      FROM words WHERE len(w) > 1
+    ),
+    bi AS (
+      SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg FROM sched
+    ),
+    counts AS (
+      SELECT bg, CAST(COUNT(*) AS BIGINT) AS n FROM bi GROUP BY bg
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN n >= {_COVER_MIN_COUNT} THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           CAST(CAST(SUM(CASE WHEN n >= {_COVER_MIN_COUNT} THEN 1 ELSE 0 END) AS BIGINT)
+                AS DOUBLE) / COUNT(*) AS coverage
+    FROM bi JOIN counts USING (bg)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)

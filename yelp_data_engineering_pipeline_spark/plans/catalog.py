@@ -144,6 +144,7 @@ def _ensure_loaded() -> None:
     from ..operators import graph  # noqa: F401
     from ..operators import linkage  # noqa: F401
     from ..operators import multimodal  # noqa: F401
+    from ..operators import passages  # noqa: F401
     from ..operators import preptext  # noqa: F401
     from ..operators import profiling  # noqa: F401
     from ..operators import salting  # noqa: F401
