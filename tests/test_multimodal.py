@@ -73,3 +73,19 @@ def test_audio_chunks_cover_exactly(spark):
     assert [c["chunk_samples"] for c in per[3]] == [15_999]
     for cid, chunks in per.items():
         assert sum(c["chunk_samples"] for c in chunks) == {1: 40_000, 2: 16_000, 3: 15_999}[cid]
+
+
+def test_audio_chunks_empty_clip_and_custom_rate(spark):
+    """n_samples=0 yields ZERO chunks (not a descending-sequence pair of
+    bogus rows — ADVICE.md r3), and chunk_ms honors a non-default
+    sample_rate."""
+    from yelp_data_engineering_pipeline_spark.operators.multimodal import audio_chunks
+
+    meta = spark.createDataFrame(
+        [(1, 0), (2, 12_000)], "media_id long, n_samples long"
+    )
+    rows = [r.asDict() for r in audio_chunks(meta, sample_rate=8_000).collect()]
+    assert all(r["media_id"] != 1 for r in rows)  # empty clip → no chunks
+    two = sorted((r for r in rows if r["media_id"] == 2), key=lambda r: r["chunk_idx"])
+    assert [(r["start_sample"], r["chunk_samples"]) for r in two] == [(0, 8_000), (8_000, 4_000)]
+    assert [r["chunk_ms"] for r in two] == [1000, 500]  # 8k-rate ms, not 16k

@@ -145,14 +145,50 @@ register(
 )
 
 
-# --- catalog: the decode stage itself (Python kernel → rows-only check) ------
+# --- catalog: the decode stage itself (Python kernel, oracle-checked) --------
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic fake decode over mapInPandas; no SQL oracle (the
-    kernel is Python) → the driver records a rows-only check."""
+    """Deterministic fake decode over mapInPandas. The kernel is Python,
+    but every emitted feature (byte length, md5, and the stub's fake
+    width/height = first/last payload byte % 64 + 1) is engine-mirrorable,
+    so the DuckDB oracle reproduces it in the hex domain — a REAL value
+    gate on the Arrow decode plumbing, not a rows-only check
+    (VERDICT.md r3 next-3)."""
     return decode_media(documents_as_media(spark, sf_dir))
 
 
-register("mm_decode_stub", mm_decode_stub, None)
+# First/last payload byte recovered from hex(encode(text)): two hex chars
+# per byte, digit value via strpos on the hex alphabet (pure ANSI SQL).
+_HEXDIG = "strpos('0123456789ABCDEF', {ch}) - 1"
+_FIRST_BYTE = (
+    f"(({_HEXDIG.format(ch='substring(hx, 1, 1)')}) * 16"
+    f" + ({_HEXDIG.format(ch='substring(hx, 2, 1)')}))"
+)
+_LAST_BYTE = (
+    f"(({_HEXDIG.format(ch='substring(hx, 2 * n_bytes - 1, 1)')}) * 16"
+    f" + ({_HEXDIG.format(ch='substring(hx, 2 * n_bytes, 1)')}))"
+)
+
+register(
+    "mm_decode_stub",
+    mm_decode_stub,
+    f"""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             'text/plain' AS media_type,
+             upper(hex(encode(text))) AS hx,
+             CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+             md5(text) AS checksum
+      FROM documents
+    )
+    SELECT media_id, media_type, n_bytes,
+           CAST(CASE WHEN n_bytes = 0 THEN 0
+                     ELSE {_FIRST_BYTE} % 64 + 1 END AS INT) AS width,
+           CAST(CASE WHEN n_bytes = 0 THEN 0
+                     ELSE {_LAST_BYTE} % 64 + 1 END AS INT) AS height,
+           checksum
+    FROM media
+    """,
+)
 
 
 # --- frame sampling (video-style payload → K uniform frames) -----------------
@@ -253,7 +289,11 @@ def audio_chunks(media_meta: DataFrame, sample_rate: int = _SAMPLE_RATE) -> Data
     """
     n_chunks = F.expr(f"(n_samples + {sample_rate} - 1) div {sample_rate}")
     return (
+        # Guard the grid: n_samples <= 0 would make sequence(0, n_chunks-1)
+        # a DESCENDING [0, -1] (two bogus rows) while the oracle's range()
+        # is empty — an empty clip has zero chunks (ADVICE.md r3).
         media_meta.select("media_id", "n_samples")
+        .filter(F.col("n_samples") > 0)
         .withColumn("chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)))
         .select(
             "media_id",
@@ -265,7 +305,7 @@ def audio_chunks(media_meta: DataFrame, sample_rate: int = _SAMPLE_RATE) -> Data
             ).alias("chunk_samples"),
         )
         .withColumn(
-            "chunk_ms", F.expr(f"chunk_samples * 1000 div {_SAMPLE_RATE}")
+            "chunk_ms", F.expr(f"chunk_samples * 1000 div {sample_rate}")
         )
     )
 

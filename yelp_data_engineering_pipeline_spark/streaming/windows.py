@@ -275,9 +275,13 @@ def attribution_pairs(views: DataFrame, clicks: DataFrame,
     The SAME plan runs batch and streaming: streaming callers watermark
     both inputs first, and the two-sided time bound lets Spark expire
     join state (views older than the window can never match again — the
-    canonical watermarked interval join). Scale: ONE shuffle keyed by
-    user_id on each side; state per key is bounded by the window, not
-    the stream length.
+    canonical watermarked interval join). The bound is expressed
+    DIRECTLY on the watermarked timestamp columns (``v_ts <= c_ts AND
+    v_ts > c_ts - INTERVAL``) — never through ``unix_micros`` arithmetic,
+    which StreamingJoinHelper's state-watermark derivation cannot solve,
+    so state would grow unboundedly in a continuous run (ADVICE.md r3).
+    Scale: ONE shuffle keyed by user_id on each side; state per key is
+    bounded by the window, not the stream length.
     """
     v = views.select(
         F.col("user_id").alias("v_user"),
@@ -292,8 +296,8 @@ def attribution_pairs(views: DataFrame, clicks: DataFrame,
     return c.join(
         v,
         (F.col("user_id") == F.col("v_user"))
-        & (F.unix_micros("v_ts") <= F.unix_micros("c_ts"))
-        & (F.unix_micros("v_ts") > F.unix_micros("c_ts") - F.lit(window_us)),
+        & (F.col("v_ts") <= F.col("c_ts"))
+        & (F.col("v_ts") > F.col("c_ts") - F.expr(f"INTERVAL {window_us} MICROSECOND")),
         "inner",
     )
 
