@@ -43,6 +43,38 @@ def test_length_bins_equi_depth(spark):
     assert b1 == {11, 10, 9}
 
 
+def test_topk_lsh_multitable_unions_candidates(spark):
+    """Two-table OR-amplification: a neighbor colliding in EITHER table
+    is a candidate; near-duplicate vectors collide in both tables and
+    rank first by exact cosine."""
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        _rph_planes,
+        topk_lsh_multitable,
+        topk_rph,
+    )
+
+    dim = 8
+    base = [1.0, 0.5, -0.25, 2.0, -1.0, 0.75, 0.1, -0.4]
+    near = [v * 1.01 for v in base]          # same sign pattern everywhere
+    anti = [-v for v in base]                # opposite half-space: never collides
+    vecs = [(0, base), (1, near), (2, anti), (3, [v * 0.98 for v in base])]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    tables = [_rph_planes(4, dim, seed=7), _rph_planes(4, dim, seed=11)]
+    out = topk_lsh_multitable(emb.filter(F.col("vec_id") == 0), emb, k=3, plane_tables=tables)
+    got = {(r.query_id, r.neighbor_id): r.rk for r in out.collect()}
+    assert (0, 1) in got and (0, 3) in got   # scaled copies collide in every table
+    assert (0, 2) not in got                 # antipode shares no bucket in any table
+    # union must not double-count a pair that collides in both tables
+    assert len(got) == out.count()
+    # single-table path agrees on the colliding neighbors' ranking
+    single = topk_rph(emb.filter(F.col("vec_id") == 0), emb, k=3, planes=tables[0])
+    s = {(r.query_id, r.neighbor_id) for r in single.collect()}
+    assert s <= set(got)
+
+
 def test_recall_at_k_counts_overlap(spark):
     exact = spark.createDataFrame(
         [(1, 10), (1, 11), (2, 20), (2, 21)], "query_id long, neighbor_id long"

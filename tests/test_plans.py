@@ -6,6 +6,7 @@ breaks pushdown fails CI, not the cluster."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from yelp_data_engineering_pipeline_spark.plans.flagship import revenue_by_nation
 from yelp_data_engineering_pipeline_spark.plans.relational import (
@@ -69,51 +70,37 @@ def test_date_partitioned_events_prune(spark, sf_dir, tmp_path):
     assert n_files < total_files
 
 
-def test_events_load_in_bare_session(spark, sf_dir):
-    """tables.load must survive a session that never saw session.py's confs.
+def test_events_load_is_timezone_free(spark, sf_dir):
+    """tables.load must deliver the SAME epoch micros under any session
+    timezone and any conf state.
 
-    The driver harness builds its own SparkSession; round 1 lost 9
-    CORRECTNESS rows because nanosAsLong lived only in the session
-    factory (VERDICT.md r1 #1). Simulate by unsetting the conf in a
-    fresh session derived from the shared context.
+    Round 1 lost 9 CORRECTNESS rows to a conf that lived only in the
+    session factory; round 4 found a 5-hour skew when the driver's
+    events.parquet shipped as micros-NTZ and the wall→instant cast used
+    the session tz. load() now reads the physical INT64 and converts
+    with integer arithmetic, so the result must match the raw parquet
+    value bit-for-bit regardless of session settings.
     """
     from pyspark.sql.types import TimestampType
 
     from yelp_data_engineering_pipeline_spark.tables import load
 
-    bare = spark.newSession()
-    try:
-        bare.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-    except Exception:
-        pass
-    ev = load(bare, sf_dir, "events")
-    assert isinstance(ev.schema["ts"].dataType, TimestampType)
-    assert ev.count() > 0
+    import duckdb
 
-
-def test_events_load_when_conf_is_immutable(spark, sf_dir, monkeypatch):
-    """Locked-down deployments can reject runtime conf changes entirely;
-    load() must then fall back to an explicit footer-sniffed schema
-    (ts as raw nanos long) and still deliver a timestamp column."""
-    from pyspark.sql.types import TimestampType
-
-    from yelp_data_engineering_pipeline_spark.tables import load
+    raw_min, raw_max = duckdb.sql(
+        f"SELECT min(epoch_us(ts)), max(epoch_us(ts)) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()
 
     bare = spark.newSession()
-    bare.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-    orig_set = bare.conf.set
-
-    def deny(key, value=None):
-        if key == "spark.sql.legacy.parquet.nanosAsLong":
-            raise RuntimeError("conf locked by deployment policy")
-        return orig_set(key, value)
-
-    monkeypatch.setattr(bare.conf, "set", deny)
-    ev = load(bare, sf_dir, "events")
-    assert isinstance(ev.schema["ts"].dataType, TimestampType)
-    assert ev.count() > 0
-    monkeypatch.undo()
-    orig_set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for tz in ("UTC", "America/New_York", "Asia/Kathmandu"):  # incl. a :45 offset
+        bare.conf.set("spark.sql.session.timeZone", tz)
+        ev = load(bare, sf_dir, "events")
+        assert isinstance(ev.schema["ts"].dataType, TimestampType)
+        got = ev.select(
+            F.min(F.unix_micros("ts")).alias("mn"), F.max(F.unix_micros("ts")).alias("mx")
+        ).collect()[0]
+        assert (got["mn"], got["mx"]) == (raw_min, raw_max), tz
+    bare.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def test_pagination_keyset_plan_is_distributed(spark, sf_dir):

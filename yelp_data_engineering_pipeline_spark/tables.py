@@ -33,13 +33,20 @@ TABLE_NAMES = (
 ALWAYS_BROADCAST = {"region", "nation"}
 
 
-def _nanos_safe_schema(path: str):
-    """Explicit Spark schema for a parquet file whose TIMESTAMP(NANOS)
-    columns are read as raw nanos longs. A user-supplied schema bypasses
-    Spark's nanos type rejection entirely (verified: the vectorized
-    reader hands back the INT64), so this is the fallback when
-    ``nanosAsLong`` cannot be set. Footer is sniffed with pyarrow so a
-    schema change upstream doesn't break the fallback."""
+def _ts_long_schema(path: str):
+    """Explicit Spark schema for a parquet file whose timestamp columns
+    should arrive as RAW epoch longs, plus the per-column unit→micros
+    divisor/multiplier sniffed from the footer.
+
+    Why: the driver's events.ts has shipped as TIMESTAMP(NANOS) (which
+    Spark rejects without ``nanosAsLong``) and as TIMESTAMP(MICROS)
+    without isAdjustedToUTC (which Spark reads as TIMESTAMP_NTZ and any
+    wall→instant cast then depends on the session timezone — a 5-hour
+    skew under a non-UTC driver, caught in round 4). Reading the
+    physical INT64 and converting with integer arithmetic is exact and
+    timezone-free for every unit (a user-supplied LongType schema makes
+    the vectorized reader hand back the raw INT64 — verified for both
+    nanos and micros files)."""
     import glob
     import os
 
@@ -49,6 +56,13 @@ def _nanos_safe_schema(path: str):
 
     if os.path.isdir(path):
         path = sorted(glob.glob(f"{path}/*.parquet"))[0]
+    # INT96 timestamps (Spark's own writer default) are physical
+    # FIXED_LEN_BYTE_ARRAY(12) — they cannot arrive as a raw INT64, and
+    # they carry instant (UTC-adjusted) semantics, so a plain Spark read
+    # is already timezone-free for them. Signal the caller to fall back.
+    pq_schema = pq.ParquetFile(path).schema
+    if any(pq_schema.column(i).physical_type == "INT96" for i in range(len(pq_schema))):
+        return None, None
     arrow = pq.read_schema(path)
     spark_types = {
         pa.int32(): T.IntegerType(),
@@ -59,56 +73,38 @@ def _nanos_safe_schema(path: str):
         pa.large_string(): T.StringType(),
         pa.bool_(): T.BooleanType(),
     }
-    fields = []
+    to_micros = {"ns": "{c} div 1000", "us": "{c}", "ms": "{c} * 1000", "s": "{c} * 1000000"}
+    fields, ts_exprs = [], {}
     for f in arrow:
         if pa.types.is_timestamp(f.type):
-            fields.append(T.StructField(f.name, T.LongType()))  # raw nanos
+            fields.append(T.StructField(f.name, T.LongType()))
+            ts_exprs[f.name] = to_micros[f.type.unit].format(c=f.name)
         elif f.type in spark_types:
             fields.append(T.StructField(f.name, spark_types[f.type]))
         else:
-            raise TypeError(f"no fallback mapping for parquet column {f.name}: {f.type}")
-    return T.StructType(fields)
+            raise TypeError(f"no long-schema mapping for parquet column {f.name}: {f.type}")
+    return T.StructType(fields), ts_exprs
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
-        # ([PARQUET_TYPE_ILLEGAL]) unless nanosAsLong is on. It is a
-        # runtime-settable SQL conf, so set it HERE rather than in the
-        # session factory: load() must work under ANY SparkSession,
-        # including externally built ones that never saw session.py.
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass  # immutable in some deployments; fall back to schema read
-    try:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    except Exception:
-        if name != "events":
-            raise
-        # conf could not take effect (immutable/locked deployment):
-        # an explicit schema with ts as LongType reads the file anyway.
-        df = spark.read.schema(_nanos_safe_schema(f"{sf_dir}/{name}.parquet")).parquet(
-            f"{sf_dir}/{name}.parquet"
-        )
-    if name == "events":
-        # With nanosAsLong, ts arrives as a nanos-since-epoch long; convert
-        # to a micros timestamp with integer division (no double
-        # round-trip: 1.7e18 ns exceeds double's 53-bit mantissa).
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType, TimestampNTZType
+    if name != "events":
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events: timestamp column read as raw epoch INT64 and converted to
+    # a micros TIMESTAMP with integer arithmetic — exact (no double
+    # round-trip; 1.7e18 ns exceeds double's 53-bit mantissa) and
+    # independent of parquet unit, isAdjustedToUTC, session timezone,
+    # and any nanosAsLong/inferTimestampNTZ conf. Works under ANY
+    # SparkSession, including externally built ones.
+    from pyspark.sql import functions as F
 
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
-            # Parquet written without isAdjustedToUTC (e.g. DuckDB, some
-            # writers) loads as TIMESTAMP_NTZ, which unix_micros() and
-            # window() reject. Interpret the wall time in the session tz
-            # (the engine standardizes on UTC sessions); the driver's own
-            # files are NANOS and never take this branch.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    schema, ts_exprs = _ts_long_schema(f"{sf_dir}/{name}.parquet")
+    if schema is None:  # INT96 file: instant semantics, plain read is tz-free
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
+    for col, micros in ts_exprs.items():
+        df = df.withColumn(col, F.timestamp_micros(F.expr(micros)))
     return df
 
 
