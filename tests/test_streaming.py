@@ -288,6 +288,115 @@ def test_foreachbatch_upsert_maintains_dimension(spark, tmp_path):
     }
 
 
+def _events_to_ndjson(events, path, cols=("event_id", "user_id", "event_type", "value")):
+    with path.open("w") as f:
+        for r in events.collect():
+            rec = {c: r[c] for c in cols if c in r.asDict()}
+            rec["ts"] = r["ts"].isoformat(sep=" ")
+            f.write(json.dumps(rec) + "\n")
+
+
+def test_sliding_window_streaming_matches_batch(spark, tmp_path, sf_dir):
+    """sliding_agg plans incrementally: same (window, n, avg) set from a
+    watermarked file stream as from the batch formulation."""
+    from yelp_data_engineering_pipeline_spark.streaming.windows import sliding_agg
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    events = load(spark, sf_dir, "events")
+    expected = {
+        (r["win_start"], r["n"], round(r["avg_value"], 6))
+        for r in sliding_agg(events).collect()
+    }
+    in_dir = tmp_path / "slide"
+    in_dir.mkdir()
+    _events_to_ndjson(events, in_dir / "events.ndjson")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema).json(str(in_dir)).withWatermark("ts", "1 hour")
+    )
+    q = (
+        sliding_agg(stream)
+        .writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["win_start"], r["n"], round(r["avg_value"], 6))
+        for r in spark.sql("SELECT * FROM sliding_test").collect()
+    }
+    assert got == expected
+
+
+def test_approx_distinct_window_streaming_matches_batch(spark, tmp_path, sf_dir):
+    """The streamable sketch path of stream_window_approx_distinct
+    drains through a real writeStream: HLL++ register merges are
+    order-invariant, so the sketch merged across micro-batches must be
+    BIT-IDENTICAL to the batch sketch per hour bucket — and still honor
+    the catalog entry's 5%-or-±2 contract against the batch exact count
+    (exact COUNT DISTINCT itself is not streamable)."""
+    from yelp_data_engineering_pipeline_spark.streaming.windows import (
+        approx_distinct_hourly,
+        window_approx_distinct,
+    )
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    events = load(spark, sf_dir, "events")
+    expected = {
+        (r["bucket_hour"], r["approx_users"])
+        for r in approx_distinct_hourly(events).collect()
+    }
+    batch_exact = {
+        r["bucket_hour"]: r["exact_users"]
+        for r in window_approx_distinct(events).collect()
+    }
+    in_dir = tmp_path / "adw"
+    in_dir.mkdir()
+    # two files + maxFilesPerTrigger=1 → the merge path actually runs
+    rows = events.collect()
+    half = len(rows) // 2
+    for name, chunk in [("a.ndjson", rows[:half]), ("b.ndjson", rows[half:])]:
+        with (in_dir / name).open("w") as f:
+            for r in chunk:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": r["event_id"],
+                            "ts": r["ts"].isoformat(sep=" "),
+                            "user_id": r["user_id"],
+                            "event_type": r["event_type"],
+                            "value": r["value"],
+                        }
+                    )
+                    + "\n"
+                )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(in_dir))
+    )
+    q = (
+        approx_distinct_hourly(stream)
+        .writeStream.format("memory")
+        .queryName("adw_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM adw_test").collect()
+    got = {(r["bucket_hour"], r["approx_users"]) for r in rows}
+    assert got == expected  # streamed HLL merge == batch sketch
+    for r in rows:  # the catalog entry's bound holds for the streamed sketch
+        exact = batch_exact[r["bucket_hour"]]
+        assert abs(r["approx_users"] - exact) <= max(exact * 0.05, 2.0)
+
+
 def test_stream_stream_join_matches_batch(spark, tmp_path, sf_dir):
     """Watermarked stream-stream interval join: the attribution pairs
     from a real two-sided streaming join equal the batch formulation."""

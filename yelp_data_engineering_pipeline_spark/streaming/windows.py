@@ -217,6 +217,21 @@ register(
 )
 
 
+def approx_distinct_hourly(events: DataFrame) -> DataFrame:
+    """Streaming-safe per-hour distinct-user sketch (HLL++ only — exact
+    COUNT(DISTINCT) is not supported on streaming DataFrames). HLL
+    register merges are order-invariant, so the sketch drained through
+    micro-batches is bit-identical to the batch sketch — the parity
+    contract tests/test_streaming.py drains end-to-end."""
+    return (
+        events.select(
+            F.expr("unix_micros(ts) div 3600000000").alias("bucket_hour"), "user_id"
+        )
+        .groupBy("bucket_hour")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+    )
+
+
 def window_approx_distinct(events: DataFrame) -> DataFrame:
     """Per-hour distinct users, exact AND sketched. At 100 TB the exact
     per-window COUNT(DISTINCT) is the expensive path (full shuffle of
