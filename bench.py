@@ -43,6 +43,17 @@ HEADLINE = [
     "mm_decode_stub",               # Arrow-batched Python stage
 ]
 
+# TPC-H bench tier (VERDICT r3 next-5): the canonical join+agg hard cases
+# a 100 TB user runs first. Kept OUT of the headline total so the gate
+# metric stays comparable across rounds; timed and emitted separately.
+TPCH = [
+    "tpch_q1_pricing_summary",      # full-scan groupBy (the agg baseline)
+    "tpch_q5_local_supplier_volume",  # 6-way join, two broadcast dims
+    "tpch_q9_nation_profit",        # part-filtered 6-way profit rollup
+    "tpch_q18_large_orders",        # groupBy-HAVING semi over lineitem
+    "tpch_q21_waiting_suppliers",   # decorrelated EXISTS/NOT EXISTS pair
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,13 +71,18 @@ def main() -> None:
 
     from yelp_data_engineering_pipeline_spark.cache import release_tracked
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        release_tracked()  # free per-query persisted subtrees (cache.py)
+    def run_set(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            fn = qs[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            out[name] = round(time.time() - t0, 3)
+            release_tracked()  # free per-query persisted subtrees (cache.py)
+        return out
+
+    timings = run_set(HEADLINE)
+    tpch = run_set(TPCH)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -76,6 +92,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "tpch": tpch,
+                "tpch_total": round(sum(tpch.values()), 3),
                 "sf": sf,
             }
         )
