@@ -90,7 +90,7 @@ def main() -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     if first_n is not None:
         qs = dict(list(qs.items())[:first_n])
-    n_pass = n_fail = n_weak = 0
+    n_pass = n_fail = n_weak = n_vacuous = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -136,10 +136,19 @@ def main() -> int:
             print(f"  duck : {dc[bad]}")
             n_fail += 1
             continue
-        print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+        if not srows:
+            # 0-row agreement proves only schema plumbing — flag it so a
+            # fixture change can't silently make an entry vacuous
+            # (ADVICE r3: tpch_q7 at sf0.001; round-4 audit: J4/U2).
+            print(f"PASS {name} (VACUOUS: 0 rows — strengthen the predicate, "
+                  f"{time.time()-t0:.1f}s)")
+            n_vacuous += 1
+        else:
+            print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
         n_pass += 1
 
-    print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail")
+    vac = f", {n_vacuous} VACUOUS (0-row pass)" if n_vacuous else ""
+    print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail{vac}")
     return 1 if n_fail else 0
 
 

@@ -54,7 +54,9 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # - salted aggregation + CDC diff (families with no driver row yet).
 # Remaining never-checked entries (agg_* variants, funnel/cohort,
 # dedup audit variants, fuzzy/bloom joins, zorder) rotate into the
-# round-5 window.
+# round-5 window — along with join_left_anti and setop_except, whose
+# round-1 green rows were VACUOUS (0-row results at every SF; predicates
+# strengthened in round 4) and which therefore need a fresh driver row.
 _PRIORITY: tuple[str, ...] = (
     "flagship_revenue_by_nation",
     "agg_conditional",

@@ -230,10 +230,20 @@ register(
 
 # --- J4/U2: left anti join — resume/dedup (web_scraping.py:517-521) -----------
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume anti-join: customers with NO order before 1996.
+
+    The right side is date-restricted because the unrestricted form
+    (customers with no orders at all) returns ZERO rows at every test
+    scale factor — a vacuous check that any empty-result bug would pass
+    (round-4 vacuity audit; same class as the q7 finding in ADVICE r3).
+    This form returns 34 rows at sf0.001 / 326 at sf0.01.
+    """
     customer = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
+    early = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01")
+    )
     return (
-        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        customer.join(early, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     )
 
@@ -243,7 +253,9 @@ register(
     join_left_anti,
     """
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate < '1996-01-01')
     """,
 )
 
@@ -736,18 +748,34 @@ register(
 
 # --- U2: EXCEPT (resume semantics, web_scraping.py:517-521) ---------------------------
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
-    orders = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
-    return customer.exceptAll(orders.distinct())
+    """Customers who placed an URGENT order but never a LOW one.
+
+    The original all-customers-minus-orderers form returned ZERO rows at
+    every test scale factor (every customer has orders) — a vacuous
+    check (round-4 vacuity audit). This pair yields 17 rows at sf0.001 /
+    188 at sf0.01 while exercising the same exceptAll operator.
+    """
+    orders = load(spark, sf_dir, "orders")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    low = (
+        orders.filter(F.col("o_orderpriority") == "5-LOW")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    return urgent.exceptAll(low)
 
 
 register(
     "setop_except",
     setop_except,
     """
-    SELECT c_custkey AS k FROM customer
+    SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
     EXCEPT ALL
-    SELECT DISTINCT o_custkey AS k FROM orders
+    SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '5-LOW'
     """,
 )
 
