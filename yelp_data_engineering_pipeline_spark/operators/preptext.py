@@ -941,3 +941,84 @@ register(
     ORDER BY doc_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Composite rule filter (Gopher/C4-style document gates)
+# ---------------------------------------------------------------------------
+
+
+def rule_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style composite cleaning gates: per-document boolean
+    rules plus the AND'ed keep decision — the rule-based sibling of
+    textstats.quality_score's weighted score (Rae et al. 2021 §A1.1
+    tradition; thresholds sized to the synthetic corpus so every rule
+    discriminates: word-count 394/500 pass, word-len 495/500, alpha
+    318/500, stopword 388/500, keep 196/500 at sf0.01 — no vacuous
+    flags).
+
+    Scale: a single narrow map over the text column — identical feature
+    expressions to text_quality (whitespace tokens, exact-int ratios),
+    zero shuffle; filters compose downstream via the keep column.
+    """
+    from .textstats import _STOPWORDS
+
+    ws = whitespace_tokens(F.col(text_col))
+    n_tokens = F.size(ws)
+    n_chars = F.length(F.col(text_col))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", ""))
+    n_stop = F.size(F.filter(ws, lambda x: F.lower(x).isin(*_STOPWORDS)))
+    # exact-int divisions: bit-identical across engines (textstats note)
+    avg_word_len = n_chars.cast("double") / F.nullif(n_tokens, F.lit(0))
+    alpha_ratio = n_alpha.cast("double") / F.nullif(n_chars, F.lit(0))
+    r_word_count = n_tokens.between(30, 10_000)
+    r_word_len = avg_word_len.between(3.0, 6.0)
+    r_alpha = alpha_ratio >= 0.82
+    r_stopword = n_stop >= 2
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        r_word_count.alias("r_word_count"),
+        r_word_len.alias("r_word_len"),
+        r_alpha.alias("r_alpha"),
+        r_stopword.alias("r_stopword"),
+        (r_word_count & r_word_len & r_alpha & r_stopword).alias("keep"),
+    )
+
+
+def prep_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rule_filter(widen_for_compute(load(spark, sf_dir, "documents")))
+
+
+def _rule_filter_oracle() -> str:
+    from .textstats import _STOPWORDS
+
+    stop_in = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return rf"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS ws,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(len(ws) AS INT) AS n_tokens,
+             CAST(n_chars AS DOUBLE) / nullif(len(ws), 0) AS awl,
+             CAST(n_alpha AS DOUBLE) / nullif(n_chars, 0) AS ar,
+             len(list_filter(ws, x -> lower(x) IN ({stop_in}))) AS n_stop
+      FROM base
+    )
+    SELECT doc_id, n_tokens,
+           n_tokens BETWEEN 30 AND 10000 AS r_word_count,
+           awl BETWEEN 3.0 AND 6.0 AS r_word_len,
+           ar >= 0.82 AS r_alpha,
+           n_stop >= 2 AS r_stopword,
+           (n_tokens BETWEEN 30 AND 10000) AND (awl BETWEEN 3.0 AND 6.0)
+             AND (ar >= 0.82) AND (n_stop >= 2) AS keep
+    FROM f
+    """
+
+
+register("prep_rule_filter", prep_rule_filter, _rule_filter_oracle())
