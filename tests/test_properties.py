@@ -328,3 +328,54 @@ def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows, direction, tol
     ).collect()
     got = {int(r.lid): (None if r.val_asof is None else float(r.val_asof)) for r in got_rows}
     assert got == exp
+
+
+_WORD = st.text(
+    alphabet="abcdefABC123.!#",  # alpha + digits + punct: exercises every rule
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.lists(_WORD, min_size=1, max_size=60), min_size=1, max_size=8))
+def test_rule_filter_matches_python_model(spark, docs):
+    """prep_rule_filter's gates vs an independent pure-Python model over
+    arbitrary word soups (stopwords injected so r_stopword can pass)."""
+    import re
+
+    from yelp_data_engineering_pipeline_spark.operators.preptext import rule_filter
+    from yelp_data_engineering_pipeline_spark.operators.textstats import _STOPWORDS
+
+    texts = []
+    for i, words in enumerate(docs):
+        if i % 2 == 0:  # half the docs get stopwords sprinkled in
+            words = words + list(_STOPWORDS[: i % 5 + 1])
+        texts.append(" ".join(words))
+
+    def model(text):
+        ws = [w for w in re.split(r"\s+", text) if w != ""]
+        n_tokens = len(ws)
+        n_chars = len(text)
+        n_alpha = len(re.sub(r"[^a-zA-Z]", "", text))
+        n_stop = sum(1 for w in ws if w.lower() in _STOPWORDS)
+        awl = n_chars / n_tokens if n_tokens else None
+        ar = n_alpha / n_chars if n_chars else None
+        r_wc = 30 <= n_tokens <= 10_000
+        r_wl = awl is not None and 3.0 <= awl <= 6.0
+        r_al = ar is not None and ar >= 0.82
+        r_st = n_stop >= 2
+        return (n_tokens, r_wc, r_wl, r_al, r_st, r_wc and r_wl and r_al and r_st)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["r_word_count"], r["r_word_len"],
+            r["r_alpha"], r["r_stopword"], r["keep"],
+        )
+        for r in rule_filter(df).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == model(t), (i, t)
