@@ -582,11 +582,17 @@ def agg_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(groups) rows, and the closed-form slope/intercept are single
     double divisions on identical BIGINT operands in both engines.
 
-    x is centered on a fixed epoch so Σxx stays far from int64 overflow
-    (3.5e6-second spans, cent-grid y: n·Σxx ≈ 3e16 « 2^63); at larger
-    spans re-center per partition-month and merge, same monoid. This is
-    how MLlib's linear summarizers work under the hood — expressed
-    declaratively."""
+    x is centered on a fixed epoch so the integer SUMS stay exact in
+    int64 (x ≤ 3.5e6 s, cent-grid y: Σxx ≈ 3.4e17 at sf0.1 « 2^63;
+    exact through ~sf1 — beyond that re-center per partition-month and
+    merge, same monoid). The closed-form COMBINATION (n·Σxx − Σx²) is
+    ~1e23 at sf0.1 and must NOT run in int64 — DuckDB silently promotes
+    to int128 while Spark's ANSI mode throws ARITHMETIC_OVERFLOW (found
+    by the round-4 full sf0.1 differential). Both engines therefore cast
+    the five exact sums to DOUBLE first and combine with the same IEEE
+    operation order — bit-identical results, no overflow at any scale.
+    This is how MLlib's linear summarizers work under the hood —
+    expressed declaratively."""
     ev = load(spark, sf_dir, "events")
     pts = ev.select(
         "event_type",
@@ -600,16 +606,19 @@ def agg_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    den = n_d * sxx_d - sx_d * sx_d
+    slope = (n_d * sxy_d - sx_d * sy_d) / den
     return (
         stats.select(
             "event_type",
             "n",
             F.when(den != 0, slope).alias("slope_cents_per_sec"),
-            F.when(den != 0, (F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
-                "intercept_cents"
-            ),
+            F.when(den != 0, (sy_d - slope * sx_d) / n_d).alias("intercept_cents"),
         )
         .orderBy("event_type")
     )
@@ -633,14 +642,23 @@ register(
              CAST(SUM(x * x) AS BIGINT) AS sxx,
              CAST(SUM(x * y) AS BIGINT) AS sxy
       FROM pts GROUP BY event_type
+    ),
+    d AS (
+      SELECT event_type, n,
+             CAST(n AS DOUBLE) AS n_d, CAST(sx AS DOUBLE) AS sx_d,
+             CAST(sy AS DOUBLE) AS sy_d, CAST(sxx AS DOUBLE) AS sxx_d,
+             CAST(sxy AS DOUBLE) AS sxy_d
+      FROM stats
     )
     SELECT event_type, n,
-           CASE WHEN n * sxx - sx * sx <> 0
-                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope_cents_per_sec,
-           CASE WHEN n * sxx - sx * sx <> 0
-                THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+           CASE WHEN n_d * sxx_d - sx_d * sx_d <> 0
+                THEN (n_d * sxy_d - sx_d * sy_d) / (n_d * sxx_d - sx_d * sx_d)
+           END AS slope_cents_per_sec,
+           CASE WHEN n_d * sxx_d - sx_d * sx_d <> 0
+                THEN (sy_d - ((n_d * sxy_d - sx_d * sy_d) / (n_d * sxx_d - sx_d * sx_d)) * sx_d)
+                       / n_d
            END AS intercept_cents
-    FROM stats
+    FROM d
     ORDER BY event_type
     """,
 )
