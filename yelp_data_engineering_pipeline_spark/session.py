@@ -50,9 +50,9 @@ def get_spark(app_name: str = "yelp-pipeline-spark", *, shuffle_partitions: int 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-        # The driver's events.parquet stores TIMESTAMP(NANOS) which the
-        # vectorized reader rejects; read as long, convert in tables.py.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NOTE: no nanosAsLong conf — tables.load reads event timestamps
+        # as physical INT64 via an explicit schema (round 4), so the
+        # engine no longer depends on ANY session conf for correctness.
         # Files: pack small test files, bound huge scans at scale.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
