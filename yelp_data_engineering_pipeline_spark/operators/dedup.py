@@ -164,8 +164,18 @@ def minhash_lsh_pairs(
     )
     sets = base.select("doc_id", "sh")
     verified = (
-        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")).hint(
+                "shuffle_hash"  # O(corpus) shingle arrays: never broadcast
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")).hint(
+                "shuffle_hash"
+            ),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -762,8 +772,18 @@ def minhash_incremental_pairs(
     )
     sets = base.select("doc_id", "sh")
     verified = (
-        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")).hint(
+                "shuffle_hash"  # O(corpus) shingle arrays: never broadcast
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")).hint(
+                "shuffle_hash"
+            ),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -820,7 +840,13 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity: per-pair integers only (match count, set sizes) plus the
     single exact-Jaccard division — no cross-pair double aggregation
-    (averaging IEEE doubles is order-dependent and engine-divergent)."""
+    (averaging IEEE doubles is order-dependent and engine-divergent).
+
+    The signature+shingle side of the verify joins is O(corpus) with
+    heavy arrays and must NEVER broadcast — the planner's size estimate
+    comes from the compressed scan and undershoots the materialized
+    arrays by orders of magnitude (OOM'd a 1 GiB bare driver at the 10×
+    stress tier, round 4). shuffle_hash hints pin the scale-safe plan."""
     docs = widen_for_compute(load(spark, sf_dir, "documents"))
     base = (
         docs.select(F.col("doc_id"), shingles(F.col("text")).alias("sh"))
@@ -858,8 +884,8 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col(f"ha{i}") == F.col(f"hb{i}")).cast("int") for i in range(N_HASHES)
     )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",

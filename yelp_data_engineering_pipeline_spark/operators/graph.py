@@ -61,13 +61,18 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
+        # labels/nbr_min are O(nodes): a sort-merge hint pins the keyed join —
+        # a planner broadcast of a node-sized table dies at scale, and a
+        # shuffle-hash build map can exhaust a small heap (both observed
+        # at the 10× stress tier under a 1 GiB bare driver, round 4);
+        # sort-merge spills gracefully.
         nbr_min = (
-            sym.join(labels, sym["d"] == labels["node"])
+            sym.join(labels.hint("merge"), sym["d"] == labels["node"])
             .groupBy(F.col("s").alias("node"))
             .agg(F.min("label").alias("nbr_min"))
         )
         stepped = (
-            labels.join(nbr_min, "node", "left")
+            labels.join(nbr_min.hint("merge"), "node", "left")
             .select(
                 "node",
                 F.col("label").alias("old_label"),
@@ -168,9 +173,13 @@ def pagerank(
     deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     ranks = deg.select(F.col("s").alias("node"), F.lit(1_000_000).cast("bigint").alias("r"))
     for _ in range(rounds):
+        # deg/ranks are O(nodes) and must never broadcast (10× stress
+        # tier OOM under a 1 GiB bare driver, round 4); sort-merge — not
+        # shuffle_hash, whose per-partition build map also OOM'd the
+        # bare heap — keeps every round a spill-safe keyed join.
         contrib = (
-            sym.join(deg, "s")
-            .join(ranks.withColumnRenamed("node", "s"), "s")
+            sym.join(deg.hint("merge"), "s")
+            .join(ranks.withColumnRenamed("node", "s").hint("merge"), "s")
             .select(F.col("d").alias("node"), F.expr("r div deg").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
