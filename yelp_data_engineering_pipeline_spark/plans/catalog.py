@@ -54,9 +54,14 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # - salted aggregation + CDC diff (families with no driver row yet).
 # Remaining never-checked entries (agg_* variants, funnel/cohort,
 # dedup audit variants, fuzzy/bloom joins, zorder) rotate into the
-# round-5 window — along with join_left_anti and setop_except, whose
-# round-1 green rows were VACUOUS (0-row results at every SF; predicates
-# strengthened in round 4) and which therefore need a fresh driver row.
+# round-5 window — along with every entry whose code changed AFTER this
+# window was frozen and which therefore needs a fresh driver row:
+#   join_left_anti, setop_except   (r1 rows were VACUOUS 0-row passes;
+#                                   predicates strengthened in r4)
+#   agg_groupwise_ols              (int64-overflow fix at sf0.1)
+#   dedup_minhash_accuracy, dedup_minhash_lsh, dedup_incremental_pairs,
+#   dedup_clusters                 (shuffle_hash/merge join pinning)
+#   prep_rule_filter               (new in r4)
 _PRIORITY: tuple[str, ...] = (
     "flagship_revenue_by_nation",
     "agg_conditional",
