@@ -70,6 +70,40 @@ def test_date_partitioned_events_prune(spark, sf_dir, tmp_path):
     assert n_files < total_files
 
 
+def test_events_load_handles_every_timestamp_unit(spark, tmp_path):
+    """tables.load must deliver identical epoch micros for s/ms/us/ns
+    parquet timestamp units (the driver has already shipped two of
+    these across rounds) — each unit exercises its own conversion arm."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    base_us = [1_704_067_200_000_000, 1_706_659_032_194_062]
+    for unit, scale in (("s", 1_000_000), ("ms", 1_000), ("us", 1), ("ns", 1)):
+        vals = [v // scale if unit != "ns" else v * 1000 for v in base_us]
+        expect = [v // scale * scale if unit != "ns" else v for v in base_us]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(vals, pa.timestamp(unit)),
+                "user_id": pa.array([7, 8], pa.int64()),
+                "event_type": pa.array(["a", "b"], pa.string()),
+                "value": pa.array([1.0, 2.0], pa.float64()),
+            }
+        )
+        d = tmp_path / f"unit_{unit}"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "events.parquet"))
+        got = sorted(
+            r["us"]
+            for r in load(spark, str(d), "events")
+            .select(F.unix_micros("ts").alias("us"))
+            .collect()
+        )
+        assert got == expect, unit
+
+
 def test_events_load_is_timezone_free(spark, sf_dir):
     """tables.load must deliver the SAME epoch micros under any session
     timezone and any conf state.
