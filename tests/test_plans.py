@@ -527,3 +527,32 @@ def test_tpch_q21_single_lineitem_pass(spark, sf_dir):
     plan = _formatted(tpch_q21_waiting_suppliers(spark, sf_dir))
     assert plan.count("lineitem.parquet") <= 2  # persisted pairs: ≤1 live + reuse
     assert "BroadcastHashJoin" in plan  # supplier decoration broadcasts
+
+
+def test_tpch_q1_pushes_date_filter_to_scan(spark, sf_dir):
+    """Q1 is THE full-scan agg: the shipdate bound must reach the
+    parquet reader (PushedFilters) and the agg must run over one scan
+    with no join or shuffle beyond the group-by exchange."""
+    from yelp_data_engineering_pipeline_spark.plans.tpch import tpch_q1_pricing_summary
+
+    plan = _formatted(tpch_q1_pricing_summary(spark, sf_dir))
+    assert "LessThan(l_shipdate" in plan          # predicate at the scan
+    assert "Join" not in plan                     # single-table query
+    import re
+
+    # exactly two shuffles: the group-by and the tiny final sort
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+
+def test_tpch_q5_broadcasts_every_dimension(spark, sf_dir):
+    """Q5's 6-way join must broadcast the bounded dims (region, nation,
+    supplier, customer, orders side chains) and never sort-merge them —
+    lineitem is the only large input, so the scale plan is a broadcast
+    chain over one lineitem scan."""
+    from yelp_data_engineering_pipeline_spark.plans.tpch import (
+        tpch_q5_local_supplier_volume,
+    )
+
+    plan = _formatted(tpch_q5_local_supplier_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
