@@ -70,6 +70,26 @@ def main() -> None:
         n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(f"{out}/{t}.parquet: {n} rows")
 
+    # Composite check dir: 10x scaled tables + the sf0.1 star tables, so
+    # tools/check_oracle.py can run the full VALUE differential at the 10x
+    # tier (this sweep caught the OLS int64 overflow and two planner
+    # broadcast-OOM traps in round 4):
+    #   python tools/check_oracle.py --bare /tmp/stresscheck <entries...>
+    check = f"{out}check" if out.endswith("10") else f"{out}_check"
+    check = "/tmp/stresscheck" if out == "/tmp/stressx10" else check
+    os.makedirs(check, exist_ok=True)
+    star = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+    for t in star:
+        dst = f"{check}/{t}.parquet"
+        if not os.path.lexists(dst):
+            os.symlink(f"{src}/{t}.parquet", dst)
+    for t in ("documents", "embeddings", "events"):
+        dst = f"{check}/{t}.parquet"
+        if os.path.lexists(dst):
+            os.remove(dst)
+        os.symlink(f"{out}/{t}.parquet", dst)
+    print(f"{check}: composite dir for the 10x value differential")
+
 
 if __name__ == "__main__":
     main()
