@@ -199,40 +199,53 @@ def topk_lsh_multitable(
 ) -> DataFrame:
     """Multi-table random-hyperplane ANN — the production default.
 
-    Candidate generation: for each of the L plane tables, bucket both
-    sides by the sign pattern of the plane dot products and equi-join on
-    the bucket; the candidate set is the UNION (deduped) of all tables —
+    Candidate generation: every vector emits L (table_id, bucket) keys —
+    the sign pattern of that table's plane dot products — and the
+    candidate set is ONE equi-join on the composite key, deduped:
     OR-amplification, the standard recall lever for cosine LSH (miss
-    probability decays as (1 - p)^L). Verification: join candidate ids
-    back to their vectors and rank by exact cosine.
+    probability decays as (1 - p)^L). A vector colliding in table i
+    shares the key (i, bucket_i), so the single join is exactly the
+    union of L per-table bucket joins — but the join/shuffle COUNT stays
+    constant as L grows (shuffle volume is L·N rows, one stage), instead
+    of L separate join stages. Verification: join candidate ids back to
+    their vectors and rank by exact cosine.
 
-    Scale: each table is a bucket hash join (never all-pairs); the
-    distinct() collapses the candidate union before the verify join, so
-    exact cosine runs once per unique candidate pair. Query side is
-    broadcast (bounded query sets); the corpus never shuffles except by
-    bucket/neighbor id.
+    Scale: the composite-key join is a bucket hash join (never
+    all-pairs); the distinct() collapses the candidate union before the
+    verify join, so exact cosine runs once per unique candidate pair.
+    Query side is broadcast (bounded query sets); the corpus never
+    shuffles except by bucket/neighbor id.
     """
     from pyspark.sql import Window
 
+    assert plane_tables, "at least one plane table required"
     q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
     c = widen_for_compute(corpus).select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
     )
-    cands: DataFrame | None = None
-    for planes in plane_tables:
-        qb = q.select("query_id", rph_bucket(F.col("q_emb"), planes).alias("bucket"))
-        cb = c.select("neighbor_id", rph_bucket(F.col("c_emb"), planes).alias("bucket"))
-        t = (
-            F.broadcast(qb)
-            .join(cb, "bucket")
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id")
+
+    def keys(df: DataFrame, id_col: str, emb: str) -> DataFrame:
+        tagged = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("tid"), rph_bucket(F.col(emb), p).alias("bucket")
+                )
+                for i, p in enumerate(plane_tables)
+            ]
         )
-        cands = t if cands is None else cands.unionByName(t)
-    assert cands is not None, "at least one plane table required"
+        return df.select(id_col, F.explode(tagged).alias("k")).select(
+            id_col, F.col("k.tid").alias("tid"), F.col("k.bucket").alias("bucket")
+        )
+
+    cands = (
+        F.broadcast(keys(q, "query_id", "q_emb"))
+        .join(keys(c, "neighbor_id", "c_emb"), ["tid", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
     pairs = (
-        cands.distinct()
-        .join(F.broadcast(q), "query_id")
+        cands.join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
         .select(
             "query_id",
