@@ -451,3 +451,79 @@ def test_stream_stream_join_matches_batch(spark, tmp_path, sf_dir):
         for r in spark.sql("SELECT * FROM ssj_test").collect()
     }
     assert got == expected
+
+
+def test_stream_stream_join_state_survives_restart(spark, tmp_path, sf_dir):
+    """Cross-restart recovery contract: views arriving BEFORE a shutdown
+    must still attribute clicks arriving AFTER the restart — the join
+    state is rebuilt from the checkpoint, and the accumulated output
+    equals the batch result exactly once (no lost views, no re-emits)."""
+    from yelp_data_engineering_pipeline_spark.streaming.windows import attribution_pairs
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    events = load(spark, sf_dir, "events")
+    expected = {
+        (r["click_id"], r["view_id"])
+        for r in attribution_pairs(
+            events.filter(F.col("event_type") == "view"),
+            events.filter(F.col("event_type") == "click"),
+        ).collect()
+    }
+    assert expected  # non-vacuous
+
+    rows = sorted(
+        events.filter(F.col("event_type").isin("view", "click")).collect(),
+        key=lambda r: (r["ts"], r["event_id"]),
+    )
+    half = len(rows) // 2
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    in_dir.mkdir()
+
+    def write_file(name, chunk):
+        with (in_dir / name).open("w") as f:
+            for r in chunk:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": r["event_id"],
+                            "ts": r["ts"].isoformat(sep=" "),
+                            "user_id": r["user_id"],
+                            "event_type": r["event_type"],
+                        }
+                    )
+                    + "\n"
+                )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def drain():
+        def side(t):
+            return (
+                spark.readStream.schema(schema)
+                .json(str(in_dir))
+                .filter(F.col("event_type") == t)
+                .withWatermark("ts", "1 hour")
+            )
+
+        q = (
+            attribution_pairs(side("view"), side("click"))
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_file("t1.ndjson", rows[:half])   # first half of the timeline
+    drain()                                # ... then the query SHUTS DOWN
+    write_file("t2.ndjson", rows[half:])   # late half arrives offline
+    drain()                                # restart from the checkpoint
+
+    got = [
+        (r["click_id"], r["view_id"])
+        for r in spark.read.parquet(str(out_dir)).collect()
+    ]
+    assert len(got) == len(set(got))       # exactly-once: no re-emits
+    assert set(got) == expected            # cross-restart pairs included
