@@ -527,3 +527,58 @@ def test_stream_stream_join_state_survives_restart(spark, tmp_path, sf_dir):
     ]
     assert len(got) == len(set(got))       # exactly-once: no re-emits
     assert set(got) == expected            # cross-restart pairs included
+
+
+def test_stateful_state_survives_restart(spark, tmp_path, sf_dir):
+    """applyInPandasWithState across a REAL restart: per-user running
+    stats accumulated before a shutdown must continue (not reset) when
+    a new query starts from the same checkpoint — the state-store
+    recovery contract of the custom stateful operator."""
+    from yelp_data_engineering_pipeline_spark.streaming.stateful import running_user_stats
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    events = load(spark, sf_dir, "events").select("user_id", "value")
+    expected = {
+        r["user_id"]: (r["n"], round(r["s"], 2))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+
+    in_dir, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    in_dir.mkdir()
+    rows = events.collect()
+    half = len(rows) // 2
+
+    def write_file(name, chunk):
+        with (in_dir / name).open("w") as f:
+            for r in chunk:
+                f.write(json.dumps({"user_id": r["user_id"], "value": r["value"]}) + "\n")
+
+    final = {}
+
+    def capture(batch_df, batch_id):
+        # memory sink cannot recover from a checkpoint; foreachBatch can
+        for r in batch_df.collect():
+            cur = final.get(r["user_id"])
+            if cur is None or r["n_events"] > cur[0]:
+                final[r["user_id"]] = (r["n_events"], round(r["total_value"], 2))
+
+    def drain():
+        stream = spark.readStream.schema("user_id long, value double").json(str(in_dir))
+        q = (
+            running_user_stats(stream)
+            .writeStream.foreachBatch(capture)
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_file("a.ndjson", rows[:half])
+    drain()                              # query stops; state is checkpointed
+    write_file("b.ndjson", rows[half:])
+    drain()                              # NEW query resumes the state store
+
+    assert final == expected             # counts continued across the restart
