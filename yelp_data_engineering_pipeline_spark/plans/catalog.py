@@ -40,83 +40,84 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # only after r3). Entries already driver-green in r1/r3 with unchanged
 # code keep that evidence and move to the tail.
 #
-# Round-4 window (exactly 50):
+# Round-5 window (exactly 50) — the ZERO-VERIFICATION-DEBT round
+# (VERDICT.md r4 next-2). Composition:
 # - flagship (always first: the driver's smoke query);
-# - agg_conditional (r3's only red row — now integer-exact, fix proof);
-# - mm_decode_stub (gained a real oracle this round — clears no_oracle);
-# - the full 22-query TPC-H suite (never checked; the canonical
-#   join+agg hard cases);
-# - the never-checked extension rows: passage dedup, multimodal
-#   frame/audio, the four r3 streaming additions, graph, prep/profile/
-#   timeseries families;
-# - similarity_topk_lsh + similarity_recall_at_k (plan changed this
-#   round: multi-table random-hyperplane default needs a fresh row);
-# - salted aggregation + CDC diff (families with no driver row yet).
-# Remaining never-checked entries (agg_* variants, funnel/cohort,
-# dedup audit variants, fuzzy/bloom joins, zorder) rotate into the
-# round-5 window — along with every entry whose code changed AFTER this
-# window was frozen and which therefore needs a fresh driver row:
-#   join_left_anti, setop_except   (r1 rows were VACUOUS 0-row passes;
-#                                   predicates strengthened in r4)
-#   agg_groupwise_ols              (int64-overflow fix at sf0.1)
-#   dedup_minhash_accuracy, dedup_minhash_lsh, dedup_incremental_pairs,
-#   dedup_clusters                 (shuffle_hash/merge join pinning)
-#   prep_rule_filter               (new in r4)
+# - agg_conditional at position 2 (hash-red in r3 AND r4 while the
+#   strict local exact-value differential passed; r5 removes the last
+#   suspect — BOOLEAN output columns, the only such entry of 168 — by
+#   CASTing bool_or/bool_and to INT on both engines);
+# - ALL 35 entries that have never had a driver CORRECTNESS row
+#   (computed as catalog minus the union of r1/r3/r4 row keys);
+# - the 4 entries whose code changed AFTER their green row was
+#   recorded: join_left_anti + setop_except (r1 rows were VACUOUS
+#   0-row passes; predicates strengthened in r4), dedup_minhash_lsh +
+#   dedup_clusters (r3-green; join-strategy pinning landed in r4);
+# - entries whose code/oracle changes IN r5 and therefore need a fresh
+#   row: mm_decode_stub (oracle NULL-payload coalesce, ADVICE r4),
+#   prep_rule_filter is already in the never-checked set (coalesce +
+#   whitespace-class fixes, ADVICE r4), graph_pagerank (heap-residual
+#   work, VERDICT r4 next-6);
+# - padding to 50 with the OLDEST-evidence r1 rows so their evidence
+#   refreshes (dim_merge_get_or_create, window_surrogate_keys, ...).
+# After this window every entry in the catalog has a driver row from a
+# round whose code matches current, except any r5 stragglers — which
+# the same rule rotates into r6.
 _PRIORITY: tuple[str, ...] = (
     "flagship_revenue_by_nation",
     "agg_conditional",
+    # -- the 35 never-driver-checked entries --
+    "agg_grouping_sets",
+    "agg_mad_robust",
+    "agg_string_listagg",
+    "agg_mode_argmax",
+    "agg_winsorized_stats",
+    "window_running_distinct",
+    "agg_groupwise_ols",
+    "funnel_conversion",
+    "cohort_retention",
+    "rollup_time_cascade",
+    "func_casts",
+    "func_hash_md5",
+    "join_asof_forward_tolerance",
+    "join_interval_overlap",
+    "join_bloom_prefilter",
+    "text_pmi_bigrams",
+    "emb_label_centroid",
+    "emb_nearest_centroid",
+    "dedup_exact_keep_first",
+    "dedup_containment",
+    "dedup_threshold_sweep",
+    "dedup_incremental_pairs",
+    "dedup_minhash_accuracy",
+    "dedup_source_matrix",
+    "dedup_ngram_novelty",
+    "join_fuzzy_blocked",
+    "text_token_count",
+    "text_lang_confusion",
+    "dedup_canonical",
+    "text_boolean_search",
+    "text_lm_coverage",
+    "prep_rule_filter",
+    "diag_key_skew",
+    "agg_incremental_merge",
+    "layout_zorder",
+    # -- stale evidence: code changed after the green row --
+    "join_left_anti",
+    "setop_except",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    # -- changed in r5 (oracle / heap-path edits) --
     "mm_decode_stub",
-    # -- TPC-H: the full suite, never driver-checked --
-    "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_nation_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_types",
-    "tpch_q12_late_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_part_supplier_relation",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_dominant_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_customers",
-    # -- never-checked extension families --
-    "dedup_passage_prune",
-    "mm_frame_sample",
-    "mm_audio_chunks",
-    "stream_sliding_window",
-    "stream_session_window_native",
-    "stream_window_approx_distinct",
-    "stream_stream_join",
     "graph_pagerank",
-    "graph_triangles",
-    "prep_stratified_sample",
-    "pipeline_corpus_prep",
-    "prep_length_bins",
-    "prep_shard_histogram",
-    "prep_token_budget_mix",
-    "prep_leakage_safe_split",
-    "prep_interleave_sources",
-    "prep_score_quantile_norm",
-    "profile_table",
-    "profile_by_source",
-    "ts_gapfill_locf",
-    "event_transitions",
-    # -- plan changed this round (multi-table rph default) --
-    "similarity_topk_lsh",
-    "similarity_recall_at_k",
-    # -- families with no driver row yet --
-    "agg_salted_groupby",
-    "cdc_snapshot_diff",
+    # -- oldest-evidence r1 refresh padding --
+    "dim_merge_get_or_create",
+    "window_surrogate_keys",
+    "join_theta_residual",
+    "func_interval_arith",
+    "window_topk_per_group",
+    "agg_distinct",
+    "func_url_parse",
 )
 
 
