@@ -231,14 +231,19 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sum_big_cents`` is accumulated on the integer cents grid — each value
     is rounded to cents and CAST to BIGINT *before* the SUM — so the result
     is an exact integer on both engines.  That cents-grid rewrite (r4) did
-    NOT clear the external driver row, which stayed hash-red in two
-    independent windows while the strict local exact-value differential
-    passed both times.  This query was the only one of 168 emitting BOOLEAN
-    output columns, so the remaining suspect is the driver's boolean hash
-    canonicalization (``True``/``true``/``1`` divergence between its Spark
-    and DuckDB paths).  ``any_huge``/``all_nonneg`` are therefore CAST to
-    INT (0/1) on BOTH engines, removing booleans from the output domain
-    entirely (VERDICT.md r4 §wrong-1 / §next-1)."""
+    NOT clear the external driver row.  Root cause found in r5: DuckDB's
+    ``count_if`` returns HUGEINT, which pandas converts to **float64**
+    (``1.0``) while Spark's ``count_if`` yields int64 (``1``) — a dtype
+    divergence invisible to the local ``fetchall()``-based differential
+    (HUGEINT fetches as a Python int) but fatal to any pandas-mediated
+    hash compare.  ``n_big`` was present and uncast in BOTH red rounds,
+    which the boolean/double theories never explained.  Fix: the oracle
+    CASTs ``count_if`` to BIGINT.  ``any_huge``/``all_nonneg`` are also
+    CAST to INT (0/1) on both engines per VERDICT r4 §next-1 —
+    booleans elsewhere in the catalog have passed the driver's hash, but
+    removing them here costs nothing and shrinks the output domain to
+    {string, int64} (see tests/test_schema_domain.py for the
+    catalog-wide pandas-dtype-parity gate this incident produced)."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count_if(F.col("value") > 400).alias("n_big"),
@@ -258,7 +263,7 @@ register(
     agg_conditional,
     """
     SELECT event_type,
-           count_if(value > 400) AS n_big,
+           CAST(count_if(value > 400) AS BIGINT) AS n_big,
            CAST(bool_or(value > 489) AS INT) AS any_huge,
            CAST(bool_and(value >= 0) AS INT) AS all_nonneg,
            CAST(SUM(CASE WHEN value > 400
