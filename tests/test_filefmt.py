@@ -133,3 +133,49 @@ def test_xml_round_trip_with_entities(spark, tmp_path):
     # & and <> survive the escape/unescape round-trip byte-exactly
     assert back.filter("id = 1").collect()[0]["name"] == "Cafe & Co <deluxe>"
     assert back.filter("id = 2").collect()[0]["name"] is None
+
+
+# --- timestamp-unit footer sniffing (tables._ts_long_schema) -----------------
+#
+# The events loader builds ONE unit→micros conversion from the parquet
+# footers and applies it to the whole scan, so every file in a directory
+# must agree on timestamp unit and physical type; a mixed-unit append by
+# a different writer must fail loudly, not silently mis-scale by 1000×
+# (ADVICE r4).
+
+
+def _write_ts_file(path, unit):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "ts": pa.array([1_700_000_000_000] * 3, pa.timestamp(unit)),
+            "v": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def test_ts_sniff_consistent_multifile_dir(tmp_path):
+    from yelp_data_engineering_pipeline_spark.tables import _ts_long_schema
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    _write_ts_file(str(d / "part-0.parquet"), "ms")
+    _write_ts_file(str(d / "part-1.parquet"), "ms")
+    schema, ts_exprs = _ts_long_schema(str(d))
+    assert ts_exprs == {"ts": "ts * 1000"}  # ms → micros
+
+
+def test_ts_sniff_rejects_mixed_units(tmp_path):
+    import pytest
+
+    from yelp_data_engineering_pipeline_spark.tables import _ts_long_schema
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    _write_ts_file(str(d / "part-0.parquet"), "ms")
+    _write_ts_file(str(d / "part-1.parquet"), "us")
+    with pytest.raises(ValueError, match="mixed parquet schemas"):
+        _ts_long_schema(str(d))

@@ -352,6 +352,12 @@ def test_rule_filter_matches_python_model(spark, docs):
         if i % 2 == 0:  # half the docs get stopwords sprinkled in
             words = words + list(_STOPWORDS[: i % 5 + 1])
         texts.append(" ".join(words))
+    # deterministic edge docs the generator can't produce (min_size=1
+    # non-whitespace words): empty / whitespace-only exercise the NULL
+    # ratio → False coalesce (ADVICE r4), vertical tab exercises the
+    # engine-independent whitespace class (Java \s vs RE2 \s differ on
+    # \x0b; the explicit class matches Python's re \s for ASCII).
+    texts += ["", "   ", "\t\x0b\f", "a\x0bb cd\x0bef"]
 
     def model(text):
         ws = [w for w in re.split(r"\s+", text) if w != ""]

@@ -173,11 +173,14 @@ register(
     mm_decode_stub,
     f"""
     WITH media AS (
+      -- coalesce mirrors the decode kernel, which maps a NULL payload to
+      -- b'' (n_bytes 0, md5 of empty, width/height 0) rather than
+      -- propagating NULL (ADVICE r4: latent mismatch on NULL text).
       SELECT doc_id AS media_id,
              'text/plain' AS media_type,
-             upper(hex(encode(text))) AS hx,
-             CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-             md5(text) AS checksum
+             upper(hex(encode(coalesce(text, '')))) AS hx,
+             CAST(octet_length(encode(coalesce(text, ''))) AS INT) AS n_bytes,
+             md5(coalesce(text, '')) AS checksum
       FROM documents
     )
     SELECT media_id, media_type, n_bytes,

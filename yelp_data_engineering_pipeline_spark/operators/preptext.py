@@ -77,7 +77,7 @@ register(
     r"""
     WITH base AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS ws
+             list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS ws
       FROM documents
     ),
     sized AS (
@@ -138,7 +138,7 @@ register(
     SELECT lang,
            CASE WHEN {_HEX4} % 100 < 10 THEN 'val' ELSE 'train' END AS split,
            COUNT(*) AS n_docs,
-           CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''))) AS BIGINT) AS n_tokens
+           CAST(SUM(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x != ''))) AS BIGINT) AS n_tokens
     FROM documents
     GROUP BY 1, 2
     """,
@@ -189,7 +189,7 @@ register(
     r"""
     WITH tok AS (
       SELECT lang AS grp, doc_id,
-             CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS BIGINT) AS n_tokens
+             CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS BIGINT) AS n_tokens
       FROM documents
     ),
     cum AS (
@@ -293,7 +293,7 @@ register(
     WITH base AS (
       SELECT doc_id,
              list_filter(string_split(text, '.'), s -> trim(s) != '') AS ln,
-             list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS ws
+             list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS ws
       FROM documents
     ),
     bg AS (
@@ -360,7 +360,7 @@ def prep_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB twin reuses the shingle pipeline from the dedup oracles.
-_SHINGLE_WS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"
+_SHINGLE_WS = r"list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x != '')"
 _SHINGLE_LIST = (
     f"list_distinct(list_transform(range(1, greatest(len({_SHINGLE_WS}) - 1, 1)),"
     f" i -> array_to_string(({_SHINGLE_WS})[i:i+2], ' ')))"
@@ -437,7 +437,7 @@ register(
     prep_vocab,
     r"""
     WITH tok AS (
-      SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS token
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS token
       FROM documents
     ),
     counts AS (
@@ -551,7 +551,7 @@ register(
     rf"""
     WITH feat AS (
       SELECT doc_id, text,
-             list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS ws
+             list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS ws
       FROM documents
     ),
     kept AS (
@@ -748,7 +748,7 @@ register(
     r"""
     WITH tok AS (
       SELECT source, doc_id,
-             CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS BIGINT) AS n_tokens,
              CAST(CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0 THEN 800 ELSE 400 END AS BIGINT) AS budget
       FROM documents
     ),
@@ -972,8 +972,13 @@ def rule_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
     avg_word_len = n_chars.cast("double") / F.nullif(n_tokens, F.lit(0))
     alpha_ratio = n_alpha.cast("double") / F.nullif(n_chars, F.lit(0))
     r_word_count = n_tokens.between(30, 10_000)
-    r_word_len = avg_word_len.between(3.0, 6.0)
-    r_alpha = alpha_ratio >= 0.82
+    # coalesce(False): on an empty/whitespace-only document the nullif
+    # divisor makes the ratios NULL — the documented gate semantics say
+    # every rule is a concrete pass/fail, so NULL ratios FAIL the rule
+    # (matches the pure-Python model in tests/test_properties.py;
+    # ADVICE r4).
+    r_word_len = F.coalesce(avg_word_len.between(3.0, 6.0), F.lit(False))
+    r_alpha = F.coalesce(alpha_ratio >= 0.82, F.lit(False))
     r_stopword = n_stop >= 2
     return docs.select(
         "doc_id",
@@ -997,7 +1002,7 @@ def _rule_filter_oracle() -> str:
     return rf"""
     WITH base AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS ws,
+             list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS ws,
              length(text) AS n_chars,
              length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
       FROM documents
@@ -1012,11 +1017,12 @@ def _rule_filter_oracle() -> str:
     )
     SELECT doc_id, n_tokens,
            n_tokens BETWEEN 30 AND 10000 AS r_word_count,
-           awl BETWEEN 3.0 AND 6.0 AS r_word_len,
-           ar >= 0.82 AS r_alpha,
+           coalesce(awl BETWEEN 3.0 AND 6.0, false) AS r_word_len,
+           coalesce(ar >= 0.82, false) AS r_alpha,
            n_stop >= 2 AS r_stopword,
-           (n_tokens BETWEEN 30 AND 10000) AND (awl BETWEEN 3.0 AND 6.0)
-             AND (ar >= 0.82) AND (n_stop >= 2) AS keep
+           (n_tokens BETWEEN 30 AND 10000)
+             AND coalesce(awl BETWEEN 3.0 AND 6.0, false)
+             AND coalesce(ar >= 0.82, false) AND (n_stop >= 2) AS keep
     FROM f
     """
 

@@ -16,7 +16,7 @@ from ..partitioning import widen_for_compute
 from ..tables import load
 
 # BPE-ish tokenizer: letter runs, digit runs, single punctuation.
-_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0b\f\r]"
 
 _STOPWORDS = ["the", "a", "of", "and", "in", "to", "is"]
 
@@ -36,7 +36,12 @@ def tokens(text: Column) -> Column:
 
 
 def whitespace_tokens(text: Column) -> Column:
-    return F.filter(F.split(text, r"\s+"), lambda x: x != "")
+    # Explicit class instead of \s: Java's \s is [ \t\n\x0b\f\r] but
+    # DuckDB's RE2 \s EXCLUDES \x0b, so a document containing a vertical
+    # tab would tokenize differently across engines (ADVICE r4). The
+    # class below IS Java's \s, spelled engine-independently; every
+    # DuckDB oracle uses the same class.
+    return F.filter(F.split(text, r"[ \t\n\x0b\f\r]+"), lambda x: x != "")
 
 
 def quality_features(text: Column) -> dict[str, Column]:
@@ -140,8 +145,8 @@ register(
     text_token_count,
     rf"""
     SELECT doc_id,
-           CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS INT) AS n_ws_tokens,
-           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_bpe_tokens
+           CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0b\f\r]')) AS INT) AS n_bpe_tokens
     FROM documents
     """,
 )
@@ -181,7 +186,7 @@ register(
     rf"""
     WITH base AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS ws,
+             list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS ws,
              length(text) AS n_chars,
              length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
       FROM documents
@@ -230,7 +235,7 @@ register(
              len(list_filter(ws, x -> lower(x) IN ({_markers_in('fr')}))) AS s_fr,
              len(list_filter(ws, x -> lower(x) IN ({_markers_in('de')}))) AS s_de
       FROM (SELECT doc_id, lang,
-                   list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS ws
+                   list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS ws
             FROM documents)
     )
     SELECT doc_id, lang,
@@ -304,7 +309,7 @@ register(
     r"""
     WITH feat AS (
       SELECT doc_id, text, lang,
-             CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS INT) AS n_tokens
+             CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS INT) AS n_tokens
       FROM documents
     ),
     kept AS (
@@ -369,7 +374,7 @@ register(
     r"""
     WITH terms AS (
       SELECT doc_id,
-             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')) AS term
+             unnest(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'), x -> x != '')) AS term
       FROM documents
     ),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
@@ -411,7 +416,7 @@ register(
              len(list_filter(ws, x -> lower(x) IN ({_markers_in('fr')}))) AS s_fr,
              len(list_filter(ws, x -> lower(x) IN ({_markers_in('de')}))) AS s_de
       FROM (SELECT doc_id, lang,
-                   list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS ws
+                   list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS ws
             FROM documents)
     ),
     pred AS (

@@ -55,15 +55,43 @@ def _ts_long_schema(path: str):
     from pyspark.sql import types as T
 
     if os.path.isdir(path):
-        path = sorted(glob.glob(f"{path}/*.parquet"))[0]
+        paths = sorted(glob.glob(f"{path}/*.parquet"))
+    else:
+        paths = [path]
+    # Sniff EVERY file's footer, not just the first: the unit→micros
+    # conversion built below is applied to the whole scan, so a directory
+    # with mixed timestamp units (e.g. after an append by a different
+    # writer) would be silently mis-scaled by 1000× (ADVICE r4). Footer
+    # reads are cheap (metadata-only); fail loudly on any disagreement.
     # INT96 timestamps (Spark's own writer default) are physical
     # FIXED_LEN_BYTE_ARRAY(12) — they cannot arrive as a raw INT64, and
     # they carry instant (UTC-adjusted) semantics, so a plain Spark read
-    # is already timezone-free for them. Signal the caller to fall back.
-    pq_schema = pq.ParquetFile(path).schema
-    if any(pq_schema.column(i).physical_type == "INT96" for i in range(len(pq_schema))):
+    # is already timezone-free for them. Signal the caller to fall back
+    # (only if EVERY file is INT96 — a mix with INT64 cannot be read
+    # consistently by either path).
+    int96 = []
+    arrow = None
+    for p in paths:
+        pq_schema = pq.ParquetFile(p).schema
+        int96.append(
+            any(pq_schema.column(i).physical_type == "INT96" for i in range(len(pq_schema)))
+        )
+        file_arrow = pq.read_schema(p)
+        if arrow is None:
+            arrow = file_arrow
+        elif not file_arrow.equals(arrow):
+            raise ValueError(
+                f"mixed parquet schemas under {path!r}: {paths[0]} has {arrow} "
+                f"but {p} has {file_arrow} — refusing to apply one timestamp "
+                f"conversion to files with disagreeing units/types"
+            )
+    if all(int96):
         return None, None
-    arrow = pq.read_schema(path)
+    if any(int96):
+        raise ValueError(
+            f"mixed INT96/INT64 timestamp encodings under {path!r} — "
+            f"no single read path handles both"
+        )
     spark_types = {
         pa.int32(): T.IntegerType(),
         pa.int64(): T.LongType(),
