@@ -582,3 +582,89 @@ def test_stateful_state_survives_restart(spark, tmp_path, sf_dir):
     drain()                              # NEW query resumes the state store
 
     assert final == expected             # counts continued across the restart
+
+
+def test_stream_stream_join_state_expires(spark, tmp_path):
+    """State-EXPIRY proof for the watermarked stream-stream interval join
+    (VERDICT.md r4 next-3): under a continuous processingTime trigger,
+    join state must PLATEAU as the watermark advances — views older than
+    the attribution window are evicted, not retained forever.
+
+    The interval bound is expressed directly on the watermarked timestamp
+    columns (windows.py attribution_pairs) precisely so Spark's
+    StreamingJoinHelper can derive a state watermark; this test asserts
+    the derivation actually evicts: rows are removed from the state store
+    and the final state row count stays well below the total rows fed."""
+    from datetime import datetime, timezone
+
+    from yelp_data_engineering_pipeline_spark.streaming.windows import attribution_pairs
+
+    # 48 h of view/click traffic, 10 users, one view+click per user-hour;
+    # attribution window is 6 h, watermark 1 h -> steady-state keeps ≲8 h
+    # of rows per side, far below the 48 h total.
+    base_us = 1_700_000_000_000_000
+    rows = []
+    eid = 0
+    for h in range(48):
+        for u in range(10):
+            for etype, off_s in (("view", 0), ("click", 600)):
+                eid += 1
+                ts_us = base_us + (h * 3600 + off_s) * 1_000_000
+                rows.append(
+                    {
+                        "event_id": eid,
+                        "ts": datetime.fromtimestamp(ts_us / 1e6, tz=timezone.utc)
+                        .replace(tzinfo=None)
+                        .isoformat(sep=" "),
+                        "user_id": u,
+                        "event_type": etype,
+                    }
+                )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    n_files = 6
+    per = len(rows) // n_files  # time-ordered 8 h chunks
+    for i in range(n_files):
+        with (in_dir / f"t{i}.ndjson").open("w") as f:
+            for r in rows[i * per : (i + 1) * per]:
+                f.write(json.dumps(r) + "\n")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def side(t):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)  # one 8 h chunk per micro-batch
+            .json(str(in_dir))
+            .filter(F.col("event_type") == t)
+            .withWatermark("ts", "1 hour")
+        )
+
+    q = (
+        attribution_pairs(side("view"), side("click"))
+        .writeStream.format("memory")
+        .queryName("ssj_expiry")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progresses = [json.loads(p.json) for p in q.recentProgress]
+    finally:
+        q.stop()
+
+    state = [
+        (p["batchId"], p["stateOperators"][0])
+        for p in progresses
+        if p.get("stateOperators")
+    ]
+    assert len(state) >= n_files  # really ran multiple micro-batches
+    totals = {b: s["numRowsTotal"] for b, s in state}
+    removed = sum(s.get("numRowsRemoved", 0) for _, s in state)
+    assert removed > 0, f"no state rows ever evicted: {totals}"
+    # plateau, not monotone growth: the final state holds at most the
+    # watermark+window tail (≈2 of 6 chunks), never the whole stream.
+    assert max(totals.values()) < len(rows), totals
+    assert totals[max(totals)] <= 0.5 * len(rows), totals
