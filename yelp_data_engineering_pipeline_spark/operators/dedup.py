@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from ..cache import tracked_persist
 from ..partitioning import widen_for_compute
 from ..plans.catalog import register
+from ..plans.hints import nonbroadcast_hint
 from ..tables import load
 from .similarity import cosine
 
@@ -163,17 +164,16 @@ def minhash_lsh_pairs(
         .distinct()
     )
     sets = base.select("doc_id", "sh")
+    # O(corpus) shingle arrays: never broadcast; hash-vs-merge build
+    # follows the session's memory posture (plans/hints.py).
+    nb = nonbroadcast_hint(sets)
     verified = (
         cand.join(
-            sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")).hint(
-                "shuffle_hash"  # O(corpus) shingle arrays: never broadcast
-            ),
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")).hint(nb),
             "doc_a",
         )
         .join(
-            sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")).hint(
-                "shuffle_hash"
-            ),
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")).hint(nb),
             "doc_b",
         )
         .select(
@@ -771,17 +771,16 @@ def minhash_incremental_pairs(
         .distinct()
     )
     sets = base.select("doc_id", "sh")
+    # O(corpus) shingle arrays: never broadcast; hash-vs-merge build
+    # follows the session's memory posture (plans/hints.py).
+    nb = nonbroadcast_hint(sets)
     verified = (
         cand.join(
-            sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")).hint(
-                "shuffle_hash"  # O(corpus) shingle arrays: never broadcast
-            ),
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")).hint(nb),
             "doc_a",
         )
         .join(
-            sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")).hint(
-                "shuffle_hash"
-            ),
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")).hint(nb),
             "doc_b",
         )
         .select(
@@ -846,7 +845,9 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy arrays and must NEVER broadcast — the planner's size estimate
     comes from the compressed scan and undershoots the materialized
     arrays by orders of magnitude (OOM'd a 1 GiB bare driver at the 10×
-    stress tier, round 4). shuffle_hash hints pin the scale-safe plan."""
+    stress tier, round 4). nonbroadcast_hint pins the scale-safe plan
+    (hash build on the provisioned engine session, spill-safe
+    sort-merge under a bare heap — plans/hints.py)."""
     docs = widen_for_compute(load(spark, sf_dir, "documents"))
     base = (
         docs.select(F.col("doc_id"), shingles(F.col("text")).alias("sh"))
@@ -884,8 +885,8 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col(f"ha{i}") == F.col(f"hb{i}")).cast("int") for i in range(N_HASHES)
     )
     return (
-        cand.join(sa.hint("shuffle_hash"), "doc_a")
-        .join(sb.hint("shuffle_hash"), "doc_b")
+        cand.join(sa.hint(nonbroadcast_hint(sa)), "doc_a")
+        .join(sb.hint(nonbroadcast_hint(sb)), "doc_b")
         .select(
             "doc_a",
             "doc_b",

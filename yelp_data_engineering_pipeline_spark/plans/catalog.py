@@ -107,9 +107,12 @@ _PRIORITY: tuple[str, ...] = (
     "setop_except",
     "dedup_minhash_lsh",
     "dedup_clusters",
-    # -- changed in r5 (oracle / heap-path edits) --
+    # -- changed in r5 (oracle / heap-path edits; graph_triangles
+    #    composes minhash_lsh_pairs, whose join pin became
+    #    posture-aware in r5) --
     "mm_decode_stub",
     "graph_pagerank",
+    "graph_triangles",
     # -- oldest-evidence r1 refresh padding --
     "dim_merge_get_or_create",
     "window_surrogate_keys",
@@ -117,7 +120,6 @@ _PRIORITY: tuple[str, ...] = (
     "func_interval_arith",
     "window_topk_per_group",
     "agg_distinct",
-    "func_url_parse",
 )
 
 

@@ -50,6 +50,13 @@ def get_spark(app_name: str = "yelp-pipeline-spark", *, shuffle_partitions: int 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # The engine session is provisioned (8g driver below), so hinted
+        # non-broadcast joins may use the faster shuffled-hash build;
+        # operators consult this conf via plans.hints.nonbroadcast_hint
+        # and fall back to spill-safe sort-merge under a bare session
+        # that keeps Spark's default true (e.g. a 1 GiB heap at the 10x
+        # stress tier, where a hash-relation build cannot get its pages).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # NOTE: no nanosAsLong conf — tables.load reads event timestamps
         # as physical INT64 via an explicit schema (round 4), so the
         # engine no longer depends on ANY session conf for correctness.
