@@ -85,3 +85,44 @@ def test_recall_at_k_counts_overlap(spark):
     rows = {r.query_id: r for r in recall_at_k(exact, approx, k=2).collect()}
     assert rows[1].n_hits == 1 and rows[1].recall_at_2 == 0.5
     assert rows[2].n_hits == 0 and rows[2].recall_at_2 == 0.0
+
+
+def test_sq8_quantization_grid_and_clamp(spark):
+    from yelp_data_engineering_pipeline_spark.operators.similarity import quantize_sq8
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, -1.0, 2.5, -3.0, 0.00393700787, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    [row] = df.select(quantize_sq8(F.col("embedding")).alias("q")).collect()
+    # round(0.00393700787*127)=round(0.4999...)=0; 0.5*127=63.5 -> 64 (half away)
+    assert row.q == [0, 127, -127, 127, -127, 0, 64]
+
+
+def test_sq8_topk_agrees_with_bruteforce_on_separated_vectors(spark):
+    """On well-separated directions the quantized ranking equals the
+    exact cosine ranking; the int8 grid only perturbs near-ties."""
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_sq8,
+    )
+
+    base = [1.0, 0.5, -0.25, 0.8, -1.0, 0.75, 0.1, -0.4]
+    vecs = [
+        (0, base),
+        (1, [v * 0.9 for v in base]),        # same direction: rank 1
+        (2, [-v for v in base]),             # antipode: last
+        (3, [0.5, -1.0, 1.0, -0.5, 0.25, -0.75, 0.9, 0.3]),  # unrelated
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    sq = [(r.neighbor_id, r.rk) for r in topk_sq8(q, emb, k=3).orderBy("rk").collect()]
+    bf = [(r.neighbor_id, r.rk) for r in topk_bruteforce(q, emb, k=3).orderBy("rk").collect()]
+    assert [n for n, _ in sq] == [n for n, _ in bf]
+    assert sq[0][0] == 1
+    # integer scores are exact: rerunning yields identical rows
+    again = [(r.neighbor_id, r.rk) for r in topk_sq8(q, emb, k=3).orderBy("rk").collect()]
+    assert again == sq

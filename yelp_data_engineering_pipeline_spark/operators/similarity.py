@@ -760,3 +760,107 @@ register(
     FROM hits
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized (int8) brute-force tier — the memory-bounded scale path
+# ---------------------------------------------------------------------------
+
+SQ8_SCALE = 127  # symmetric int8 grid: q = clamp(round(x * 127), -127, 127)
+
+
+def quantize_sq8(vec: Column, scale: int = SQ8_SCALE) -> Column:
+    """Scalar-quantize a float vector onto the symmetric int8 grid.
+
+    The grid scale is FIXED (suits the unit-ish synthetic embeddings;
+    a production corpus computes max|x| in one cheap map-side pass and
+    broadcasts the scale — same plan shape). Quantization is per-row
+    map-side arithmetic: zero shuffle, and the quantized corpus is 4x
+    smaller than float32, which is the whole point at 100 TB — the
+    candidate-scoring working set (and any cached/bucketed copy of the
+    corpus) shrinks 4x while scoring becomes exact integer arithmetic,
+    immune to float associativity across engines and SIMD-friendly on
+    the JVM side.
+    """
+    return F.transform(
+        vec,
+        lambda x: F.greatest(
+            F.lit(-scale),
+            F.least(F.lit(scale), F.round(x.cast("double") * scale, 0).cast("int")),
+        ),
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact BIGINT dot product of two int vectors (JVM HOFs, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("bigint") * y.cast("bigint"))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def topk_sq8(queries: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
+    """Approximate top-k under int8 scalar quantization.
+
+    Same dataflow as ``topk_bruteforce`` (broadcast quantized queries,
+    map-side scoring over the partitioned corpus, per-query top-k
+    window) but ranks by the exact integer dot product of quantized
+    vectors. Output score is BIGINT — no float column ever reaches the
+    result, so the hash-parity surface is integer-only by construction.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), quantize_sq8(F.col("embedding")).alias("q_q8")
+    )
+    c = widen_for_compute(corpus).select(
+        F.col("vec_id").alias("neighbor_id"), quantize_sq8(F.col("embedding")).alias("c_q8")
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            int_dot(F.col("q_q8"), F.col("c_q8")).alias("score_q8"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score_q8").desc(), F.col("neighbor_id"))
+    return pairs.withColumn("rk", F.row_number().over(w).cast("bigint")).filter(F.col("rk") <= k)
+
+
+def similarity_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return topk_sq8(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+# Oracle mirrors the kernel exactly: round -> clamp -> int, then an
+# integer dot product (list_sum over elementwise products). Rounding is
+# half-away-from-zero in both engines; inputs are CAST to DOUBLE first
+# so both sides round the same float64 value.
+_SQ8_Q_SQL = (
+    "list_transform(embedding, x -> CAST(greatest(-127, least(127, "
+    "round(CAST(x AS DOUBLE) * 127, 0))) AS BIGINT))"
+)
+
+register(
+    "similarity_topk_sq8",
+    similarity_topk_sq8,
+    f"""
+    WITH z AS (SELECT vec_id, {_SQ8_Q_SQL} AS qv FROM embeddings),
+    q AS (SELECT vec_id AS query_id, qv AS q_q8 FROM z WHERE vec_id < 10),
+    pairs AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(q_q8) + 1),
+                                          i -> q_q8[i] * c.qv[i])) AS BIGINT) AS score_q8
+      FROM q CROSS JOIN z c
+      WHERE c.vec_id != query_id
+    )
+    SELECT query_id, neighbor_id, score_q8, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_q8 DESC, neighbor_id) AS rk
+      FROM pairs
+    ) WHERE rk <= 5
+    """,
+)
