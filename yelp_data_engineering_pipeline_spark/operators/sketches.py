@@ -1,0 +1,159 @@
+"""Count-min sketch heavy hitters (extension, BASELINE.json text
+analysis family).
+
+A count-min sketch is a fixed-size (d x w) integer matrix: cell
+(seed, bucket) counts every token whose seeded hash lands in that
+bucket; a token's frequency estimate is the MIN over its d cells
+(always an over-estimate, never under). The whole point at 100 TB:
+
+- The sketch build is ``groupBy(seed, bucket).count()`` — partial
+  aggregation makes every map task emit at most d*w rows regardless of
+  corpus size, and merging partial sketches IS cell-wise addition,
+  which is exactly what the shuffle-side hash aggregate does. The
+  shuffle carries O(d*w * n_partitions) rows, not O(tokens).
+- Estimation touches only the candidate keys: d broadcast joins of the
+  (tiny, <= d*w rows) sketch against the candidate set. Here the
+  candidates are the corpus's distinct words (so the catalog entry can
+  also report the exact count next to the estimate); a production
+  pipeline threads candidates from a sample or a prior round instead
+  of enumerating the key space.
+
+Hashing is md5-derived on both engines (seed || '|' || token), so the
+DuckDB oracle reproduces bucket assignment bit-for-bit; all outputs
+are BIGINT — no float ever reaches the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.catalog import register
+from ..tables import load
+from .textstats import whitespace_tokens
+
+CMS_D = 4  # hash rows (seeds)
+CMS_W = 256  # buckets per row
+
+
+def cms_bucket(token: Column, seed: int, w: int = CMS_W) -> Column:
+    """Deterministic bucket: first 16 bits of md5(seed|token), mod w."""
+    h = F.md5(F.concat(F.lit(f"{seed}|"), token))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % w
+
+
+def cms_build(tokens_df: DataFrame, d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """Build the (seed, bucket) -> cnt sketch from a `word` column.
+
+    One explode to d rows per token, then a single hash aggregate; the
+    map-side combine collapses each task's contribution to <= d*w rows
+    before the shuffle.
+    """
+    seeded = tokens_df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        cms_bucket(F.col("word"), s, w).alias("bucket"),
+                    )
+                    for s in range(d)
+                ]
+            )
+        ).alias("sb")
+    )
+    return seeded.groupBy(
+        F.col("sb.seed").alias("seed"), F.col("sb.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(candidates: DataFrame, sketch: DataFrame, d: int = CMS_D,
+                 w: int = CMS_W) -> DataFrame:
+    """Annotate a `word` candidate set with the CMS estimate `est_n`.
+
+    d broadcast joins against the <= d*w-row sketch; `least` of the d
+    cell counts is the classic CMS point query.
+    """
+    out = candidates
+    for s in range(d):
+        cell = sketch.filter(F.col("seed") == s).select(
+            F.col("bucket").alias(f"b{s}"), F.col("cnt").alias(f"cnt{s}")
+        )
+        out = out.withColumn(f"b{s}", cms_bucket(F.col("word"), s, w)).join(
+            F.broadcast(cell), f"b{s}", "left"
+        )
+    est = F.least(*[F.col(f"cnt{s}") for s in range(d)])
+    return out.select("word", *candidates.columns[1:], est.alias("est_n"))
+
+
+def cms_heavy_hitters(docs: DataFrame, k: int = 20, d: int = CMS_D,
+                      w: int = CMS_W) -> DataFrame:
+    """Top-k tokens by CMS estimate, with the exact count alongside.
+
+    The exact count exists to surface estimation error in the result
+    (est_n >= exact_n always); ranking is by estimate — what a
+    sketch-only pipeline would see.
+    """
+    toks = docs.select(
+        F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("word")
+    )
+    sketch = cms_build(toks, d, w)
+    exact = toks.groupBy("word").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = cms_estimate(exact, sketch, d, w)
+    rk_w = Window.orderBy(F.col("est_n").desc(), F.col("word"))
+    return (
+        est.withColumn("rk", F.row_number().over(rk_w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("word", "est_n", "exact_n", "rk")
+    )
+
+
+def agg_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cms_heavy_hitters(load(spark, sf_dir, "documents"), k=20)
+
+
+# --- DuckDB oracle ---------------------------------------------------------
+# hex -> int nibble arithmetic (DuckDB has no conv()); 4 hex chars = 16 bits.
+def _hex4_sql(expr: str) -> str:
+    terms = [
+        f"CAST((strpos('0123456789abcdef', substring({expr}, {1 + i}, 1)) - 1) AS BIGINT)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_CMS_BUCKET_SQL = (
+    _hex4_sql("md5(CAST(seed AS VARCHAR) || '|' || word)") + f" % {CMS_W}"
+)
+
+_CMS_ORACLE = f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+                    x -> x != '')) AS word
+      FROM documents
+    ),
+    seeded AS (
+      SELECT word, seed, {_CMS_BUCKET_SQL} AS bucket
+      FROM toks CROSS JOIN (SELECT unnest(range({CMS_D})) AS seed)
+    ),
+    sketch AS (SELECT seed, bucket, COUNT(*) AS cnt FROM seeded GROUP BY 1, 2),
+    exact AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_n FROM toks GROUP BY 1),
+    cells AS (
+      SELECT e.word, e.exact_n, s.seed, s.cnt
+      FROM exact e
+      JOIN seeded sd ON sd.word = e.word AND sd.seed IN (0, 1, 2, 3)
+      JOIN sketch s ON s.seed = sd.seed AND s.bucket = sd.bucket
+      GROUP BY ALL
+    ),
+    est AS (
+      SELECT word, CAST(MIN(cnt) AS BIGINT) AS est_n, MIN(exact_n) AS exact_n
+      FROM cells GROUP BY word
+    )
+    SELECT word, est_n, exact_n, rk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY est_n DESC, word) AS BIGINT) AS rk
+      FROM est
+    ) WHERE rk <= 20
+"""
+
+register("agg_countmin_topk", agg_countmin_topk, _CMS_ORACLE)

@@ -168,6 +168,7 @@ def _ensure_loaded() -> None:
     from ..operators import profiling  # noqa: F401
     from ..operators import salting  # noqa: F401
     from ..operators import similarity  # noqa: F401
+    from ..operators import sketches  # noqa: F401
     from ..operators import textstats  # noqa: F401
     from ..operators import timeseries  # noqa: F401
     from ..operators import upsert  # noqa: F401
