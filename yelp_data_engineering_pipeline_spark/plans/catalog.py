@@ -167,6 +167,7 @@ def _ensure_loaded() -> None:
     from ..operators import preptext  # noqa: F401
     from ..operators import profiling  # noqa: F401
     from ..operators import salting  # noqa: F401
+    from ..operators import sampling  # noqa: F401
     from ..operators import similarity  # noqa: F401
     from ..operators import sketches  # noqa: F401
     from ..operators import textstats  # noqa: F401
