@@ -161,3 +161,93 @@ def _register_diag() -> None:
 
 
 _register_diag()
+
+
+# ---------------------------------------------------------------------------
+# Hot/cold hybrid skew join (the surgical alternative to full salting)
+# ---------------------------------------------------------------------------
+
+
+def hybrid_skew_join(
+    big: DataFrame,
+    dim: DataFrame,
+    big_key: str,
+    dim_key: str,
+    hot_factor: float = 1.5,
+) -> DataFrame:
+    """Inner equi-join identical to ``big.join(dim, big_key == dim_key)``
+    but with hot keys routed around the shuffle join.
+
+    The skew problem at 100 TB: a handful of keys own a large share of
+    the fact side, so a plain shuffle join leaves a few reducers with
+    most of the data. Full salting (``salted_join``) replicates the
+    ENTIRE dim n_salts ways; the hybrid split replicates NOTHING — it
+    broadcasts only the dim rows of the hot keys:
+
+    1. one hash-agg over the fact side finds keys with
+       cnt > hot_factor * mean (data-derived, no driver collect — the
+       hot set stays a DataFrame and reaches both sides as broadcast
+       semi/anti joins; by the definition of skew it is small);
+    2. hot fact rows  ⋈  broadcast(dim ⋉ hot_keys)   — map-side, no
+       shuffle of the heavy keys at all;
+    3. cold fact rows ⋈  dim                         — the shuffle join,
+       now skew-free by construction;
+    4. union. Row-for-row equal to the plain join for ANY hot set, so
+       the threshold is a pure performance knob (the oracle is the
+       plain join). This is what AQE's skew-split does at runtime;
+       the explicit operator exists for engines/paths where AQE can't
+       see the skew (e.g. streaming micro-batches, bucketed tables).
+    """
+    counts = big.groupBy(big_key).agg(F.count(F.lit(1)).alias("_cnt"))
+    mean = counts.agg(F.avg("_cnt").alias("_mean"))
+    hot_keys = (
+        counts.crossJoin(F.broadcast(mean))
+        .filter(F.col("_cnt") > F.col("_mean") * hot_factor)
+        .select(big_key)
+    )
+    cond = F.col(big_key) == F.col(dim_key)
+    big_hot = big.join(F.broadcast(hot_keys), big_key, "semi")
+    big_cold = big.join(F.broadcast(hot_keys), big_key, "anti")
+    dim_hot = dim.join(
+        F.broadcast(hot_keys.withColumnRenamed(big_key, dim_key)), dim_key, "semi"
+    )
+    return big_hot.join(F.broadcast(dim_hot), cond).unionByName(
+        big_cold.join(dim, cond)
+    )
+
+
+def _register_hybrid() -> None:
+    from ..plans.catalog import register
+    from ..tables import load
+
+    def join_skew_hybrid(spark, sf_dir: str) -> DataFrame:
+        """events ⋈ customer on user_id = c_custkey via the hybrid
+        route, aggregated per market segment. Oracle is the PLAIN join —
+        proving the split+union is semantics-preserving."""
+        ev = load(spark, sf_dir, "events")
+        cust = load(spark, sf_dir, "customer")
+        # 1.2x mean: non-vacuous hot sets at every driver SF
+        # (1 / 9 / 83 hot keys at sf0.001 / 0.01 / 0.1) so BOTH route
+        # branches carry rows through the external differential.
+        joined = hybrid_skew_join(ev, cust, "user_id", "c_custkey", hot_factor=1.2)
+        return joined.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+
+    register(
+        "join_skew_hybrid",
+        join_skew_hybrid,
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c_mktsegment
+        """,
+    )
+
+
+_register_hybrid()
