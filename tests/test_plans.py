@@ -588,3 +588,53 @@ def test_hybrid_skew_join_correct_when_no_key_is_hot(spark):
     dim = spark.createDataFrame([(k, f"d{k}") for k in range(20)], "dk long, attr string")
     got = hybrid_skew_join(big, dim, "k", "dk", hot_factor=1.5)
     assert got.count() == 20  # uniform counts -> empty hot set -> pure cold path
+
+
+def test_sq8_plan_broadcasts_queries_integer_only_output(spark, sf_dir):
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        similarity_topk_sq8,
+    )
+
+    df = similarity_topk_sq8(spark, sf_dir)
+    plan = _formatted(df)
+    assert "BroadcastExchange" in plan  # tiny query side ships to the corpus
+    assert "CartesianProduct" not in plan
+    # the whole point of the tier: nothing float-typed survives to output
+    assert {f.dataType.simpleString() for f in df.schema.fields} == {"bigint"}
+
+
+def test_cms_plan_partial_aggregates_and_broadcasts_cells(spark, sf_dir):
+    from yelp_data_engineering_pipeline_spark.operators.sketches import (
+        CMS_D,
+        agg_countmin_topk,
+    )
+
+    plan = _formatted(agg_countmin_topk(spark, sf_dir))
+    # each of the d point-query joins broadcasts the <= d*w-row sketch
+    assert plan.count("BroadcastHashJoin") >= CMS_D
+    assert "CartesianProduct" not in plan
+    # sketch build combines map-side before the shuffle
+    assert "partial_count" in plan
+
+
+def test_weighted_sample_pushes_weight_filter_single_window(spark, sf_dir):
+    from yelp_data_engineering_pipeline_spark.operators.sampling import (
+        prep_weighted_sample,
+    )
+
+    plan = _formatted(prep_weighted_sample(spark, sf_dir))
+    assert "GreaterThan(n_chars,0)" in plan  # weight filter reaches the scan
+    # exactly one window (the per-group bottom-k); key math is map-side
+    assert plan.count("(21) Window") + plan.count(" Window\n") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_skew_join_plan_hot_path_is_broadcast(spark, sf_dir):
+    from yelp_data_engineering_pipeline_spark.plans.catalog import queries
+
+    df = queries()["join_skew_hybrid"](spark, sf_dir)
+    plan = _formatted(df)
+    # hot-key semi/anti routing + hot dim join all ride broadcasts;
+    # the single-row mean threshold is a broadcast nested loop, fine
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan

@@ -668,3 +668,79 @@ def test_stream_stream_join_state_expires(spark, tmp_path):
     # watermark+window tail (≈2 of 6 chunks), never the whole stream.
     assert max(totals.values()) < len(rows), totals
     assert totals[max(totals)] <= 0.5 * len(rows), totals
+
+
+def test_dedup_within_watermark_state_expires(spark, tmp_path):
+    """State-expiry proof for event-time streaming dedup
+    (ingest.dedup_stream_event_time): keys must leave the state store
+    once the watermark passes their timestamp + delay — state tracks
+    the duplicate horizon, not total key cardinality."""
+    from datetime import datetime, timezone
+
+    from yelp_data_engineering_pipeline_spark.streaming.ingest import (
+        dedup_stream_event_time,
+    )
+
+    # 48 h, one NEW key per user-hour plus an immediate duplicate 5 min
+    # later; dedup delay 1 h, watermark 1 h -> steady state holds ~2 h
+    # of keys, far below the 480 distinct keys fed.
+    base_us = 1_700_000_000_000_000
+    rows = []
+    for h in range(48):
+        for u in range(10):
+            k = f"u{u}h{h}"
+            for off_s in (0, 300):
+                ts_us = base_us + (h * 3600 + off_s) * 1_000_000
+                rows.append(
+                    {
+                        "k": k,
+                        "ts": datetime.fromtimestamp(ts_us / 1e6, tz=timezone.utc)
+                        .replace(tzinfo=None)
+                        .isoformat(sep=" "),
+                    }
+                )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    n_files = 6
+    per = len(rows) // n_files
+    for i in range(n_files):
+        with (in_dir / f"t{i}.ndjson").open("w") as f:
+            for r in rows[i * per : (i + 1) * per]:
+                f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    q = (
+        dedup_stream_event_time(stream, "ts", ["k"], delay="1 hour")
+        .writeStream.format("memory")
+        .queryName("wmdedup_expiry")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progresses = [json.loads(p.json) for p in q.recentProgress]
+    finally:
+        q.stop()
+
+    # exactly one survivor per key
+    got = spark.sql("SELECT k FROM wmdedup_expiry")
+    assert got.count() == 480 and got.distinct().count() == 480
+
+    state = [
+        (p["batchId"], p["stateOperators"][0])
+        for p in progresses
+        if p.get("stateOperators")
+    ]
+    assert len(state) >= n_files
+    totals = {b: s["numRowsTotal"] for b, s in state}
+    removed = sum(s.get("numRowsRemoved", 0) for _, s in state)
+    assert removed > 0, f"no dedup state ever evicted: {totals}"
+    # plateau: final state holds at most the watermark+delay tail,
+    # never all 480 keys
+    assert totals[max(totals)] <= 240, totals

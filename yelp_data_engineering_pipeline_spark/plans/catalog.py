@@ -58,8 +58,11 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #   prep_rule_filter is already in the never-checked set (coalesce +
 #   whitespace-class fixes, ADVICE r4), graph_pagerank (heap-residual
 #   work, VERDICT r4 next-6);
+# - the 4 operators ADDED in r5 (sq8 ANN tier, count-min heavy
+#   hitters, A-ES weighted sampling, hybrid skew join) — new entries
+#   must take window slots or the round creates fresh debt;
 # - padding to 50 with the OLDEST-evidence r1 rows so their evidence
-#   refreshes (dim_merge_get_or_create, window_surrogate_keys, ...).
+#   refreshes (dim_merge_get_or_create, window_surrogate_keys).
 # After this window every entry in the catalog has a driver row from a
 # round whose code matches current, except any r5 stragglers — which
 # the same rule rotates into r6.
@@ -113,13 +116,15 @@ _PRIORITY: tuple[str, ...] = (
     "mm_decode_stub",
     "graph_pagerank",
     "graph_triangles",
+    # -- NEW in r5 (never externally checked — must take window slots,
+    #    else this round creates the same debt it was closing) --
+    "similarity_topk_sq8",
+    "agg_countmin_topk",
+    "prep_weighted_sample",
+    "join_skew_hybrid",
     # -- oldest-evidence r1 refresh padding --
     "dim_merge_get_or_create",
     "window_surrogate_keys",
-    "join_theta_residual",
-    "func_interval_arith",
-    "window_topk_per_group",
-    "agg_distinct",
 )
 
 

@@ -44,6 +44,22 @@ def dedup_stream(stream: DataFrame, watermark: str | None = None) -> DataFrame:
     return stream.dropDuplicates(["bizId"])
 
 
+def dedup_stream_event_time(
+    stream: DataFrame, ts_col: str, key_cols: list[str], delay: str = "1 hour"
+) -> DataFrame:
+    """Event-time streaming dedup with BOUNDED state.
+
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival per key
+    and holds a key in the state store only until the event-time
+    watermark passes its timestamp + ``delay`` — so state size tracks
+    the duplicate-arrival horizon, not total key cardinality. That is
+    the property that makes streaming dedup viable at 100 TB/day: a
+    plain ``dropDuplicates`` would accrete every key ever seen.
+    State expiry is proven by tests/test_streaming.py (numRowsRemoved
+    > 0, plateauing numRowsTotal under a processingTime trigger)."""
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(key_cols)
+
+
 def run_ingest_available_now(
     spark: SparkSession, in_dir: str, out_dir: str, checkpoint_dir: str
 ) -> None:
