@@ -126,3 +126,62 @@ def test_sq8_topk_agrees_with_bruteforce_on_separated_vectors(spark):
     # integer scores are exact: rerunning yields identical rows
     again = [(r.neighbor_id, r.rk) for r in topk_sq8(q, emb, k=3).orderBy("rk").collect()]
     assert again == sq
+
+
+def test_embedding_lsh_occupancy_cap_is_identity_below_cap(spark):
+    from yelp_data_engineering_pipeline_spark.operators.dedup import (
+        embedding_near_dup_lsh,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(((i * 7 + j * 3) % 11) - 5) for j in range(64)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    plain = {(r.vec_a, r.vec_b) for r in embedding_near_dup_lsh(emb, 0.2).collect()}
+    capped = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_lsh(emb, 0.2, occupancy_cap=1000).collect()
+    }
+    assert capped == plain  # no bucket above cap -> same key, same pairs
+
+
+def test_embedding_lsh_occupancy_cap_splits_hot_bucket(spark):
+    """A dense direction floods one sign bucket; the cap must sub-split
+    it (output is a subset of the uncapped pairs) while leaving pairs
+    from cold buckets untouched."""
+    from yelp_data_engineering_pipeline_spark.operators.dedup import (
+        embedding_near_dup_lsh,
+    )
+
+    # perturbation verified offline: all 120 members share ONE coarse
+    # 8-plane bucket but spread over 4 refine-plane (seed 23) buckets —
+    # hot-but-diverse, the shape real clustered corpora produce
+    base = [1.0 if j % 2 == 0 else -1.0 for j in range(64)]
+    hot = [
+        (
+            i,
+            [
+                base[j] + 0.15 * (((i * 7 + j * 13) % 11) - 5) / 5.0
+                for j in range(64)
+            ],
+        )
+        for i in range(120)
+    ]
+    cold = [(1000 + i, [float(((i * 13 + j * 5) % 9) - 4) for j in range(64)]) for i in range(10)]
+    emb = spark.createDataFrame(hot + cold, "vec_id long, embedding array<float>")
+    plain = {(r.vec_a, r.vec_b) for r in embedding_near_dup_lsh(emb, 0.2).collect()}
+    capped = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_lsh(emb, 0.2, occupancy_cap=50).collect()
+    }
+    assert capped <= plain
+    # the hot bucket really was split: strictly fewer hot-hot pairs
+    hot_plain = {p for p in plain if p[0] < 1000 and p[1] < 1000}
+    hot_capped = {p for p in capped if p[0] < 1000 and p[1] < 1000}
+    assert len(hot_capped) < len(hot_plain)
+    # scaled COPIES of the same direction still collide after refinement
+    # (identical sign pattern on every extra plane) — near-exact dups
+    # survive the sub-split
+    assert len(hot_capped) > 0
+    # cold pairs are untouched by the cap
+    assert {p for p in plain if p[0] >= 1000} == {p for p in capped if p[0] >= 1000}

@@ -19,8 +19,11 @@ import duckdb
 
 
 def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/stressx10"
+    args = [a for a in sys.argv[1:] if a != "--docs-only"]
+    docs_only = "--docs-only" in sys.argv  # skip star tables (100x tier)
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    out = args[1] if len(args) > 1 else "/tmp/stressx10"
+    factor = int(args[2]) if len(args) > 2 else 10
     import os
 
     os.makedirs(out, exist_ok=True)
@@ -36,7 +39,7 @@ def main() -> None:
              END AS text,
              d.lang, d.source, d.n_chars
       FROM '{src}/documents.parquet' d
-      CROSS JOIN (SELECT unnest(range(10)) AS i) r
+      CROSS JOIN (SELECT unnest(range({factor})) AS i) r
     ) TO '{out}/documents.parquet' (FORMAT PARQUET)
     """)
     con.sql(f"""
@@ -49,7 +52,7 @@ def main() -> None:
              END AS embedding,
              e.label
       FROM '{src}/embeddings.parquet' e
-      CROSS JOIN (SELECT unnest(range(10)) AS i) r
+      CROSS JOIN (SELECT unnest(range({factor})) AS i) r
     ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
     """)
     # events: 10 replicas as DISJOINT user populations (user_id offset) —
@@ -63,7 +66,7 @@ def main() -> None:
              e.user_id + 10000*r.i AS user_id,
              e.event_type, e.value, e.props
       FROM '{src}/events.parquet' e
-      CROSS JOIN (SELECT unnest(range(10)) AS i) r
+      CROSS JOIN (SELECT unnest(range({factor})) AS i) r
     ) TO '{out}/events.parquet' (FORMAT PARQUET)
     """)
     # Star tables at 10x with FK integrity preserved: replica i offsets
@@ -73,56 +76,59 @@ def main() -> None:
     # the per-replica fan-out — the honest scaling axis for the TPC-H
     # tier (VERDICT r4 next-5). region/nation are fixed dims (5/25 rows
     # at every scale factor) and stay as-is.
-    C, O, S, P = 15_000, 150_000, 1_000, 20_000
-    rep = "CROSS JOIN (SELECT unnest(range(10)) AS i) r"
-    con.sql(f"""
-    COPY (
-      SELECT c_custkey + {C}*r.i AS c_custkey,
-             c_name || '_r' || r.i AS c_name,
-             c_nationkey, c_acctbal, c_mktsegment
-      FROM '{src}/customer.parquet' {rep}
-    ) TO '{out}/customer.parquet' (FORMAT PARQUET)
-    """)
-    con.sql(f"""
-    COPY (
-      SELECT s_suppkey + {S}*r.i AS s_suppkey,
-             s_name || '_r' || r.i AS s_name,
-             s_nationkey, s_acctbal
-      FROM '{src}/supplier.parquet' {rep}
-    ) TO '{out}/supplier.parquet' (FORMAT PARQUET)
-    """)
-    con.sql(f"""
-    COPY (
-      SELECT p_partkey + {P}*r.i AS p_partkey,
-             p_name || '_r' || r.i AS p_name,
-             p_brand, p_type, p_size, p_retailprice
-      FROM '{src}/part.parquet' {rep}
-    ) TO '{out}/part.parquet' (FORMAT PARQUET)
-    """)
-    con.sql(f"""
-    COPY (
-      SELECT o_orderkey + {O}*r.i AS o_orderkey,
-             o_custkey + {C}*r.i AS o_custkey,
-             o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-      FROM '{src}/orders.parquet' {rep}
-    ) TO '{out}/orders.parquet' (FORMAT PARQUET)
-    """)
-    con.sql(f"""
-    COPY (
-      SELECT l_orderkey + {O}*r.i AS l_orderkey,
-             l_partkey + {P}*r.i AS l_partkey,
-             l_suppkey + {S}*r.i AS l_suppkey,
-             l_linenumber, l_quantity, l_extendedprice, l_discount,
-             l_tax, l_returnflag, l_linestatus, l_shipdate
-      FROM '{src}/lineitem.parquet' {rep}
-    ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
-    """)
-    for t in ("region", "nation"):
-        dst = f"{out}/{t}.parquet"
-        if not os.path.lexists(dst):
-            os.symlink(f"{src}/{t}.parquet", dst)
-    for t in ("documents", "embeddings", "events", "lineitem", "orders",
-              "customer", "supplier", "part"):
+    if not docs_only:
+        C, O, S, P = 15_000, 150_000, 1_000, 20_000
+        rep = f"CROSS JOIN (SELECT unnest(range({factor})) AS i) r"
+        con.sql(f"""
+        COPY (
+          SELECT c_custkey + {C}*r.i AS c_custkey,
+                 c_name || '_r' || r.i AS c_name,
+                 c_nationkey, c_acctbal, c_mktsegment
+          FROM '{src}/customer.parquet' {rep}
+        ) TO '{out}/customer.parquet' (FORMAT PARQUET)
+        """)
+        con.sql(f"""
+        COPY (
+          SELECT s_suppkey + {S}*r.i AS s_suppkey,
+                 s_name || '_r' || r.i AS s_name,
+                 s_nationkey, s_acctbal
+          FROM '{src}/supplier.parquet' {rep}
+        ) TO '{out}/supplier.parquet' (FORMAT PARQUET)
+        """)
+        con.sql(f"""
+        COPY (
+          SELECT p_partkey + {P}*r.i AS p_partkey,
+                 p_name || '_r' || r.i AS p_name,
+                 p_brand, p_type, p_size, p_retailprice
+          FROM '{src}/part.parquet' {rep}
+        ) TO '{out}/part.parquet' (FORMAT PARQUET)
+        """)
+        con.sql(f"""
+        COPY (
+          SELECT o_orderkey + {O}*r.i AS o_orderkey,
+                 o_custkey + {C}*r.i AS o_custkey,
+                 o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+          FROM '{src}/orders.parquet' {rep}
+        ) TO '{out}/orders.parquet' (FORMAT PARQUET)
+        """)
+        con.sql(f"""
+        COPY (
+          SELECT l_orderkey + {O}*r.i AS l_orderkey,
+                 l_partkey + {P}*r.i AS l_partkey,
+                 l_suppkey + {S}*r.i AS l_suppkey,
+                 l_linenumber, l_quantity, l_extendedprice, l_discount,
+                 l_tax, l_returnflag, l_linestatus, l_shipdate
+          FROM '{src}/lineitem.parquet' {rep}
+        ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
+        """)
+        for t in ("region", "nation"):
+            dst = f"{out}/{t}.parquet"
+            if not os.path.lexists(dst):
+                os.symlink(f"{src}/{t}.parquet", dst)
+    report = ("documents", "embeddings", "events") if docs_only else (
+        "documents", "embeddings", "events", "lineitem", "orders",
+        "customer", "supplier", "part")
+    for t in report:
         n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(f"{out}/{t}.parquet: {n} rows")
 

@@ -539,20 +539,60 @@ register(
 )
 
 
-def embedding_near_dup_lsh(emb: DataFrame, threshold: float) -> DataFrame:
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    threshold: float,
+    n_planes: int | None = None,
+    occupancy_cap: int | None = None,
+    refine_planes: int = 10,
+) -> DataFrame:
     """Full-corpus embedding near-dup via random-hyperplane buckets —
     the 100 TB path for ``embedding_near_dup`` (whose broadcast-query
     shape is a verification tier, VERDICT.md r1). Self-equi-join on the
     8-bit RPH bucket: pair space is sum(|bucket|²), never |corpus|²;
     recall is the LSH tradeoff (near-identical vectors collide in all
-    bits with high probability)."""
-    from .similarity import RPH_PLANES, rph_bucket
+    bits with high probability).
 
+    ``n_planes`` applies the sizing rule (similarity.py): bucket count
+    must GROW with the corpus — n_planes ≈ log2(N / target_occupancy) —
+    or per-bucket pair enumeration trends toward N²/2^planes. The
+    default 8 planes is the catalog/oracle shape; the 100x stress tier
+    runs 14 planes (COVERAGE.md).
+
+    ``occupancy_cap`` is the DENSE-REGION defense the 100x tier proved
+    necessary: clustered corpora concentrate sign patterns, so a few
+    buckets go quadratic no matter how many planes the global sizing
+    rule adds (measured at 100x: mean occupancy 30 but max 37.6k — the
+    top-5 buckets held 95% of a 3.6B-pair candidate mass). Rows in
+    buckets above the cap get their key extended with ``refine_planes``
+    extra hyperplanes (seed-independent of the first level), splitting
+    each hot bucket ~2^refine_planes ways. Pairs straddling a sub-split
+    are the recall price — the same trade as locally having
+    n_planes + refine_planes bits, paid ONLY where density forces it.
+    The occupancy count is a window over the same key the join shuffles
+    on, so capping adds no extra shuffle of the corpus."""
+    from pyspark.sql import Window
+
+    from .similarity import RPH_PLANES, _rph_planes, rph_bucket
+
+    planes = RPH_PLANES if n_planes is None else _rph_planes(n_planes, 64, seed=7)
     b = widen_for_compute(emb).select(
         F.col("vec_id"),
         F.col("embedding"),
-        rph_bucket(F.col("embedding"), RPH_PLANES).alias("bucket"),
+        rph_bucket(F.col("embedding"), planes).alias("bucket"),
     )
+    if occupancy_cap is not None:
+        extra = _rph_planes(refine_planes, 64, seed=23)
+        occ = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+        b = b.withColumn(
+            "bucket",
+            F.when(
+                occ > occupancy_cap,
+                F.concat(
+                    F.col("bucket"), F.lit("|"), rph_bucket(F.col("embedding"), extra)
+                ),
+            ).otherwise(F.col("bucket")),
+        )
     b = tracked_persist(b)  # bucket expression feeds both join sides
     return (
         b.alias("a")
