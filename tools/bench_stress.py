@@ -34,14 +34,20 @@ def main() -> int:
     spark = get_spark("bench-stress")
 
     def fn_for(name: str):
-        if name == "dedup_embedding_lsh_p14":
+        if name.startswith("dedup_embedding_lsh_p"):
+            # dedup_embedding_lsh_p14 / dedup_embedding_lsh_p14_cap2000
             from yelp_data_engineering_pipeline_spark.operators.dedup import (
                 embedding_near_dup_lsh,
             )
             from yelp_data_engineering_pipeline_spark.tables import load
 
+            spec = name.removeprefix("dedup_embedding_lsh_p")
+            n_planes, _, cap = spec.partition("_cap")
             return lambda s, d: embedding_near_dup_lsh(
-                load(s, d, "embeddings"), threshold=0.2, n_planes=14
+                load(s, d, "embeddings"),
+                threshold=0.2,
+                n_planes=int(n_planes),
+                occupancy_cap=int(cap) if cap else None,
             )
         from yelp_data_engineering_pipeline_spark.plans.catalog import queries
 
