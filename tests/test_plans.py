@@ -638,3 +638,29 @@ def test_hybrid_skew_join_plan_hot_path_is_broadcast(spark, sf_dir):
     # the single-row mean threshold is a broadcast nested loop, fine
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_plan_topk_heap_and_broadcast_stats(spark, sf_dir):
+    from yelp_data_engineering_pipeline_spark.operators.textstats import text_bm25_topk
+
+    df = text_bm25_topk(spark, sf_dir)
+    plan = _formatted(df)
+    # global top-k must be per-partition heaps + k-row merge, never a
+    # full global Sort stage; the 1-row corpus stats ride a broadcast
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the only Window is the rank attach over the k-row result
+    import re
+
+    windows = re.findall(r"\(\d+\) Window", plan)
+    assert len(windows) <= 1
+
+
+def test_prefix_filter_candidate_join_is_equijoin(spark, sf_dir):
+    from yelp_data_engineering_pipeline_spark.operators.dedup import dedup_jaccard_prefix
+
+    plan = _formatted(dedup_jaccard_prefix(spark, sf_dir))
+    # candidate generation must hash-join on the prefix token — the size
+    # filters are residual conditions, not a nested-loop driver
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

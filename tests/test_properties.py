@@ -385,3 +385,44 @@ def test_rule_filter_matches_python_model(spark, docs):
     }
     for i, t in enumerate(texts):
         assert got[i] == model(t), (i, t)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=3, max_size=12),
+        min_size=2,
+        max_size=20,
+    ),
+    st.sampled_from([(1, 2), (3, 5), (9, 10)]),
+)
+def test_prefix_filter_join_is_lossless(spark, word_lists, t):
+    """prefix_filter_pairs must emit EXACTLY the brute-force all-pairs
+    Jaccard ≥ t set — the prefix filter (AllPairs lemma) prunes
+    candidates, never results. Verified against a pure-Python model
+    over every generated corpus and three thresholds including the
+    boundary-heavy 9/10."""
+    from yelp_data_engineering_pipeline_spark.operators.dedup import prefix_filter_pairs
+
+    t_num, t_den = t
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+
+    def sh3(ws):
+        return {" ".join(ws[k : k + 3]) for k in range(len(ws) - 2)}
+
+    sets = {i: sh3(ws) for i, ws in enumerate(word_lists)}
+    expected = set()
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if inter * t_den >= t_num * union:
+                    expected.add((a, b, inter, union))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b, r.inter_size, r.union_size)
+        for r in prefix_filter_pairs(df, "doc_id", "text", t_num, t_den).collect()
+    }
+    assert got == expected

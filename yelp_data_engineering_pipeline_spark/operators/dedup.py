@@ -1081,3 +1081,143 @@ register(
     ORDER BY ex.doc_id
     """,
 )
+
+
+# --- Prefix-filtered EXACT set-similarity self-join (AllPairs/PPJoin) ------
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """Exact Jaccard ≥ t_num/t_den self-join via prefix filtering — the
+    deterministic (non-LSH) corpus-scale near-dup path.
+
+    Every other near-dup tier here is probabilistic (minhash bands,
+    simhash segments, hyperplane buckets). This one is EXACT and still
+    avoids the |docs|² pair space, using the AllPairs/PPJoin prefix
+    principle (Bayardo et al., WWW'07; Vernica et al., SIGMOD'10 for
+    the MapReduce formulation this mirrors):
+
+    1. order each doc's shingle set by a single GLOBAL total order —
+       (document frequency asc, shingle asc). Rarity-first ordering is
+       a heuristic for bucket size, but ANY shared total order keeps
+       the filter lossless;
+    2. a pair with Jaccard ≥ t must share a token within each side's
+       first ``n - ceil(t·n) + 1`` tokens (overlap ≥ ceil(t·n) pigeon-
+       holes into the prefix), so candidate generation is an equi-join
+       on PREFIX tokens only;
+    3. symmetric size filter in the join condition (t·na ≤ nb ≤ na/t
+       cross-multiplied in integers — no float thresholds anywhere);
+    4. exact verification on candidates: inter·t_den ≥ t_num·union.
+
+    The output is IDENTICAL to the brute-force all-pairs join — the
+    DuckDB oracle below IS brute force, so a green row proves the
+    pruning lossless end-to-end, not just plausible.
+
+    Scale design: shuffles are (a) shingle df count, (b) per-doc
+    re-sort, (c) the prefix-token equi-join, (d) candidate verify.
+    Hot tokens appear in a doc's prefix only when they are among its
+    rarest — the frequent-token buckets that blow up an
+    any-shared-shingle join never become join keys here. The shingle-
+    set sides of the verify join are O(corpus) wide and pinned
+    non-broadcast (hints.py memory-posture rule).
+    """
+    threshold = t_num / t_den
+    docs = widen_for_compute(docs)
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col)).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    base = tracked_persist(base)
+
+    ex = base.select("doc_id", F.explode("sh").alias("shingle"))
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        ex.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("osh"))
+        .withColumn("n", F.size("osh"))
+        # integer ceil(t·n) = (t_num·n + t_den - 1) div t_den
+        .withColumn(
+            "prefix_len",
+            F.col("n")
+            - F.expr(f"(n * {t_num} + {t_den} - 1) div {t_den}").cast("int")
+            + F.lit(1),
+        )
+    )
+    px = ordered.select(
+        "doc_id",
+        "n",
+        F.explode(F.expr("slice(osh, 1, prefix_len)")).alias("p"),
+    ).select("doc_id", "n", F.col("p.shingle").alias("shingle"))
+    # Both sides of the candidate self-join read THIS frame; without the
+    # persist the whole explode→df→sort→slice pipeline runs twice.
+    px = tracked_persist(px)
+
+    a = px.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "shingle"
+    )
+    b = px.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "shingle"
+    )
+    cand = (
+        a.join(
+            b,
+            (a["shingle"] == b["shingle"])
+            & (F.col("doc_a") < F.col("doc_b"))
+            # symmetric size filter: t·na ≤ nb and t·nb ≤ na
+            & (F.col("nb") * t_den >= F.col("na") * t_num)
+            & (F.col("na") * t_den >= F.col("nb") * t_num),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    sa = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sa.hint(nonbroadcast_hint(sa)), "doc_a")
+        .join(sb.hint(nonbroadcast_hint(sb)), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter_size"),
+            F.size(F.array_union("sh_a", "sh_b")).alias("union_size"),
+        )
+        # integer threshold test — no float compare at the boundary
+        .filter(F.col("inter_size") * t_den >= t_num * F.col("union_size"))
+        .withColumn(
+            "jaccard", F.col("inter_size") / F.col("union_size")
+        )  # exact-int ratio: bit-identical across engines
+    )
+    return verified.select("doc_a", "doc_b", "inter_size", "union_size", "jaccard")
+
+
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prefix_filter_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", t_num=1, t_den=2
+    )
+
+
+register(
+    "dedup_jaccard_prefix",
+    dedup_jaccard_prefix,
+    # Brute-force all-pairs oracle: prefix filtering is LOSSLESS, so the
+    # operator must reproduce this exactly — the green row is a proof of
+    # the pruning, not just of the arithmetic.
+    f"""
+    WITH shingled AS ({_SHINGLES_SQL})
+    SELECT doc_a, doc_b, inter_size, union_size,
+           CAST(inter_size AS DOUBLE) / union_size AS jaccard
+    FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS INT) AS inter_size,
+             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS INT) AS union_size
+      FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+    )
+    WHERE inter_size * 2 >= 1 * union_size
+    """,
+)

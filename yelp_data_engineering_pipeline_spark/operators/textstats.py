@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
 from ..plans.catalog import register
 from ..partitioning import widen_for_compute
 from ..tables import load
@@ -599,3 +600,155 @@ register(
     ORDER BY doc_id
     """,
 )
+
+
+# --- BM25 retrieval scoring -------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "filter")
+
+
+def _eq_term(t: str):
+    """Unary-lambda factory: a default-arg lambda (``lambda x, t=t:``)
+    would be read by Spark's HOF binding as (element, index)."""
+    return lambda x: x == F.lit(t)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: tuple[str, ...] = _BM25_TERMS,
+    k: int = _BM25_TOPK,
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+) -> DataFrame:
+    """Top-``k`` documents for a fixed term query under BM25 scoring
+    (Robertson-Spärck Jones probabilistic relevance family) — the
+    retrieval primitive a training-data pipeline uses for targeted
+    corpus slicing (and the lexical half of hybrid lexical+ANN search
+    next to similarity.py's top-k tiers).
+
+    Engine-parity design (the whole catalog's discipline applied to a
+    scoring formula):
+    - idf is the RAW RSJ ratio (n_docs - df + 0.5)/(df + 0.5), log-free
+      like tfidf_topk above: ln() is not correctly-rounded IEEE and
+      drifts between libm builds, while this ratio is monotone in the
+      classic idf so per-term weight ORDERING is preserved;
+    - the per-term weights are summed in FIXED left-to-right literal
+      order (w_t1 + w_t2 + w_t3), never via a SUM() over exploded
+      terms whose accumulation order the engine may choose;
+    - every intermediate is either exact-int arithmetic or an IEEE op
+      sequence written identically in the DuckDB oracle.
+
+    Scale shape: one map-side pass computes per-doc tf vector + length
+    (array filters, no explode); one 1-row global aggregate (n_docs,
+    Σdl, per-term df) broadcast back; scoring is then per-row math and
+    top-k is TakeOrderedAndProject (per-partition heaps + k-row driver
+    merge), never a global sort. The final rank window runs over k rows.
+    """
+    d = widen_for_compute(docs)
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    per_doc = d.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        *[F.size(F.filter(toks, _eq_term(t))).alias(f"tf_{t}") for t in terms],
+    ).filter(F.col("dl") > 0)
+    per_doc = tracked_persist(per_doc)
+
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).cast("bigint").alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+
+    scored = per_doc.crossJoin(F.broadcast(stats)).withColumn(
+        "avgdl", F.col("sum_dl") / F.col("n_docs")
+    )
+    for t in terms:
+        idf = (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5)) / (
+            F.col(f"df_{t}") + F.lit(0.5)
+        )
+        norm = (F.col(f"tf_{t}") * F.lit(k1 + 1.0)) / (
+            F.col(f"tf_{t}")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
+        )
+        scored = scored.withColumn(f"w_{t}", idf * norm)
+    score = F.col(f"w_{terms[0]}")
+    for t in terms[1:]:
+        score = score + F.col(f"w_{t}")
+    scored = scored.withColumn("score", score)
+
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        "doc_id",
+        "dl",
+        *[f"tf_{t}" for t in terms],
+        "score",
+    ).withColumn("rank", F.row_number().over(w))
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _bm25_oracle(terms: tuple[str, ...] = _BM25_TERMS) -> str:
+    tok = r"list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'), x -> x != '')"
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS INT) AS tf_{t}" for t in terms
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in terms
+    )
+    k1, b = _BM25_K1, _BM25_B
+    # every literal is ::DOUBLE — DuckDB parses bare `1.2` as DECIMAL
+    # (exact) while Spark's F.lit(1.2) is a binary double; DECIMAL
+    # intermediates shift the result by an ulp
+    half = "CAST(0.5 AS DOUBLE)"
+    w_cols = ",\n             ".join(
+        f"((n_docs - df_{t} + {half}) / (df_{t} + {half}))"
+        f" * ((tf_{t} * CAST({k1 + 1.0} AS DOUBLE))"
+        f" / (tf_{t} + CAST({k1} AS DOUBLE)"
+        f" * (CAST({1.0 - b} AS DOUBLE) + CAST({b} AS DOUBLE) * (dl / avgdl)))) AS w_{t}"
+        for t in terms
+    )
+    score = " + ".join(f"w_{t}" for t in terms)
+    tf_out = ", ".join(f"tf_{t}" for t in terms)
+    return f"""
+    WITH per_doc AS (
+      SELECT doc_id, CAST(len(toks) AS INT) AS dl,
+             {tf_cols}
+      FROM (SELECT doc_id, {tok} AS toks FROM documents)
+      WHERE len(toks) > 0
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl,
+             {df_cols}
+      FROM per_doc
+    ),
+    scored AS (
+      SELECT doc_id, dl, {tf_out}, {score.replace('w_', 'w_')} AS score FROM (
+        SELECT *,
+             {w_cols}
+        FROM (SELECT per_doc.*, stats.*, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
+              FROM per_doc CROSS JOIN stats)
+      )
+    )
+    SELECT doc_id, dl, {tf_out}, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+    FROM scored
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {_BM25_TOPK}
+    """
+
+
+register("text_bm25_topk", text_bm25_topk, _bm25_oracle())

@@ -58,11 +58,12 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #   prep_rule_filter is already in the never-checked set (coalesce +
 #   whitespace-class fixes, ADVICE r4), graph_pagerank (heap-residual
 #   work, VERDICT r4 next-6);
-# - the 4 operators ADDED in r5 (sq8 ANN tier, count-min heavy
-#   hitters, A-ES weighted sampling, hybrid skew join) — new entries
-#   must take window slots or the round creates fresh debt;
-# - padding to 50 with the OLDEST-evidence r1 rows so their evidence
-#   refreshes (dim_merge_get_or_create, window_surrogate_keys).
+# - the 6 operators ADDED in r5 (sq8 ANN tier, count-min heavy
+#   hitters, A-ES weighted sampling, hybrid skew join, prefix-filter
+#   exact Jaccard join, BM25 retrieval top-k) — new entries must take
+#   window slots or the round creates fresh debt. They displaced the
+#   r1-refresh padding (dim_merge_get_or_create, window_surrogate_keys
+#   keep their r1 rows; code unchanged since).
 # After this window every entry in the catalog has a driver row from a
 # round whose code matches current, except any r5 stragglers — which
 # the same rule rotates into r6.
@@ -122,9 +123,8 @@ _PRIORITY: tuple[str, ...] = (
     "agg_countmin_topk",
     "prep_weighted_sample",
     "join_skew_hybrid",
-    # -- oldest-evidence r1 refresh padding --
-    "dim_merge_get_or_create",
-    "window_surrogate_keys",
+    "dedup_jaccard_prefix",
+    "text_bm25_topk",
 )
 
 
