@@ -45,3 +45,36 @@ def test_weighted_sample_consistent_under_corpus_growth(spark):
     s2 = {r.rid for r in weighted_sample(grown, "grp", "rid", "w", k=5).collect()}
     # tiny-weight newcomers essentially never beat weight-100 keys here
     assert s1 == s2
+
+
+def test_temperature_mix_quotas_sum_to_budget_and_compress_ratios(spark):
+    from yelp_data_engineering_pipeline_spark.operators.sampling import (
+        temperature_mix_quotas,
+    )
+
+    # three sources with 100:25:4 size skew → sqrt compresses to 10:5:2
+    rows = (
+        [("big", i, 100) for i in range(100)]
+        + [("mid", i, 100) for i in range(25)]
+        + [("small", i, 100) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_chars long")
+    out = {r.source: r for r in temperature_mix_quotas(df, "source", "n_chars", budget=170).collect()}
+    assert sum(r.quota for r in out.values()) == 170  # largest remainder: exact
+    assert out["big"].weight == 100 and out["mid"].weight == 50 and out["small"].weight == 20
+    # temperature upweights the small source vs raw proportionality:
+    # raw share of 'small' is 4/129 (~5 of 170); sqrt share is 20/170
+    assert out["small"].quota == 20
+    assert out["big"].quota == 100
+
+
+def test_temperature_mix_leftover_goes_to_largest_remainders(spark):
+    from yelp_data_engineering_pipeline_spark.operators.sampling import (
+        temperature_mix_quotas,
+    )
+
+    rows = [(f"s{i}", 0, (i + 1) ** 2) for i in range(3)]  # weights 1,2,3; W=6
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_chars long")
+    # budget 7: base = 7w div 6 = 1,2,3 (spent 6); remainders 1,2,3 → s2 gets +1
+    out = {r.source: r.quota for r in temperature_mix_quotas(df, "source", "n_chars", budget=7).collect()}
+    assert out == {"s0": 1, "s1": 2, "s2": 4}

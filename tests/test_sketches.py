@@ -40,3 +40,30 @@ def test_cms_sketch_is_fixed_size(spark):
     # every token contributes to exactly d rows: total mass = d * n_tokens
     mass = sketch.agg(F.sum("cnt")).collect()[0][0]
     assert mass == CMS_D * toks.count()
+
+
+def test_hll_shard_union_equals_unsharded_sketch(spark):
+    """Mergeability is the operator's whole claim: the union of 8 shard
+    sketches must estimate exactly what one global sketch of the same
+    rows estimates (DataSketches HLL union of same-lgK sketches is
+    lossless in dense mode and exact here in sparse mode)."""
+    from pyspark.sql import functions as F
+
+    from yelp_data_engineering_pipeline_spark.operators.sketches import hll_shard_rollup
+
+    rows = [(i % 3, i * 7 % 500, i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp int, key long, rid long")
+    sharded = hll_shard_rollup(df, "grp", "key", F.pmod("rid", F.lit(8)))
+    got = {r.grp: r for r in sharded.collect()}
+    single = {
+        r.grp: r.est
+        for r in df.groupBy("grp")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("key")).alias("est"))
+        .collect()
+    }
+    for g, r in got.items():
+        assert r.n_shards == 8
+        assert r.est_within_5pct == 1
+        # shard-union estimate must be the single-sketch estimate ±0
+        exact = r.exact_keys
+        assert abs(single[g] - exact) * 20 <= exact

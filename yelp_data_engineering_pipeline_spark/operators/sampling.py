@@ -97,3 +97,105 @@ register(
     ) WHERE rk <= 5
     """,
 )
+
+
+# --- Temperature-based source mixing (alpha-sampling allocator) -------------
+
+MIX_BUDGET = 1000
+# alpha = 1/2: weight each source by sqrt of its size — the standard
+# temperature that upweights small sources without letting them dominate
+
+
+def temperature_mix_quotas(
+    docs: DataFrame, group_col: str, size_col: str, budget: int = MIX_BUDGET
+) -> DataFrame:
+    """Per-source sampling quotas under temperature-based mixing — the
+    allocator behind multilingual/multi-source LLM data mixes (sample
+    source i with probability ∝ size_i^alpha, alpha = 0.5 here): raw
+    proportional sampling starves small sources, uniform sampling
+    over-trains on them, sqrt is the conventional compromise.
+
+    Everything after the one per-source aggregate is INTEGER math so
+    both engines agree bit-for-bit:
+    - weight_i = floor(sqrt(size_i)) — IEEE 754 REQUIRES sqrt to be
+      correctly rounded (unlike ln/exp, which drift between libm
+      builds), so even the floor boundary is engine-exact;
+    - base quota  = (budget * w_i) div W,  W = Σ w_i;
+    - the leftover budget - Σ base goes to the largest integer
+      remainders ((budget * w_i) mod W, ties by group) — the largest-
+      remainder apportionment method, which guarantees Σ quota = budget
+      exactly.
+
+    Scale shape: one groupBy(source) aggregate (map-side combined),
+    two 1-row broadcast totals, and a window over the SOURCE dimension
+    (tens of rows at any corpus size) — per-doc data is touched once.
+    """
+    agg = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(size_col).cast("bigint").alias("grp_size"),
+    )
+    agg = agg.withColumn(
+        "weight", F.floor(F.sqrt(F.col("grp_size").cast("double"))).cast("bigint")
+    )
+    tot = agg.agg(F.sum("weight").cast("bigint").alias("w_total"))
+    alloc = (
+        agg.crossJoin(F.broadcast(tot))
+        .withColumn("base_quota", F.expr(f"({budget} * weight) div w_total"))
+        .withColumn("rem", (F.lit(budget) * F.col("weight")) % F.col("w_total"))
+    )
+    spent = alloc.agg(F.sum("base_quota").cast("bigint").alias("spent"))
+    w = Window.orderBy(F.desc("rem"), F.asc("grp"))
+    return (
+        alloc.crossJoin(F.broadcast(spent))
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "quota",
+            F.col("base_quota")
+            + (F.col("rk") <= F.lit(budget) - F.col("spent")).cast("bigint"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "grp_size",
+            "weight",
+            "quota",
+        )
+        .orderBy(group_col)
+    )
+
+
+def prep_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return temperature_mix_quotas(docs, "source", "n_chars")
+
+
+register(
+    "prep_temperature_mix",
+    prep_temperature_mix,
+    f"""
+    WITH agg AS (
+      SELECT source AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS grp_size
+      FROM documents GROUP BY source
+    ),
+    weighted AS (
+      SELECT *, CAST(FLOOR(SQRT(CAST(grp_size AS DOUBLE))) AS BIGINT) AS weight
+      FROM agg
+    ),
+    tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS w_total FROM weighted),
+    alloc AS (
+      SELECT *, ({MIX_BUDGET} * weight) // w_total AS base_quota,
+             ({MIX_BUDGET} * weight) % w_total AS rem
+      FROM weighted CROSS JOIN tot
+    ),
+    spent AS (SELECT CAST(SUM(base_quota) AS BIGINT) AS spent FROM alloc)
+    SELECT grp AS source, n_docs, grp_size, weight,
+           CAST(base_quota + (CASE WHEN rk <= {MIX_BUDGET} - spent THEN 1 ELSE 0 END) AS BIGINT) AS quota
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, grp ASC) AS rk
+      FROM alloc CROSS JOIN spent
+    )
+    ORDER BY source
+    """,
+)

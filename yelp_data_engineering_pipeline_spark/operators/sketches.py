@@ -157,3 +157,94 @@ _CMS_ORACLE = f"""
 """
 
 register("agg_countmin_topk", agg_countmin_topk, _CMS_ORACLE)
+
+
+# --- Mergeable HLL distinct-count rollup (Spark DataSketches) ---------------
+
+HLL_SHARDS = 8
+HLL_TOL_NUM = 1  # gate: |est - exact| <= exact * 1/20 (5%)
+HLL_TOL_DEN = 20
+
+
+def hll_shard_rollup(
+    events: DataFrame,
+    group_col: str,
+    key_col: str,
+    shard_col: Column,
+    n_shards: int = HLL_SHARDS,
+) -> DataFrame:
+    """Distinct-count rollup via MERGEABLE HLL sketches — the pattern
+    that makes per-shard pre-aggregation possible at 100 TB, where a
+    COUNT(DISTINCT) re-shuffles raw keys on every rollup:
+
+    1. each shard (file, day, ingest batch) builds its own
+       ``hll_sketch_agg`` — map-side partial aggregation, the shuffle
+       carries one ~KB sketch per (group, shard), never raw keys;
+    2. rollups of any shard subset are ``hll_union_agg`` — sketch
+       union is associative/commutative, so daily→monthly→total
+       cascades reuse stored shard sketches without touching data;
+    3. the estimate is read with ``hll_sketch_estimate``.
+
+    The entry emits the exact count NEXT TO an integer within-tolerance
+    flag so correctness is externally checkable: the DuckDB oracle
+    computes ``exact_keys``/``n_shards`` independently and expects
+    ``est_within_5pct = 1`` for every group — an ACCURACY-GATE oracle
+    (the sketch binary itself is not reproducible outside the
+    DataSketches library, so the oracle verifies the estimate's error
+    bound instead of its bits; a sketch drifting past 5% turns the row
+    red). All output columns are integers — no float reaches the
+    result.
+    """
+    base = events.select(
+        F.col(group_col).alias("grp"),
+        F.col(key_col).alias("key"),
+        shard_col.alias("shard"),
+    )
+    shard_sk = base.groupBy("grp", "shard").agg(
+        F.hll_sketch_agg("key").alias("sk")
+    )
+    merged = shard_sk.groupBy("grp").agg(
+        F.hll_union_agg("sk").alias("sk"),
+        F.count(F.lit(1)).cast("int").alias("n_shards"),
+    )
+    est = merged.select(
+        "grp", "n_shards", F.hll_sketch_estimate("sk").alias("est")
+    )
+    exact = base.groupBy("grp").agg(
+        F.countDistinct("key").cast("bigint").alias("exact_keys")
+    )
+    return (
+        est.join(exact, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "exact_keys",
+            "n_shards",
+            (
+                F.abs(F.col("est") - F.col("exact_keys")) * HLL_TOL_DEN
+                <= F.col("exact_keys") * HLL_TOL_NUM
+            )
+            .cast("int")
+            .alias("est_within_5pct"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def agg_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return hll_shard_rollup(
+        ev, "event_type", "user_id", F.pmod("event_id", F.lit(HLL_SHARDS))
+    )
+
+
+_HLL_ORACLE = f"""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_keys,
+           CAST(COUNT(DISTINCT event_id % {HLL_SHARDS}) AS INT) AS n_shards,
+           1 AS est_within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+register("agg_hll_distinct_rollup", agg_hll_distinct_rollup, _HLL_ORACLE)

@@ -66,7 +66,10 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #   keep their r1 rows; code unchanged since).
 # After this window every entry in the catalog has a driver row from a
 # round whose code matches current, except any r5 stragglers — which
-# the same rule rotates into r6.
+# the same rule rotates into r6. Known r6-window-first stragglers (the
+# 50 slots were already spoken for): agg_hll_distinct_rollup,
+# prep_temperature_mix (both added late in r5; local differential green
+# at sf0.001/0.01/0.1).
 _PRIORITY: tuple[str, ...] = (
     "flagship_revenue_by_nation",
     "agg_conditional",
