@@ -77,3 +77,26 @@ def test_bigram_lift_counts(spark):
     assert rows["spark shuffle"].lift_milli == 3000
     assert rows["shuffle spark"].cxy == 1
     assert rows["spark join"].lift_milli == 3000  # 1*36*1000/(4*3*1)
+
+
+def test_ema_half_matches_pandas_ewm(spark):
+    """The hand-rolled recurrence must equal pandas' own
+    ewm(alpha=0.5, adjust=False) — an independent implementation of
+    y_k = (1-a)y_{k-1} + a·x_k, bit-for-bit (both round once per step
+    because halving is exact)."""
+    import pandas as pd
+
+    from yelp_data_engineering_pipeline_spark.operators.timeseries import ema_half
+
+    rows = [(1, i, i * 10, float(v)) for i, v in enumerate([3.3, 1.1, 7.7, 2.2, 9.9])]
+    rows += [(2, 10 + i, i * 10, float(v)) for i, v in enumerate([5.5, 5.5, 0.1])]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts_us long, value double")
+    got = {
+        (r.user_id, r.event_id): r.ema
+        for r in ema_half(df, "user_id", ("ts_us", "event_id"), "value").collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts_us", "value"])
+    for uid, g in pdf.sort_values(["ts_us", "event_id"]).groupby("user_id"):
+        ref = g["value"].ewm(alpha=0.5, adjust=False).mean()
+        for eid, want in zip(g["event_id"], ref):
+            assert got[(uid, eid)] == want  # exact equality, not approx

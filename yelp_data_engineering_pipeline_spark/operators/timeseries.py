@@ -174,3 +174,86 @@ register(
     ORDER BY from_type, to_type
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-key exponential moving average (sequential recurrence via Arrow UDF)
+# ---------------------------------------------------------------------------
+
+
+def ema_half(df: DataFrame, key_col: str, order_cols: Seq[str], value_col: str) -> DataFrame:
+    """Per-key EMA with alpha = 1/2: y_1 = x_1, y_k = (y_{k-1} + x_k)/2.
+
+    A linear recurrence is the one analytic shape Spark's declarative
+    surface cannot express (no recursive window frame), so this is the
+    sanctioned Arrow escape hatch: ``applyInPandas`` per key — ONE
+    shuffle to co-locate each key, then a linear scan per group inside
+    an Arrow batch. That is the theoretical minimum work for a
+    recurrence; the alternative (Blelloch segmented scan over the
+    associative map y→(y+x)/2) only pays off when single keys span
+    executors, and per-key skew here is bounded by events-per-user.
+
+    alpha = 1/2 is not just convention: halving is EXACT in binary
+    floating point, so each step rounds once — and fl(x/2 + y/2) ==
+    fl(x + y)/2 (rounding commutes with exact power-of-two scaling),
+    which makes the Python loop bit-identical to the DuckDB
+    left-fold oracle. An arbitrary alpha would add a second rounding
+    per step on one engine only.
+
+    Output ts is unix-micros BIGINT (catalog wire-format rule: no
+    session-tz types).
+    """
+    schema = f"{key_col} long, event_id long, ts_us long, {value_col} double, ema double"
+
+    def _per_key(pdf):
+        import pandas as pd  # noqa: F401 — Arrow batch boundary
+
+        pdf = pdf.sort_values(list(order_cols)).reset_index(drop=True)
+        vals = pdf[value_col].to_numpy()
+        out = vals.copy()
+        for i in range(1, len(out)):
+            out[i] = (out[i - 1] + vals[i]) / 2.0
+        pdf["ema"] = out
+        return pdf
+
+    return df.groupBy(key_col).applyInPandas(_per_key, schema=schema)
+
+
+def ts_ema_user(spark, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.col("event_id"),
+        F.expr("unix_micros(ts)").alias("ts_us"),
+        F.col("value"),
+    ).filter(F.col("value").isNotNull())
+    return ema_half(ev, "user_id", ("ts_us", "event_id"), "value")
+
+
+register(
+    "ts_ema_user",
+    ts_ema_user,
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    ordered AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+      FROM ev
+    ),
+    arr AS (
+      SELECT user_id,
+             list(value ORDER BY rn) AS vs,
+             list(event_id ORDER BY rn) AS ids,
+             list(ts_us ORDER BY rn) AS tss
+      FROM ordered GROUP BY user_id
+    ),
+    idx AS (SELECT user_id, vs, ids, tss, UNNEST(range(1, len(vs) + 1)) AS i FROM arr)
+    SELECT user_id,
+           ids[i] AS event_id,
+           tss[i] AS ts_us,
+           vs[i] AS value,
+           list_reduce(vs[1:i], (a, b) -> (a + b) / 2) AS ema
+    FROM idx
+    """,
+)
