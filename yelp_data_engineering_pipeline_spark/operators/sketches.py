@@ -248,3 +248,109 @@ _HLL_ORACLE = f"""
 """
 
 register("agg_hll_distinct_rollup", agg_hll_distinct_rollup, _HLL_ORACLE)
+
+
+# --- Approx-percentile sketch audit (GK/KLL-style mergeable quantiles) ------
+
+PCT_ACCURACY = 1000  # rank error <= n / accuracy
+
+
+def approx_percentile_gate(
+    events: DataFrame, group_col: str, value_cents: Column, order_tiebreak: str
+) -> DataFrame:
+    """Mergeable approximate quantiles next to their exact audit — the
+    quantile analogue of ``hll_shard_rollup`` above.
+
+    ``percentile_approx`` is Spark's mergeable quantile sketch: partial
+    sketches combine associatively, so at 100 TB per-partition partials
+    shuffle as fixed-size summaries instead of re-sorting raw values.
+    The EXACT side (a per-group sort) exists only to AUDIT the sketch —
+    production rollups would carry the sketch alone.
+
+    Quantile definition is pinned engine-neutrally (never an engine's
+    own quantile_disc/percentile, whose index conventions differ):
+    the exact q-quantile is the value at 1-based position
+    floor((n-1)·q) + 1 under (value, tiebreak) order. Values are
+    floor(value·100) cents BIGINTs; the within-gate flags compare
+    integer value distance against the exact inter-decile span
+    (|approx − exact|·10 ≤ p90 − p10), so the whole output is integer
+    and the DuckDB oracle (exact quantiles + expected flags = 1) is an
+    accuracy gate: a sketch drifting past a tenth of the spread turns
+    the row red.
+    """
+    base = events.select(
+        F.col(group_col).alias("grp"),
+        F.col(order_tiebreak).alias("tb"),
+        value_cents.alias("vc"),
+    ).filter(F.col("vc").isNotNull())
+    w = Window.partitionBy("grp").orderBy("vc", "tb")
+    ranked = base.select(
+        "grp",
+        "vc",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n"),
+    )
+    exact = ranked.groupBy("grp").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr(f"((n - 1) * {num}) div {den}") + 1,
+                    F.col("vc"),
+                )
+            ).alias(f"exact_p{name}")
+            for name, num, den in (("10", 1, 10), ("50", 1, 2), ("90", 9, 10))
+        ]
+    )
+    approx = base.groupBy("grp").agg(
+        F.percentile_approx("vc", [0.1, 0.5, 0.9], PCT_ACCURACY).alias("ap")
+    )
+    span = F.col("exact_p90") - F.col("exact_p10")
+    out = exact.join(approx, "grp")
+    for i, name in enumerate(("10", "50", "90")):
+        out = out.withColumn(
+            f"ok_p{name}",
+            (
+                F.abs(F.col("ap")[i] - F.col(f"exact_p{name}")) * 10 <= span
+            ).cast("int"),
+        )
+    return out.select(
+        F.col("grp").alias(group_col),
+        "exact_p10",
+        "exact_p50",
+        "exact_p90",
+        "ok_p10",
+        "ok_p50",
+        "ok_p90",
+    ).orderBy(group_col)
+
+
+def agg_approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return approx_percentile_gate(
+        ev, "event_type", F.floor(F.col("value") * 100).cast("bigint"), "event_id"
+    )
+
+
+_PCT_ORACLE = """
+    WITH base AS (
+      SELECT event_type AS grp, event_id AS tb,
+             CAST(FLOOR(value * 100) AS BIGINT) AS vc
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT grp, vc,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY vc, tb) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM base
+    )
+    SELECT grp AS event_type,
+           MAX(CASE WHEN rn = ((n - 1) * 1) // 10 + 1 THEN vc END) AS exact_p10,
+           MAX(CASE WHEN rn = ((n - 1) * 1) // 2 + 1 THEN vc END) AS exact_p50,
+           MAX(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN vc END) AS exact_p90,
+           1 AS ok_p10, 1 AS ok_p50, 1 AS ok_p90
+    FROM ranked
+    GROUP BY grp
+    ORDER BY event_type
+"""
+
+register("agg_approx_percentile_gate", agg_approx_percentile_gate, _PCT_ORACLE)
