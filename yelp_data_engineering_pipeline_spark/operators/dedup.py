@@ -1221,3 +1221,119 @@ register(
     WHERE inter_size * 2 >= 1 * union_size
     """,
 )
+
+
+# --- End-to-end dedup cascade (the composed production pipeline) -----------
+
+def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tier elimination ledger of the composed dedup pipeline a
+    100 TB run actually executes — cheap tiers first so each stage
+    sees only the previous stage's survivors:
+
+        0 input     → corpus size
+        1 exact     → byte-identical text (hash groupBy, one shuffle)
+        2 canonical → formatting-insensitive fingerprint on tier-1
+                      survivors (lowercase/strip/collapse — textstats
+                      canonical_text)
+        3 near_dup  → MinHash-LSH pairs among tier-2 survivors,
+                      verified exact Jaccard ≥ 0.5, transitive closure
+                      (graph.connected_components), min-id canonical
+                      per cluster
+
+    Running LSH on survivors is identical to filtering full-corpus
+    pairs to surviving endpoints (banding is per-doc, so the subset's
+    candidate set IS the full candidate set restricted to the subset)
+    — which is exactly how the DuckDB oracle states tier 3, making the
+    equivalence externally checked rather than claimed.
+
+    Each tier's output is a keep-min-per-group reduction, so the
+    cascade is deterministic and idempotent; the ledger shape (tier,
+    eliminated, survivors) is what a data-governance review asks for.
+    """
+    from .graph import connected_components
+
+    docs = tracked_persist(
+        widen_for_compute(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    )
+    s1 = tracked_persist(
+        docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id", "text")
+    )
+    from .textstats import canonical_text
+
+    canon = s1.withColumn("fp", F.md5(canonical_text(F.col("text"))))
+    m2 = canon.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    s2 = tracked_persist(canon.join(m2, "doc_id").select("doc_id", "text"))
+
+    pairs = minhash_lsh_pairs(s2, "doc_id", "text", jaccard_threshold=0.5)
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    e3 = labels.filter(F.col("label") != F.col("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("e3")
+    )
+
+    c0 = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n0"))
+    c1 = s1.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+    c2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    counts = (
+        c0.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(e3))
+    )
+    tiers = [
+        ("0_input", F.lit(0).cast("bigint"), F.col("n0")),
+        ("1_exact", F.col("n0") - F.col("n1"), F.col("n1")),
+        ("2_canonical", F.col("n1") - F.col("n2"), F.col("n2")),
+        ("3_near_dup", F.col("e3"), F.col("n2") - F.col("e3")),
+    ]
+    out = None
+    for name, elim, surv in tiers:
+        row = counts.select(
+            F.lit(name).alias("tier"),
+            elim.alias("eliminated"),
+            surv.alias("survivors"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("tier")
+
+
+_CANON_FP_SQL = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g')))"
+)
+
+register(
+    "dedup_cascade",
+    dedup_cascade,
+    f"""
+    WITH RECURSIVE
+    s1 AS (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+    canon AS (SELECT doc_id, text, {_CANON_FP_SQL} AS fp FROM s1),
+    m2 AS (SELECT MIN(doc_id) AS doc_id FROM canon GROUP BY fp),
+    s2 AS (SELECT c.doc_id, c.text FROM canon c JOIN m2 USING (doc_id)),
+    pairs_full AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) WHERE jaccard >= 0.5),
+    pairs AS (
+      SELECT p.doc_a, p.doc_b FROM pairs_full p
+      JOIN s2 a ON a.doc_id = p.doc_a
+      JOIN s2 b ON b.doc_id = p.doc_b
+    ),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+    ),
+    labels AS (SELECT a AS node, MIN(b) AS label FROM reach GROUP BY a),
+    e3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS e3 FROM labels WHERE label != node),
+    c AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n0,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+             (SELECT e3 FROM e3) AS e3
+    )
+    SELECT '0_input' AS tier, CAST(0 AS BIGINT) AS eliminated, n0 AS survivors FROM c
+    UNION ALL SELECT '1_exact', n0 - n1, n1 FROM c
+    UNION ALL SELECT '2_canonical', n1 - n2, n2 FROM c
+    UNION ALL SELECT '3_near_dup', e3, n2 - e3 FROM c
+    ORDER BY tier
+    """,
+)

@@ -68,7 +68,8 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # round whose code matches current, except any r5 stragglers — which
 # the same rule rotates into r6. Known r6-window-first stragglers (the
 # 50 slots were already spoken for): agg_hll_distinct_rollup,
-# prep_temperature_mix (both added late in r5; local differential green
+# prep_temperature_mix, ts_ema_user, agg_approx_percentile_gate,
+# dedup_cascade (all added late in r5; each local-differential green
 # at sf0.001/0.01/0.1).
 _PRIORITY: tuple[str, ...] = (
     "flagship_revenue_by_nation",
