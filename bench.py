@@ -54,6 +54,15 @@ TPCH = [
     "tpch_q21_waiting_suppliers",   # decorrelated EXISTS/NOT EXISTS pair
 ]
 
+# Composed-pipeline tier (round 5): the end-to-end shapes a 100 TB
+# training-data run executes as ONE job, not per-operator micro-times.
+# Also kept OUT of the headline total for round comparability.
+PIPELINE = [
+    "dedup_cascade",        # exact -> canonical -> LSH + closure ledger
+    "pipeline_quality_dedup",  # quality-gate + dedup composition
+    "prep_leakage_safe_split",  # cluster-keyed split (LSH + closure)
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -83,6 +92,7 @@ def main() -> None:
 
     timings = run_set(HEADLINE)
     tpch = run_set(TPCH)
+    pipeline = run_set(PIPELINE)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -94,6 +104,8 @@ def main() -> None:
                 "queries": timings,
                 "tpch": tpch,
                 "tpch_total": round(sum(tpch.values()), 3),
+                "pipeline": pipeline,
+                "pipeline_total": round(sum(pipeline.values()), 3),
                 "sf": sf,
             }
         )

@@ -426,3 +426,28 @@ def test_prefix_filter_join_is_lossless(spark, word_lists, t):
         for r in prefix_filter_pairs(df, "doc_id", "text", t_num, t_den).collect()
     }
     assert got == expected
+
+
+def test_cascade_tier1_matches_exact_dedup(spark, sf_dir):
+    """Cross-entry consistency: the cascade's exact-tier survivor count
+    must equal the standalone exact-dedup group count — two independent
+    formulations (min-per-text vs md5-fingerprint groupBy) of the same
+    set."""
+    from yelp_data_engineering_pipeline_spark.operators.dedup import (
+        dedup_cascade,
+        dedup_exact,
+    )
+
+    ledger = {r.tier: r for r in dedup_cascade(spark, sf_dir).collect()}
+    n_groups = dedup_exact(spark, sf_dir).count()
+    assert ledger["1_exact"].survivors == n_groups
+    assert ledger["0_input"].survivors == (
+        ledger["1_exact"].survivors + ledger["1_exact"].eliminated
+    )
+    # monotone: every tier only removes
+    assert (
+        ledger["0_input"].survivors
+        >= ledger["1_exact"].survivors
+        >= ledger["2_canonical"].survivors
+        >= ledger["3_near_dup"].survivors
+    )
