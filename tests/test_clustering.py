@@ -32,3 +32,18 @@ def test_kmeans_partitioning_invariant(spark):
     a = sorted(map(tuple, kmeans(_toy(spark), "vec_id", "embedding", k=2, rounds=2).collect()))
     b = sorted(map(tuple, kmeans(_toy(spark).repartition(5), "vec_id", "embedding", k=2, rounds=2).collect()))
     assert a == b
+
+
+def test_jl_projection_concentrates_distance_ratios(spark, sf_dir):
+    """JL guarantee, empirically: most pairwise distance ratios after
+    the 64→16 sign projection must concentrate near 1 (σ ≈ 1/√16 =
+    0.25 ⇒ well over half the mass within ±0.3)."""
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        emb_random_projection,
+    )
+
+    bins = {r.ratio_bin: r.n_pairs for r in emb_random_projection(spark, sf_dir).collect()}
+    total = sum(bins.values())
+    near_one = sum(n for b, n in bins.items() if 7 <= b <= 13)
+    assert total > 100  # non-vacuous: the 40-vector sample yields 780 pairs
+    assert near_one / total > 0.6

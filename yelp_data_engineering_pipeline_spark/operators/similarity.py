@@ -864,3 +864,123 @@ register(
     ) WHERE rk <= 5
     """,
 )
+
+
+# --- Johnson-Lindenstrauss random sign projection ---------------------------
+
+JL_D_OUT = 16
+_JL_D_IN = 64
+
+
+def _jl_signs(d_out: int = JL_D_OUT, d_in: int = _JL_D_IN) -> list[list[float]]:
+    """±1 projection matrix derived from md5 — deterministic across
+    runs/engines with no RNG state to ship; Achlioptas (2003) showed
+    sign matrices satisfy the JL distance-preservation guarantee."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"jl|{i}|{j}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+            for j in range(d_in)
+        ]
+        for i in range(d_out)
+    ]
+
+
+def jl_project(vec: Column, signs: list[list[float]]) -> Column:
+    """Project to len(signs) dims: y_i = (1/√d_out)·Σ_j s_ij·x_j. Each
+    component is ONE aggregate-fold node (the unrolled-sum formulation
+    is the Catalyst expression blowup the r4 LSH rewrite fixed —
+    BASELINE.md); 1/√16 = 0.25 is an exact binary scale."""
+    comps = []
+    for row in signs:
+        lit_arr = F.array(*[F.lit(s) for s in row])
+        comps.append(
+            F.aggregate(
+                F.zip_with(vec, lit_arr, lambda x, s: x.cast("double") * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(1.0 / JL_D_OUT ** 0.5)
+        )
+    return F.array(*comps)
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double")),
+        F.lit(0.0),
+        lambda acc, d: acc + d * d,
+    )
+
+
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distortion audit of the 64→16 JL sign projection: histogram of
+    ||Pa−Pb|| / ||a−b|| over a bounded query sample (the measurement
+    you run before swapping the projected vectors into the ANN tiers —
+    16 dims means 4× less shuffle volume and 4× cheaper dot products
+    for every downstream index).
+
+    At scale the projection is a map-side fold against a LITERAL
+    broadcast matrix (no shuffle, no state); only this audit does a
+    bounded 40×40 pair comparison. Ratio bins are ROUND(ratio·10):
+    both engines sum fold-wise over identical operand sequences, and a
+    drift would need a ratio within ~1e-14 of a bin edge (ratios of
+    irrational distances — the cosine tiers' ROUND(·,4) precedent,
+    one decimal coarser here)."""
+    signs = _jl_signs()
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    proj = emb.select(
+        "vec_id", "embedding", jl_project(F.col("embedding"), signs).alias("p")
+    )
+    a = proj.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), F.col("p").alias("pa")
+    )
+    b = proj.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), F.col("p").alias("pb")
+    )
+    pairs = F.broadcast(a).join(b, F.col("va") < F.col("vb"))
+    ratio = F.sqrt(sq_dist(F.col("pa"), F.col("pb"))) / F.sqrt(
+        sq_dist(F.col("ea"), F.col("eb"))
+    )
+    return (
+        pairs.filter(sq_dist(F.col("ea"), F.col("eb")) > 0)
+        .select(F.round(ratio * 10, 0).cast("int").alias("ratio_bin"))
+        .groupBy("ratio_bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("ratio_bin")
+    )
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    comp = ", ".join(
+        "CAST(0.25 AS DOUBLE) * list_sum(list_transform(range(1, 65), "
+        f"j -> CAST(embedding[j] AS DOUBLE) * ([{', '.join(str(s) for s in row)}])[j]))"
+        for row in signs
+    )
+    return f"""
+    WITH proj AS (
+      SELECT vec_id, embedding, [{comp}] AS p
+      FROM embeddings WHERE vec_id < 40
+    ),
+    pairs AS (
+      SELECT a.embedding AS ea, b.embedding AS eb, a.p AS pa, b.p AS pb
+      FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+    ),
+    d AS (
+      SELECT sqrt(list_sum(list_transform(range(1, 65),
+               j -> (CAST(ea[j] AS DOUBLE) - CAST(eb[j] AS DOUBLE))
+                  * (CAST(ea[j] AS DOUBLE) - CAST(eb[j] AS DOUBLE))))) AS od,
+             sqrt(list_sum(list_transform(range(1, {JL_D_OUT} + 1),
+               j -> (pa[j] - pb[j]) * (pa[j] - pb[j])))) AS pd
+      FROM pairs
+    )
+    SELECT CAST(ROUND(pd / od * 10, 0) AS INT) AS ratio_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM d WHERE od > 0
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+register("emb_random_projection", emb_random_projection, _jl_oracle())
