@@ -451,3 +451,63 @@ def test_cascade_tier1_matches_exact_dedup(spark, sf_dir):
         >= ledger["2_canonical"].survivors
         >= ledger["3_near_dup"].survivors
     )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 300), st.integers(-50, 50)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 300), st.integers(-50, 50)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.sampled_from([None, 30]),
+)
+def test_asof_nearest_matches_pandas_merge_asof(spark, lrows, rrows, tol_s):
+    """direction='nearest' (both-ways closest, ties backward) must
+    agree with pandas merge_asof on generated data including equal
+    timestamps and tolerance NULLing — completing the
+    backward/forward property test above."""
+    import pandas as pd
+
+    from yelp_data_engineering_pipeline_spark.operators.asof import asof_nearest_join
+
+    ldf = (
+        pd.DataFrame(lrows, columns=["k", "t", "lv"])
+        .drop_duplicates(["k", "t"])
+        .sort_values(["t", "k"])
+        .reset_index(drop=True)
+    )
+    rdf = (
+        pd.DataFrame(rrows, columns=["k", "t", "rv"])
+        .drop_duplicates(["k", "t"])
+        .sort_values(["t", "k"])
+        .reset_index(drop=True)
+    )
+    ldf["ts"] = pd.to_datetime(ldf["t"], unit="s")
+    rdf["ts"] = pd.to_datetime(rdf["t"], unit="s")
+    want = pd.merge_asof(
+        ldf,
+        rdf[["k", "ts", "rv"]],
+        on="ts",
+        by="k",
+        direction="nearest",
+        tolerance=None if tol_s is None else pd.Timedelta(seconds=tol_s),
+    )
+    sl = spark.createDataFrame(ldf[["k", "ts", "lv"]])
+    sr = spark.createDataFrame(rdf[["k", "ts", "rv"]].assign(rv=rdf["rv"].astype(float)))
+    got = asof_nearest_join(
+        sl, sr, on="ts", by="k", value_col="rv",
+        tolerance_us=None if tol_s is None else tol_s * 1_000_000,
+    )
+    got_map = {(r.k, r.ts): r.rv_asof for r in got.collect()}
+    for _, row in want.iterrows():
+        g = got_map[(row.k, row.ts)]
+        if pd.isna(row.rv):
+            assert g is None, (row.k, row.ts, g)
+        else:
+            assert g == float(row.rv), (row.k, row.ts, g, row.rv)

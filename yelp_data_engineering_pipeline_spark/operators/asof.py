@@ -338,3 +338,144 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-direction as-of (completes backward / forward / nearest)
+# ---------------------------------------------------------------------------
+
+
+def asof_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_col: str,
+    suffix: str = "_asof",
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """pandas ``merge_asof(direction='nearest')`` parity, distributed:
+    for each left row the CLOSER of (latest right at-or-before, first
+    right strictly-after); ties at equal distance resolve backward,
+    and an equal-timestamp right row is a zero-gap backward match —
+    both exactly pandas' rules.
+
+    One union, ONE sort: both candidates come from two window frames
+    over the SAME (key, ts, side) ordering — an unbounded-preceding
+    ``last`` and an unbounded-following ``first`` — so the plan has a
+    single Exchange+Sort feeding two Window ops, not two shuffled
+    joins. Gap comparison is integer microseconds.
+    """
+    lcols = left.columns
+    l = left.select(*lcols, F.lit(1).alias("_side"))
+    l = l.withColumn(f"_v", F.lit(None).cast(right.schema[value_col].dataType))
+    l = l.withColumn("_r_on", F.lit(None).cast(right.schema[on].dataType))
+    r = right.select(
+        *[
+            F.col(c) if c in (by, on) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("_side"),
+        F.col(value_col).alias("_v"),
+        F.col(on).alias("_r_on"),
+    )
+    unioned = l.unionByName(r)
+    wb = (
+        Window.partitionBy(by)
+        .orderBy(on, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(by)
+        .orderBy(on, "_side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    cand = unioned.select(
+        *lcols,
+        "_side",
+        F.last("_r_on", ignorenulls=True).over(wb).alias("_b_on"),
+        F.last("_v", ignorenulls=True).over(wb).alias("_b_v"),
+        F.first("_r_on", ignorenulls=True).over(wf).alias("_f_on"),
+        F.first("_v", ignorenulls=True).over(wf).alias("_f_v"),
+    ).filter(F.col("_side") == 1)
+    b_gap = F.unix_micros(F.col(on)) - F.unix_micros(F.col("_b_on"))
+    f_gap = F.unix_micros(F.col("_f_on")) - F.unix_micros(F.col(on))
+    take_b = F.col("_b_on").isNotNull() & (
+        F.col("_f_on").isNull() | (b_gap <= f_gap)
+    )
+    gap = F.when(take_b, b_gap).otherwise(f_gap)
+    val = F.when(take_b, F.col("_b_v")).otherwise(F.col("_f_v"))
+    matched = F.col("_b_on").isNotNull() | F.col("_f_on").isNotNull()
+    if tolerance_us is not None:
+        matched = matched & (gap <= F.lit(tolerance_us))
+    return cand.select(
+        *lcols,
+        F.when(matched, val).alias(f"{value_col}{suffix}"),
+        F.when(matched, gap).cast("bigint").alias("gap_us"),
+    )
+
+
+def asof_nearest_purchase(spark, sf_dir: str) -> DataFrame:
+    """For each error event: the nearest purchase by the same user in
+    EITHER direction (ties backward), with the signed-magnitude gap."""
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_nearest_join(
+        errors, purchases, on="ts", by="user_id", value_col="purchase_value"
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("purchase_value_asof").alias("nearest_purchase_value"),
+        "gap_us",
+    ).orderBy("user_id", "event_id")
+
+
+# Oracle mirrors the union+two-frame formulation (DuckDB's native ASOF
+# is backward-only); IGNORE NULLS window frames express both candidates
+# over one ordering, tie/equal-ts conventions identical by construction.
+register(
+    "join_asof_nearest",
+    asof_nearest_purchase,
+    """
+    WITH u AS (
+      SELECT user_id, ts, event_id, 1 AS side,
+             CAST(NULL AS DOUBLE) AS v, CAST(NULL AS TIMESTAMP) AS r_on
+      FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT user_id, ts, NULL, 0, value, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cand AS (
+      SELECT user_id, ts, event_id, side,
+             LAST_VALUE(r_on IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_on,
+             LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_v,
+             FIRST_VALUE(r_on IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_on,
+             FIRST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_v
+      FROM u
+    )
+    SELECT user_id, event_id,
+           CASE WHEN b_on IS NULL AND f_on IS NULL THEN NULL
+                WHEN b_on IS NOT NULL AND (f_on IS NULL
+                      OR epoch_us(ts) - epoch_us(b_on) <= epoch_us(f_on) - epoch_us(ts))
+                THEN b_v ELSE f_v END AS nearest_purchase_value,
+           CAST(CASE WHEN b_on IS NULL AND f_on IS NULL THEN NULL
+                WHEN b_on IS NOT NULL AND (f_on IS NULL
+                      OR epoch_us(ts) - epoch_us(b_on) <= epoch_us(f_on) - epoch_us(ts))
+                THEN epoch_us(ts) - epoch_us(b_on)
+                ELSE epoch_us(f_on) - epoch_us(ts) END AS BIGINT) AS gap_us
+    FROM cand WHERE side = 1
+    ORDER BY user_id, event_id
+    """,
+)
