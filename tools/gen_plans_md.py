@@ -47,6 +47,28 @@ COMMENTARY = {
         "Union + key-partitioned window formulation: one shuffle on the "
         "key, no per-group Python, AQE handles key skew."
     ),
+    "join_asof_nearest": (
+        "Both as-of directions from ONE hash Exchange: Spark fuses the "
+        "unbounded-preceding last and unbounded-following first frames "
+        "into a single Window op over the same (key, ts, side) sort."
+    ),
+    "dedup_jaccard_prefix": (
+        "Exact Jaccard self-join without the |docs|² stage: candidates "
+        "come from an equi-join on rarity-ordered PREFIX tokens with "
+        "integer size filters as residuals; the verify join reads the "
+        "persisted shingle sets once per side."
+    ),
+    "text_bm25_topk": (
+        "Map-side tf/length pass, one 1-row broadcast stats aggregate, "
+        "per-row scoring, TakeOrderedAndProject top-k — the only Window "
+        "is the rank attach over the k-row result."
+    ),
+    "dedup_cascade": (
+        "Three keep-min reductions chained over shrinking survivor "
+        "sets; the LSH tier and connected components run on tier-2 "
+        "survivors only; ledger rows assembled from broadcast 1-row "
+        "counts."
+    ),
 }
 
 
