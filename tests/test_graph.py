@@ -121,3 +121,20 @@ def test_star_components_log_rounds_on_chain(spark):
     assert rounds <= 12  # log-ish, not 199
     assert labels.filter("label != 0").count() == 0  # one component, min 0
     assert labels.count() == 200
+
+
+def test_assign_clusters_star_matches_propagation(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from yelp_data_engineering_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from yelp_data_engineering_pipeline_spark.operators.graph import assign_clusters
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
+    a = {(r.doc_id, r.cluster_id) for r in assign_clusters(docs, pairs).collect()}
+    b = {
+        (r.doc_id, r.cluster_id)
+        for r in assign_clusters(docs, pairs, algorithm="star").collect()
+    }
+    assert a == b

@@ -88,13 +88,22 @@ def connected_components(
 
 
 def assign_clusters(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Every document gets (cluster_id, is_canonical): transitive
     closure of the near-dup ``pairs`` graph, singletons cluster with
     themselves, canonical = min-id member. `docs.filter(is_canonical)`
-    IS the deduplicated corpus."""
-    labels = connected_components(pairs, "doc_a", "doc_b")
+    IS the deduplicated corpus.
+
+    ``algorithm``: "propagation" (default — cheapest per round, rounds
+    = cluster diameter, the near-clique dup shape) or "star"
+    (large-star/small-star, O(log n) rounds for chain-like pair graphs
+    — e.g. containment chains from overlapping crawls)."""
+    if algorithm == "star":
+        labels, _ = connected_components_star(pairs, "doc_a", "doc_b")
+    else:
+        labels = connected_components(pairs, "doc_a", "doc_b")
     return (
         docs.select(id_col)
         .join(labels.withColumnRenamed("node", id_col), id_col, "left")
