@@ -125,3 +125,96 @@ register(
     GROUP BY source
     """,
 )
+
+
+# --- Distribution drift (chi-square, per-bin ledger) ------------------------
+
+DRIFT_BIN_W = 64
+DRIFT_BINS = 10
+
+
+def source_drift(
+    docs: DataFrame, probe_source: str, size_col: str = "n_chars"
+) -> DataFrame:
+    """Chi-square drift ledger of one source's length distribution
+    against the rest of the corpus — the monitoring primitive that
+    catches a crawler or upstream-dump change before it poisons a
+    training mix. Emits the PER-BIN contribution table rather than the
+    summed statistic: the sum of IEEE doubles over bins is
+    accumulation-order-dependent across engines, while every per-bin
+    term here is a fixed operand-order expression over exact integer
+    counts — bit-identical, no rounding grid needed (the jaccard
+    exact-ratio precedent). Downstream sums it (or reads the biggest
+    terms directly, which is what an alert should show anyway).
+
+    One groupBy(bin) over the corpus + a 1-row broadcast of the two
+    totals; bins where the baseline is empty are excluded (chi-square
+    is undefined there) — at 100 TB this is a metadata-sized query.
+    """
+    binned = docs.select(
+        # `div` (integer floor division) on both engines: a double
+        # division + int cast would TRUNCATE on Spark but ROUND on
+        # DuckDB, shifting bin edges between engines
+        F.least(
+            F.expr(f"CAST({size_col} AS BIGINT) div {DRIFT_BIN_W}"),
+            F.lit(DRIFT_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+        (F.col("source") == probe_source).cast("int").alias("is_probe"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.sum("is_probe").cast("bigint").alias("n_probe"),
+        F.sum(1 - F.col("is_probe")).cast("bigint").alias("n_rest"),
+    )
+    tot = agg.agg(
+        F.sum("n_probe").cast("bigint").alias("tot_probe"),
+        F.sum("n_rest").cast("bigint").alias("tot_rest"),
+    )
+    e = F.col("n_rest") * F.col("tot_probe") / F.col("tot_rest")
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_rest") > 0)
+        .select(
+            "bin",
+            "n_probe",
+            "n_rest",
+            e.alias("expected"),
+            ((F.col("n_probe") - e) * (F.col("n_probe") - e) / e).alias("chi2_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+def diag_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_drift(load(spark, sf_dir, "documents"), "src0")
+
+
+register(
+    "diag_source_drift",
+    diag_source_drift,
+    f"""
+    WITH binned AS (
+      SELECT LEAST(CAST(n_chars AS BIGINT) // {DRIFT_BIN_W}, {DRIFT_BINS - 1}) AS bin,
+             CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_probe
+      FROM documents
+    ),
+    agg AS (
+      SELECT bin,
+             CAST(SUM(is_probe) AS BIGINT) AS n_probe,
+             CAST(SUM(1 - is_probe) AS BIGINT) AS n_rest
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_probe) AS BIGINT) AS tot_probe,
+             CAST(SUM(n_rest) AS BIGINT) AS tot_rest
+      FROM agg
+    )
+    SELECT bin, n_probe, n_rest,
+           n_rest * tot_probe / tot_rest AS expected,
+           (n_probe - n_rest * tot_probe / tot_rest)
+             * (n_probe - n_rest * tot_probe / tot_rest)
+             / (n_rest * tot_probe / tot_rest) AS chi2_term
+    FROM agg CROSS JOIN tot
+    WHERE n_rest > 0
+    ORDER BY bin
+    """,
+)
