@@ -1028,3 +1028,51 @@ def _rule_filter_oracle() -> str:
 
 
 register("prep_rule_filter", prep_rule_filter, _rule_filter_oracle())
+
+
+# --- Deterministic global shuffle for training order ------------------------
+
+def global_shuffle(df: DataFrame, key: Column, n_shards: int) -> DataFrame:
+    """(shard, pos) for every row: a reproducible corpus-order
+    randomization for training epochs. The order key is md5(key) —
+    deterministic across runs/engines/cluster sizes, unlike
+    rand()/monotonically_increasing_id(), so epoch order (and any
+    resume point inside it) is stable across re-exports.
+
+    Scale shape: shard assignment is map-side; positions need ONE
+    shuffle keyed by shard plus a per-shard local sort on the hash key
+    — rows/shard ≈ corpus/n_shards, so the sort is bounded by shard
+    sizing, and there is no global sort anywhere. This is the missing
+    half of prep_shard_histogram (which audits balance only): the
+    histogram says shards are even, this emits the actual order."""
+    hashed = df.withColumn("_ok", F.md5(key)).withColumn(
+        "_shard", shard_assignment(key, n_shards)
+    )
+    w = Window.partitionBy("_shard").orderBy("_ok", key)
+    return (
+        hashed.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .withColumn("shard", F.col("_shard"))
+        .drop("_ok", "_shard")
+    )
+
+
+def prep_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load(spark, sf_dir, "documents")
+    out = global_shuffle(doc, F.col("doc_id").cast("string"), 16)
+    return out.select("doc_id", "shard", "pos").orderBy("shard", "pos")
+
+
+register(
+    "prep_global_shuffle",
+    prep_global_shuffle,
+    f"""
+    SELECT doc_id,
+           CAST({_HEX8_DOCID} % 16 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY {_HEX8_DOCID} % 16
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)
+           ) AS BIGINT) AS pos
+    FROM documents
+    ORDER BY shard, pos
+    """,
+)
