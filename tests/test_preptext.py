@@ -125,3 +125,45 @@ def test_passage_prune_keeps_first_occurrence(spark):
     assert rows[2] == {"doc_id": 2, "n_passages": 2, "n_kept": 1, "kept_text": "x y z"}
     # doc3's only window is owned by doc2 → fully pruned, empty text
     assert rows[3] == {"doc_id": 3, "n_passages": 1, "n_kept": 0, "kept_text": ""}
+
+
+def test_bpe_merges_match_python_model(spark):
+    """The distributed merge table must equal a reference BPE trainer
+    (greedy left-to-right merges, count-desc/lexicographic tie-break)
+    run in pure Python on the same weighted vocabulary."""
+    from yelp_data_engineering_pipeline_spark.operators.preptext import bpe_merges
+
+    vocab = [("abab", 3), ("aba", 2), ("bbcb", 1), ("cab", 4)]
+
+    def python_bpe(vocab, rounds):
+        words = [(list(t), n) for t, n in vocab]
+        out = []
+        for r in range(1, rounds + 1):
+            counts = {}
+            for w, n in words:
+                for i in range(len(w) - 1):
+                    counts[(w[i], w[i + 1])] = counts.get((w[i], w[i + 1]), 0) + n
+            if not counts:
+                break
+            (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((r, a, b, a + b, c))
+            new = []
+            for w, n in words:
+                m, i = [], 0
+                while i < len(w):
+                    if i + 1 < len(w) and w[i] == a and w[i + 1] == b:
+                        m.append(a + b)
+                        i += 2
+                    else:
+                        m.append(w[i])
+                        i += 1
+                new.append((m, n))
+            words = new
+        return out
+
+    df = spark.createDataFrame(vocab, "token string, n long")
+    got = [
+        (r.merge_round, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in bpe_merges(df, rounds=4).collect()
+    ]
+    assert got == python_bpe(vocab, 4)

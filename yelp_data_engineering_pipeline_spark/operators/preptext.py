@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
 from ..partitioning import widen_for_compute
 from ..plans.catalog import register
 from ..tables import load
@@ -1076,3 +1077,126 @@ register(
     ORDER BY shard, pos
     """,
 )
+
+
+# --- BPE merge training (iterative, fully declarative) ----------------------
+
+BPE_ROUNDS = 5
+
+_BPE_MERGE_EXPR = """
+    slice(
+      aggregate(w, array('<i>'),
+        (acc, x) -> CASE WHEN size(acc) > 1 AND element_at(acc, -1) = a AND x = b
+                    THEN concat(slice(acc, 1, size(acc) - 1), array(concat(a, b)))
+                    ELSE concat(acc, array(x)) END),
+      2, 2147483647)
+"""
+
+
+def bpe_merges(tokens_weighted: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Byte-pair-encoding merge training, distributed and declarative —
+    the tokenizer-training iterative op (Sennrich et al., ACL'16 BPE)
+    next to k-means/PageRank in this engine's iterative family.
+
+    Input: (token, n) weighted vocabulary. Each round:
+    1. adjacent-pair counts over current symbol sequences — one
+       map-combined groupBy (shuffle carries the PAIR VOCABULARY, not
+       the corpus);
+    2. best pair = (count desc, pair asc) — a 1-row broadcast, joined
+       back instead of collected, so the whole multi-round plan is
+       driver-free (unlike k-means' centroid collect);
+    3. greedy left-to-right merge of that pair inside every token — an
+       aggregate fold with a sentinel-seeded array accumulator
+       (identical fold in the DuckDB oracle via list_reduce; greedy
+       order makes overlapping runs like 'aaa' unambiguous).
+
+    Per-round state (the symbol arrays) is persisted: without it round
+    k's plan re-derives every earlier round per action. Production BPE
+    adds pair-count DELTAS (only words containing the merged pair
+    change); the full recount here keeps the oracle exactly equivalent
+    — the delta optimization changes cost, not results.
+
+    Returns one row per round: (merge_round, left_sym, right_sym,
+    merged, pair_count) — the merge table a tokenizer ships."""
+    w = tokens_weighted.select(
+        F.expr("transform(sequence(1, length(token)), i -> substring(token, i, 1))").alias("w"),
+        F.col("n"),
+    )
+    out = None
+    for r in range(1, rounds + 1):
+        w = tracked_persist(w)
+        pairs = (
+            w.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(w, 1, size(w) - 1)").alias("a"),
+                        F.expr("slice(w, 2, size(w) - 1)").alias("b"),
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "n")
+            .groupBy("a", "b")
+            .agg(F.sum("n").cast("bigint").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1)
+        row = best.select(
+            F.lit(r).alias("merge_round"),
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            F.concat("a", "b").alias("merged"),
+            F.col("cnt").alias("pair_count"),
+        )
+        out = row if out is None else out.unionAll(row)
+        w = w.crossJoin(F.broadcast(best)).select(
+            F.expr(_BPE_MERGE_EXPR).alias("w"), "n"
+        )
+    return out.orderBy("merge_round")
+
+
+def prep_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load(spark, sf_dir, "documents")
+    vocab = (
+        doc.select(F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return bpe_merges(vocab)
+
+
+def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
+    tok = r"list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'), x -> x != '')"
+    ctes = [
+        f"""vocab AS (
+      SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest({tok}) AS t FROM documents) GROUP BY 1
+    )""",
+        """w0 AS (
+      SELECT list_transform(range(1, len(token) + 1), i -> substring(token, i, 1)) AS w, n
+      FROM vocab
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"w{r - 1}"
+        ctes.append(f"""p{r} AS (
+      SELECT w[i] AS a, w[i + 1] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM (SELECT w, n, unnest(range(1, len(w))) AS i FROM {prev})
+      GROUP BY 1, 2
+    )""")
+        ctes.append(f"""b{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1)""")
+        ctes.append(f"""w{r} AS (
+      SELECT list_reduce(
+               list_prepend(['<i>'], list_transform(w, x -> [x])),
+               (acc, x) -> CASE WHEN len(acc) > 1 AND acc[-1] = b{r}.a AND x[1] = b{r}.b
+                           THEN list_append(acc[:-2], b{r}.a || b{r}.b)
+                           ELSE list_append(acc, x[1]) END)[2:] AS w, n
+      FROM {prev} CROSS JOIN b{r}
+    )""")
+    rows = "\n    UNION ALL ".join(
+        f"SELECT {r} AS merge_round, a AS left_sym, b AS right_sym, a || b AS merged, cnt AS pair_count FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {rows}\n    ORDER BY merge_round"
+
+
+register("prep_bpe_merges", prep_bpe_merges, _bpe_oracle())
