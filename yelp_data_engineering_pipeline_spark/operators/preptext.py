@@ -1118,6 +1118,12 @@ def bpe_merges(tokens_weighted: DataFrame, rounds: int = BPE_ROUNDS) -> DataFram
 
     Returns one row per round: (merge_round, left_sym, right_sym,
     merged, pair_count) — the merge table a tokenizer ships."""
+    out, _ = _bpe_train(tokens_weighted, rounds)
+    return out
+
+
+def _bpe_train(tokens_weighted: DataFrame, rounds: int):
+    """(merge table, final symbol state) — shared by train and encode."""
     w = tokens_weighted.select(
         F.expr("transform(sequence(1, length(token)), i -> substring(token, i, 1))").alias("w"),
         F.col("n"),
@@ -1151,7 +1157,34 @@ def bpe_merges(tokens_weighted: DataFrame, rounds: int = BPE_ROUNDS) -> DataFram
         w = w.crossJoin(F.broadcast(best)).select(
             F.expr(_BPE_MERGE_EXPR).alias("w"), "n"
         )
-    return out.orderBy("merge_round")
+    return out.orderBy("merge_round"), w
+
+
+def bpe_encode_stats(tokens_weighted: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Corpus token statistics under the learned BPE vocabulary — the
+    ENCODE half of the tokenizer: apply the trained merge table to the
+    weighted vocabulary and count occurrences per final symbol. The
+    compression a merge table buys (fewer, longer symbols) is exactly
+    what this table shows; at 100 TB encode is a map-side fold per
+    token against the broadcast merge table — no shuffle beyond the
+    final symbol count."""
+    _, w = _bpe_train(tokens_weighted, rounds)
+    return (
+        w.select(F.explode("w").alias("symbol"), "n")
+        .groupBy("symbol")
+        .agg(F.sum("n").cast("bigint").alias("n_occurrences"))
+        .orderBy("symbol")
+    )
+
+
+def prep_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load(spark, sf_dir, "documents")
+    vocab = (
+        doc.select(F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return bpe_encode_stats(vocab)
 
 
 def prep_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1200,3 +1233,20 @@ def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
 
 
 register("prep_bpe_merges", prep_bpe_merges, _bpe_oracle())
+
+
+def _bpe_encode_oracle(rounds: int = BPE_ROUNDS) -> str:
+    base = _bpe_oracle(rounds)
+    # reuse the unrolled CTE chain; replace the merge-table SELECT with
+    # a symbol histogram over the final state w{rounds}
+    head = base[: base.index("SELECT 1 AS merge_round")]
+    return (
+        head
+        + f"""SELECT symbol, CAST(SUM(n) AS BIGINT) AS n_occurrences
+    FROM (SELECT unnest(w) AS symbol, n FROM w{rounds})
+    GROUP BY symbol
+    ORDER BY symbol"""
+    )
+
+
+register("prep_bpe_encode", prep_bpe_encode, _bpe_encode_oracle())
