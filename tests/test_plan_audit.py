@@ -39,3 +39,23 @@ def test_no_catalog_entry_plans_a_cartesian_product(spark, sf_dir):
         if "CartesianProduct" in plan and name not in _ALLOWED_CARTESIAN:
             problems.append(f"{name}: CartesianProduct in physical plan")
     assert not problems, "\n".join(problems)
+
+
+def test_no_catalog_entry_plans_rowwise_python(spark, sf_dir):
+    """"UDFs are the slow path" made mechanical: no catalog entry may
+    plan a row-at-a-time Python eval (BatchEvalPython). Arrow-batched
+    stages (ArrowEvalPython, mapInPandas/FlatMapGroupsInPandas — e.g.
+    the multimodal kernels and the EMA recurrence) are the sanctioned
+    Python boundary and are NOT flagged."""
+    problems: list[str] = []
+    for name, fn in entry.queries().items():
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # noqa: BLE001
+            problems.append(f"{name}: planning failed: {type(ex).__name__}: {ex}")
+            continue
+        finally:
+            release_tracked()
+        if "BatchEvalPython" in plan:
+            problems.append(f"{name}: row-at-a-time Python stage in plan")
+    assert not problems, "\n".join(problems)
