@@ -345,3 +345,67 @@ register(
     FROM expanded
     """,
 )
+
+
+# --- cross-media frame dedup (shared-frame detection) ------------------------
+
+
+def frame_dedup_groups(frames: DataFrame) -> DataFrame:
+    """Duplicate-frame groups across media: frames whose sampled bytes
+    hash identically in MORE THAN ONE media item — the near-dup-video
+    primitive (re-encoded uploads and clipped copies share exact
+    frames long before any perceptual model is needed, and at 100 TB
+    this exact tier prunes the candidate space for one).
+
+    One hash groupBy on frame_md5 (map-combined, shuffle carries one
+    row per distinct frame hash) over the zero-shuffle frame sampler
+    — the cheapest cross-modal dedup signal available."""
+    return (
+        frames.groupBy("frame_md5")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.countDistinct("media_id").cast("bigint").alias("n_media"),
+            F.min("media_id").alias("canonical_media_id"),
+        )
+        .filter(F.col("n_media") > 1)
+        .orderBy("frame_md5")
+    )
+
+
+def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_dedup_groups(frame_sample(documents_as_media(spark, sf_dir)))
+
+
+register(
+    "mm_frame_dedup",
+    mm_frame_dedup,
+    f"""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             upper(hex(encode(text))) AS hx,
+             CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      FROM documents
+    ),
+    sched AS (
+      SELECT media_id, hx, nb,
+             greatest(1, nb // {_N_FRAMES}) AS stride,
+             unnest(range({_N_FRAMES})) AS frame_idx
+      FROM media
+    ),
+    frames AS (
+      SELECT media_id,
+             md5(substring(hx, CAST(frame_idx * stride * 2 + 1 AS BIGINT), {_FRAME_BYTES * 2}))
+               AS frame_md5
+      FROM sched
+      WHERE frame_idx * stride < nb
+    )
+    SELECT frame_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_media,
+           MIN(media_id) AS canonical_media_id
+    FROM frames
+    GROUP BY frame_md5
+    HAVING COUNT(DISTINCT media_id) > 1
+    ORDER BY frame_md5
+    """,
+)
