@@ -257,3 +257,87 @@ register(
     FROM idx
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest same-value streak per key
+# ---------------------------------------------------------------------------
+
+
+def longest_streak(
+    df: DataFrame, key_col: str, order_cols: Seq[str], value_col: str
+) -> DataFrame:
+    """Longest run of consecutive equal values per key — the
+    gaps-and-islands idiom (rn − rn_per_value difference groups
+    consecutive equal rows into islands) that windowed aggregation
+    alone cannot express.
+
+    Two windows over the SAME key partitioning (one sort, Spark fuses
+    them), one groupBy on (key, value, island), one max per key: every
+    stage is key-partitioned, no global sort. Integer output only."""
+    w_all = Window.partitionBy(key_col).orderBy(*order_cols)
+    w_val = Window.partitionBy(key_col, value_col).orderBy(*order_cols)
+    islands = df.select(
+        key_col,
+        value_col,
+        (F.row_number().over(w_all) - F.row_number().over(w_val)).alias("island"),
+    )
+    runs = islands.groupBy(key_col, value_col, "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_len")
+    )
+    w_rank = Window.partitionBy(key_col).orderBy(
+        F.desc("run_len"), F.asc(value_col), F.asc("island")
+    )
+    return (
+        runs.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") == 1)
+        .select(
+            key_col,
+            F.col(value_col).alias("streak_value"),
+            F.col("run_len").alias("streak_len"),
+        )
+        .orderBy(key_col)
+    )
+
+
+def window_longest_streak(spark, sf_dir: str) -> DataFrame:
+    """Per user: the longest run of consecutive same-type events in
+    time order (ties by event_id) — e.g. 7 errors in a row."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    return longest_streak(ev, "user_id", ("ts_us", "event_id"), "event_type")
+
+
+register(
+    "window_longest_streak",
+    window_longest_streak,
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, event_type
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
+             AS island
+      FROM ev
+    ),
+    runs AS (
+      SELECT user_id, event_type, island, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM islands GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type AS streak_value, run_len AS streak_len
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY run_len DESC, event_type ASC, island ASC
+      ) AS rk
+      FROM runs
+    ) WHERE rk = 1
+    ORDER BY user_id
+    """,
+)
