@@ -542,3 +542,45 @@ def test_star_components_equal_min_propagation(spark, raw_edges):
     star = {(r.node, r.label) for r in star_labels.collect()}
     assert star == base
     assert rounds <= 15
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.sampled_from("xyz")),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_longest_streak_matches_python_model(spark, rows):
+    """Islands arithmetic vs a direct linear scan, including ties
+    (model applies the same (len desc, value asc, first-island) rule)."""
+    from yelp_data_engineering_pipeline_spark.operators.timeseries import longest_streak
+
+    # dedupe (key, order) so both sides see a total order
+    seen, data = set(), []
+    for k, t, v in rows:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            data.append((k, t, v))
+    df = spark.createDataFrame(data, "k long, t long, v string")
+    got = {
+        r.k: (r.streak_value, r.streak_len)
+        for r in longest_streak(df, "k", ("t",), "v").collect()
+    }
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, t, v in sorted(data, key=lambda x: (x[0], x[1])):
+        by_key[k].append(v)
+    for k, vs in by_key.items():
+        runs = []  # (start_idx, value, len)
+        i = 0
+        while i < len(vs):
+            j = i
+            while j < len(vs) and vs[j] == vs[i]:
+                j += 1
+            runs.append((i, vs[i], j - i))
+            i = j
+        best = min(runs, key=lambda r: (-r[2], r[1], r[0]))
+        assert got[k] == (best[1], best[2]), (k, got[k], best)
