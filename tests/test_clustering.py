@@ -47,3 +47,34 @@ def test_jl_projection_concentrates_distance_ratios(spark, sf_dir):
     near_one = sum(n for b, n in bins.items() if 7 <= b <= 13)
     assert total > 100  # non-vacuous: the 40-vector sample yields 780 pairs
     assert near_one / total > 0.6
+
+
+def test_dominant_direction_matches_numpy_power_iteration(spark, sf_dir):
+    """Same quantized second-moment matrix, same 3 power rounds, same
+    e0 init — numpy must agree to well under the output's 1e-4 grid."""
+    import numpy as np
+
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        emb_dominant_direction,
+    )
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    got = np.array(
+        [r.component for r in emb_dominant_direction(spark, sf_dir).collect()]
+    )
+    X = np.array(
+        [r.embedding for r in load(spark, sf_dir, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    Xq = np.floor(X * 1000).astype(np.int64)
+    C = (Xq.T @ Xq).astype(np.float64)
+    v = np.zeros(64)
+    v[0] = 1.0
+    for _ in range(3):
+        y = C @ v
+        v = y / np.sqrt((y * y).sum())
+    assert np.allclose(got, np.round(v, 4), atol=2e-4)
+    # and it actually found a heavier direction than the init axis
+    ray = lambda u: float(u @ C @ u)  # noqa: E731
+    e0 = np.zeros(64); e0[0] = 1.0
+    assert ray(v) >= ray(e0)

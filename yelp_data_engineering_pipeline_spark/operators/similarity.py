@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
 from ..partitioning import widen_for_compute
 from ..tables import load
 from ..plans.catalog import register
@@ -984,3 +985,140 @@ def _jl_oracle() -> str:
 
 
 register("emb_random_projection", emb_random_projection, _jl_oracle())
+
+
+# --- Dominant direction via power iteration ---------------------------------
+
+_PI_ROUNDS = 3
+_PI_GRID = 1000  # embedding quantization grid for the exact integer moment
+
+
+def dominant_direction(emb: DataFrame, rounds: int = _PI_ROUNDS) -> DataFrame:
+    """Top singular direction of the embedding cloud by power iteration
+    on the second-moment matrix — the vector you project OUT to de-bias
+    embeddings before cosine similarity (the all-but-the-top trick for
+    anisotropic embedding spaces), and this engine's fourth iterative
+    algorithm (k-means, PageRank, BPE, now power iteration).
+
+    Engine-parity design for an algorithm that is floating-point to its
+    core:
+    - the 64×64 second-moment matrix is computed on a FLOOR(x·1000)
+      integer grid — integer sums are exact and summation-ORDER-FREE,
+      so the one full-corpus reduction (the only data-sized stage) has
+      no IEEE order hazard at any partitioning;
+    - every float stage after that is O(64): mat-vec products and
+      norms are folds over arrays SORTED by dimension index, pinning
+      the accumulation order on both engines; ROUND(·,4) on output
+      absorbs last-ulp sqrt/libm spread;
+    - deterministic init v₀ = e₀, fixed ``rounds`` like pagerank — a
+      convergence check would collect a scalar per round; at 3 rounds
+      the unrolled declarative plan (and its mirrored oracle CTE
+      chain) is simpler and reproducible.
+
+    Scale: the moment matrix is one explode²+groupBy over (j, k) —
+    shuffle carries ≤ 64² rows per map partition after partial
+    aggregation; at 100 TB you'd swap the explode² for a treeAggregate
+    of per-partition outer products (same result, fewer rows moved) —
+    the iteration cost is independent of corpus size either way."""
+    xq = emb.select(
+        F.expr(
+            f"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_PI_GRID}) AS BIGINT))"
+        ).alias("xq")
+    )
+    ex = xq.select(F.posexplode("xq").alias("j", "xj"), "xq")
+    moments = (
+        ex.select("j", "xj", F.posexplode("xq").alias("k", "xk"))
+        .groupBy("j", "k")
+        .agg(F.sum(F.col("xj") * F.col("xk")).cast("bigint").alias("c"))
+    )
+    cmat = moments.groupBy("j").agg(
+        F.expr("transform(array_sort(collect_list(struct(k, c))), s -> s.c)").alias("crow")
+    )
+    cmat = tracked_persist(cmat)
+    v = emb.sparkSession.range(1).select(
+        F.expr(
+            "transform(sequence(0, 63), i -> CAST(CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE))"
+        ).alias("v")
+    )
+    for _ in range(rounds):
+        y = cmat.crossJoin(F.broadcast(v)).select(
+            "j",
+            F.expr(
+                "aggregate(zip_with(crow, v, (c, vv) -> c * vv),"
+                " cast(0.0 as double), (acc, x) -> acc + x)"
+            ).alias("y"),
+        )
+        ys = y.agg(
+            F.expr("transform(array_sort(collect_list(struct(j, y))), s -> s.y)").alias("ys")
+        )
+        v = ys.select(
+            F.expr(
+                "transform(ys, x -> x / sqrt(aggregate(transform(ys, y -> y * y),"
+                " cast(0.0 as double), (acc, x) -> acc + x)))"
+            ).alias("v")
+        )
+    return (
+        v.select(F.posexplode("v").alias("dim", "comp"))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.round("comp", 4).alias("component"),
+        )
+        .orderBy("dim")
+    )
+
+
+def emb_dominant_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dominant_direction(load(spark, sf_dir, "embeddings"))
+
+
+def _power_oracle(rounds: int = _PI_ROUNDS) -> str:
+    ctes = [
+        f"""xq AS (
+      SELECT list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_PI_GRID}) AS BIGINT)) AS xq
+      FROM embeddings
+    )""",
+        """ex AS (
+      SELECT j, xq[j + 1] AS xj, xq
+      FROM (SELECT xq, unnest(range(0, 64)) AS j FROM xq)
+    )""",
+        """moments AS (
+      SELECT j, k, CAST(SUM(xj * xq[k + 1]) AS BIGINT) AS c
+      FROM (SELECT j, xj, xq, unnest(range(0, 64)) AS k FROM ex)
+      GROUP BY j, k
+    )""",
+        """cmat AS (
+      SELECT j, list_transform(list_sort(list(
+               {'k': k, 'c': c})), s -> s['c']) AS crow
+      FROM moments GROUP BY j
+    )""",
+        """v0 AS (
+      SELECT list_transform(range(0, 64),
+               i -> CAST(CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE)) AS v
+    )""",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(f"""y{t} AS (
+      SELECT j, list_sum(list_transform(range(1, 65),
+               i -> crow[i] * v[i])) AS y
+      FROM cmat CROSS JOIN v{t - 1}
+    )""")
+        ctes.append(f"""ys{t} AS (
+      SELECT list_transform(list_sort(list({{'j': j, 'y': y}})), s -> s['y']) AS ys
+      FROM y{t}
+    )""")
+        ctes.append(f"""v{t} AS (
+      SELECT list_transform(ys,
+               x -> x / sqrt(list_sum(list_transform(ys, y -> y * y)))) AS v
+      FROM ys{t}
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(i AS INT) AS dim, ROUND(v[i + 1], 4) AS component
+    FROM (SELECT v, unnest(range(0, 64)) AS i FROM v{rounds})
+    ORDER BY dim"""
+    )
+
+
+register("emb_dominant_direction", emb_dominant_direction, _power_oracle())
