@@ -29,12 +29,23 @@ TABLES = (
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    import datetime
+
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].map(
                 lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
             )
+            # DATE columns arrive as datetime.date objects from Spark but
+            # datetime64 from DuckDB; the round driver tolerates this pair
+            # (func_interval_arith has a green r1 row with exactly this
+            # shape), so canonicalize rather than flag it.
+            first = df[c].dropna().head(1)
+            if len(first) and isinstance(first.iloc[0], datetime.date):
+                df[c] = pd.to_datetime(df[c])
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(by=list(df.columns), key=lambda s: s.map(str)).reset_index(
         drop=True
     )
