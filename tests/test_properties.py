@@ -584,3 +584,37 @@ def test_longest_streak_matches_python_model(spark, rows):
             i = j
         best = min(runs, key=lambda r: (-r[2], r[1], r[0]))
         assert got[k] == (best[1], best[2]), (k, got[k], best)
+
+
+def test_asof_ties_between_duplicate_right_ts_are_deterministic(spark):
+    """Two right rows at the SAME (key, ts): the join must pick a
+    documented winner (max value for asof_join in either direction;
+    the nearest variant's FOLLOWING frame takes the min), not
+    whichever duplicate the shuffle ordered last."""
+    from yelp_data_engineering_pipeline_spark.operators.asof import (
+        asof_join,
+        asof_nearest_join,
+    )
+    import pandas as pd
+
+    l = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "ts": pd.to_datetime([100], unit="s"), "lv": [0]})
+    )
+    r = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1, 1],
+                "ts": pd.to_datetime([50, 50, 200, 200], unit="s"),
+                "rv": [1.0, 2.0, 3.0, 4.0],
+            }
+        )
+    )
+    for _ in range(3):  # repeated runs: same answer every time
+        back = asof_join(l, r, on="ts", by="k", value_cols=["rv"]).collect()[0]
+        assert back.rv_asof == 2.0  # max-value among the ts=50 duplicates
+        fwd = asof_join(l, r, on="ts", by="k", value_cols=["rv"], direction="forward").collect()[0]
+        # forward runs the same scan over reversed time, so "last in
+        # ascending-value order" again means max-value-wins
+        assert fwd.rv_asof == 4.0
+        near = asof_nearest_join(l, r, on="ts", by="k", value_col="rv").collect()[0]
+        assert (near.rv_asof, near.gap_us) == (2.0, 50_000_000)

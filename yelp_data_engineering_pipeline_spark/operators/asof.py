@@ -70,8 +70,19 @@ def asof_join(
     )
     unioned = l.unionByName(r)
     # right rows sort before left rows at equal ts (_side 0 < 1); the
-    # forward direction is the same scan over reversed time
-    order = [F.col(on).desc(), F.col("_side")] if direction == "forward" else [on, "_side"]
+    # forward direction is the same scan over reversed time. The value
+    # columns are a DETERMINISTIC tiebreak between right rows sharing a
+    # timestamp: without one, "last over the frame" picks whichever
+    # duplicate the shuffle happened to order last (pandas resolves the
+    # same tie by input order — a notion a distributed engine cannot
+    # honor, so max-value-wins is the documented contract; NULLs on
+    # left rows sort first and never win). No-op when ts are unique.
+    tiebreak = [F.col(f"{c}{suffix}") for c in value_cols]
+    order = (
+        [F.col(on).desc(), F.col("_side"), *tiebreak]
+        if direction == "forward"
+        else [on, "_side", *tiebreak]
+    )
     w = (
         Window.partitionBy(by)
         .orderBy(*order)
@@ -380,14 +391,17 @@ def asof_nearest_join(
         F.col(on).alias("_r_on"),
     )
     unioned = l.unionByName(r)
+    # _v as deterministic tiebreak between equal-ts right rows (see
+    # asof_join; for the FOLLOWING frame's `first` the symmetric choice
+    # is min-value-wins, i.e. the same ascending order works for both)
     wb = (
         Window.partitionBy(by)
-        .orderBy(on, "_side")
+        .orderBy(on, "_side", "_v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wf = (
         Window.partitionBy(by)
-        .orderBy(on, "_side")
+        .orderBy(on, "_side", "_v")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     cand = unioned.select(
@@ -452,16 +466,16 @@ register(
     cand AS (
       SELECT user_id, ts, event_id, side,
              LAST_VALUE(r_on IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, side
+               PARTITION BY user_id ORDER BY ts, side, v
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_on,
              LAST_VALUE(v IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, side
+               PARTITION BY user_id ORDER BY ts, side, v
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_v,
              FIRST_VALUE(r_on IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, side
+               PARTITION BY user_id ORDER BY ts, side, v
                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_on,
              FIRST_VALUE(v IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, side
+               PARTITION BY user_id ORDER BY ts, side, v
                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_v
       FROM u
     )
