@@ -618,3 +618,37 @@ def test_asof_ties_between_duplicate_right_ts_are_deterministic(spark):
         assert fwd.rv_asof == 4.0
         near = asof_nearest_join(l, r, on="ts", by="k", value_col="rv").collect()[0]
         assert (near.rv_asof, near.gap_us) == (2.0, 50_000_000)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(5, 20),
+)
+def test_incremental_cc_equals_full_recompute(spark, raw_edges, cut):
+    """Star-compressed incremental closure must equal clustering the
+    whole edge set at once, for any old/new batch split."""
+    from yelp_data_engineering_pipeline_spark.operators.graph import (
+        cc_incremental,
+        connected_components,
+    )
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "a long, b long")
+    full = {(r.node, r.label) for r in connected_components(df, "a", "b").collect()}
+    old = df.filter((df.a <= cut) & (df.b <= cut))
+    new = df.filter((df.a > cut) | (df.b > cut))
+    if old.count() == 0:
+        inc_labels = connected_components(new, "a", "b")
+    else:
+        inc_labels = cc_incremental(
+            connected_components(old, "a", "b"), new, "a", "b"
+        )
+    inc = {(r.node, r.label) for r in inc_labels.collect()}
+    assert inc == full

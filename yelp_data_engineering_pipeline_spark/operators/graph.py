@@ -411,3 +411,80 @@ def connected_components_star(
         .agg(F.least(F.min("d"), F.first("s")).alias("label"))
     )
     return labels, rounds
+
+
+# ---------------------------------------------------------------------------
+# Incremental connected components (batch edge additions)
+# ---------------------------------------------------------------------------
+
+
+def cc_incremental(old_labels: DataFrame, new_edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Fold a batch of NEW edges into existing component labels without
+    re-clustering the corpus: the old state is compressed to its star
+    edges (node → label, one edge per non-root node — the converged
+    form), unioned with the new batch, and re-closed. Components
+    untouched by the batch cost one pass over their star edges (depth
+    1, so min-propagation converges on them immediately); only
+    components the new edges actually bridge do real work.
+
+    This is the daily-ingest shape for near-dup clustering at 100 TB:
+    state carried between runs is O(nodes) star edges, not the
+    original pair graph, and labels stay canonical (component min) so
+    downstream keep-or-drop decisions never flip for unaffected docs.
+    Equivalence with full recomputation is hypothesis-tested and
+    oracle-checked (the catalog entry's oracle IS the full closure)."""
+    star = old_labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("s"), F.col("label").alias("d")
+    )
+    batch = new_edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    return connected_components(star.unionByName(batch), "s", "d")
+
+
+def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters' semantics via the incremental path: pairs whose
+    BOTH endpoints sit in the first 90% of doc ids are the 'existing'
+    corpus (clustered first); pairs touching the newest 10% arrive as
+    the new batch. The oracle is the FULL transitive closure — a green
+    row proves the star-compressed incremental fold loses nothing."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
+    pairs = tracked_persist(pairs)
+    mx = docs.agg((F.max("doc_id") * 9 / 10).cast("bigint").alias("cut"))
+    with_cut = pairs.crossJoin(F.broadcast(mx))
+    old = with_cut.filter((F.col("doc_a") <= F.col("cut")) & (F.col("doc_b") <= F.col("cut")))
+    new = with_cut.filter((F.col("doc_a") > F.col("cut")) | (F.col("doc_b") > F.col("cut")))
+    old_labels = connected_components(old, "doc_a", "doc_b")
+    labels = cc_incremental(old_labels, new, "doc_a", "doc_b")
+    return (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("cluster_id") == F.col("doc_id"))
+    )
+
+
+# Oracle: the FULL closure (same SQL as dedup_clusters) — equality with
+# it is exactly the incremental path's correctness claim.
+register(
+    "dedup_clusters_incremental",
+    dedup_clusters_incremental,
+    f"""
+    WITH RECURSIVE
+    pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) WHERE jaccard >= 0.5),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+    ),
+    labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+           COALESCE(l.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN labels l USING (doc_id)
+    """,
+)
