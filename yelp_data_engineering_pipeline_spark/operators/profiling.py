@@ -218,3 +218,102 @@ register(
     ORDER BY bin
     """,
 )
+
+
+# --- Declarative data-quality expectations ----------------------------------
+
+
+def diag_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite runner (the dbt-test / Great-Expectations
+    shape): each rule is one aggregate over the table it guards, the
+    output is the audit ledger a load gate consumes — (expectation,
+    violations, passed). Rules here cover the five standard families:
+    not-null, uniqueness, accepted-values, range, and referential
+    integrity (an anti-join count, the only two-table rule).
+
+    Scale: every rule is a map-side predicate count folded into ONE
+    aggregate per table (a single pass over orders, one over
+    lineitem, plus the FK anti-join) — adding a rule adds a column to
+    an existing pass, not a new scan. All-integer output."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    def cnt(pred):  # violations = rows where the expectation FAILS
+        return F.sum(pred.cast("long")).cast("bigint")
+
+    o = orders.agg(
+        cnt(F.col("o_custkey").isNull()).alias("orders_custkey_not_null"),
+        cnt(~F.col("o_orderstatus").isin("F", "O", "P")).alias(
+            "orders_status_accepted_values"
+        ),
+        cnt(~(F.col("o_totalprice") > 0)).alias("orders_totalprice_positive"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("orders_orderkey_unique"),
+    )
+    l = li.agg(
+        cnt(~(F.col("l_quantity") > 0)).alias("lineitem_quantity_positive"),
+        cnt(F.col("l_discount") > F.lit(0.5)).alias("lineitem_discount_sane"),
+    )
+    fk = (
+        li.select("l_orderkey")
+        .join(orders.select("o_orderkey"), li["l_orderkey"] == orders["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("lineitem_orderkey_fk"))
+    )
+    wide = o.crossJoin(F.broadcast(l)).crossJoin(F.broadcast(fk))
+    rules = [
+        "orders_custkey_not_null",
+        "orders_status_accepted_values",
+        "orders_totalprice_positive",
+        "orders_orderkey_unique",
+        "lineitem_quantity_positive",
+        "lineitem_discount_sane",
+        "lineitem_orderkey_fk",
+    ]
+    stacked = wide.selectExpr(
+        "stack({}, {}) as (expectation, violations)".format(
+            len(rules), ", ".join(f"'{r}', {r}" for r in rules)
+        )
+    )
+    return stacked.select(
+        "expectation",
+        "violations",
+        (F.col("violations") == 0).cast("int").alias("passed"),
+    ).orderBy("expectation")
+
+
+register(
+    "diag_expectations",
+    diag_expectations,
+    """
+    WITH o AS (
+      SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orders_custkey_not_null,
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS orders_status_accepted_values,
+             CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS orders_totalprice_positive,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS orders_orderkey_unique
+      FROM orders
+    ),
+    l AS (
+      SELECT CAST(SUM(CASE WHEN NOT (l_quantity > 0) THEN 1 ELSE 0 END) AS BIGINT) AS lineitem_quantity_positive,
+             CAST(SUM(CASE WHEN l_discount > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS lineitem_discount_sane
+      FROM lineitem
+    ),
+    fk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS lineitem_orderkey_fk
+      FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    ),
+    wide AS (SELECT * FROM o CROSS JOIN l CROSS JOIN fk)
+    SELECT expectation, violations,
+           CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+    FROM (
+      SELECT 'orders_custkey_not_null' AS expectation, orders_custkey_not_null AS violations FROM wide
+      UNION ALL SELECT 'orders_status_accepted_values', orders_status_accepted_values FROM wide
+      UNION ALL SELECT 'orders_totalprice_positive', orders_totalprice_positive FROM wide
+      UNION ALL SELECT 'orders_orderkey_unique', orders_orderkey_unique FROM wide
+      UNION ALL SELECT 'lineitem_quantity_positive', lineitem_quantity_positive FROM wide
+      UNION ALL SELECT 'lineitem_discount_sane', lineitem_discount_sane FROM wide
+      UNION ALL SELECT 'lineitem_orderkey_fk', lineitem_orderkey_fk FROM wide
+    )
+    ORDER BY expectation
+    """,
+)
