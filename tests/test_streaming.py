@@ -654,6 +654,7 @@ def test_stream_stream_join_state_expires(spark, tmp_path):
         progresses = [json.loads(p.json) for p in q.recentProgress]
     finally:
         q.stop()
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", prev_retention)
 
     state = [
         (p["batchId"], p["stateOperators"][0])
@@ -713,6 +714,12 @@ def test_dedup_within_watermark_state_expires(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .json(str(in_dir))
     )
+    # recentProgress keeps only the last N updates (default 100); on a
+    # loaded box the 250 ms trigger emits enough idle-tick progresses
+    # to evict the eviction-bearing data batches from that window,
+    # flaking the `removed > 0` assertion — retain plenty instead.
+    prev_retention = spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2000")
     q = (
         dedup_stream_event_time(stream, "ts", ["k"], delay="1 hour")
         .writeStream.format("memory")
