@@ -341,3 +341,83 @@ register(
     ORDER BY user_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# OHLC resampling (open/high/low/close per time bucket)
+# ---------------------------------------------------------------------------
+
+
+def ohlc(
+    df: DataFrame, key_col: str, ts_us_col: str, tie_col: str, value_c: Column,
+    bucket_us: int,
+) -> DataFrame:
+    """Open/high/low/close per (key, bucket) — the canonical downsample
+    for plotting and feature windows. open/close are min_by/max_by over
+    the (ts, tie) order — ONE hash aggregate total, no window, no sort:
+    at 100 TB this is a single map-combined groupBy whose shuffle
+    carries 4 numbers per (key, bucket). Values ride an integer cents
+    grid so min/max/first ties are engine-exact."""
+    # fixed-width string order key: lexicographic == numeric, and both
+    # engines' arg_min/min_by accept VARCHAR keys (DuckDB 1.0 has no
+    # struct-keyed arg_min)
+    ordkey = F.format_string("%020d%012d", F.col(ts_us_col), F.col(tie_col))
+    base = df.select(
+        F.col(key_col).alias("grp"),
+        (F.col(ts_us_col) / F.lit(bucket_us)).cast("bigint").alias("bucket"),
+        ordkey.alias("ord"),
+        value_c.alias("vc"),
+    )
+    return (
+        base.groupBy("grp", "bucket")
+        .agg(
+            F.min_by("vc", "ord").alias("open_c"),
+            F.max("vc").alias("high_c"),
+            F.min("vc").alias("low_c"),
+            F.max_by("vc", "ord").alias("close_c"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("grp", "bucket")
+    )
+
+
+def ts_ohlc_hourly(spark, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ohlc(
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+            "event_id",
+            "value",
+        ),
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("bigint"),
+        bucket_us=_HOUR_US,
+    )
+
+
+register(
+    "ts_ohlc_hourly",
+    ts_ohlc_hourly,
+    f"""
+    WITH base AS (
+      SELECT event_type AS grp,
+             CAST(epoch_us(ts) AS BIGINT) // {_HOUR_US} AS bucket,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS vc
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT grp, bucket,
+           arg_min(vc, printf('%020d%012d', ts_us, event_id)) AS open_c,
+           MAX(vc) AS high_c,
+           MIN(vc) AS low_c,
+           arg_max(vc, printf('%020d%012d', ts_us, event_id)) AS close_c,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM base
+    GROUP BY grp, bucket
+    ORDER BY grp, bucket
+    """,
+)

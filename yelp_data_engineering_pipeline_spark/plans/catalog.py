@@ -73,7 +73,8 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # diag_source_drift, prep_global_shuffle, prep_bpe_merges,
 # prep_bpe_encode, mm_frame_dedup, window_longest_streak,
 # text_char_entropy, emb_dominant_direction,
-# dedup_clusters_incremental, diag_expectations (all added late in r5;
+# dedup_clusters_incremental, diag_expectations, ts_ohlc_hourly (all
+# added late in r5;
 # each local-differential green at sf0.001/0.01/0.1). Also r6-refresh:
 # join_asof (r1-green; gained a deterministic duplicate-ts value
 # tiebreak late in r5 — value-identical on fixture data, differential
