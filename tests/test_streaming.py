@@ -628,6 +628,14 @@ def test_stream_stream_join_state_expires(spark, tmp_path):
         with (in_dir / f"t{i}.ndjson").open("w") as f:
             for r in rows[i * per : (i + 1) * per]:
                 f.write(json.dumps(r) + "\n")
+    # distinct ascending mtimes (see the dedup expiry test below)
+    import os
+    import time as _time
+
+    _now = _time.time()
+    for i in range(n_files):
+        _pth = str(in_dir / f"t{i}.ndjson")
+        os.utime(_pth, (_now - (n_files - i) * 10, _now - (n_files - i) * 10))
 
     schema = "event_id long, ts timestamp, user_id long, event_type string"
 
@@ -654,7 +662,6 @@ def test_stream_stream_join_state_expires(spark, tmp_path):
         progresses = [json.loads(p.json) for p in q.recentProgress]
     finally:
         q.stop()
-        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", prev_retention)
 
     state = [
         (p["batchId"], p["stateOperators"][0])
@@ -708,6 +715,17 @@ def test_dedup_within_watermark_state_expires(spark, tmp_path):
         with (in_dir / f"t{i}.ndjson").open("w") as f:
             for r in rows[i * per : (i + 1) * per]:
                 f.write(json.dumps(r) + "\n")
+    # DISTINCT ascending mtimes: the file source orders same-mtime
+    # files nondeterministically under load, and an out-of-order file
+    # advances the watermark past an entire earlier file (its 80 keys
+    # dropped as late -- the observed 400 == 480 flake)
+    import os
+    import time as _time
+
+    _now = _time.time()
+    for i in range(n_files):
+        _pth = str(in_dir / f"t{i}.ndjson")
+        os.utime(_pth, (_now - (n_files - i) * 10, _now - (n_files - i) * 10))
 
     stream = (
         spark.readStream.schema("k string, ts timestamp")
@@ -731,9 +749,24 @@ def test_dedup_within_watermark_state_expires(spark, tmp_path):
     )
     try:
         q.processAllAvailable()
-        progresses = [json.loads(p.json) for p in q.recentProgress]
+        # progress reporting is asynchronous: the eviction-bearing
+        # batches' updates can land in recentProgress a beat after
+        # processAllAvailable returns — poll briefly for a progress set
+        # that contains both enough data batches and an eviction
+        import time as _time
+
+        progresses = []
+        for _ in range(40):
+            progresses = [json.loads(p.json) for p in q.recentProgress]
+            st = [p["stateOperators"][0] for p in progresses if p.get("stateOperators")]
+            if len(st) >= n_files and any(
+                s.get("numRowsRemoved", 0) > 0 for s in st
+            ):
+                break
+            _time.sleep(0.25)
     finally:
         q.stop()
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", prev_retention)
 
     # exactly one survivor per key
     got = spark.sql("SELECT k FROM wmdedup_expiry")
