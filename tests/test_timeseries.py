@@ -79,6 +79,82 @@ def test_bigram_lift_counts(spark):
     assert rows["spark join"].lift_milli == 3000  # 1*36*1000/(4*3*1)
 
 
+def test_asof_join_duplicate_ts_max_value_wins(spark):
+    """Documented contract (asof.py): right rows sharing a timestamp
+    resolve by max value in backward direction — deterministically,
+    regardless of shuffle order. Locked by a divergent-tie fixture (the
+    driver fixture has no such ties, ADVICE r5)."""
+    from yelp_data_engineering_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100, 1)], "k long, ts long, lid long")
+    right = spark.createDataFrame(
+        [(1, 50, 3.0), (1, 50, 9.0), (1, 50, 7.0)], "k long, ts long, val double"
+    )
+    rows = asof_join(left, right, on="ts", by="k", value_cols=["val"]).collect()
+    assert len(rows) == 1 and rows[0].val_asof == 9.0
+
+
+def test_asof_join_null_valued_nearest_row_yields_null(spark):
+    """pandas-merge_asof parity for NULL-valued right rows: the match
+    payload travels as ONE struct, so a NULL value on the nearest row
+    comes back as NULL — never the value of an OLDER row (ADVICE r5,
+    asof.py:94)."""
+    from yelp_data_engineering_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100, 1)], "k long, ts long, lid long")
+    right = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 90, None)], "k long, ts long, val double"
+    )
+    rows = asof_join(left, right, on="ts", by="k", value_cols=["val"]).collect()
+    # nearest right row is ts=90 whose value is NULL → NULL, not 5.0
+    assert len(rows) == 1 and rows[0].val_asof is None
+
+    # and with a tolerance that only covers the nearest row, the gap is
+    # measured against that same row (not the older valued one)
+    rows = asof_join(
+        left, right, on="ts", by="k", value_cols=["val"], tolerance_us=20
+    ).collect()
+    assert len(rows) == 1 and rows[0].val_asof is None
+
+
+def test_asof_nearest_null_valued_row_yields_null(spark):
+    from yelp_data_engineering_pipeline_spark.operators.asof import asof_nearest_join
+
+    left = spark.createDataFrame([(1, 100, 1)], "k long, ts long, lid long")
+    right = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 90, None)], "k long, ts long, val double"
+    )
+    rows = asof_nearest_join(left, right, on="ts", by="k", value_col="val").collect()
+    assert len(rows) == 1 and rows[0].val_asof is None and rows[0].gap_us == 10
+
+
+def test_ema_half_generic_schema(spark):
+    """ema_half derives its output schema from the input (ADVICE r5:
+    previously hardcoded to the events-table column names/types)."""
+    from yelp_data_engineering_pipeline_spark.operators.timeseries import ema_half
+
+    df = spark.createDataFrame(
+        [("a", 1, 4), ("a", 2, 8)], "grp string, seq int, reading int"
+    )
+    out = ema_half(df, "grp", ("seq",), "reading")
+    assert [f.name for f in out.schema.fields] == ["grp", "seq", "reading", "ema"]
+    got = {r.seq: r.ema for r in out.collect()}
+    assert got == {1: 4.0, 2: 6.0}
+
+
+def test_ohlc_floor_division_negative_ts(spark):
+    """Bucket uses integer floor division (`div`), not truncating
+    double-division cast: pre-1970 (negative) timestamps must land in
+    the floor bucket like the DuckDB `//` oracle (ADVICE r5)."""
+    from yelp_data_engineering_pipeline_spark.operators.timeseries import ohlc
+
+    df = spark.createDataFrame(
+        [("x", -1, 1, 100), ("x", 1, 2, 200)], "k string, ts_us long, tie long, v long"
+    )
+    out = ohlc(df, "k", "ts_us", "tie", F.col("v"), bucket_us=10).collect()
+    assert [(r.bucket, r.open_c, r.close_c) for r in out] == [(-1, 100, 100), (0, 200, 200)]
+
+
 def test_ema_half_matches_pandas_ewm(spark):
     """The hand-rolled recurrence must equal pandas' own
     ewm(alpha=0.5, adjust=False) — an independent implementation of

@@ -87,6 +87,12 @@ def main() -> int:
             n_fail += 1
             continue
         ok = sp.shape == du.shape
+        # column-name parity BEFORE the per-column loop: equal shapes
+        # with different names would otherwise raise an uncaught
+        # KeyError on du[c] and abort the whole sweep (ADVICE r5)
+        if ok and list(sp.columns) != list(du.columns):
+            ok = False
+            print(f"  {name}: columns {list(sp.columns)} vs {list(du.columns)}")
         if ok:
             for c in sp.columns:
                 a, b = sp[c].to_numpy(), du[c].to_numpy()

@@ -24,8 +24,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import TimestampType
+
 from ..plans.catalog import register
 from ..tables import load
+
+
+def _as_us(col, dtype):
+    """Microsecond scalar for gap arithmetic: timestamps via
+    unix_micros, integer time grids pass through as-is."""
+    return F.unix_micros(col) if isinstance(dtype, TimestampType) else col.cast("long")
 
 
 def asof_join(
@@ -55,18 +63,30 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
-    l = left.select(*lcols, F.lit(1).alias("_side"))
-    for c in value_cols:
-        l = l.withColumn(f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType))
-    l = l.withColumn("_match_on", F.lit(None).cast(right.schema[on].dataType))
+    # The match (timestamp + every value column) travels through the
+    # window as ONE struct, so the returned values always come from the
+    # SAME winning right row. Separate per-column last(ignorenulls)
+    # calls would let a NULL-valued nearest row gate the tolerance on
+    # its (nearer) timestamp while the value came from an OLDER row —
+    # pandas merge_asof returns NaN there (ADVICE r5, asof.py:94).
+    payload = F.struct(
+        F.col(on).alias("_on"), *[F.col(c).alias(c) for c in value_cols]
+    )
+    payload_type = right.select(payload.alias("_m")).schema["_m"].dataType
+    l = left.select(
+        *lcols,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(payload_type).alias("_m"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_tb_{c}") for c in value_cols],
+    )
     r = right.select(
         *[
             F.col(c) if c in (by, on) else F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in lcols
         ],
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
-        F.col(on).alias("_match_on"),
+        payload.alias("_m"),
+        *[F.col(c).alias(f"_tb_{c}") for c in value_cols],
     )
     unioned = l.unionByName(r)
     # right rows sort before left rows at equal ts (_side 0 < 1); the
@@ -77,7 +97,7 @@ def asof_join(
     # same tie by input order — a notion a distributed engine cannot
     # honor, so max-value-wins is the documented contract; NULLs on
     # left rows sort first and never win). No-op when ts are unique.
-    tiebreak = [F.col(f"{c}{suffix}") for c in value_cols]
+    tiebreak = [F.col(f"_tb_{c}") for c in value_cols]
     order = (
         [F.col(on).desc(), F.col("_side"), *tiebreak]
         if direction == "forward"
@@ -91,29 +111,19 @@ def asof_join(
     filled = unioned.select(
         *lcols,
         "_side",
-        F.last("_match_on", ignorenulls=True).over(w).alias("_match_on"),
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        F.last("_m", ignorenulls=True).over(w).alias("_m"),
     )
     out = filled.filter(F.col("_side") == 1).drop("_side")
+    in_tol = F.col("_m").isNotNull()
     if tolerance_us is not None:
-        gap = (
-            F.unix_micros(F.col("_match_on")) - F.unix_micros(F.col(on))
-            if direction == "forward"
-            else F.unix_micros(F.col(on)) - F.unix_micros(F.col("_match_on"))
-        )
-        in_tol = F.col("_match_on").isNotNull() & (gap <= F.lit(tolerance_us))
-        out = out.select(
-            *lcols,
-            "_match_on",
-            *[
-                F.when(in_tol, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
-                for c in value_cols
-            ],
-        )
-    return out.drop("_match_on")
+        on_us = _as_us(F.col(on), right.schema[on].dataType)
+        m_us = _as_us(F.col("_m._on"), right.schema[on].dataType)
+        gap = (m_us - on_us) if direction == "forward" else (on_us - m_us)
+        in_tol = in_tol & (gap <= F.lit(tolerance_us))
+    return out.select(
+        *lcols,
+        *[F.when(in_tol, F.col(f"_m.{c}")).alias(f"{c}{suffix}") for c in value_cols],
+    )
 
 
 def range_join_buckets(
@@ -162,14 +172,31 @@ def asof_purchase_before_error(spark, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle mirrors the union+window formulation INCLUDING the
+# max-value-wins duplicate-timestamp tiebreak and the one-struct match
+# payload (DuckDB's native ASOF picks an arbitrary duplicate, so a
+# tie-handling regression would silently pass against it — ADVICE r5).
 register(
     "join_asof",
     asof_purchase_before_error,
     """
-    SELECT e.user_id, e.event_id, p.value AS last_purchase_value
-    FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') e
-    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
-      ON e.user_id = p.user_id AND p.ts <= e.ts
+    WITH u AS (
+      SELECT user_id, ts, event_id, 1 AS side, CAST(NULL AS DOUBLE) AS v,
+             CAST(NULL AS STRUCT(o TIMESTAMP, v DOUBLE)) AS m
+      FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT user_id, ts, NULL, 0, value, struct_pack(o := ts, v := value)
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cand AS (
+      SELECT user_id, event_id, side,
+             LAST_VALUE(m IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+      FROM u
+    )
+    SELECT user_id, event_id, m.v AS last_purchase_value
+    FROM cand WHERE side = 1
     """,
 )
 
@@ -200,18 +227,33 @@ def asof_next_purchase_after_error(spark, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_id")
 
 
+# Forward scan = same formulation over reversed time (ORDER BY ts
+# DESC); tiebreak and struct payload identical to join_asof's oracle.
 register(
     "join_asof_forward_tolerance",
     asof_next_purchase_after_error,
     """
-    SELECT e.user_id, e.event_id,
-           CASE WHEN p.ts IS NOT NULL
-                 AND epoch_us(p.ts) - epoch_us(e.ts) <= 21600000000
-                THEN p.value END AS next_purchase_value
-    FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') e
-    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
-      ON e.user_id = p.user_id AND p.ts >= e.ts
-    ORDER BY e.user_id, e.event_id
+    WITH u AS (
+      SELECT user_id, ts, event_id, 1 AS side, CAST(NULL AS DOUBLE) AS v,
+             CAST(NULL AS STRUCT(o TIMESTAMP, v DOUBLE)) AS m
+      FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT user_id, ts, NULL, 0, value, struct_pack(o := ts, v := value)
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cand AS (
+      SELECT user_id, ts, event_id, side,
+             LAST_VALUE(m IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts DESC, side, v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+      FROM u
+    )
+    SELECT user_id, event_id,
+           CASE WHEN m.o IS NOT NULL
+                 AND epoch_us(m.o) - epoch_us(ts) <= 21600000000
+                THEN m.v END AS next_purchase_value
+    FROM cand WHERE side = 1
+    ORDER BY user_id, event_id
     """,
 )
 
@@ -378,17 +420,25 @@ def asof_nearest_join(
     joins. Gap comparison is integer microseconds.
     """
     lcols = left.columns
-    l = left.select(*lcols, F.lit(1).alias("_side"))
-    l = l.withColumn(f"_v", F.lit(None).cast(right.schema[value_col].dataType))
-    l = l.withColumn("_r_on", F.lit(None).cast(right.schema[on].dataType))
+    # match payload as ONE struct per direction (same rationale as
+    # asof_join: timestamp and value must come from the same winning
+    # row even when the value is NULL)
+    payload = F.struct(F.col(on).alias("_on"), F.col(value_col).alias("_v"))
+    payload_type = right.select(payload.alias("_m")).schema["_m"].dataType
+    l = left.select(
+        *lcols,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(payload_type).alias("_m"),
+        F.lit(None).cast(right.schema[value_col].dataType).alias("_v"),
+    )
     r = right.select(
         *[
             F.col(c) if c in (by, on) else F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in lcols
         ],
         F.lit(0).alias("_side"),
+        payload.alias("_m"),
         F.col(value_col).alias("_v"),
-        F.col(on).alias("_r_on"),
     )
     unioned = l.unionByName(r)
     # _v as deterministic tiebreak between equal-ts right rows (see
@@ -407,13 +457,19 @@ def asof_nearest_join(
     cand = unioned.select(
         *lcols,
         "_side",
-        F.last("_r_on", ignorenulls=True).over(wb).alias("_b_on"),
-        F.last("_v", ignorenulls=True).over(wb).alias("_b_v"),
-        F.first("_r_on", ignorenulls=True).over(wf).alias("_f_on"),
-        F.first("_v", ignorenulls=True).over(wf).alias("_f_v"),
+        F.last("_m", ignorenulls=True).over(wb).alias("_b"),
+        F.first("_m", ignorenulls=True).over(wf).alias("_f"),
     ).filter(F.col("_side") == 1)
-    b_gap = F.unix_micros(F.col(on)) - F.unix_micros(F.col("_b_on"))
-    f_gap = F.unix_micros(F.col("_f_on")) - F.unix_micros(F.col(on))
+    cand = cand.select(
+        *lcols,
+        F.col("_b._on").alias("_b_on"),
+        F.col("_b._v").alias("_b_v"),
+        F.col("_f._on").alias("_f_on"),
+        F.col("_f._v").alias("_f_v"),
+    )
+    on_type = right.schema[on].dataType
+    b_gap = _as_us(F.col(on), on_type) - _as_us(F.col("_b_on"), on_type)
+    f_gap = _as_us(F.col("_f_on"), on_type) - _as_us(F.col(on), on_type)
     take_b = F.col("_b_on").isNotNull() & (
         F.col("_f_on").isNull() | (b_gap <= f_gap)
     )
@@ -456,28 +512,27 @@ register(
     asof_nearest_purchase,
     """
     WITH u AS (
-      SELECT user_id, ts, event_id, 1 AS side,
-             CAST(NULL AS DOUBLE) AS v, CAST(NULL AS TIMESTAMP) AS r_on
+      SELECT user_id, ts, event_id, 1 AS side, CAST(NULL AS DOUBLE) AS v,
+             CAST(NULL AS STRUCT(o TIMESTAMP, v DOUBLE)) AS m
       FROM events WHERE event_type = 'error'
       UNION ALL
-      SELECT user_id, ts, NULL, 0, value, ts
+      SELECT user_id, ts, NULL, 0, value, struct_pack(o := ts, v := value)
       FROM events WHERE event_type = 'purchase'
+    ),
+    frames AS (
+      SELECT user_id, ts, event_id, side,
+             LAST_VALUE(m IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b,
+             FIRST_VALUE(m IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, v
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f
+      FROM u
     ),
     cand AS (
       SELECT user_id, ts, event_id, side,
-             LAST_VALUE(r_on IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, side, v
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_on,
-             LAST_VALUE(v IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, side, v
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_v,
-             FIRST_VALUE(r_on IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, side, v
-               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_on,
-             FIRST_VALUE(v IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, side, v
-               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_v
-      FROM u
+             b.o AS b_on, b.v AS b_v, f.o AS f_on, f.v AS f_v
+      FROM frames
     )
     SELECT user_id, event_id,
            CASE WHEN b_on IS NULL AND f_on IS NULL THEN NULL

@@ -200,16 +200,21 @@ def ema_half(df: DataFrame, key_col: str, order_cols: Seq[str], value_col: str) 
     left-fold oracle. An arbitrary alpha would add a second rounding
     per step on one engine only.
 
-    Output ts is unix-micros BIGINT (catalog wire-format rule: no
-    session-tz types).
+    Output schema is the input schema plus an ``ema`` DOUBLE column —
+    derived from ``df.schema``, so any (key, order, value) column names
+    and types work, not just the events-table shape.
     """
-    schema = f"{key_col} long, event_id long, ts_us long, {value_col} double, ema double"
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    if "ema" in df.columns:
+        raise ValueError("input already has an 'ema' column")
+    schema = StructType(list(df.schema.fields) + [StructField("ema", DoubleType())])
 
     def _per_key(pdf):
         import pandas as pd  # noqa: F401 — Arrow batch boundary
 
         pdf = pdf.sort_values(list(order_cols)).reset_index(drop=True)
-        vals = pdf[value_col].to_numpy()
+        vals = pdf[value_col].to_numpy(dtype="float64")
         out = vals.copy()
         for i in range(1, len(out)):
             out[i] = (out[i - 1] + vals[i]) / 2.0
@@ -358,13 +363,24 @@ def ohlc(
     at 100 TB this is a single map-combined groupBy whose shuffle
     carries 4 numbers per (key, bucket). Values ride an integer cents
     grid so min/max/first ties are engine-exact."""
-    # fixed-width string order key: lexicographic == numeric, and both
-    # engines' arg_min/min_by accept VARCHAR keys (DuckDB 1.0 has no
-    # struct-keyed arg_min)
+    # fixed-width string order key: lexicographic == numeric for
+    # NON-NEGATIVE ts/tie (the "%020d" sign prefix breaks ordering
+    # among negatives — identically on both engines, but callers with
+    # pre-1970 data should pre-shift ts to a nonnegative grid), and
+    # both engines' arg_min/min_by accept VARCHAR keys (DuckDB 1.0 has
+    # no struct-keyed arg_min)
     ordkey = F.format_string("%020d%012d", F.col(ts_us_col), F.col(tie_col))
+    # exact integer FLOOR division matching the DuckDB oracle's `//`:
+    # double division + bigint cast truncates and is float-precision-
+    # fragile, and Spark's own `div` ALSO truncates toward zero (wrong
+    # for pre-1970 timestamps) — `(a - pmod(a, b)) div b` is exact
+    # because the numerator is exactly divisible (the cross-engine trap
+    # diag_source_drift documents, ADVICE r5)
     base = df.select(
         F.col(key_col).alias("grp"),
-        (F.col(ts_us_col) / F.lit(bucket_us)).cast("bigint").alias("bucket"),
+        F.expr(
+            f"(`{ts_us_col}` - pmod(`{ts_us_col}`, {bucket_us})) div {bucket_us}"
+        ).alias("bucket"),
         ordkey.alias("ord"),
         value_c.alias("vc"),
     )
