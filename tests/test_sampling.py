@@ -78,3 +78,42 @@ def test_temperature_mix_leftover_goes_to_largest_remainders(spark):
     # budget 7: base = 7w div 6 = 1,2,3 (spent 6); remainders 1,2,3 → s2 gets +1
     out = {r.source: r.quota for r in temperature_mix_quotas(df, "source", "n_chars", budget=7).collect()}
     assert out == {"s0": 1, "s1": 2, "s2": 4}
+
+
+def test_reservoir_plan_has_window_group_limit(spark, sf_dir):
+    """The rk <= k filter must plan a WindowGroupLimit: each map task
+    keeps only its local bottom-k per group BEFORE the shuffle — the
+    property that makes the sample O(groups x k) per task at 100 TB."""
+    from yelp_data_engineering_pipeline_spark.operators.sampling import (
+        prep_reservoir_per_group,
+    )
+
+    plan = (
+        prep_reservoir_per_group(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_reservoir_exact_k_uniform_and_stable(spark):
+    from yelp_data_engineering_pipeline_spark.operators.sampling import (
+        reservoir_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [("g1", i) for i in range(50)] + [("g2", 100 + i) for i in range(2)],
+        "grp string, rid long",
+    )
+    out = reservoir_per_group(df, "grp", "rid", k=5)
+    rows = out.collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r.grp, set()).add(r.rid)
+    assert len(by_g["g1"]) == 5          # exactly k
+    assert by_g["g2"] == {100, 101}      # min(k, |group|)
+    # deterministic: same selection across independent runs AND after
+    # repartitioning (hash keys don't depend on layout)
+    again = {r.rid for r in reservoir_per_group(df.repartition(7), "grp", "rid", 5).collect() if r.grp == "g1"}
+    assert again == by_g["g1"]

@@ -67,3 +67,21 @@ def test_hll_shard_union_equals_unsharded_sketch(spark):
         # shard-union estimate must be the single-sketch estimate ±0
         exact = r.exact_keys
         assert abs(single[g] - exact) * 20 <= exact
+
+
+def test_bitmap_distinct_exact_and_partial_agg(spark):
+    """bitmap_distinct must equal countDistinct exactly, and its plan
+    must carry the map-side partial bit_or (the register merge IS the
+    partial aggregate — the whole scale story)."""
+    from yelp_data_engineering_pipeline_spark.operators.sketches import bitmap_distinct
+
+    df = spark.createDataFrame(
+        [("a", i % 37) for i in range(500)] + [("b", i * 64) for i in range(9)],
+        "g string, uid long",
+    )
+    got = {r.g: r.n_distinct for r in bitmap_distinct(df, ["g"], "uid").collect()}
+    assert got == {"a": 37, "b": 9}
+    plan = (
+        bitmap_distinct(df, ["g"], "uid")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_bit_or" in plan

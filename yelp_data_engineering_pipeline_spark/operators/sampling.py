@@ -199,3 +199,59 @@ register(
     ORDER BY source
     """,
 )
+
+
+# --- Per-group uniform reservoir sample (hash-keyed, deterministic) ---------
+
+
+def reservoir_per_group(
+    df: DataFrame, group: str, row_id: str, k: int, salt: str = "rs"
+) -> DataFrame:
+    """Exactly min(k, |group|) UNIFORM rows per group, deterministic
+    and coordination-free.
+
+    The classic reservoir (Vitter's Algorithm R) is a sequential
+    single-pass structure — useless across executors. Its output
+    distribution, though, is just "the k smallest rows by an i.i.d.
+    uniform key", and a hash-derived key gives that without any RNG
+    state: every row computes ``md5(salt|id)`` map-side, the per-group
+    bottom-k win. Deterministic across runs AND across repartitioning
+    (same property as es_rank_key above, uniform instead of weighted).
+
+    Scale: the ``row_number <= k`` filter lets Spark plan a
+    WindowGroupLimit — each map task keeps only its local bottom-k per
+    group BEFORE the shuffle, so the exchange carries O(groups x k x
+    n_partitions) rows, not the corpus. Incremental corpora: a new row
+    displaces the current max-key row iff its key is smaller — the
+    standard bottom-k sketch merge, no resampling of old rows.
+    """
+    key = F.md5(F.concat(F.lit(f"{salt}|"), F.col(row_id).cast("string")))
+    w = Window.partitionBy(group).orderBy(key.asc(), F.col(row_id))
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def prep_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4 uniformly-sampled docs per source (stable eval-set draw)."""
+    docs = load(spark, sf_dir, "documents")
+    return reservoir_per_group(docs, "source", "doc_id", k=4).select(
+        "source", "doc_id", "rk"
+    )
+
+
+register(
+    "prep_reservoir_per_group",
+    prep_reservoir_per_group,
+    """
+    SELECT source, doc_id, rk FROM (
+      SELECT source, doc_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('rs|' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS rk
+      FROM documents
+    ) WHERE rk <= 4
+    """,
+)

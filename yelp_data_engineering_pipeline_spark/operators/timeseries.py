@@ -437,3 +437,104 @@ register(
     ORDER BY grp, bucket
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly flags (trailing-window outlier detection)
+# ---------------------------------------------------------------------------
+
+_Z_PREV = 6  # trailing window size (rows), excluding the current row
+_Z_MIN_N = 4  # minimum history before a score is emitted
+
+
+def rolling_zscore(
+    df: DataFrame, key_col: str, order_cols: Seq[str], cents_col: str,
+    n_prev: int = _Z_PREV, min_n: int = _Z_MIN_N,
+) -> DataFrame:
+    """Per-key trailing z-score: each value scored against the mean/std
+    of its own previous ``n_prev`` observations (current row EXCLUDED —
+    an outlier must not dilute its own baseline).
+
+    Engine-exact by construction: the windowed SUM/COUNT/SUM-of-squares
+    run on an integer cents grid (exact on any engine), and mean /
+    variance / z are then derived with the SAME double expression tree
+    on both sides — never stddev_samp(), whose streaming formulation
+    (Welford vs. two-pass) differs between engines in the last ulps.
+    One shuffle (by key), three window aggregates over one frame.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-n_prev, -1)
+    )
+    c = F.col(cents_col)
+    stats = df.select(
+        *df.columns,
+        F.count(c).over(w).alias("_n"),
+        F.sum(c).over(w).alias("_s"),
+        F.sum(c * c).over(w).alias("_ss"),
+    )
+    n = F.col("_n").cast("double")
+    s = F.col("_s").cast("double")
+    ss = F.col("_ss").cast("double")
+    mean = s / n
+    var = (ss - s * s / n) / (n - F.lit(1.0))
+    z = (c.cast("double") - mean) / F.sqrt(var)
+    return (
+        stats.filter((F.col("_n") >= min_n) & (var > 0))
+        .withColumn("z_score", F.round(z, 2))
+        .drop("_n", "_s", "_ss")
+    )
+
+
+def ts_anomaly_zscore(spark, sf_dir: str) -> DataFrame:
+    """Events whose value is >= 2 trailing standard deviations from the
+    user's own recent history (|rounded z| >= 2)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("ts_us"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    scored = rolling_zscore(base, "user_id", ("ts_us", "event_id"), "cents")
+    return scored.filter(F.abs(F.col("z_score")) >= 2).select(
+        "user_id", "event_id", "z_score"
+    )
+
+
+# Same frame + same derived-moments expression tree (no native stddev
+# on either side — see rolling_zscore docstring).
+register(
+    "ts_anomaly_zscore",
+    ts_anomaly_zscore,
+    f"""
+    WITH base AS (
+      SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    stats AS (
+      SELECT user_id, event_id, cents,
+             COUNT(cents) OVER w AS n,
+             SUM(cents) OVER w AS s,
+             SUM(cents * cents) OVER w AS ss
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN {_Z_PREV} PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+      SELECT user_id, event_id,
+             ROUND((CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   / SQRT((CAST(ss AS DOUBLE)
+                           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                          / (CAST(n AS DOUBLE) - 1.0)), 2) AS z_score
+      FROM stats
+      WHERE n >= {_Z_MIN_N}
+        AND (CAST(ss AS DOUBLE)
+             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+            / (CAST(n AS DOUBLE) - 1.0) > 0
+    )
+    SELECT user_id, event_id, z_score FROM scored WHERE ABS(z_score) >= 2
+    """,
+)

@@ -37,106 +37,86 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # verify only the FIRST 50 catalog entries per round, so the window
 # ROTATES each round toward entries that have never had a third-party
 # CORRECTNESS row (VERDICT.md r3 next-2: 80 entries were local-pass
-# only after r3). Entries already driver-green in r1/r3 with unchanged
-# code keep that evidence and move to the tail.
+# only after r3). Entries already driver-green with unchanged code
+# keep that evidence and move to the tail.
 #
-# Round-5 window (exactly 50) — the ZERO-VERIFICATION-DEBT round
-# (VERDICT.md r4 next-2). Composition:
+# Round-6 window (exactly 50) — clears the LAST verification debt
+# (VERDICT.md r5 next-1: after r5's first all-green 50/50 round, only
+# the 18 late-r5 additions plus two refreshes separate the catalog
+# from "every entry externally certified"). Composition:
 # - flagship (always first: the driver's smoke query);
-# - agg_conditional at position 2 (hash-red in r3 AND r4 while the
-#   strict local exact-value differential passed; r5 removes the last
-#   suspect — BOOLEAN output columns, the only such entry of 168 — by
-#   CASTing bool_or/bool_and to INT on both engines);
-# - ALL 35 entries that have never had a driver CORRECTNESS row
-#   (computed as catalog minus the union of r1/r3/r4 row keys);
-# - the 4 entries whose code changed AFTER their green row was
-#   recorded: join_left_anti + setop_except (r1 rows were VACUOUS
-#   0-row passes; predicates strengthened in r4), dedup_minhash_lsh +
-#   dedup_clusters (r3-green; join-strategy pinning landed in r4);
-# - entries whose code/oracle changes IN r5 and therefore need a fresh
-#   row: mm_decode_stub (oracle NULL-payload coalesce, ADVICE r4),
-#   prep_rule_filter is already in the never-checked set (coalesce +
-#   whitespace-class fixes, ADVICE r4), graph_pagerank (heap-residual
-#   work, VERDICT r4 next-6);
-# - the 6 operators ADDED in r5 (sq8 ANN tier, count-min heavy
-#   hitters, A-ES weighted sampling, hybrid skew join, prefix-filter
-#   exact Jaccard join, BM25 retrieval top-k) — new entries must take
-#   window slots or the round creates fresh debt. They displaced the
-#   r1-refresh padding (dim_merge_get_or_create, window_surrogate_keys
-#   keep their r1 rows; code unchanged since).
-# After this window every entry in the catalog has a driver row from a
-# round whose code matches current, except any r5 stragglers — which
-# the same rule rotates into r6. Known r6-window-first stragglers (the
-# 50 slots were already spoken for): agg_hll_distinct_rollup,
-# prep_temperature_mix, ts_ema_user, agg_approx_percentile_gate,
-# dedup_cascade, emb_random_projection, join_asof_nearest,
-# diag_source_drift, prep_global_shuffle, prep_bpe_merges,
-# prep_bpe_encode, mm_frame_dedup, window_longest_streak,
-# text_char_entropy, emb_dominant_direction,
-# dedup_clusters_incremental, diag_expectations, ts_ohlc_hourly (all
-# added late in r5;
-# each local-differential green at sf0.001/0.01/0.1). Also r6-refresh:
-# join_asof (r1-green; gained a deterministic duplicate-ts value
-# tiebreak late in r5 — value-identical on fixture data, differential
-# re-verified, but the code changed after its row).
+# - the 18 entries added late in r5 with no driver row yet (named
+#   r6-window-first in the r5 comment; each local-differential green
+#   at sf0.001/0.01/0.1);
+# - 2 refreshes whose code/oracle changed in r6: join_asof (stale r1
+#   row; duplicate-ts tiebreak landed late-r5, one-struct match
+#   payload carry in r6) and join_asof_forward_tolerance (r5-green but
+#   its oracle was rewritten in r6 from native ASOF to the
+#   union+window formulation with the same tiebreak, per ADVICE r5);
+#   join_asof_nearest and ts_ema_user / ts_ohlc_hourly also changed in
+#   r6 and are already in the debt list above;
+# - entries NEW or code-changed in r6 (added as the round progresses —
+#   new entries must take window slots or the round creates fresh
+#   debt);
+# - remaining slots: refreshes of the entries with the OLDEST evidence
+#   (latest driver row = r1; code unchanged since, so this is
+#   re-certification, not debt).
 _PRIORITY: tuple[str, ...] = (
     "flagship_revenue_by_nation",
-    "agg_conditional",
-    # -- the 35 never-driver-checked entries --
-    "agg_grouping_sets",
-    "agg_mad_robust",
-    "agg_string_listagg",
-    "agg_mode_argmax",
-    "agg_winsorized_stats",
-    "window_running_distinct",
-    "agg_groupwise_ols",
-    "funnel_conversion",
-    "cohort_retention",
-    "rollup_time_cascade",
-    "func_casts",
-    "func_hash_md5",
+    # -- the 18 late-r5 entries with no driver row (verification debt) --
+    "join_asof_nearest",
+    "emb_random_projection",
+    "emb_dominant_direction",
+    "dedup_cascade",
+    "dedup_clusters_incremental",
+    "mm_frame_dedup",
+    "text_char_entropy",
+    "prep_global_shuffle",
+    "prep_bpe_merges",
+    "prep_bpe_encode",
+    "diag_source_drift",
+    "diag_expectations",
+    "prep_temperature_mix",
+    "agg_hll_distinct_rollup",
+    "agg_approx_percentile_gate",
+    "ts_ema_user",
+    "window_longest_streak",
+    "ts_ohlc_hourly",
+    # -- refreshes: code/oracle changed in r6 (as-of struct payload
+    #    carry + tiebreak-bearing oracles, ADVICE r5) --
+    "join_asof",
     "join_asof_forward_tolerance",
-    "join_interval_overlap",
-    "join_bloom_prefilter",
-    "text_pmi_bigrams",
-    "emb_label_centroid",
-    "emb_nearest_centroid",
-    "dedup_exact_keep_first",
-    "dedup_containment",
-    "dedup_threshold_sweep",
-    "dedup_incremental_pairs",
-    "dedup_minhash_accuracy",
-    "dedup_source_matrix",
-    "dedup_ngram_novelty",
-    "join_fuzzy_blocked",
-    "text_token_count",
-    "text_lang_confusion",
-    "dedup_canonical",
-    "text_boolean_search",
-    "text_lm_coverage",
-    "prep_rule_filter",
-    "diag_key_skew",
-    "agg_incremental_merge",
-    "layout_zorder",
-    # -- stale evidence: code changed after the green row --
-    "join_left_anti",
-    "setop_except",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    # -- changed in r5 (oracle / heap-path edits; graph_triangles
-    #    composes minhash_lsh_pairs, whose join pin became
-    #    posture-aware in r5) --
-    "mm_decode_stub",
-    "graph_pagerank",
-    "graph_triangles",
-    # -- NEW in r5 (never externally checked — must take window slots,
-    #    else this round creates the same debt it was closing) --
-    "similarity_topk_sq8",
-    "agg_countmin_topk",
-    "prep_weighted_sample",
-    "join_skew_hybrid",
-    "dedup_jaccard_prefix",
-    "text_bm25_topk",
+    # -- NEW or changed in r6 --
+    "merge_upsert_idempotent",
+    "similarity_topk_lsh",
+    "similarity_recall_at_k",
+    "ts_anomaly_zscore",
+    "prep_reservoir_per_group",
+    "agg_bitmap_distinct",
+    # -- oldest-evidence refreshes (latest row = r1, code unchanged) --
+    "agg_groupby_stats",
+    "join_inner_agg",
+    "join_theta_residual",
+    "join_left_semi",
+    "join_left_outer_agg",
+    "join_full_outer",
+    "join_cross_small",
+    "join_broadcast_dim",
+    "dim_merge_get_or_create",
+    "agg_count_join",
+    "agg_distinct",
+    "agg_count_distinct",
+    "agg_percentile",
+    "agg_rollup",
+    "agg_pivot",
+    "agg_cube",
+    "window_custom_sort",
+    "window_surrogate_keys",
+    "window_topk_per_group",
+    "window_first_nth",
+    "window_range_frame",
+    "setop_union_all",
+    "setop_intersect",
 )
 
 
