@@ -185,3 +185,59 @@ def test_embedding_lsh_occupancy_cap_splits_hot_bucket(spark):
     assert len(hot_capped) > 0
     # cold pairs are untouched by the cap
     assert {p for p in plain if p[0] >= 1000} == {p for p in capped if p[0] >= 1000}
+
+
+def _blob_corpus(spark, n=600, dim=8):
+    """Clustered corpus: two tight antipodal blobs — every vector lands
+    in one of two rph sign buckets, the structure LSH exploits."""
+    rows = []
+    for i in range(n):
+        base = 1.0 if i % 2 == 0 else -1.0
+        jitter = ((i * 37) % 11 - 5) / 100.0
+        rows.append((i, [base + jitter] * dim))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_isotropy_probe_separates_clustered_from_uniform(spark, sf_dir):
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        _ISOTROPY_LSH_MIN_SHARE,
+        isotropy_probe,
+    )
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    uniform = load(spark, sf_dir, "embeddings")
+    assert isotropy_probe(uniform) < _ISOTROPY_LSH_MIN_SHARE
+    clustered = _blob_corpus(spark)
+    assert isotropy_probe(clustered) >= _ISOTROPY_LSH_MIN_SHARE
+
+
+def test_topk_adaptive_routes_by_structure(spark, sf_dir):
+    """The adaptive default must take the IVF branch on the (near-
+    uniform) driver fixture and the multitable-LSH branch on a
+    clustered corpus — checked by plan shape: the IVF branch carries
+    the bounded centroid BroadcastNestedLoopJoin, the LSH branch the
+    (tid, bucket) composite-key equi-join."""
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        topk_adaptive,
+    )
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    uniform = load(spark, sf_dir, "embeddings")
+    q = uniform.filter(F.col("vec_id") < 5)
+    plan = (
+        topk_adaptive(q, uniform, k=3)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan  # IVF centroid assign
+
+    clustered = _blob_corpus(spark)
+    qc = clustered.filter(F.col("vec_id") < 5)
+    plan_c = (
+        topk_adaptive(qc, clustered, k=3)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan_c  # pure bucket equi-join
+    # and the routed plan still returns sane top-k on the clustered side
+    got = topk_adaptive(qc, clustered, k=3).collect()
+    assert {r.query_id for r in got} == {0, 1, 2, 3, 4}
+    for r in got:
+        # antipodal blobs: same-parity neighbors (cosine ~1) win
+        assert r.neighbor_id % 2 == r.query_id % 2
