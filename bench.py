@@ -77,6 +77,14 @@ def main() -> None:
     # Warm the JVM + parquet footers once so per-query numbers measure
     # the queries, not session startup.
     qs["flagship_revenue_by_nation"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm the Python/Arrow worker pool the same way: the FIRST Pandas-
+    # UDF stage otherwise pays one python worker spawn per executor
+    # thread (~2 s across local[32], measured on mm_decode_stub's
+    # cold/warm delta) — daemon startup cost, not query cost. Workers
+    # are reused afterwards (spark.python.worker.reuse default).
+    spark.range(0, 32, 1, 32).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     from yelp_data_engineering_pipeline_spark.cache import release_tracked
 

@@ -169,8 +169,9 @@ def test_rank_distribution_has_no_global_window(spark, sf_dir):
 
     for m in re.finditer(r"Arguments: \[.*?windowspecdefinition\(([^)]*)\)", plan):
         spec = m.group(1)
-        # every window spec must carry a partition expression (_pid)
-        assert "_pid" in spec, f"unpartitioned window in plan: {spec}"
+        # every window spec must carry a partition expression (_cell
+        # since r6's fixed-grid scheme; _pid under the range scheme)
+        assert "_cell" in spec or "_pid" in spec, f"unpartitioned window in plan: {spec}"
     from yelp_data_engineering_pipeline_spark.cache import release_tracked
 
     release_tracked()

@@ -181,9 +181,15 @@ def minhash_lsh_pairs(
             "doc_b",
             # exact-int ratio: IEEE division is bit-identical across
             # engines — rounding (not dividing) is what diverges.
+            # |A∪B| = |A|+|B|-|A∩B| (shingle arrays are distinct), so
+            # the union array is never materialized — one O(n) pass per
+            # pair instead of two.
             (
                 F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
+                / (
+                    F.size("sh_a") + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                )
             ).alias("jaccard"),
         )
     )
@@ -220,9 +226,13 @@ def ngram_jaccard_pairs(
             "doc_b",
             # exact-int ratio: IEEE division is bit-identical across
             # engines — rounding (not dividing) is what diverges.
+            # |A∪B| via inclusion-exclusion — union never materialized.
             (
                 F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
+                / (
+                    F.size("sh_a") + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                )
             ).alias("jaccard"),
         )
     )
@@ -826,9 +836,13 @@ def minhash_incremental_pairs(
         .select(
             "doc_a",
             "doc_b",
+            # union via inclusion-exclusion (arrays are distinct)
             (
                 F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
+                / (
+                    F.size("sh_a") + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                )
             ).alias("jaccard"),
         )
     )
@@ -932,9 +946,13 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             matches.alias("est_matches"),
             F.lit(N_HASHES).alias("n_hashes"),
+            # union via inclusion-exclusion (arrays are distinct)
             (
                 F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
+                / (
+                    F.size("sh_a") + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                )
             ).alias("exact_jaccard"),
         )
         .orderBy("doc_a", "doc_b")
@@ -1185,7 +1203,11 @@ def prefix_filter_pairs(
             "doc_a",
             "doc_b",
             F.size(F.array_intersect("sh_a", "sh_b")).alias("inter_size"),
-            F.size(F.array_union("sh_a", "sh_b")).alias("union_size"),
+            # union via inclusion-exclusion (arrays are distinct)
+            (
+                F.size("sh_a") + F.size("sh_b")
+                - F.size(F.array_intersect("sh_a", "sh_b"))
+            ).alias("union_size"),
         )
         # integer threshold test — no float compare at the boundary
         .filter(F.col("inter_size") * t_den >= t_num * F.col("union_size"))

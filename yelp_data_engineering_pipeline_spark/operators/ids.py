@@ -108,3 +108,55 @@ def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
         .otherwise(F.lit(r) + _floordiv(rank - F.lit(big) - 1, q))
         + 1
     ).cast("int")
+
+
+def rank_histogram_grid(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    cell_shift: int = 16,
+    id_col: str = "_rank",
+) -> tuple[DataFrame, int]:
+    """Global dense rank by ``(value, tiebreak)`` in TWO jobs, for
+    bounded-domain numeric values — the cheaper sibling of
+    :func:`dense_ids_with_total`.
+
+    The range-repartition scheme above must SAMPLE boundaries (hidden
+    extra job) and then PERSIST the shuffled frame, because sampled
+    boundaries are action-nondeterministic. Quantizing the value to a
+    fixed integer grid removes both: ``cell = cents >> cell_shift`` is
+    deterministic, so the count job and the rank job agree by
+    construction — no persist, no sampling, no unpersist churn.
+
+      job 1: per-cell counts (map-combined groupBy over <= domain/2^shift
+             cells) -> prefix-sum offsets on the driver (bounded rows);
+      job 2: per-cell row_number (hash-partitioned window) + offset.
+
+    Trade-off vs dense_ids: cells are fixed-width, so heavily skewed
+    value distributions concentrate rows in few cells (range sampling
+    adapts; the grid does not) — callers with unbounded/skewed domains
+    keep using dense_ids. ``value_col`` rides a cents grid internally;
+    ordering by (cell, value, tiebreak) equals (value, tiebreak)
+    because floor-to-cents is monotone.
+    """
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    cell = F.shiftright(cents, cell_shift)
+    tagged = df.withColumn("_cell", cell)
+    counts = tagged.groupBy("_cell").count().orderBy("_cell").collect()
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["_cell"], acc))
+        acc += r["count"]
+    offset_df = tagged.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_cell long, _off long"
+    )
+    w = Window.partitionBy("_cell").orderBy(value_col, tiebreak_col)
+    out = (
+        tagged.join(F.broadcast(offset_df), "_cell", "left")
+        .withColumn(
+            id_col,
+            (F.row_number().over(w) + F.coalesce(F.col("_off"), F.lit(0))).cast("bigint"),
+        )
+        .drop("_cell", "_off")
+    )
+    return out, acc

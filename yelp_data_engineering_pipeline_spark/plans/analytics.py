@@ -21,10 +21,13 @@ from .catalog import register
 def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global ranking WITHOUT a single-partition window (VERDICT.md r1
     flagged `Window.orderBy` over the whole fact table as a scale-killer:
-    one task serializes the table). Two-phase instead, reusing the
-    ``dense_ids`` range-repartition scheme (operators/ids.py): global
-    rank = per-partition row_number + prefix-sum offset; every stage is
-    distributed. The ordering (o_totalprice, o_orderkey) is total, so
+    one task serializes the table). Two-phase instead: global rank =
+    per-cell row_number + prefix-sum offset, with cells on a FIXED
+    integer grid (``rank_histogram_grid``, operators/ids.py) — two jobs
+    total, no boundary sampling, no persist (r6: replaces the
+    range-repartition scheme here, whose sampled boundaries forced a
+    persist + an extra job; dense_ids keeps that scheme for unbounded
+    domains). The ordering (o_totalprice, o_orderkey) is total, so
     rank == row_number and the SQL-standard definitions reduce to pure
     integer arithmetic on (rank, n):
 
@@ -34,20 +37,13 @@ def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact-integer ratios are emitted unrounded (IEEE-identical in
     DuckDB, see module docstring).
     """
-    from ..operators.ids import dense_ids_with_total
+    from ..operators.ids import rank_histogram_grid
 
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    # n comes free from the two-phase scheme's per-partition count
-    # collect — no separate count job. Partition count pinned to core
-    # count: an external session's shuffle default (200) would make the
-    # offset table and every per-partition window needlessly fine at
-    # this tier, and on a real cluster the caller sizes it anyway.
-    ranked, n = dense_ids_with_total(
-        orders,
-        "o_totalprice",
-        "o_orderkey",
-        id_col="_rank",
-        num_partitions=spark.sparkContext.defaultParallelism,
+    # n comes free from the grid scheme's cell-count collect — no
+    # separate count job
+    ranked, n = rank_histogram_grid(
+        orders, "o_totalprice", "o_orderkey", id_col="_rank"
     )
 
     from ..operators.ids import ntile_from_rank
