@@ -59,9 +59,22 @@ _SEARCH_ROW_RE = (
 _SENTINEL = "excessivePaging"
 
 
-def retrying(fetcher: Fetcher, attempts: int = 5, backoff: Callable[[int], float] | None = None) -> Fetcher:
+def retrying(
+    fetcher: Fetcher,
+    attempts: int = 5,
+    backoff: Callable[[int], float] | None = None,
+    on_exhausted: str = "raise",
+) -> Fetcher:
     """ST4: bounded retries with injectable backoff (the reference
-    sleeps random 2-8 s; tests inject a zero backoff)."""
+    sleeps random 2-8 s; tests inject a zero backoff).
+
+    ``on_exhausted``: ``"raise"`` fails the task (Spark then applies
+    task-level retries); ``"skip"`` returns None so the per-row skip
+    paths downstream (scrape_businesses' ``if page is None: continue``)
+    drop the record WITHOUT failing the partition — the reference's
+    error-skip behavior (web_scraping.py:213-215, 344-347)."""
+    if on_exhausted not in ("raise", "skip"):
+        raise ValueError(f"on_exhausted must be raise|skip, got {on_exhausted!r}")
 
     def fetch(url: str) -> str | None:
         last: Exception | None = None
@@ -72,7 +85,25 @@ def retrying(fetcher: Fetcher, attempts: int = 5, backoff: Callable[[int], float
                 last = e
                 if backoff is not None:
                     time.sleep(backoff(i))
+        if on_exhausted == "skip":
+            return None
         raise RuntimeError(f"fetch failed after {attempts} attempts: {url}") from last
+
+    return fetch
+
+
+def http_fetcher(base_url: str, timeout_s: float = 10.0) -> Fetcher:
+    """Real-HTTP fetcher (stdlib urllib): GET ``base_url + path``,
+    decode utf-8. HTTP >= 400 and socket timeouts RAISE, feeding the
+    :func:`retrying` policy exactly like the reference's
+    ``raise_for_status`` (web_scraping.py:139,158; timeouts :475,66).
+    Picklable: executors open their own connections per call."""
+
+    def fetch(path: str) -> str | None:
+        import urllib.request
+
+        with urllib.request.urlopen(base_url + path, timeout=timeout_s) as resp:
+            return resp.read().decode("utf-8")
 
     return fetch
 
@@ -346,6 +377,7 @@ __all__ = [
     "Fetcher",
     "extract_apollo_state",
     "fetch_search_pages",
+    "http_fetcher",
     "parse_hours_table",
     "parse_search_pages",
     "retrying",
