@@ -447,6 +447,37 @@ def test_priority_window_is_exactly_the_driver_check_surface():
     assert list(qs)[: len(prio)] == list(prio)
 
 
+def test_no_unscheduled_verification_debt():
+    """Rotation-debt guard (VERDICT r5 next-8): every catalog entry must
+    either HAVE a driver CORRECTNESS row from some past round or HOLD a
+    slot in the current 50-entry window — i.e. new entries must take
+    window slots in the round that adds them, so never-checked entries
+    can never silently accumulate again (the r5 failure mode: 18
+    late-round additions with no scheduled verification)."""
+    import json
+    from pathlib import Path
+
+    from yelp_data_engineering_pipeline_spark.plans import catalog
+
+    repo = Path(__file__).resolve().parent.parent
+    checked: set[str] = set()
+    for f in sorted(repo.glob("CORRECTNESS_r*.json")):
+        try:
+            checked.update(json.loads(f.read_text()).keys())
+        except (ValueError, OSError):
+            continue
+    if not checked:  # fresh clone without driver artifacts
+        return
+    qs = catalog.queries()
+    unscheduled = [
+        n for n in qs if n not in checked and n not in catalog._PRIORITY
+    ]
+    assert not unscheduled, (
+        f"{len(unscheduled)} entries have no driver row AND no window "
+        f"slot (unscheduled verification debt): {unscheduled}"
+    )
+
+
 def test_events_load_accepts_ntz_parquet(spark, sf_dir, tmp_path):
     """Parquet written without isAdjustedToUTC (DuckDB et al.) loads as
     TIMESTAMP_NTZ; load() must normalize it so unix_micros/window()

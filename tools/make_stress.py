@@ -21,9 +21,19 @@ import duckdb
 def main() -> None:
     args = [a for a in sys.argv[1:] if a != "--docs-only"]
     docs_only = "--docs-only" in sys.argv  # skip star tables (100x tier)
-    src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
-    out = args[1] if len(args) > 1 else "/tmp/stressx10"
-    factor = int(args[2]) if len(args) > 2 else 10
+    build_stress(
+        src=args[0] if len(args) > 0 else "/root/testdata/sf0.1",
+        out=args[1] if len(args) > 1 else "/tmp/stressx10",
+        factor=int(args[2]) if len(args) > 2 else 10,
+        docs_only=docs_only,
+    )
+
+
+def build_stress(
+    src: str, out: str, factor: int = 10, docs_only: bool = False
+) -> None:
+    """Importable entry point (tests/test_stress_smoke.py builds its
+    tier through this; the CLI above just forwards argv)."""
     import os
 
     os.makedirs(out, exist_ok=True)
