@@ -1359,3 +1359,115 @@ register(
     ORDER BY tier
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (cross-document n-gram span) duplication audit
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 8  # gram width: long enough that shared grams mean real boilerplate
+
+
+def _position_grams(text: Column, n: int = _SPAN_N) -> Column:
+    """ALL word n-grams in positional order (duplicates kept — unlike
+    :func:`shingles`, which distincts for set-Jaccard): zip n shifted
+    slices, one O(words) pass per row."""
+    ws = words(text)
+    m = F.size(ws) - (n - 1)
+    zipped = F.slice(ws, 1, m)
+    for k in range(1, n):
+        zipped = F.zip_with(
+            zipped, F.slice(ws, k + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(m >= 1, zipped).otherwise(F.array().cast("array<string>"))
+
+
+def duplicate_span_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-SUBSTRING duplication audit — the span-level sibling of the
+    doc-level dedup family (the "train-data memorization" measurement
+    of Lee et al. 2022, 'Deduplicating Training Data Makes Language
+    Models Better', arXiv:2107.06499, re-expressed relationally instead
+    of via suffix arrays): for every document, how many of its word
+    8-gram positions are covered by a gram that ALSO occurs in another
+    document.
+
+    Plan: posexplode grams (md5-compacted) → two-level aggregate for
+    grams spanning >= 2 docs → semi join back → per-doc counts. Scale:
+    the gram shuffle is O(total tokens) with map-side partial agg; the
+    shared-gram set is boilerplate-sized, the join a hash equi-join on
+    the gram fingerprint — never doc x doc. A full suffix-array build
+    gives arbitrary-length spans but needs global sorted order; fixed-n
+    gram cover is the standard distributed approximation (a span of
+    >= n duplicated words is detected by its n-gram cover exactly).
+    """
+    docs = widen_for_compute(docs)
+    grams = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.transform(_position_grams(F.col(text_col)), F.md5)).alias(
+                "pos", "g"
+            ),
+        )
+    )
+    grams = tracked_persist(grams)
+    shared = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    dup_pos = (
+        grams.join(shared, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    totals = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        totals.join(dup_pos, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+            # exact-int ratio: IEEE-identical across engines unrounded
+            (F.coalesce("n_dup_grams", F.lit(0)) / F.col("n_grams")).alias("dup_frac"),
+        )
+    )
+
+
+def text_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicate_span_stats(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+register(
+    "text_duplicate_ngram_spans",
+    text_duplicate_ngram_spans,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, ws, UNNEST(range(1, len(ws) - {_SPAN_N - 2})) AS i
+      FROM toks WHERE len(ws) >= {_SPAN_N}
+    ),
+    grams AS (
+      SELECT doc_id, i,
+             md5(array_to_string(ws[i:i + {_SPAN_N - 1}], ' ')) AS g
+      FROM pos
+    ),
+    shared AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    dup_pos AS (
+      SELECT doc_id, COUNT(*) AS n_dup_grams
+      FROM grams WHERE g IN (SELECT g FROM shared)
+      GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(d.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           COALESCE(d.n_dup_grams, 0) / t.n_grams AS dup_frac
+    FROM totals t LEFT JOIN dup_pos d USING (doc_id)
+    """,
+)

@@ -419,3 +419,116 @@ register(
     FROM events GROUP BY event_type
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — the bottom-k sibling of HLL
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+_KMV_DENOM = 16**8 + 1  # u = (h+1)/(2^32+1) in (0,1) — sampling.py convention
+
+
+def kmv_distinct_estimate(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Distinct-count estimate per group from the k minimum hash values:
+    if distinct values hash to i.i.d. uniforms, the k-th smallest u_k
+    estimates density and  D ≈ (k-1)/u_k  (Bar-Yossef et al. 2002,
+    "Counting distinct elements in a data stream" — unbiased for the
+    (k-1)/u_k form). Exact when the group has < k distinct values (the
+    sketch holds them all — reported via n_kept < k).
+
+    Why this shape at 100 TB: the sketch state is a bounded bottom-k
+    SET of hashes, mergeable by union+trim (the same bottom-k monoid as
+    reservoir_per_group's selection — sampling.py), so partial states
+    flow through map-side combine; here the bottom-k is planned as a
+    WindowGroupLimit (rank <= k prunes per map task before the
+    shuffle). Unlike HLL's fixed 2^p registers, precision scales as
+    1/sqrt(k) with EXACT small groups for free; unlike COUNT DISTINCT,
+    state never exceeds k hashes. md5-derived uniforms keep the oracle
+    bit-identical (same integer hash → same IEEE division → same
+    estimate, no approximation slack needed in the differential).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv|"), F.col("_v").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(_KMV_DENOM))
+    distinct_u = (
+        df.select(*group_cols, F.col(value_col).alias("_v"))
+        .distinct()
+        .select(*group_cols, u.alias("_u"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_u")
+    ranked = distinct_u.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= k
+    )
+    return ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.when(
+            F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+        )
+        .otherwise(F.lit(float(k - 1)) / F.max("_u"))
+        .alias("distinct_est"),
+    )
+
+
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated vs exact distinct users per event type (the estimate is
+    deterministic, so the differential is exact — and the exact count
+    rides along as the honesty column)."""
+    ev = load(spark, sf_dir, "events")
+    est = kmv_distinct_estimate(ev, ["event_type"], "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_kept", F.round("distinct_est", 4).alias("distinct_est"), "n_exact"
+    )
+
+
+def _kmv_hex8_sql(expr: str) -> str:
+    terms = [
+        f"CAST((strpos('0123456789abcdef', substring({expr}, {1 + i}, 1)) - 1) AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+register(
+    "agg_kmv_distinct",
+    agg_kmv_distinct,
+    f"""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    uu AS (
+      SELECT event_type,
+             ({_kmv_hex8_sql("md5('kmv|' || CAST(user_id AS VARCHAR))")} + 1)
+               / {float(16**8 + 1)!r} AS u
+      FROM du
+    ),
+    ranked AS (
+      SELECT event_type, u,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rk
+      FROM uu
+    ),
+    kept AS (SELECT event_type, u FROM ranked WHERE rk <= {KMV_K}),
+    est AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CASE WHEN COUNT(*) < {KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE {float(KMV_K - 1)!r} / MAX(u) END AS distinct_est
+      FROM kept GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, e.n_kept, ROUND(e.distinct_est, 4) AS distinct_est, x.n_exact
+    FROM est e JOIN exact x USING (event_type)
+    """,
+)

@@ -93,6 +93,9 @@ _PRIORITY: tuple[str, ...] = (
     "ts_anomaly_zscore",
     "prep_reservoir_per_group",
     "agg_bitmap_distinct",
+    "text_duplicate_ngram_spans",
+    "stream_watermark_late_drop",
+    "agg_kmv_distinct",
     # -- oldest-evidence refreshes (latest row = r1, code unchanged) --
     "agg_groupby_stats",
     "join_inner_agg",
@@ -114,9 +117,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_surrogate_keys",
     "window_topk_per_group",
     "window_first_nth",
-    "window_range_frame",
-    "setop_union_all",
-    "setop_intersect",
 )
 
 

@@ -369,3 +369,71 @@ register(
     FROM ranked WHERE rn = 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Watermark late-data accounting (batch simulation of streaming drop)
+# ---------------------------------------------------------------------------
+
+_WM_DELAY_US = 30 * 60 * 1_000_000  # withWatermark("ts", "30 minutes")
+
+
+def late_data_accounting(
+    events: DataFrame, delay_us: int = _WM_DELAY_US
+) -> DataFrame:
+    """How many events WOULD a 30-minute watermark drop? — the audit you
+    run on historical data before picking a streaming delay.
+
+    Streaming semantics simulated exactly, per source partition:
+    Structured Streaming (like Flink) advances a watermark per input
+    partition as max(event_time) - delay over ARRIVAL order and drops
+    rows older than it. Arrival order here is event_id (the append
+    sequence, the same proxy tests/test_streaming.py uses), partitioned
+    by user_id — the per-key source-partition analog, which keeps the
+    running max a KEY-PARTITIONED window (never the single global sort
+    a whole-stream watermark would need in batch; a real stream
+    computes it incrementally, with no sort at all).
+
+    All arithmetic is integer micros; output is counts per event_type.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = events.select(
+        "event_type",
+        (
+            F.expr("unix_micros(ts)")
+            < F.max(F.expr("unix_micros(ts)")).over(w) - F.lit(delay_us)
+        ).alias("late"),
+    )
+    return tagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).cast("bigint").alias("n_late"),
+        F.sum(F.when(F.col("late"), 0).otherwise(1)).cast("bigint").alias("n_ontime"),
+    )
+
+
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return late_data_accounting(load(spark, sf_dir, "events"))
+
+
+register(
+    "stream_watermark_late_drop",
+    stream_watermark_late_drop,
+    f"""
+    WITH tagged AS (
+      SELECT event_type,
+             epoch_us(ts) < MAX(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) - {_WM_DELAY_US} AS late
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(SUM(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) AS n_ontime
+    FROM tagged
+    GROUP BY event_type
+    """,
+)
