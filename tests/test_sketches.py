@@ -85,3 +85,39 @@ def test_bitmap_distinct_exact_and_partial_agg(spark):
         bitmap_distinct(df, ["g"], "uid")._jdf.queryExecution().executedPlan().toString()
     )
     assert "partial_bit_or" in plan
+
+
+def test_kmv_exact_below_k_and_estimate_above(spark):
+    """Groups with < k distinct values report the EXACT count; larger
+    groups report (k-1)/u_k within the 1/sqrt(k) error family."""
+    from yelp_data_engineering_pipeline_spark.operators.sketches import (
+        kmv_distinct_estimate,
+    )
+
+    rows = [("small", v) for v in range(10) for _ in range(3)]
+    rows += [("big", v) for v in range(5000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.g: r for r in kmv_distinct_estimate(df, ["g"], "v", k=64).collect()}
+    assert got["small"].n_kept == 10 and got["small"].distinct_est == 10.0
+    assert got["big"].n_kept == 64
+    # k=64 -> stddev ~ 12.5%; assert a generous 3-sigma band
+    assert 5000 * 0.6 < got["big"].distinct_est < 5000 * 1.4
+
+
+def test_kmv_merge_by_union_trim_equals_global(spark):
+    """The mergeability claim: bottom-k of (bottom-k(A) ∪ bottom-k(B))
+    equals bottom-k(A ∪ B) — partial sketches compose losslessly."""
+    from pyspark.sql import functions as F
+
+    from yelp_data_engineering_pipeline_spark.operators.sketches import (
+        kmv_distinct_estimate,
+    )
+
+    rows = [("g", v) for v in range(2000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    whole = kmv_distinct_estimate(df, ["g"], "v", k=32).first()
+    a = df.filter(F.col("v") % 2 == 0)
+    b = df.filter(F.col("v") % 2 == 1)
+    # merge path: union the raw halves (distinct-u union) and re-trim
+    merged = kmv_distinct_estimate(a.unionByName(b), ["g"], "v", k=32).first()
+    assert merged.distinct_est == whole.distinct_est

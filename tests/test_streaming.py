@@ -784,3 +784,32 @@ def test_dedup_within_watermark_state_expires(spark, tmp_path):
     # plateau: final state holds at most the watermark+delay tail,
     # never all 480 keys
     assert totals[max(totals)] <= 240, totals
+
+
+def test_late_data_accounting_flags_out_of_order_event(spark):
+    """An event arriving (by event_id order) after the per-user max ts
+    has advanced past ts + delay is late; in-order events never are."""
+    from yelp_data_engineering_pipeline_spark.streaming.windows import (
+        late_data_accounting,
+    )
+
+    us = 1_000_000
+    rows = [
+        # user 1: in order -> nothing late
+        (1, 1, 0 * us, "click"),
+        (2, 1, 3600 * us, "click"),
+        # user 2: event 12 arrives 2h behind the watermark -> late
+        (10, 2, 0 * us, "view"),
+        (11, 2, 7200 * us, "view"),
+        (12, 2, 600 * us, "view"),
+        # user 2: only 10 min behind -> inside the 30-min delay
+        (13, 2, 7000 * us, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string"
+    ).selectExpr(
+        "event_id", "user_id", "timestamp_micros(ts_us) AS ts", "event_type"
+    )
+    got = {r.event_type: r for r in late_data_accounting(df).collect()}
+    assert got["click"].n_late == 0 and got["click"].n_ontime == 2
+    assert got["view"].n_late == 1 and got["view"].n_ontime == 3

@@ -101,3 +101,26 @@ def test_lm_coverage_counts_instances_not_types(spark):
     assert rows[1]["n_bigrams"] == 3 and rows[1]["n_covered"] == 2  # a b, b a, a b
     assert rows[2]["n_bigrams"] == 2 and rows[2]["n_covered"] == 1  # a b, b c
     assert rows[2]["coverage"] == 0.5
+
+
+def test_duplicate_span_stats_detects_shared_boilerplate(spark):
+    from yelp_data_engineering_pipeline_spark.cache import release_tracked
+    from yelp_data_engineering_pipeline_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    boiler = "all rights reserved click here to subscribe to our newsletter now"
+    docs = spark.createDataFrame(
+        [
+            (1, "unique words alpha beta gamma delta epsilon zeta eta theta " + boiler),
+            (2, boiler + " totally different tail content one two three four five"),
+            (3, "no overlap at all just eleven distinct words here really truly"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in duplicate_span_stats(docs, "doc_id", "text").collect()}
+    release_tracked()
+    # the 11-word boilerplate contributes 4 shared 8-gram positions
+    assert got[1].n_dup_grams == 4 and got[2].n_dup_grams == 4
+    assert got[3].n_dup_grams == 0 and got[3].dup_frac == 0.0
+    assert got[1].n_grams == 21 - 8 + 1  # 21 words -> 14 grams
