@@ -286,3 +286,64 @@ def test_parquet_merge_table_reader_never_sees_partial(spark, tmp_path):
     # old reader: unchanged; new reader: updated
     assert [(r.k, r.v) for r in old_snapshot.collect()] == [(1, "a")]
     assert [(r.k, r.v) for r in t.read().collect()] == [(1, "A2")]
+
+
+def test_parquet_merge_table_partition_pruned_cow(spark, tmp_path):
+    """Partitioned MERGE rewrites ONLY touched partitions; untouched
+    partition files are hardlinked from the previous snapshot (same
+    inode — zero copy), and read-back is correct for both snapshots."""
+    import os
+
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+
+    root = str(tmp_path / "tbl")
+    t = ParquetMergeTable(spark, root, key="k", partition_by="p")
+    t.merge(
+        spark.createDataFrame(
+            [(1, "a", "x1"), (2, "a", "x2"), (10, "b", "y1"), (20, "c", "z1")],
+            "k long, p string, v string",
+        )
+    )
+    # batch touches ONLY partition a (update + insert) — b and c must
+    # be hardlinked, not rewritten
+    t.merge(
+        spark.createDataFrame([(2, "a", "X2"), (3, "a", "x3")], "k long, p string, v string")
+    )
+    got = {(r.k, r.p, r.v) for r in t.read().collect()}
+    assert got == {
+        (1, "a", "x1"),
+        (2, "a", "X2"),
+        (3, "a", "x3"),
+        (10, "b", "y1"),
+        (20, "c", "z1"),
+    }
+    for part in ("p=b", "p=c"):
+        old_files = {
+            f: os.stat(os.path.join(root, "v=1", part, f)).st_ino
+            for f in os.listdir(os.path.join(root, "v=1", part))
+            if f.endswith(".parquet")
+        }
+        new_dir = os.path.join(root, "v=2", part)
+        for f, ino in old_files.items():
+            assert os.stat(os.path.join(new_dir, f)).st_ino == ino  # hardlink
+
+
+def test_parquet_merge_table_partition_delete_and_idempotence(spark, tmp_path):
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+
+    root = str(tmp_path / "tbl")
+    t = ParquetMergeTable(spark, root, key="k", partition_by="p")
+    t.merge(
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y")], "k long, p string, v string"
+        )
+    )
+    batch = spark.createDataFrame(
+        [(2, "b", None, True), (3, "c", "z", False)],
+        "k long, p string, v string, is_delete boolean",
+    )
+    t.merge(batch, delete_col="is_delete")
+    first = sorted((r.k, r.p, r.v) for r in t.read().collect())
+    assert first == [(1, "a", "x"), (3, "c", "z")]  # partition b emptied out
+    t.merge(batch, delete_col="is_delete")  # idempotent re-apply
+    assert sorted((r.k, r.p, r.v) for r in t.read().collect()) == first

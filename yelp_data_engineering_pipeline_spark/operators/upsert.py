@@ -425,6 +425,17 @@ class ParquetMergeTable:
         MATCHED THEN INSERT; rows where ``delete_col`` is true instead
         DELETE their key. Returns the committed snapshot version.
 
+        With ``partition_by`` set, the rewrite is PARTITION-PRUNED:
+        only partitions the batch touches are recomputed and
+        rewritten; untouched partition directories are HARDLINKED from
+        the previous snapshot (zero data copy, the files are
+        immutable). That makes merge cost proportional to touched
+        partitions, not table size — copy-on-write at partition
+        granularity, the same strategy Delta/Iceberg CoW uses. The
+        partition value of a key must be immutable across batches
+        (standard lakehouse constraint; a key that changes partitions
+        needs a delete+insert batch).
+
         Idempotent by construction: re-applying the same batch
         re-derives the same row set (the upsert replaces the same keys
         with the same rows; deletes of absent keys are no-ops) — proven
@@ -439,10 +450,54 @@ class ParquetMergeTable:
         if current is None:
             merged = upserts
         else:
+            if self.partition_by:
+                return self._merge_pruned(current, incoming, upserts, deletes)
             merged = merge_upsert(current, upserts, self.key)
         if deletes is not None:
             merged = merged.join(deletes, self.key, "left_anti")
         return self._commit(merged)
+
+    def _merge_pruned(self, current, incoming, upserts, deletes) -> int:
+        """Partition-pruned CoW: recompute touched partitions, hardlink
+        the rest from the previous snapshot."""
+        import os
+
+        part = self.partition_by
+        # touched partition values — bounded by partition count, the
+        # same driver-side cardinality any partition-pruning planner
+        # holds
+        touched = {r[0] for r in incoming.select(part).distinct().collect()}
+        cur_touched = current.filter(F.col(part).isin(list(touched)))
+        merged = merge_upsert(cur_touched, upserts, self.key)
+        if deletes is not None:
+            merged = merged.join(deletes, self.key, "left_anti")
+
+        old_v = self.current_version()
+        new_v = old_v + 1
+        new_dir = self._snap_dir(new_v)
+        # Spark writes ONLY the touched partitions (merged carries no
+        # untouched rows); partition pruning on the read side
+        # (isin-filter above) means untouched data was never scanned.
+        merged.write.mode("errorifexists").partitionBy(part).parquet(new_dir)
+        old_dir = self._snap_dir(old_v)
+        for entry in os.listdir(old_dir):
+            if not entry.startswith(f"{part}="):
+                continue
+            val = entry.split("=", 1)[1]
+            if any(str(t) == val for t in touched):
+                continue
+            src_dir = os.path.join(old_dir, entry)
+            dst_dir = os.path.join(new_dir, entry)
+            os.makedirs(dst_dir, exist_ok=True)
+            for fname in os.listdir(src_dir):
+                os.link(os.path.join(src_dir, fname), os.path.join(dst_dir, fname))
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_VERSION.")
+        with os.fdopen(fd, "w") as f:
+            f.write(str(new_v))
+        os.replace(tmp, self._pointer())
+        return new_v
 
 
 def merge_upsert_idempotent(spark: SparkSession, sf_dir: str):
