@@ -101,6 +101,15 @@ def main() -> None:
     timings = run_set(HEADLINE)
     tpch = run_set(TPCH)
     pipeline = run_set(PIPELINE)
+    # Second, steady-state pass over the headline set: the first pass
+    # pays one-time whole-stage-codegen compilation per query shape
+    # (measured ~5 s on the minhash expression tree alone), which a
+    # long-running cluster amortizes to zero. `value` stays the COLD
+    # first-pass total for cross-round comparability; `value_warm` is
+    # the per-query marginal cost — the number that predicts 100 TB
+    # behavior. No data is cached between passes (release_tracked runs
+    # per query; parquet scans re-execute).
+    warm = run_set(HEADLINE)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -110,6 +119,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value_warm": round(sum(warm.values()), 3),
+                "queries_warm": warm,
                 "tpch": tpch,
                 "tpch_total": round(sum(tpch.values()), 3),
                 "pipeline": pipeline,

@@ -347,3 +347,25 @@ def test_parquet_merge_table_partition_delete_and_idempotence(spark, tmp_path):
     assert first == [(1, "a", "x"), (3, "c", "z")]  # partition b emptied out
     t.merge(batch, delete_col="is_delete")  # idempotent re-apply
     assert sorted((r.k, r.p, r.v) for r in t.read().collect()) == first
+
+
+def test_rank_histogram_grid_equals_range_scheme(spark):
+    """The r6 fixed-grid ranking must produce EXACTLY the ranks of the
+    range-repartition scheme (same total order), including negative
+    values, duplicates, and sub-cent jitter."""
+    from yelp_data_engineering_pipeline_spark.cache import release_tracked
+    from yelp_data_engineering_pipeline_spark.operators.ids import (
+        dense_ids_with_total,
+        rank_histogram_grid,
+    )
+
+    vals = [(-3.21, 1), (0.0, 2), (0.0, 3), (655.36, 4), (655.37, 5),
+            (1e7, 6), (-0.009, 7), (123.456, 8), (123.456, 9)]
+    df = spark.createDataFrame(vals, "v double, tb long")
+    grid, n1 = rank_histogram_grid(df, "v", "tb", id_col="r")
+    rng, n2 = dense_ids_with_total(df, "v", "tb", id_col="r", num_partitions=4)
+    g = {(r.v, r.tb): r.r for r in grid.collect()}
+    e = {(r.v, r.tb): r.r for r in rng.collect()}
+    release_tracked()
+    assert n1 == n2 == len(vals)
+    assert g == e
