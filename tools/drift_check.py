@@ -17,8 +17,14 @@ import sys
 def main() -> int:
     old_path, new_path = sys.argv[1], sys.argv[2]
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
-    old = json.load(open(old_path))
-    new = json.load(open(new_path))
+
+    def load(path):
+        d = json.load(open(path))
+        # driver BENCH_r{N}.json wraps the bench line under "parsed"
+        return d.get("parsed", d) if "queries" not in d else d
+
+    old = load(old_path)
+    new = load(new_path)
     flagged = 0
     for tier in ("queries", "tpch", "pipeline"):
         o, n = old.get(tier, {}), new.get(tier, {})

@@ -1471,3 +1471,129 @@ register(
     FROM totals t LEFT JOIN dup_pos d USING (doc_id)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic (embedding-cluster) deduplication
+# ---------------------------------------------------------------------------
+
+_SEM_CELLS = 16
+_SEM_T = 0.2  # cosine threshold within a cell
+
+
+def semdedup_cells(
+    emb: DataFrame, n_cells: int = _SEM_CELLS, threshold: float = _SEM_T
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster
+    embeddings, then inside each cluster drop all but one of every
+    near-duplicate ε-ball — the method behind "semantic dedup" passes
+    on LLM pretraining corpora, where paraphrases share no shingles and
+    MinHash is blind.
+
+    Deterministic re-expression: cells are nearest-of-first-C centroids
+    (the engine-portable codebook stand-in used by topk_ivf —
+    similarity.py); within a cell, a vector is DROPPED iff a
+    smaller-id vector sits within cosine >= threshold (the paper keeps
+    the member closest to the centroid; lowest-id is the same
+    keep-one-per-ball semantics made engine-stable, documented delta).
+
+    Scale: cell assignment is a broadcast map-side argmax (corpus never
+    shuffles except by cell); the within-cell pair join is bounded by
+    cell population — for hot cells compose with the occupancy-cap
+    refinement exactly as embedding_near_dup_lsh does. Output is the
+    per-cell ledger (bounded by n_cells), not the pair list.
+    """
+    cents = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    scored = (
+        widen_for_compute(emb)
+        .join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "cent_id",
+            F.round(cosine(F.col("embedding"), F.col("cent_emb")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cent_id"))
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
+    )
+    assigned = tracked_persist(assigned)
+    a = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("e_a"), F.col("e_b")), 4) >= threshold)
+        .select("cell", F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    per_cell = assigned.groupBy("cell").agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    drops = dropped.groupBy("cell").agg(F.count(F.lit(1)).cast("bigint").alias("n_dropped"))
+    return (
+        per_cell.join(drops, "cell", "left")
+        .select(
+            "cell",
+            "n_vecs",
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semdedup_cells(load(spark, sf_dir, "embeddings"))
+
+
+register(
+    "dedup_semdedup",
+    dedup_semdedup,
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent_emb
+      FROM embeddings WHERE vec_id < {_SEM_CELLS}
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cent_id,
+             ROUND(
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.cent_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               4) AS sim
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cent_id AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT a.cell, b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE ROUND(
+              list_sum(list_transform(range(1, len(a.embedding) + 1),
+                       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+              4) >= {_SEM_T}
+    ),
+    per_cell AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM assigned GROUP BY cell
+    ),
+    drops AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_dropped FROM dropped GROUP BY cell
+    )
+    SELECT p.cell, p.n_vecs, CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped
+    FROM per_cell p LEFT JOIN drops d USING (cell)
+    """,
+)
