@@ -1250,3 +1250,139 @@ def _bpe_encode_oracle(rounds: int = BPE_ROUNDS) -> str:
 
 
 register("prep_bpe_encode", prep_bpe_encode, _bpe_encode_oracle())
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (hashed-n-gram likelihood ratio)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 1024  # hash buckets for the bag-of-ngrams LMs
+
+
+def dsir_importance_scores(
+    docs: DataFrame, target_pred, id_col: str = "doc_id", text_col: str = "text",
+    n_buckets: int = _DSIR_B,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169), the hashed-n-gram variant: score every raw
+    document by how much more likely its tokens are under a TARGET
+    distribution (here: the subset matching ``target_pred``) than under
+    the raw corpus — the standard recipe for tilting a web crawl toward
+    a quality/domain target without training a classifier.
+
+    Token unigrams hash into ``n_buckets`` buckets; both "LMs" are
+    Laplace-smoothed bucket frequencies, p[b] = (c[b]+1)/(N+B). The
+    per-bucket log-ratio ln(p_t[b]) - ln(p_r[b]) is rounded to 6
+    decimals and SCALED TO INTEGER MICRO-UNITS, so each document's
+    score is an exact integer dot product  Σ c_doc[b]·lr_micro[b] —
+    order-free and bit-identical across engines (float summation order
+    would differ between Spark's partial aggregation and DuckDB's
+    scan; the one libm call happens once per bucket on identical
+    doubles and is rounded coarsely enough that a 1-ulp ln() skew
+    cannot flip it — the sampling.py determinism recipe).
+
+    Scale: token explode → (doc, bucket) counts with map-side combine;
+    the two LM profiles are <= n_buckets rows (broadcast); the scoring
+    join is bucket-keyed. Resample by score with weighted_sample
+    (sampling.py) to complete the DSIR pipeline.
+    """
+    toks = widen_for_compute(docs).select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.alias("is_target"),
+        F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("w"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dsir|"), F.col("w"))), 1, 4), 16, 10)
+        .cast("bigint") % n_buckets
+    )
+    dc = toks.select("doc_id", "is_target", bucket.alias("b")).groupBy(
+        "doc_id", "is_target", "b"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    dc = tracked_persist(dc)
+    prof = dc.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(0)).alias("ct"),
+        F.sum("c").alias("cr"),
+    )
+    wall = Window.partitionBy()  # n_buckets rows — bounded tiny frame
+    lr = prof.select(
+        "b",
+        # round AFTER scaling: round(x, 6) * 1e6 is generally NOT an
+        # integral double, and Spark's double->bigint cast truncates
+        # while DuckDB's rounds — the 1-micro-unit skew that failed the
+        # sf0.1 differential. round(x * 1e6, 0) is exactly integral, so
+        # the cast is exact on both engines.
+        F.round(
+            (
+                F.log((F.col("ct") + 1) / (F.sum("ct").over(wall) + n_buckets))
+                - F.log((F.col("cr") + 1) / (F.sum("cr").over(wall) + n_buckets))
+            )
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("lr_micro"),
+    )
+    scored = (
+        dc.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_toks"),
+            F.sum(F.col("c") * F.col("lr_micro")).cast("bigint").alias("score_micro"),
+        )
+    )
+    return scored
+
+
+def prep_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance scores for tilting the corpus toward English docs."""
+    docs = load(spark, sf_dir, "documents")
+    return dsir_importance_scores(docs, F.col("lang") == "en")
+
+
+def _hex4_dsir(expr: str) -> str:
+    """hex→int over the first 4 md5 nibbles (DuckDB has no conv())."""
+    terms = [
+        f"CAST((strpos('0123456789abcdef', substring({expr}, {1 + i}, 1)) - 1) AS BIGINT)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+register(
+    "prep_dsir_scores",
+    prep_dsir_scores,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS is_target,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+                    x -> x != '')) AS w
+      FROM documents
+    ),
+    dc AS (
+      SELECT doc_id, is_target,
+             ({_hex4_dsir("md5('dsir|' || w)")}) % {_DSIR_B} AS b,
+             COUNT(*) AS c
+      FROM toks GROUP BY 1, 2, 3
+    ),
+    prof AS (
+      SELECT b,
+             SUM(CASE WHEN is_target THEN c ELSE 0 END) AS ct,
+             SUM(c) AS cr
+      FROM dc GROUP BY b
+    ),
+    lr AS (
+      SELECT b,
+             CAST(ROUND(
+               ln((ct + 1) / (SUM(ct) OVER () + {_DSIR_B}))
+               - ln((cr + 1) / (SUM(cr) OVER () + {_DSIR_B})), 6) * 1000000 AS BIGINT)
+               AS lr_micro
+      FROM prof
+    )
+    SELECT dc.doc_id,
+           CAST(SUM(dc.c) AS BIGINT) AS n_toks,
+           CAST(SUM(dc.c * lr.lr_micro) AS BIGINT) AS score_micro
+    FROM dc JOIN lr USING (b)
+    GROUP BY dc.doc_id
+    """,
+)

@@ -97,6 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_watermark_late_drop",
     "agg_kmv_distinct",
     "dedup_semdedup",
+    "prep_dsir_scores",
     # -- oldest-evidence refreshes (latest row = r1, code unchanged) --
     "agg_groupby_stats",
     "join_inner_agg",
@@ -116,7 +117,6 @@ _PRIORITY: tuple[str, ...] = (
     "agg_cube",
     "window_custom_sort",
     "window_surrogate_keys",
-    "window_topk_per_group",
 )
 
 
