@@ -78,3 +78,27 @@ def test_dominant_direction_matches_numpy_power_iteration(spark, sf_dir):
     ray = lambda u: float(u @ C @ u)  # noqa: E731
     e0 = np.zeros(64); e0[0] = 1.0
     assert ray(v) >= ray(e0)
+
+
+def test_semdedup_drops_within_cell_near_duplicates(spark):
+    from yelp_data_engineering_pipeline_spark.cache import release_tracked
+    from yelp_data_engineering_pipeline_spark.operators.dedup import semdedup_cells
+
+    # 4 centroid-ish vectors (ids 0-3) + near-clones of id 0 and an
+    # orthogonal-ish singleton
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+        (10, [0.99, 0.01, 0.0, 0.0]),   # clone of 0 -> dropped
+        (11, [0.98, 0.02, 0.0, 0.0]),   # clone of 0 -> dropped
+        (12, [0.0, 0.97, 0.1, 0.0]),    # clone of 1 -> dropped
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.cell: (r.n_vecs, r.n_dropped) for r in semdedup_cells(emb, n_cells=4, threshold=0.9).collect()}
+    release_tracked()
+    assert got[0] == (3, 2)   # 0, 10, 11 -> keep lowest id only
+    assert got[1] == (2, 1)   # 1, 12
+    assert got[2] == (1, 0)
+    assert got[3] == (1, 0)
