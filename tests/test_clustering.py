@@ -102,3 +102,29 @@ def test_semdedup_drops_within_cell_near_duplicates(spark):
     assert got[1] == (2, 1)   # 1, 12
     assert got[2] == (1, 0)
     assert got[3] == (1, 0)
+
+
+def test_semdedup_cell_cap_splits_hot_cell_but_keeps_clones(spark):
+    """With every vector in one Voronoi cell and a tiny cap, the join
+    key must split (refine-plane extension) while EXACT clones still
+    land together — they share every refine sign bit."""
+    from pyspark.sql import functions as F
+
+    from yelp_data_engineering_pipeline_spark.cache import release_tracked
+    from yelp_data_engineering_pipeline_spark.operators.dedup import semdedup_cells
+
+    # centroid 0 plus 40 spread vectors in its cell + 3 exact clones
+    rows = [(0, [1.0] + [0.0] * 63)]
+    for i in range(1, 41):
+        v = [1.0] + [0.0] * 63
+        v[1 + (i % 60)] = 0.5 + (i % 7) / 10.0
+        rows.append((i, v))
+    clone = [1.0] + [0.001] * 63
+    rows += [(100, clone), (101, list(clone)), (102, list(clone))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    capped = semdedup_cells(emb, n_cells=1, threshold=0.999, cell_cap=8)
+    got = {r.cell: (r.n_vecs, r.n_dropped) for r in capped.collect()}
+    release_tracked()
+    # clones 101/102 dropped against 100 even under the split
+    assert got[0][0] == 44 and got[0][1] >= 2

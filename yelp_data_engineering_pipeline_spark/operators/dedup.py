@@ -1482,7 +1482,11 @@ _SEM_T = 0.2  # cosine threshold within a cell
 
 
 def semdedup_cells(
-    emb: DataFrame, n_cells: int = _SEM_CELLS, threshold: float = _SEM_T
+    emb: DataFrame,
+    n_cells: int = _SEM_CELLS,
+    threshold: float = _SEM_T,
+    cell_cap: int | None = None,
+    refine_planes: int = 8,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster
     embeddings, then inside each cluster drop all but one of every
@@ -1499,9 +1503,16 @@ def semdedup_cells(
 
     Scale: cell assignment is a broadcast map-side argmax (corpus never
     shuffles except by cell); the within-cell pair join is bounded by
-    cell population — for hot cells compose with the occupancy-cap
-    refinement exactly as embedding_near_dup_lsh does. Output is the
-    per-cell ledger (bounded by n_cells), not the pair list.
+    cell population. ``cell_cap`` is the hot-cell defense (the same
+    refine-plane key extension embedding_near_dup_lsh's occupancy_cap
+    proved out on the 100x tier): cells above the cap get their join
+    key extended with random-hyperplane sign bits, splitting each
+    ~2^refine_planes ways — near-identical vectors still collide in
+    every refine bit, so exact clones keep getting caught; the recall
+    price is only paid where density forces it. The occupancy count is
+    a window over the SAME key the join shuffles on (no extra corpus
+    shuffle). Output is the per-cell ledger (bounded by n_cells), not
+    the pair list.
     """
     cents = emb.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
@@ -1522,15 +1533,28 @@ def semdedup_cells(
         .filter(F.col("_rn") == 1)
         .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
     )
-    assigned = tracked_persist(assigned)
+    jkey = F.col("cell").cast("string")
+    if cell_cap is not None:
+        from .similarity import _rph_planes, rph_bucket
+
+        extra = _rph_planes(refine_planes, 64, seed=29)
+        occ = F.count(F.lit(1)).over(Window.partitionBy("cell"))
+        jkey = F.when(
+            occ > cell_cap,
+            F.concat(jkey, F.lit("|"), rph_bucket(F.col("embedding"), extra)),
+        ).otherwise(jkey)
+    assigned = tracked_persist(assigned.withColumn("_jkey", jkey))
     a = assigned.select(
-        F.col("cell"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a")
+        F.col("_jkey"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a")
     )
     b = assigned.select(
-        F.col("cell"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b")
+        F.col("_jkey"),
+        F.col("cell"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("e_b"),
     )
     dropped = (
-        a.join(b, "cell")
+        a.join(b, "_jkey")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.round(cosine(F.col("e_a"), F.col("e_b")), 4) >= threshold)
         .select("cell", F.col("id_b").alias("vec_id"))
