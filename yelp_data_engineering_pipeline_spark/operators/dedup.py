@@ -1487,6 +1487,7 @@ def semdedup_cells(
     threshold: float = _SEM_T,
     cell_cap: int | None = None,
     refine_planes: int = 8,
+    witness_k: int = 64,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster
     embeddings, then inside each cluster drop all but one of every
@@ -1511,27 +1512,50 @@ def semdedup_cells(
     every refine bit, so exact clones keep getting caught; the recall
     price is only paid where density forces it. The occupancy count is
     a window over the SAME key the join shuffles on (no extra corpus
-    shuffle). Output is the per-cell ledger (bounded by n_cells), not
-    the pair list.
+    shuffle).
+
+    Refinement cannot split a GENUINE mega-cluster (vectors that truly
+    sit in one ε-ball share every refine bit — the x100 stress tier
+    builds one holding ~30% of the corpus), and there pair enumeration
+    is inherently quadratic. The capped path therefore also bounds the
+    JOIN'S LEFT SIDE to the ``witness_k`` smallest ids per sub-bucket:
+    a vector is dropped iff it is within threshold of ANY smaller-id
+    witness. Exact when a sub-bucket holds <= witness_k rows (every
+    smaller id is a witness); in denser sub-buckets a vector whose only
+    in-ball smaller-id neighbors all rank past the k-th id is missed —
+    the documented linear-work approximation (dense balls near-always
+    contain a min-id witness). Work per sub-bucket drops from |B|²/2 to
+    |B|·k. Output is the per-cell ledger (bounded by n_cells), not the
+    pair list.
     """
-    cents = emb.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    # Cell assignment is a MAP-SIDE argmax over a centroid literal
+    # array — zero shuffle of the corpus. (The broadcast-join + window
+    # formulation moves |corpus| x C rows carrying two vectors each
+    # through a shuffle just to pick a max per vec_id: at the x100 tier
+    # that was a multi-GB exchange and the stage that blew the time
+    # budget.) The driver holds C x dim floats — the same bounded
+    # centroid state the k-means operator collects. First-max tie
+    # resolution == (sim DESC, cent_id ASC), matching the oracle.
+    cent_rows = sorted(
+        emb.filter(F.col("vec_id") < n_cells).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
     )
-    scored = (
-        widen_for_compute(emb)
-        .join(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "embedding",
-            "cent_id",
-            F.round(cosine(F.col("embedding"), F.col("cent_emb")), 4).alias("sim"),
-        )
+    sims = F.array(
+        *[
+            F.round(
+                cosine(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(x)) for x in r.embedding]),
+                ),
+                4,
+            )
+            for r in cent_rows
+        ]
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cent_id"))
-    assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
+    ids_lit = F.array(*[F.lit(int(r.vec_id)) for r in cent_rows])
+    cell = F.element_at(ids_lit, F.array_position(sims, F.array_max(sims)).cast("int"))
+    assigned = widen_for_compute(emb).select(
+        "vec_id", "embedding", cell.cast("bigint").alias("cell")
     )
     jkey = F.col("cell").cast("string")
     if cell_cap is not None:
@@ -1547,6 +1571,15 @@ def semdedup_cells(
     a = assigned.select(
         F.col("_jkey"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a")
     )
+    if cell_cap is not None:
+        # witness side: k smallest ids per sub-bucket (WindowGroupLimit
+        # prunes map-side before the shuffle)
+        ww = Window.partitionBy("_jkey").orderBy("id_a")
+        a = (
+            a.withColumn("_wrn", F.row_number().over(ww))
+            .filter(F.col("_wrn") <= witness_k)
+            .drop("_wrn")
+        )
     b = assigned.select(
         F.col("_jkey"),
         F.col("cell"),
