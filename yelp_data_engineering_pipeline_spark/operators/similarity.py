@@ -1205,3 +1205,112 @@ def _power_oracle(rounds: int = _PI_ROUNDS) -> str:
 
 
 register("emb_dominant_direction", emb_dominant_direction, _power_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Multiprobe rph-LSH (1-bit exhaustive probing)
+# ---------------------------------------------------------------------------
+
+
+def topk_rph_multiprobe(
+    queries: DataFrame, corpus: DataFrame, k: int,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Single-table random-hyperplane ANN with 1-bit exhaustive
+    multiprobe (Lv et al. 2007, "Multi-probe LSH"): each QUERY also
+    probes every bucket at Hamming distance 1 from its own — the
+    p+1 probes guarantee any neighbor whose sign pattern differs in at
+    most one bit is a candidate, which is where near-miss neighbors
+    concentrate (a near neighbor flips exactly the planes whose margin
+    it sits closest to).
+
+    The classic trade vs adding tables: multiprobe multiplies only the
+    QUERY side's keys (p+1 per query, corpus still indexed ONCE — no
+    extra index memory), while OR-amplification (topk_lsh_multitable)
+    duplicates the whole index per table. Deterministic probe set (all
+    1-bit flips, no margin ordering) keeps the DuckDB oracle an exact
+    mirror. Candidates stay bucket-bounded; the join is one hash
+    equi-join on the probe key.
+    """
+    from pyspark.sql import Window
+
+    planes = planes or RPH_PLANES
+    n_bits = len(planes)
+    q_bucket = rph_bucket(F.col("embedding"), planes)
+    flips = [q_bucket] + [
+        F.concat(
+            F.substring(q_bucket, 1, i),
+            F.when(F.substring(q_bucket, i + 1, 1) == "1", F.lit("0")).otherwise(
+                F.lit("1")
+            ),
+            F.substring(q_bucket, i + 2, n_bits - i - 1),
+        )
+        for i in range(n_bits)
+    ]
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(F.array(*flips)).alias("bucket"),
+    )
+    c = widen_for_compute(corpus).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        rph_bucket(F.col("embedding"), planes).alias("bucket"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return pairs.withColumn("rk", F.row_number().over(w).cast("bigint")).filter(F.col("rk") <= k)
+
+
+def similarity_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return topk_rph_multiprobe(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+def _flip_sql(bucket_expr: str, i: int, n_bits: int) -> str:
+    """SQL for bucket with bit i (0-based) flipped."""
+    return (
+        f"substring({bucket_expr}, 1, {i}) || "
+        f"(CASE WHEN substring({bucket_expr}, {i + 1}, 1) = '1' THEN '0' ELSE '1' END)"
+        f" || substring({bucket_expr}, {i + 2}, {n_bits - i - 1})"
+    )
+
+
+_MP_PROBES_SQL = ", ".join(
+    ["bucket"] + [_flip_sql("bucket", i, 8) for i in range(8)]
+)
+
+register(
+    "similarity_topk_multiprobe",
+    similarity_topk_multiprobe,
+    f"""
+    WITH b AS (SELECT vec_id, embedding,
+                      {_RPH_BUCKET_SQL.format(v='embedding')} AS bucket
+               FROM embeddings),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb,
+             unnest([{_MP_PROBES_SQL}]) AS bucket
+      FROM b WHERE vec_id < 10
+    ),
+    pairs AS (
+      SELECT DISTINCT query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.format(a='q_emb', b='c.embedding')} AS cos_sim
+      FROM q JOIN b c USING (bucket)
+      WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM pairs
+    ) WHERE rk <= 5
+    """,
+)

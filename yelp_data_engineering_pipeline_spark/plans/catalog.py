@@ -98,6 +98,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_kmv_distinct",
     "dedup_semdedup",
     "prep_dsir_scores",
+    "similarity_topk_multiprobe",
     # -- oldest-evidence refreshes (latest row = r1, code unchanged) --
     "agg_groupby_stats",
     "join_inner_agg",
@@ -116,7 +117,6 @@ _PRIORITY: tuple[str, ...] = (
     "agg_pivot",
     "agg_cube",
     "window_custom_sort",
-    "window_surrogate_keys",
 )
 
 
