@@ -532,3 +532,127 @@ register(
     FROM est e JOIN exact x USING (event_type)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# KMV set-operation estimates (distinct intersection from two sketches)
+# ---------------------------------------------------------------------------
+
+
+def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated |distinct(A) ∩ distinct(B)| from the two sides'
+    bottom-k sketches alone (Beyer et al. 2007, SIGMOD — "On synopses
+    for distinct-value estimation under multiset operations"): the
+    union sketch M = bottom-k(S_A ∪ S_B) estimates the union density,
+    and the fraction ρ of M's members present in BOTH input sketches
+    scales it:  |A∩B| ≈ ρ · (k-1)/u_k.
+
+    This is the whole point of KMV over HLL for set algebra: the
+    sketch members are actual hashed KEYS, so intersections (which HLL
+    can only get by inclusion-exclusion, error-amplified) come from
+    set operations on k-row synopses. Everything after the two
+    bottom-k passes touches ≤ k rows per side. A(click)/B(purchase)
+    over user_id here; exact count rides along as the honesty column.
+    Deterministic md5 uniforms → the estimate itself is differential-
+    checked, not just bounded.
+    """
+    k = KMV_K
+    ev = load(spark, sf_dir, "events")
+    du = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(_KMV_DENOM))
+    uu = du.select("event_type", "user_id", u.alias("u"))
+    w = Window.partitionBy("event_type").orderBy("u", "user_id")
+    sketches = uu.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    a = sketches.filter(F.col("event_type") == "click").select("user_id", "u")
+    b = sketches.filter(F.col("event_type") == "purchase").select("user_id", "u")
+    m = (
+        a.unionByName(b)
+        .select("user_id", "u")
+        .distinct()
+        .orderBy("u", "user_id")
+        .limit(k)
+    )
+    both = m.join(a.select("user_id"), "user_id", "left_semi").join(
+        b.select("user_id"), "user_id", "left_semi"
+    )
+    stats = m.agg(
+        F.count(F.lit(1)).alias("m_n"), F.max("u").alias("u_k")
+    ).crossJoin(both.agg(F.count(F.lit(1)).alias("n_both")))
+    exact = (
+        du.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .filter(F.col("nt") == 2)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    return stats.crossJoin(exact).select(
+        F.col("n_both").cast("bigint").alias("n_both_in_sketch"),
+        F.round(
+            F.col("n_both")
+            / F.col("m_n")
+            * F.when(F.col("m_n") < k, F.col("m_n").cast("double")).otherwise(
+                F.lit(float(k - 1)) / F.col("u_k")
+            ),
+            4,
+        ).alias("inter_est"),
+        "n_exact",
+    )
+
+
+register(
+    "agg_kmv_intersection",
+    agg_kmv_intersection,
+    f"""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    uu AS (
+      SELECT event_type, user_id,
+             ({_kmv_hex8_sql("md5('kmv|' || CAST(user_id AS VARCHAR))")} + 1)
+               / {float(16**8 + 1)!r} AS u
+      FROM du
+    ),
+    sk AS (
+      SELECT event_type, user_id, u FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u, user_id) AS rk
+        FROM uu
+      ) WHERE rk <= {KMV_K}
+    ),
+    a AS (SELECT user_id, u FROM sk WHERE event_type = 'click'),
+    b AS (SELECT user_id, u FROM sk WHERE event_type = 'purchase'),
+    m AS (
+      SELECT DISTINCT user_id, u FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+      ORDER BY u, user_id LIMIT {KMV_K}
+    ),
+    inboth AS (
+      SELECT m.user_id FROM m
+      WHERE m.user_id IN (SELECT user_id FROM a)
+        AND m.user_id IN (SELECT user_id FROM b)
+    ),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM m) AS m_n,
+             (SELECT MAX(u) FROM m) AS u_k,
+             (SELECT COUNT(*) FROM inboth) AS n_both
+    ),
+    exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM (
+        SELECT user_id FROM du GROUP BY user_id HAVING COUNT(*) = 2
+      )
+    )
+    SELECT CAST(n_both AS BIGINT) AS n_both_in_sketch,
+           ROUND(n_both / m_n * (CASE WHEN m_n < {KMV_K} THEN CAST(m_n AS DOUBLE)
+                                      ELSE {float(KMV_K - 1)!r} / u_k END), 4)
+             AS inter_est,
+           n_exact
+    FROM stats CROSS JOIN exact
+    """,
+)

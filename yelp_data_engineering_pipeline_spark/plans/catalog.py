@@ -99,6 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_semdedup",
     "prep_dsir_scores",
     "similarity_topk_multiprobe",
+    "agg_kmv_intersection",
     # -- oldest-evidence refreshes (latest row = r1, code unchanged) --
     "agg_groupby_stats",
     "join_inner_agg",
@@ -116,7 +117,6 @@ _PRIORITY: tuple[str, ...] = (
     "agg_rollup",
     "agg_pivot",
     "agg_cube",
-    "window_custom_sort",
 )
 
 
