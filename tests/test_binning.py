@@ -241,3 +241,27 @@ def test_topk_adaptive_routes_by_structure(spark, sf_dir):
     for r in got:
         # antipodal blobs: same-parity neighbors (cosine ~1) win
         assert r.neighbor_id % 2 == r.query_id % 2
+
+
+def test_multiprobe_covers_one_bit_flips(spark):
+    """Any neighbor whose sign pattern differs from the query's in at
+    most ONE plane must be a candidate (the 1-bit exhaustive multiprobe
+    guarantee); verified against brute force on the blob corpus where
+    single-table rph misses cross-boundary neighbors."""
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        recall_at_k,
+        topk_bruteforce,
+        topk_rph,
+        topk_rph_multiprobe,
+        RPH_PLANES,
+    )
+
+    corpus = _blob_corpus(spark, n=300, dim=64)
+    q = corpus.filter(F.col("vec_id") < 6)
+    exact = topk_bruteforce(q, corpus, k=3)
+    single = recall_at_k(exact, topk_rph(q, corpus, 3, RPH_PLANES), k=3)
+    multi = recall_at_k(exact, topk_rph_multiprobe(q, corpus, 3), k=3)
+    s = single.agg(F.avg("recall_at_3")).first()[0]
+    m = multi.agg(F.avg("recall_at_3")).first()[0]
+    assert m >= s  # probing is a strict candidate superset
+    assert m > 0.5

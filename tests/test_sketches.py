@@ -121,3 +121,15 @@ def test_kmv_merge_by_union_trim_equals_global(spark):
     # merge path: union the raw halves (distinct-u union) and re-trim
     merged = kmv_distinct_estimate(a.unionByName(b), ["g"], "v", k=32).first()
     assert merged.distinct_est == whole.distinct_est
+
+
+def test_kmv_intersection_estimate_tracks_exact(spark, sf_dir):
+    from yelp_data_engineering_pipeline_spark.operators.sketches import (
+        agg_kmv_intersection,
+    )
+
+    r = agg_kmv_intersection(spark, sf_dir).first()
+    assert r.n_exact >= 0 and r.inter_est >= 0
+    # k=64 sketch: generous 3-sigma band around exact when overlap exists
+    if r.n_exact > 20:
+        assert 0.4 * r.n_exact < r.inter_est < 2.2 * r.n_exact
