@@ -47,7 +47,9 @@ def _page(df: DataFrame, order_by: list[str], page: int, page_size: int) -> Data
 # minor note). Dims are bounded (weekday=7, categories≈dozens), so the
 # whole map is driver-cacheable; keyed by the DataFrame identity so a
 # reloaded/updated dim gets a fresh map.
-_DIM_MAP_CACHE: dict[int, dict[str, int]] = {}
+# value holds (dim, map): pinning the DataFrame keeps its id() from
+# being recycled onto a different frame after GC
+_DIM_MAP_CACHE: dict[int, tuple[DataFrame, dict[str, int]]] = {}
 
 
 def _resolve_dim_id(dim: DataFrame, key: int | str) -> int | None:
@@ -56,10 +58,12 @@ def _resolve_dim_id(dim: DataFrame, key: int | str) -> int | None:
     if isinstance(key, int) or (isinstance(key, str) and key.isdigit()):
         return int(key)
     cache_key = id(dim)
-    m = _DIM_MAP_CACHE.get(cache_key)
-    if m is None:
+    hit = _DIM_MAP_CACHE.get(cache_key)
+    if hit is None:
         m = {r["name"].lower(): int(r["id"]) for r in dim.select("name", "id").collect()}
-        _DIM_MAP_CACHE[cache_key] = m
+        _DIM_MAP_CACHE[cache_key] = (dim, m)
+    else:
+        m = hit[1]
     return m.get(str(key).lower())
 
 
