@@ -813,3 +813,49 @@ def test_late_data_accounting_flags_out_of_order_event(spark):
     got = {r.event_type: r for r in late_data_accounting(df).collect()}
     assert got["click"].n_late == 0 and got["click"].n_ontime == 2
     assert got["view"].n_late == 1 and got["view"].n_ontime == 3
+
+
+def test_stream_merge_into_upserts_and_survives_restart(spark, tmp_path):
+    """Streaming NDJSON -> MERGE table: re-scraped keys UPDATE in place
+    across micro-batch boundaries, and a full restart with the same
+    checkpoint re-reads nothing (version does not advance)."""
+    import json as _json
+
+    from tests.yelp_fixtures import make_results
+    from yelp_data_engineering_pipeline_spark.streaming.ingest import (
+        run_ingest_merge_into,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rows = make_results(6)
+    with open(in_dir / "b1.ndjson", "w") as f:
+        for r in rows[:4]:
+            f.write(_json.dumps(r) + "\n")
+    v = run_ingest_merge_into(
+        spark, str(in_dir), str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    )
+    assert v >= 1
+
+    # second file: 2 new + 1 re-scrape of an existing bizId with a new name
+    update = dict(rows[0])
+    update["name"] = "RENAMED"
+    with open(in_dir / "b2.ndjson", "w") as f:
+        for r in [*rows[4:6], update]:
+            f.write(_json.dumps(r) + "\n")
+    v2 = run_ingest_merge_into(
+        spark, str(in_dir), str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    )
+    assert v2 > v
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="bizId")
+    got = {r.bizId: r.name for r in t.read().select("bizId", "name").collect()}
+    assert len(got) == 6  # upsert, not append: no duplicate bizIds
+    assert got[update["bizId"]] == "RENAMED"
+
+    # restart with nothing new: checkpoint replays nothing, no commit
+    v3 = run_ingest_merge_into(
+        spark, str(in_dir), str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    )
+    assert v3 == v2
