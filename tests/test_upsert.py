@@ -6,6 +6,8 @@ from __future__ import annotations
 from datetime import datetime
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from tests.yelp_fixtures import make_results, write_ndjson
@@ -369,3 +371,83 @@ def test_rank_histogram_grid_equals_range_scheme(spark):
     release_tracked()
     assert n1 == n2 == len(vals)
     assert g == e
+
+
+def test_merge_pruned_read_pushes_partition_filter(spark, tmp_path):
+    """The pruned path's isin-filter must reach the scan as a
+    PartitionFilter (untouched partitions are never read, let alone
+    rewritten)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="k", partition_by="p")
+    t.merge(
+        spark.createDataFrame(
+            [(i, chr(97 + i % 4), "v") for i in range(40)], "k long, p string, v string"
+        )
+    )
+    plan = (
+        t.read()
+        .filter(F.col("p").isin(["a"]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "p" in m.group(1) and "= a" in m.group(1), plan[:500]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(0, 6),                      # key
+                st.text("xyz", min_size=1, max_size=3),  # value
+                st.booleans(),                           # is_delete
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_merge_table_matches_dict_replay_model(spark, tmp_path_factory, batches):
+    """Model-based MERGE check: any sequence of upsert/delete batches
+    must leave the table equal to a plain dict replay (last write per
+    key wins within the sequence; within a batch the dedup rule is
+    max-value-then-delete-flag, applied identically to the model).
+
+    The partition is DERIVED from the key (k % 2) — the documented
+    partitioned-MERGE contract: a key's partition is immutable, and a
+    delete row must carry its key's true partition (the first draft
+    generated independent partitions and hypothesis immediately found
+    the contract violation: a delete tagged with the wrong partition
+    is invisible to the pruned rewrite)."""
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+
+    root = str(tmp_path_factory.mktemp("mbt") / "tbl")
+    t = ParquetMergeTable(spark, root, key="k", partition_by="p")
+    model: dict[int, tuple[str, str]] = {}
+    for batch in batches:
+        # one candidate per key per batch: deterministic max by
+        # (value, is_delete) — mirrored in the DataFrame path below
+        best: dict[int, tuple[str, str, bool]] = {}
+        for k, v, d in batch:
+            cand = ("pa" if k % 2 else "pb", v, d)
+            if k not in best or (cand[1], cand[2]) > (best[k][1], best[k][2]):
+                best[k] = cand
+        rows = [(k, p, v, d) for k, (p, v, d) in sorted(best.items())]
+        df = spark.createDataFrame(rows, "k long, p string, v string, is_delete boolean")
+        t.merge(df, delete_col="is_delete")
+        for k, (p, v, d) in best.items():
+            if d:
+                model.pop(k, None)
+            else:
+                model[k] = (p, v)
+    got = {r.k: (r.p, r.v) for r in t.read().collect()} if t.read() is not None else {}
+    assert got == model

@@ -398,10 +398,24 @@ class ParquetMergeTable:
 
     def read(self) -> DataFrame | None:
         """The committed snapshot, or None before the first commit."""
+        import json as _json
+        import os
+
+        from pyspark.sql.types import StructType
+
         v = self.current_version()
         if v == 0:
             return None
-        return self.spark.read.parquet(self._snap_dir(v))
+        snap = self._snap_dir(v)
+        # schema saved at commit time: an EMPTY snapshot (a batch that
+        # deleted every row) has no parquet files to infer from, and an
+        # explicit schema also makes partition-column types stable
+        schema_file = os.path.join(snap, "_SCHEMA.json")
+        if os.path.exists(schema_file):
+            with open(schema_file) as f:
+                schema = StructType.fromJson(_json.load(f))
+            return self.spark.read.schema(schema).parquet(snap)
+        return self.spark.read.parquet(snap)
 
     def _commit(self, df: DataFrame) -> int:
         import os
@@ -412,6 +426,7 @@ class ParquetMergeTable:
         if self.partition_by:
             writer = writer.partitionBy(self.partition_by)
         writer.parquet(self._snap_dir(new_v))
+        self._save_schema(df, new_v)
         # write-then-rename: the pointer flips atomically after the
         # snapshot is fully on disk
         fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_VERSION.")
@@ -419,6 +434,13 @@ class ParquetMergeTable:
             f.write(str(new_v))
         os.replace(tmp, self._pointer())
         return new_v
+
+    def _save_schema(self, df: DataFrame, version: int) -> None:
+        import json as _json
+        import os
+
+        with open(os.path.join(self._snap_dir(version), "_SCHEMA.json"), "w") as f:
+            _json.dump(df.schema.jsonValue(), f)
 
     def merge(self, incoming: DataFrame, delete_col: str | None = None) -> int:
         """MERGE: WHEN MATCHED THEN UPDATE (incoming row wins), WHEN NOT
@@ -479,6 +501,7 @@ class ParquetMergeTable:
         # untouched rows); partition pruning on the read side
         # (isin-filter above) means untouched data was never scanned.
         merged.write.mode("errorifexists").partitionBy(part).parquet(new_dir)
+        self._save_schema(merged, new_v)
         old_dir = self._snap_dir(old_v)
         for entry in os.listdir(old_dir):
             if not entry.startswith(f"{part}="):
