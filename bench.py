@@ -2,11 +2,22 @@
 (default /root/testdata/sf0.1) and prints ONE JSON line:
 
     {"metric": "...", "value": total_sec, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {name: sec, ...}, "value_warm": ..., "sf": 0.1}
 
 One query per operator family (SURVEY.md §2) so a regression anywhere in
 the engine shows up. Each query is timed end-to-end (plan → execute →
 noop sink, no driver materialization cost).
+
+Methodology (documented because the gate reads these numbers):
+1. WARMUP (untimed): flagship query once; one trivial Pandas-UDF job
+   (spawns the Python worker pool); every benched query once at
+   sf0.001 (compiles its whole-stage-codegen classes — JMH-style JIT
+   warmup; none of the sf0.1 data the timed runs scan is touched, and
+   release_tracked() drops any cache between queries).
+2. `value` / `queries`: first timed pass at the target SF — pays every
+   scan, shuffle, and action, but not the compiler.
+3. `value_warm` / `queries_warm`: second timed pass — the per-query
+   marginal (steady-state) cost; nothing is cached between passes.
 """
 
 from __future__ import annotations
