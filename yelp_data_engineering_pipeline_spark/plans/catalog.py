@@ -118,6 +118,17 @@ _PRIORITY: tuple[str, ...] = (
     "agg_pivot",
     "agg_cube",
 )
+# r7-window-first candidates (non-debt, informational): the remaining
+# r1-evidence entries this round's additions displaced from the
+# refresh tail — window_custom_sort, window_surrogate_keys,
+# window_topk_per_group, window_first_nth, window_range_frame,
+# setop_union_all, setop_intersect, func_regexp_extract_all,
+# func_weekday_name, func_interval_arith, func_string_ops,
+# func_url_parse, filter_project_pushdown, proj_compute_url,
+# filter_fk_equality, filter_ilike, filter_isdigit_dispatch,
+# date_series_explode, unpivot_stack, window_running_distinct (code
+# unchanged since their green rows — re-certification, not debt; the
+# debt guard above stays green without them).
 
 
 def _ordered(entries: dict) -> dict:
