@@ -136,3 +136,25 @@ def test_business_pages_skip_permanent_failure_without_partition_failure(
     assert perm_hits >= 3
     # the slow-but-healthy page made it through
     assert "biz-00001" in got
+
+
+def test_http_fetcher_timeout_feeds_retry_policy(flaky_server):
+    """A socket-level timeout must RAISE out of http_fetcher (feeding
+    retrying()), and the skip policy must convert exhaustion to None."""
+    import pytest as _pytest
+
+    slow = retrying(
+        http_fetcher(flaky_server, timeout_s=0.05),
+        attempts=2,
+        backoff=lambda i: 0.0,
+    )
+    # /biz/biz-00001 sleeps 0.2 s > 0.05 s timeout -> raises after retries
+    with _pytest.raises(RuntimeError):
+        slow("/biz/biz-00001")
+    skipping = retrying(
+        http_fetcher(flaky_server, timeout_s=0.05),
+        attempts=2,
+        backoff=lambda i: 0.0,
+        on_exhausted="skip",
+    )
+    assert skipping("/biz/biz-00001") is None

@@ -167,3 +167,28 @@ def test_bpe_merges_match_python_model(spark):
         for r in bpe_merges(df, rounds=4).collect()
     ]
     assert got == python_bpe(vocab, 4)
+
+
+def test_dsir_scores_rank_target_like_docs_higher(spark):
+    """Docs written in the target subset's vocabulary must outscore
+    docs in the off-target vocabulary (the whole point of importance
+    resampling)."""
+    from pyspark.sql import functions as F
+
+    from yelp_data_engineering_pipeline_spark.cache import release_tracked
+    from yelp_data_engineering_pipeline_spark.operators.preptext import (
+        dsir_importance_scores,
+    )
+
+    tgt_words = "alpha beta gamma delta epsilon"
+    raw_words = "uno dos tres cuatro cinco"
+    rows = [(i, tgt_words, True) for i in range(20)]          # target pool
+    rows += [(100 + i, raw_words, False) for i in range(20)]  # off-target pool
+    rows += [(500, tgt_words, False), (501, raw_words, False)]  # scored pair
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_tgt boolean")
+    out = {
+        r.doc_id: r.score_micro
+        for r in dsir_importance_scores(docs, F.col("is_tgt")).collect()
+    }
+    release_tracked()
+    assert out[500] > out[501]  # target-vocabulary doc wins
