@@ -32,8 +32,10 @@ COMMENTARY = {
         "— no all-pairs stage anywhere."
     ),
     "window_rank_distribution": (
-        "Two-phase global ranking: range-repartition + per-partition "
-        "windows keyed by _pid — no single-partition WindowExec."
+        "Two-phase global ranking on a FIXED integer grid (r6): "
+        "per-cell windows keyed by _cell + broadcast prefix-sum "
+        "offsets — two jobs, no boundary sampling, no persist, no "
+        "single-partition WindowExec."
     ),
     "window_pagination": (
         "Keyset page: seek predicate pushed to the scan, "
@@ -68,6 +70,32 @@ COMMENTARY = {
         "sets; the LSH tier and connected components run on tier-2 "
         "survivors only; ledger rows assembled from broadcast 1-row "
         "counts."
+    ),
+    "dedup_semdedup": (
+        "Cell assignment is a map-side argmax over a centroid literal "
+        "array (zero corpus shuffle — no broadcast-join + window "
+        "round-trip); the within-cell pair join keys on the persisted "
+        "assignment, and the ledger is two bounded aggregates."
+    ),
+    "merge_upsert_idempotent": (
+        "The double-applied MERGE collapses to one anti-join + union "
+        "per application; aggregates ride integer grids so both "
+        "engines hash-match — the oracle applies the merge ONCE."
+    ),
+    "ts_anomaly_zscore": (
+        "One key-partitioned sort feeds all three trailing-frame "
+        "aggregates (count/sum/sum-of-squares) in a single Window op; "
+        "moments derive in doubles from exact integer sums."
+    ),
+    "prep_reservoir_per_group": (
+        "WindowGroupLimit: every map task keeps only its local "
+        "bottom-k per group BEFORE the exchange — the shuffle carries "
+        "O(groups x k) rows per task, not the corpus."
+    ),
+    "agg_bitmap_distinct": (
+        "Two hash aggregates, both map-combined: partial bit_or packs "
+        "64 ids per register before the shuffle, and the final "
+        "sum(bit_count) is exact — no COUNT DISTINCT expand."
     ),
 }
 
