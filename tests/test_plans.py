@@ -478,6 +478,53 @@ def test_no_unscheduled_verification_debt():
     )
 
 
+def test_evidence_max_age():
+    """Staleness guard (VERDICT r6 next-1): evidence must not silently
+    age out. Every catalog entry's LATEST green driver row must be at
+    most 5 rounds older than the newest CORRECTNESS artifact present,
+    unless the entry holds a slot in the current window (i.e. its
+    refresh is scheduled). The never-checked case is covered by
+    test_no_unscheduled_verification_debt; this one catches the r6
+    failure mode where 19 entries sat on r1 evidence for five rounds
+    with nothing forcing a re-certification."""
+    import json
+    from pathlib import Path
+
+    from yelp_data_engineering_pipeline_spark.plans import catalog
+
+    repo = Path(__file__).resolve().parent.parent
+    latest: dict[str, int] = {}
+    max_round = 0
+    for f in sorted(repo.glob("CORRECTNESS_r*.json")):
+        try:
+            rnd = int(f.stem.split("_r")[1])
+            rows = json.loads(f.read_text())
+        except (ValueError, OSError, IndexError):
+            continue
+        max_round = max(max_round, rnd)
+        for name, row in rows.items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match", True)
+            ):
+                latest[name] = max(latest.get(name, 0), rnd)
+    if max_round == 0:  # fresh clone without driver artifacts
+        return
+    floor = max_round - 5
+    stale = [
+        n
+        for n in catalog.queries()
+        if latest.get(n, 0) < floor and n not in catalog._PRIORITY
+    ]
+    assert not stale, (
+        f"{len(stale)} entries have evidence older than round {floor} "
+        f"(newest artifact r{max_round}) and no scheduled refresh slot: "
+        f"{[(n, latest.get(n)) for n in stale]} — head the next window "
+        f"with them (see catalog.py r8-window-first comment)"
+    )
+
+
 def test_events_load_accepts_ntz_parquet(spark, sf_dir, tmp_path):
     """Parquet written without isAdjustedToUTC (DuckDB et al.) loads as
     TIMESTAMP_NTZ; load() must normalize it so unix_micros/window()

@@ -40,95 +40,90 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # only after r3). Entries already driver-green with unchanged code
 # keep that evidence and move to the tail.
 #
-# Round-6 window (exactly 50) — clears the LAST verification debt
-# (VERDICT.md r5 next-1: after r5's first all-green 50/50 round, only
-# the 18 late-r5 additions plus two refreshes separate the catalog
-# from "every entry externally certified"). Composition:
+# Round-7 window (exactly 50) — the evidence-freshness round
+# (VERDICT.md r6 next-1: with the whole catalog externally certified,
+# the remaining gap is STALENESS — 19 entries whose latest driver row
+# is still r1). Composition:
 # - flagship (always first: the driver's smoke query);
-# - the 18 entries added late in r5 with no driver row yet (named
-#   r6-window-first in the r5 comment; each local-differential green
-#   at sf0.001/0.01/0.1);
-# - 2 refreshes whose code/oracle changed in r6: join_asof (stale r1
-#   row; duplicate-ts tiebreak landed late-r5, one-struct match
-#   payload carry in r6) and join_asof_forward_tolerance (r5-green but
-#   its oracle was rewritten in r6 from native ASOF to the
-#   union+window formulation with the same tiebreak, per ADVICE r5);
-#   join_asof_nearest and ts_ema_user / ts_ohlc_hourly also changed in
-#   r6 and are already in the debt list above;
-# - entries NEW or code-changed in r6 (added as the round progresses —
-#   new entries must take window slots or the round creates fresh
-#   debt);
-# - remaining slots: refreshes of the entries with the OLDEST evidence
-#   (latest driver row = r1; code unchanged since, so this is
-#   re-certification, not debt).
+# - the 19 r1-evidence entries (computed from the CORRECTNESS_r*.json
+#   artifacts this round; the r6 comment listed 20 but
+#   window_running_distinct already holds an r4 row) — code unchanged
+#   since their green rows, so these are re-certifications;
+# - 5 entries whose code or oracle CHANGED in r7: the three as-of
+#   entries (explicit NULLS FIRST tiebreak order on both sides,
+#   ADVICE r6), agg_bitmap_distinct (NULL-id guard, ADVICE r6), and
+#   merge_upsert_idempotent (upsert.py gained the flock commit
+#   protocol — the merge_upsert dataflow is unchanged but lives in the
+#   changed module);
+# - remaining 25 slots: the oldest-evidence refreshes (latest row =
+#   r3), picked dedup/similarity/prep-first since those modules carry
+#   the most engineering risk.
 _PRIORITY: tuple[str, ...] = (
     "flagship_revenue_by_nation",
-    # -- the 18 late-r5 entries with no driver row (verification debt) --
-    "join_asof_nearest",
-    "emb_random_projection",
-    "emb_dominant_direction",
-    "dedup_cascade",
-    "dedup_clusters_incremental",
-    "mm_frame_dedup",
-    "text_char_entropy",
-    "prep_global_shuffle",
-    "prep_bpe_merges",
-    "prep_bpe_encode",
-    "diag_source_drift",
-    "diag_expectations",
-    "prep_temperature_mix",
-    "agg_hll_distinct_rollup",
-    "agg_approx_percentile_gate",
-    "ts_ema_user",
-    "window_longest_streak",
-    "ts_ohlc_hourly",
-    # -- refreshes: code/oracle changed in r6 (as-of struct payload
-    #    carry + tiebreak-bearing oracles, ADVICE r5) --
+    # -- the 19 r1-evidence re-certifications --
+    "window_first_nth",
+    "window_range_frame",
+    "date_series_explode",
+    "unpivot_stack",
+    "filter_project_pushdown",
+    "proj_compute_url",
+    "filter_fk_equality",
+    "filter_ilike",
+    "filter_isdigit_dispatch",
+    "window_custom_sort",
+    "window_surrogate_keys",
+    "window_topk_per_group",
+    "setop_union_all",
+    "setop_intersect",
+    "func_regexp_extract_all",
+    "func_weekday_name",
+    "func_interval_arith",
+    "func_string_ops",
+    "func_url_parse",
+    # -- code/oracle changed in r7 --
     "join_asof",
     "join_asof_forward_tolerance",
-    # -- NEW or changed in r6 --
-    "merge_upsert_idempotent",
-    "similarity_topk_lsh",
-    "similarity_recall_at_k",
-    "ts_anomaly_zscore",
-    "prep_reservoir_per_group",
+    "join_asof_nearest",
     "agg_bitmap_distinct",
-    "text_duplicate_ngram_spans",
-    "stream_watermark_late_drop",
-    "agg_kmv_distinct",
-    "dedup_semdedup",
-    "prep_dsir_scores",
-    "similarity_topk_multiprobe",
-    "agg_kmv_intersection",
-    # -- oldest-evidence refreshes (latest row = r1, code unchanged) --
-    "agg_groupby_stats",
-    "join_inner_agg",
-    "join_theta_residual",
-    "join_left_semi",
-    "join_left_outer_agg",
-    "join_full_outer",
-    "join_cross_small",
-    "join_broadcast_dim",
-    "dim_merge_get_or_create",
-    "agg_count_join",
-    "agg_distinct",
-    "agg_count_distinct",
-    "agg_percentile",
-    "agg_rollup",
-    "agg_pivot",
-    "agg_cube",
+    "merge_upsert_idempotent",
+    # -- oldest-evidence refreshes (latest row = r3, code unchanged) --
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_ngram_jaccard",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "similarity_topk_rph",
+    "emb_kmeans",
+    "prep_chunk_documents",
+    "prep_decontaminate",
+    "prep_pack_bins",
+    "prep_pii_scrub",
+    "prep_train_val_split",
+    "prep_vocab",
+    "pipeline_quality_dedup",
+    "text_quality",
+    "text_fingerprint",
+    "stream_sessionize",
+    "stream_tumbling_window",
+    "window_pagination",
+    "window_rank_distribution",
+    "explode_word_counts",
+    "func_json_extract",
 )
-# r7-window-first candidates (non-debt, informational): the remaining
-# r1-evidence entries this round's additions displaced from the
-# refresh tail — window_custom_sort, window_surrogate_keys,
-# window_topk_per_group, window_first_nth, window_range_frame,
-# setop_union_all, setop_intersect, func_regexp_extract_all,
-# func_weekday_name, func_interval_arith, func_string_ops,
-# func_url_parse, filter_project_pushdown, proj_compute_url,
-# filter_fk_equality, filter_ilike, filter_isdigit_dispatch,
-# date_series_explode, unpivot_stack, window_running_distinct (code
-# unchanged since their green rows — re-certification, not debt; the
-# debt guard above stays green without them).
+# r8-window-first candidates (non-debt, informational): the 18
+# remaining r3-evidence entries this round's changes displaced from
+# the refresh tail — agg_approx_sketches, array_higher_order,
+# collect_sorted_list, explode_zip_pairs, filter_disjunctive_range,
+# filter_quarantine, func_case_mapping, func_html_unescape,
+# func_time_parse, join_range_bucketed, map_functions, mm_binary_meta,
+# prep_repetition_stats, sql_api_groupby, text_lang_id,
+# text_tfidf_topk, window_lag_lead, window_running_sum. The max-age
+# debt guard (tests/test_plans.py::test_evidence_max_age) starts
+# FAILING for these once the r8 artifact lands unless they hold r8
+# window slots — staleness can no longer silently re-accumulate.
 
 
 def _ordered(entries: dict) -> dict:
