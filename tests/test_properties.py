@@ -620,6 +620,56 @@ def test_asof_ties_between_duplicate_right_ts_are_deterministic(spark):
         assert (near.rv_asof, near.gap_us) == (2.0, 50_000_000)
 
 
+def test_asof_null_valued_duplicate_matches_oracle_null_order(spark):
+    """NULL-order differential for the duplicate-ts tiebreak (ADVICE
+    r6): when one of two right rows at the same (key, ts) carries a
+    NULL value, Spark's ascending default (NULLS FIRST) makes the max
+    NON-NULL value win, but DuckDB's ascending default is NULLS LAST —
+    its LAST_VALUE would pick the NULL-valued struct. The contract is
+    now explicit (`asc_nulls_first` / `v NULLS FIRST`); this test runs
+    BOTH engines on the fixture the advisory said was unexercised."""
+    import duckdb
+    import pandas as pd
+
+    from yelp_data_engineering_pipeline_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "ts": pd.to_datetime([100], unit="s"), "lv": [0]})
+    )
+    rpdf = pd.DataFrame(
+        {
+            "k": [1, 1],
+            "ts": pd.to_datetime([50, 50], unit="s"),
+            "rv": [2.0, None],
+        }
+    )
+    r = spark.createDataFrame(rpdf)
+    got = asof_join(l, r, on="ts", by="k", value_cols=["rv"]).collect()[0]
+    assert got.rv_asof == 2.0  # max non-null wins, not the NULL duplicate
+
+    con = duckdb.connect()
+    con.register("rt", rpdf)
+    oracle = con.sql(
+        """
+        WITH u AS (
+          -- integer time grid (the null-order question is about v)
+          SELECT 1 AS k, 100 AS ts, 1 AS side, CAST(NULL AS DOUBLE) AS v
+          UNION ALL
+          SELECT k, 50, 0, rv FROM rt
+        ),
+        cand AS (
+          SELECT side,
+                 LAST_VALUE(v IGNORE NULLS) OVER (
+                   PARTITION BY k ORDER BY ts, side, v NULLS FIRST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+          FROM u
+        )
+        SELECT v FROM cand WHERE side = 1
+        """
+    ).fetchone()[0]
+    assert oracle == 2.0  # with NULLS FIRST both engines agree
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     st.lists(

@@ -133,3 +133,65 @@ def test_kmv_intersection_estimate_tracks_exact(spark, sf_dir):
     # k=64 sketch: generous 3-sigma band around exact when overlap exists
     if r.n_exact > 20:
         assert 0.4 * r.n_exact < r.inter_est < 2.2 * r.n_exact
+
+
+def test_bitmap_distinct_null_ids_match_count_distinct(spark):
+    """NULL-id semantics (ADVICE r6): COUNT(DISTINCT) skips NULLs, so
+    an all-NULL group must report 0 (not NULL, and the group row must
+    still exist) and a mixed group must count only the non-null ids.
+    The truth side is Spark's own countDistinct — an independent
+    formulation, not the register dataflow."""
+    from yelp_data_engineering_pipeline_spark.operators.sketches import bitmap_distinct
+
+    rows = (
+        [("allnull", None)] * 4
+        + [("mixed", None), ("mixed", 3), ("mixed", 3), ("mixed", 70)]
+        + [("clean", i) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "g string, uid long")
+    got = {r.g: r.n_distinct for r in bitmap_distinct(df, ["g"], "uid").collect()}
+    want = {
+        r.g: r.n
+        for r in df.groupBy("g").agg(F.count_distinct("uid").alias("n")).collect()
+    }
+    assert got == want == {"allnull": 0, "mixed": 2, "clean": 5}
+    assert got["allnull"] == 0 and got["allnull"] is not None
+
+
+def test_kmv_intersection_exact_below_k_vs_independent_truth(spark):
+    """When |A ∪ B| < k the union sketch holds EVERY member, so the
+    intersection estimate must be EXACT — asserted against an
+    independent exact distinct-intersect (semi-join count), not the
+    sketch's own oracle transliteration (VERDICT r6 next-2c)."""
+    from yelp_data_engineering_pipeline_spark.operators.sketches import (
+        kmv_intersection_estimate,
+    )
+
+    a = spark.createDataFrame([(v,) for v in range(30) for _ in range(2)], "v long")
+    b = spark.createDataFrame([(v,) for v in range(20, 45)], "v long")
+    row = kmv_intersection_estimate(a, b, "v", k=64).collect()[0]
+    exact = (
+        a.distinct().join(b.distinct(), "v", "left_semi").count()
+    )  # = |{20..29}| = 10
+    assert exact == 10
+    assert row.n_both_in_sketch == exact
+    assert row.inter_est == float(exact)
+
+
+def test_kmv_intersection_band_on_large_sets_vs_independent_truth(spark):
+    """Large overlapping sets: the estimate must land within the
+    published KMV error family around the EXACT intersection. ρ and
+    the union estimate are each ~1/sqrt(k) (k=256 → σ≈6%); assert a
+    generous combined band so the test is stable while a conceptual
+    estimator bug (wrong scaling, wrong ρ denominator) still fails by
+    an order of magnitude."""
+    from yelp_data_engineering_pipeline_spark.operators.sketches import (
+        kmv_intersection_estimate,
+    )
+
+    a = spark.createDataFrame([(v,) for v in range(8000)], "v long")
+    b = spark.createDataFrame([(v,) for v in range(4000, 14000)], "v long")
+    exact = a.join(b, "v", "left_semi").count()  # 4000
+    assert exact == 4000
+    row = kmv_intersection_estimate(a, b, "v", k=256).collect()[0]
+    assert exact * 0.5 < row.inter_est < exact * 1.5

@@ -97,7 +97,13 @@ def asof_join(
     # same tie by input order — a notion a distributed engine cannot
     # honor, so max-value-wins is the documented contract; NULLs on
     # left rows sort first and never win). No-op when ts are unique.
-    tiebreak = [F.col(f"_tb_{c}") for c in value_cols]
+    # NULL ORDER IS PART OF THE CONTRACT (ADVICE r6): a NULL-valued
+    # duplicate must sort FIRST so the max NON-NULL value wins "last
+    # over the frame". Spark's ascending default happens to be NULLS
+    # FIRST but DuckDB's is NULLS LAST, so both this side and every
+    # as-of oracle spell it explicitly — a silent engine-default
+    # divergence here is a latent differential mismatch.
+    tiebreak = [F.col(f"_tb_{c}").asc_nulls_first() for c in value_cols]
     order = (
         [F.col(on).desc(), F.col("_side"), *tiebreak]
         if direction == "forward"
@@ -191,7 +197,7 @@ register(
     cand AS (
       SELECT user_id, event_id, side,
              LAST_VALUE(m IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, side, v
+               PARTITION BY user_id ORDER BY ts, side, v NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
       FROM u
     )
@@ -244,7 +250,7 @@ register(
     cand AS (
       SELECT user_id, ts, event_id, side,
              LAST_VALUE(m IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts DESC, side, v
+               PARTITION BY user_id ORDER BY ts DESC, side, v NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
       FROM u
     )
@@ -443,15 +449,17 @@ def asof_nearest_join(
     unioned = l.unionByName(r)
     # _v as deterministic tiebreak between equal-ts right rows (see
     # asof_join; for the FOLLOWING frame's `first` the symmetric choice
-    # is min-value-wins, i.e. the same ascending order works for both)
+    # is min-value-wins, i.e. the same ascending order works for both).
+    # asc_nulls_first is explicit — the NULL order is part of the
+    # contract and the oracles spell the same (ADVICE r6).
     wb = (
         Window.partitionBy(by)
-        .orderBy(on, "_side", "_v")
+        .orderBy(F.col(on).asc(), F.col("_side").asc(), F.col("_v").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wf = (
         Window.partitionBy(by)
-        .orderBy(on, "_side", "_v")
+        .orderBy(F.col(on).asc(), F.col("_side").asc(), F.col("_v").asc_nulls_first())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     cand = unioned.select(
@@ -522,10 +530,10 @@ register(
     frames AS (
       SELECT user_id, ts, event_id, side,
              LAST_VALUE(m IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, side, v
+               PARTITION BY user_id ORDER BY ts, side, v NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b,
              FIRST_VALUE(m IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, side, v
+               PARTITION BY user_id ORDER BY ts, side, v NULLS FIRST
                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f
       FROM u
     ),

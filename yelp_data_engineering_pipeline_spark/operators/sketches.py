@@ -385,6 +385,13 @@ def bitmap_distinct(df: DataFrame, group_cols: list[str], id_col: str) -> DataFr
       dictionary-encoded user/doc surrogate keys).
 
     The id must be a nonnegative integer (surrogate-key domain).
+    NULL ids count as no id — matching ``COUNT(DISTINCT)``'s null-skip
+    (ADVICE r6): a NULL id yields a NULL block/bit, ``bit_or`` of an
+    all-NULL register is NULL, ``sum`` skips it, and the final
+    ``coalesce(.., 0)`` turns an all-NULL group into 0 rather than
+    NULL — the group row itself is preserved (no pre-filter, so a
+    group whose ids are ALL null still appears, as it does under
+    COUNT DISTINCT).
     """
     reg = df.select(
         *group_cols,
@@ -395,7 +402,9 @@ def bitmap_distinct(df: DataFrame, group_cols: list[str], id_col: str) -> DataFr
     )
     masks = reg.groupBy(*group_cols, "_blk").agg(F.bit_or("_bit").alias("_mask"))
     return masks.groupBy(*group_cols).agg(
-        F.sum(F.bit_count("_mask")).cast("bigint").alias("n_distinct")
+        F.coalesce(F.sum(F.bit_count("_mask")), F.lit(0))
+        .cast("bigint")
+        .alias("n_distinct")
     )
 
 
@@ -539,7 +548,9 @@ register(
 # ---------------------------------------------------------------------------
 
 
-def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmv_intersection_estimate(
+    a: DataFrame, b: DataFrame, value_col: str, k: int = KMV_K
+) -> DataFrame:
     """Estimated |distinct(A) ∩ distinct(B)| from the two sides'
     bottom-k sketches alone (Beyer et al. 2007, SIGMOD — "On synopses
     for distinct-value estimation under multiset operations"): the
@@ -551,58 +562,68 @@ def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch members are actual hashed KEYS, so intersections (which HLL
     can only get by inclusion-exclusion, error-amplified) come from
     set operations on k-row synopses. Everything after the two
-    bottom-k passes touches ≤ k rows per side. A(click)/B(purchase)
-    over user_id here; exact count rides along as the honesty column.
-    Deterministic md5 uniforms → the estimate itself is differential-
-    checked, not just bounded.
+    bottom-k passes touches ≤ k rows per side. Exact when the UNION
+    has < k distinct values (both sketches then hold their full sets).
+    Returns one row: (n_both_in_sketch BIGINT, inter_est DOUBLE,
+    unrounded). tests/test_sketches.py holds the INDEPENDENT-
+    formulation truth (vs an exact distinct-intersect) — the catalog
+    oracle is a hash-parity twin by design (VERDICT r6 next-2).
     """
-    k = KMV_K
-    ev = load(spark, sf_dir, "events")
     du = (
-        ev.filter(F.col("event_type").isin("click", "purchase"))
-        .select("event_type", "user_id")
+        a.select(F.lit(0).alias("_side"), F.col(value_col).alias("_v"))
+        .unionByName(b.select(F.lit(1).alias("_side"), F.col(value_col).alias("_v")))
         .distinct()
     )
     h = F.conv(
-        F.substring(F.md5(F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))), 1, 8),
+        F.substring(F.md5(F.concat(F.lit("kmv|"), F.col("_v").cast("string"))), 1, 8),
         16,
         10,
     ).cast("bigint")
     u = (h + F.lit(1)).cast("double") / F.lit(float(_KMV_DENOM))
-    uu = du.select("event_type", "user_id", u.alias("u"))
-    w = Window.partitionBy("event_type").orderBy("u", "user_id")
+    uu = du.select("_side", "_v", u.alias("u"))
+    # per-side bottom-k plans as WindowGroupLimit: each map task prunes
+    # to its local top-k before the shuffle (same shape as
+    # kmv_distinct_estimate above)
+    w = Window.partitionBy("_side").orderBy("u", "_v")
     sketches = uu.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
-    a = sketches.filter(F.col("event_type") == "click").select("user_id", "u")
-    b = sketches.filter(F.col("event_type") == "purchase").select("user_id", "u")
-    m = (
-        a.unionByName(b)
-        .select("user_id", "u")
-        .distinct()
-        .orderBy("u", "user_id")
-        .limit(k)
-    )
-    both = m.join(a.select("user_id"), "user_id", "left_semi").join(
-        b.select("user_id"), "user_id", "left_semi"
+    sa = sketches.filter(F.col("_side") == 0).select("_v", "u")
+    sb = sketches.filter(F.col("_side") == 1).select("_v", "u")
+    m = sa.unionByName(sb).distinct().orderBy("u", "_v").limit(k)
+    both = m.join(sa.select("_v"), "_v", "left_semi").join(
+        sb.select("_v"), "_v", "left_semi"
     )
     stats = m.agg(
         F.count(F.lit(1)).alias("m_n"), F.max("u").alias("u_k")
     ).crossJoin(both.agg(F.count(F.lit(1)).alias("n_both")))
-    exact = (
-        du.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("nt"))
-        .filter(F.col("nt") == 2)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
-    )
-    return stats.crossJoin(exact).select(
+    return stats.select(
         F.col("n_both").cast("bigint").alias("n_both_in_sketch"),
-        F.round(
+        (
             F.col("n_both")
             / F.col("m_n")
             * F.when(F.col("m_n") < k, F.col("m_n").cast("double")).otherwise(
                 F.lit(float(k - 1)) / F.col("u_k")
-            ),
-            4,
+            )
         ).alias("inter_est"),
+    )
+
+
+def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """click ∩ purchase distinct users via kmv_intersection_estimate
+    (A=click, B=purchase over user_id); exact count rides along as the
+    honesty column. Deterministic md5 uniforms → the estimate itself
+    is differential-checked, not just bounded."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    est = kmv_intersection_estimate(clicks, purchases, "user_id", KMV_K)
+    exact = (
+        clicks.distinct()
+        .join(purchases.distinct(), "user_id", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    return est.crossJoin(exact).select(
+        "n_both_in_sketch",
+        F.round("inter_est", 4).alias("inter_est"),
         "n_exact",
     )
 

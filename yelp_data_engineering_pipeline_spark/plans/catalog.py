@@ -49,13 +49,15 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #   artifacts this round; the r6 comment listed 20 but
 #   window_running_distinct already holds an r4 row) — code unchanged
 #   since their green rows, so these are re-certifications;
-# - 5 entries whose code or oracle CHANGED in r7: the three as-of
+# - 6 entries whose code or oracle CHANGED in r7: the three as-of
 #   entries (explicit NULLS FIRST tiebreak order on both sides,
 #   ADVICE r6), agg_bitmap_distinct (NULL-id guard, ADVICE r6), and
 #   merge_upsert_idempotent (upsert.py gained the flock commit
 #   protocol — the merge_upsert dataflow is unchanged but lives in the
-#   changed module);
-# - remaining 25 slots: the oldest-evidence refreshes (latest row =
+#   changed module), and agg_kmv_intersection (estimator factored
+#   into the reusable kmv_intersection_estimate so pytest can hold the
+#   independent-formulation truth — VERDICT r6 next-2);
+# - remaining 24 slots: the oldest-evidence refreshes (latest row =
 #   r3), picked dedup/similarity/prep-first since those modules carry
 #   the most engineering risk.
 _PRIORITY: tuple[str, ...] = (
@@ -86,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_asof_nearest",
     "agg_bitmap_distinct",
     "merge_upsert_idempotent",
+    "agg_kmv_intersection",
     # -- oldest-evidence refreshes (latest row = r3, code unchanged) --
     "dedup_exact",
     "dedup_simhash",
@@ -102,7 +105,6 @@ _PRIORITY: tuple[str, ...] = (
     "prep_pack_bins",
     "prep_pii_scrub",
     "prep_train_val_split",
-    "prep_vocab",
     "pipeline_quality_dedup",
     "text_quality",
     "text_fingerprint",
@@ -117,6 +119,7 @@ _PRIORITY: tuple[str, ...] = (
 # remaining r3-evidence entries this round's changes displaced from
 # the refresh tail — agg_approx_sketches, array_higher_order,
 # collect_sorted_list, explode_zip_pairs, filter_disjunctive_range,
+# prep_vocab (displaced by the r7 kmv refactor slot),
 # filter_quarantine, func_case_mapping, func_html_unescape,
 # func_time_parse, join_range_bucketed, map_functions, mm_binary_meta,
 # prep_repetition_stats, sql_api_groupby, text_lang_id,
