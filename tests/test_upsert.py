@@ -451,3 +451,243 @@ def test_merge_table_matches_dict_replay_model(spark, tmp_path_factory, batches)
                 model[k] = (p, v)
     got = {r.k: (r.p, r.v) for r in t.read().collect()} if t.read() is not None else {}
     assert got == model
+
+
+# ---------------------------------------------------------------------------
+# r7: crash recovery, partition-path escaping, concurrency, retention
+# ---------------------------------------------------------------------------
+
+
+def test_merge_table_recovers_from_orphan_snapshot(spark, tmp_path):
+    """Crash between snapshot write and pointer flip (ADVICE r6): an
+    orphan v=n+1 directory above the committed pointer must not brick
+    the table — the next merge clears it and commits normally, and a
+    replayed batch after the 'crash' is the documented no-op."""
+    import os
+
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+
+    root = str(tmp_path / "tbl")
+    t = ParquetMergeTable(spark, root, key="k")
+    batch1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    t.merge(batch1)
+    # simulate a merge that died after writing v=2 but before the flip
+    orphan = os.path.join(root, "v=2")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "w") as f:
+        f.write("half-written garbage")
+    assert t.current_version() == 1  # pointer untouched by the 'crash'
+
+    batch2 = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    v = t.merge(batch2)  # replay: must NOT raise on the orphan dir
+    assert v == 2
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, "a"), (2, "B"), (3, "c")}
+    # same for the partitioned path
+    rootp = str(tmp_path / "tblp")
+    tp = ParquetMergeTable(spark, rootp, key="k", partition_by="p")
+    tp.merge(spark.createDataFrame([(1, "x", "a")], "k long, p string, v string"))
+    os.makedirs(os.path.join(rootp, "v=2", "p=x"))
+    tp.merge(spark.createDataFrame([(2, "x", "b")], "k long, p string, v string"))
+    assert {(r.k, r.p, r.v) for r in tp.read().collect()} == {
+        (1, "x", "a"),
+        (2, "x", "b"),
+    }
+
+
+def test_merge_table_partition_values_needing_escaping(spark, tmp_path):
+    """Touched-partition detection must use Spark's own path encoding
+    (ADVICE r6): values with spaces/colons/percents land in escaped
+    directories, and NULL lands in __HIVE_DEFAULT_PARTITION__ — a
+    str()-based comparison would hardlink stale files into rewritten
+    partitions (silent duplicates) or drop NULL-partition rows."""
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+
+    root = str(tmp_path / "tbl")
+    t = ParquetMergeTable(spark, root, key="k", partition_by="p")
+    t.merge(
+        spark.createDataFrame(
+            [
+                (1, "a b", "v1"),
+                (2, "x:y", "v2"),
+                (3, "p%q", "v3"),
+                (4, None, "v4"),
+                (5, "plain", "v5"),
+            ],
+            "k long, p string, v string",
+        )
+    )
+    # touch every tricky partition: update in 'a b', 'x:y', 'p%q', and
+    # the NULL partition; leave 'plain' untouched (hardlink path)
+    t.merge(
+        spark.createDataFrame(
+            [(1, "a b", "V1"), (2, "x:y", "V2"), (3, "p%q", "V3"), (4, None, "V4")],
+            "k long, p string, v string",
+        )
+    )
+    got = sorted((r.k, r.p, r.v) for r in t.read().collect())
+    assert got == [
+        (1, "a b", "V1"),
+        (2, "x:y", "V2"),
+        (3, "p%q", "V3"),
+        (4, None, "V4"),
+        (5, "plain", "V5".lower()),
+    ]
+    # no duplicates: exactly one row per key (stale hardlinks would double)
+    assert t.read().count() == 5
+
+
+def test_merge_table_null_partition_delete_and_survivors(spark, tmp_path):
+    """NULL-partition rows merge correctly: existing NULL rows are
+    pulled into the merge (isin() alone would miss them) so an
+    untouched key in the NULL partition survives a merge that touches
+    that partition."""
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="k", partition_by="p")
+    t.merge(
+        spark.createDataFrame(
+            [(1, None, "keep"), (2, None, "old"), (3, "q", "other")],
+            "k long, p string, v string",
+        )
+    )
+    batch = spark.createDataFrame(
+        [(2, None, "new", False), (4, None, None, True)],
+        "k long, p string, v string, is_delete boolean",
+    )
+    t.merge(batch, delete_col="is_delete")
+    got = sorted((r.k, r.p, r.v) for r in t.read().collect())
+    assert got == [(1, None, "keep"), (2, None, "new"), (3, "q", "other")]
+
+
+def test_merge_table_concurrent_writers(spark, tmp_path):
+    """VERDICT r6 next-5: two racing merges. wait=False — exactly one
+    wins, the loser raises ConcurrentMergeError cleanly and the table
+    is untouched by it; wait=True — both commit and the result equals
+    a serial replay (upserts on disjoint keys commute)."""
+    import threading
+
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        ConcurrentMergeError,
+        ParquetMergeTable,
+    )
+
+    root = str(tmp_path / "tbl")
+    t = ParquetMergeTable(spark, root, key="k")
+    t.merge(spark.createDataFrame([(0, "base")], "k long, v string"))
+
+    b1 = spark.createDataFrame([(1, "one")], "k long, v string")
+    b2 = spark.createDataFrame([(2, "two")], "k long, v string")
+    # deterministic interleave: writer A grabs the lock and holds it
+    # until B has observed the conflict
+    release = threading.Event()
+    a_holds = threading.Event()
+    errors: list[Exception] = []
+
+    def writer_a():
+        lock = t._writer_lock(wait=True)
+        try:
+            a_holds.set()
+            release.wait(timeout=30)
+        finally:
+            lock.close()
+
+    ta = threading.Thread(target=writer_a)
+    ta.start()
+    assert a_holds.wait(timeout=30)
+    try:
+        t.merge(b1, wait=False)
+    except ConcurrentMergeError as e:
+        errors.append(e)
+    release.set()
+    ta.join(timeout=30)
+    assert len(errors) == 1  # loser raised cleanly...
+    assert t.current_version() == 1  # ...and never touched the table
+
+    # wait=True from two real threads: both commit, serial-replay result
+    def do_merge(batch):
+        t.merge(batch, wait=True)
+
+    t1 = threading.Thread(target=do_merge, args=(b1,))
+    t2 = threading.Thread(target=do_merge, args=(b2,))
+    t1.start(); t2.start(); t1.join(timeout=120); t2.join(timeout=120)
+    assert t.current_version() == 3
+    assert {(r.k, r.v) for r in t.read().collect()} == {
+        (0, "base"),
+        (1, "one"),
+        (2, "two"),
+    }
+
+
+def test_merge_table_vacuum_retention(spark, tmp_path):
+    """vacuum(keep_last_n) removes old snapshot directories, is
+    idempotent, and — because untouched partitions are HARDLINKED
+    forward — deleting an old version never damages files the kept
+    snapshot still references."""
+    import os
+
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+
+    root = str(tmp_path / "tbl")
+    t = ParquetMergeTable(spark, root, key="k", partition_by="p")
+    t.merge(
+        spark.createDataFrame(
+            [(1, "a", "x"), (10, "b", "y")], "k long, p string, v string"
+        )
+    )
+    t.merge(spark.createDataFrame([(2, "a", "x2")], "k long, p string, v string"))
+    t.merge(spark.createDataFrame([(3, "a", "x3")], "k long, p string, v string"))
+    assert t.current_version() == 3
+    before = sorted((r.k, r.p, r.v) for r in t.read().collect())
+
+    removed = t.vacuum(keep_last_n=1)
+    assert removed == [1, 2]
+    assert not os.path.exists(os.path.join(root, "v=1"))
+    assert not os.path.exists(os.path.join(root, "v=2"))
+    # partition b was only ever written in v=1 and hardlinked since:
+    # its data must still be readable from the kept snapshot
+    assert sorted((r.k, r.p, r.v) for r in t.read().collect()) == before
+    assert t.vacuum(keep_last_n=1) == []  # idempotent
+
+
+def test_merge_table_compact_small_files(spark, tmp_path):
+    """compact() rewrites a partition's accumulated small files into
+    one, with a byte-identical row set; untouched partitions ride
+    along by hardlink; a second compact changes nothing."""
+    import os
+
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+
+    root = str(tmp_path / "tbl")
+    t = ParquetMergeTable(spark, root, key="k", partition_by="p")
+    # several multi-task merges → partition 'a' accumulates files
+    t.merge(
+        spark.createDataFrame(
+            [(i, "a", f"v{i}") for i in range(8)] + [(100, "b", "stay")],
+            "k long, p string, v string",
+        ).repartition(4)
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(i, "a", f"w{i}") for i in range(4, 12)], "k long, p string, v string"
+        ).repartition(4)
+    )
+    before = sorted((r.k, r.p, r.v) for r in t.read().collect())
+    pa = os.path.join(root, f"v={t.current_version()}", "p=a")
+    n_files_before = len([f for f in os.listdir(pa) if f.endswith(".parquet")])
+    assert n_files_before > 1
+
+    v = t.compact(partition_value="a")
+    assert v == t.current_version()
+    pa2 = os.path.join(root, f"v={v}", "p=a")
+    assert len([f for f in os.listdir(pa2) if f.endswith(".parquet")]) == 1
+    assert sorted((r.k, r.p, r.v) for r in t.read().collect()) == before
+
+    v2 = t.compact(partition_value="a")  # idempotent on the row set
+    assert sorted((r.k, r.p, r.v) for r in t.read().collect()) == before
+    # unpartitioned whole-table compact
+    u = ParquetMergeTable(spark, str(tmp_path / "flat"), key="k")
+    u.merge(spark.createDataFrame([(i, "x") for i in range(10)], "k long, v string").repartition(6))
+    u.compact()
+    flat_dir = os.path.join(str(tmp_path / "flat"), f"v={u.current_version()}")
+    assert len([f for f in os.listdir(flat_dir) if f.endswith(".parquet")]) == 1
+    assert u.read().count() == 10
