@@ -323,6 +323,21 @@ _PROBE_N = 512  # probe sample size (driver sees ONE scalar, never rows)
 _ISOTROPY_LSH_MIN_SHARE = 16.0 / 256.0
 
 
+def _isotropy_sample(corpus: DataFrame, sample_n: int) -> DataFrame:
+    """The probe's bounded hash-ordered sample, exposed so pytest can
+    assert its PLAN: orderBy+limit here must stay
+    TakeOrderedAndProject (per-partition top-k, driver merges
+    ``sample_n`` rows) — a refactor that regresses it into a global
+    sort would make the 'O(1) probe' a corpus-wide shuffle (VERDICT r6
+    minor note)."""
+    key = F.md5(F.concat(F.lit("iso|"), F.col("vec_id").cast("string")))
+    return (
+        corpus.select("vec_id", "embedding", key.alias("_k"))
+        .orderBy("_k", "vec_id")
+        .limit(sample_n)
+    )
+
+
 def isotropy_probe(corpus: DataFrame, planes: list[list[float]] | None = None,
                    sample_n: int = _PROBE_N) -> float:
     """Max bucket share of a bounded hash-ordered sample under the rph
@@ -339,12 +354,7 @@ def isotropy_probe(corpus: DataFrame, planes: list[list[float]] | None = None,
     map-combined groupBy over <= sample_n rows, and the driver collects
     a single scalar. O(1) regardless of corpus size.
     """
-    key = F.md5(F.concat(F.lit("iso|"), F.col("vec_id").cast("string")))
-    sample = (
-        corpus.select("vec_id", "embedding", key.alias("_k"))
-        .orderBy("_k", "vec_id")
-        .limit(sample_n)
-    )
+    sample = _isotropy_sample(corpus, sample_n)
     counts = (
         sample.select(rph_bucket(F.col("embedding"), planes or RPH_PLANES).alias("b"))
         .groupBy("b")
