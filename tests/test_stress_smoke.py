@@ -90,3 +90,61 @@ def test_embedding_lsh_occupancy_cap_still_bounds_hot_buckets(spark, x10_dir):
     n = capped.count()
     release_tracked()
     assert n > 0
+
+
+# ---------------------------------------------------------------------------
+# r7: star-join axis at x10 (6M-row lineitem) — VERDICT r6 next-3
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def star_x10_dir(tmp_path_factory):
+    """x10 star tier built off sf0.1 (6M lineitem / 1.5M orders), FK
+    integrity preserved per replica — the axis the docs/embeddings
+    smoke doesn't cover."""
+    from tools.make_stress import build_stress
+
+    out = str(tmp_path_factory.mktemp("starx10") / "x10")
+    build_stress("/root/testdata/sf0.1", out, factor=10, star_only=True)
+    return out
+
+
+def test_star_x10_flagship_and_q1_scale_exactly(spark, star_x10_dir):
+    """The replica construction makes the x10 answers DERIVABLE from
+    the sf0.1 answers: disjoint key offsets preserve per-replica join
+    fan-out, so flagship per-nation lineitem counts are exactly 10x
+    and revenue is 10x to float-sum reassociation; TPC-H Q1's grouped
+    counts likewise. A super-linear pair blowup or a fan-out bug at
+    scale breaks the exact-10x identity, not just a runtime budget."""
+    import __spark_entry__ as entry
+
+    from yelp_data_engineering_pipeline_spark.cache import release_tracked
+
+    qs = entry.queries()
+    base_flag = {
+        r["n_name"]: r for r in qs["flagship_revenue_by_nation"](spark, "/root/testdata/sf0.1").collect()
+    }
+    release_tracked()
+    big_flag = {
+        r["n_name"]: r for r in qs["flagship_revenue_by_nation"](spark, star_x10_dir).collect()
+    }
+    release_tracked()
+    assert set(big_flag) == set(base_flag)
+    for nation, b in base_flag.items():
+        g = big_flag[nation]
+        assert g["n_lineitems"] == 10 * b["n_lineitems"]
+        assert abs(g["revenue"] - 10 * b["revenue"]) <= 1e-6 * abs(10 * b["revenue"]) + 1e-2
+
+    base_q1 = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in qs["tpch_q1_pricing_summary"](spark, "/root/testdata/sf0.1").collect()
+    }
+    release_tracked()
+    big_q1 = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in qs["tpch_q1_pricing_summary"](spark, star_x10_dir).collect()
+    }
+    release_tracked()
+    assert set(big_q1) == set(base_q1)
+    for k, b in base_q1.items():
+        assert big_q1[k]["count_order"] == 10 * b["count_order"]

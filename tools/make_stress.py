@@ -30,14 +30,23 @@ def main() -> None:
 
 
 def build_stress(
-    src: str, out: str, factor: int = 10, docs_only: bool = False
+    src: str, out: str, factor: int = 10, docs_only: bool = False,
+    star_only: bool = False,
 ) -> None:
     """Importable entry point (tests/test_stress_smoke.py builds its
-    tier through this; the CLI above just forwards argv)."""
+    tier through this; the CLI above just forwards argv). ``star_only``
+    skips the docs/embeddings/events blowup and the composite check dir
+    — the cheap path for the star-axis pytest smoke (r7)."""
     import os
 
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    if star_only:
+        _build_star(con, src, out, factor)
+        for t in ("lineitem", "orders", "customer", "supplier", "part"):
+            n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
+            print(f"{out}/{t}.parquet: {n} rows")
+        return
     con.sql(f"""
     COPY (
       SELECT d.doc_id + 5000*r.i AS doc_id,
@@ -87,54 +96,7 @@ def build_stress(
     # tier (VERDICT r4 next-5). region/nation are fixed dims (5/25 rows
     # at every scale factor) and stay as-is.
     if not docs_only:
-        C, O, S, P = 15_000, 150_000, 1_000, 20_000
-        rep = f"CROSS JOIN (SELECT unnest(range({factor})) AS i) r"
-        con.sql(f"""
-        COPY (
-          SELECT c_custkey + {C}*r.i AS c_custkey,
-                 c_name || '_r' || r.i AS c_name,
-                 c_nationkey, c_acctbal, c_mktsegment
-          FROM '{src}/customer.parquet' {rep}
-        ) TO '{out}/customer.parquet' (FORMAT PARQUET)
-        """)
-        con.sql(f"""
-        COPY (
-          SELECT s_suppkey + {S}*r.i AS s_suppkey,
-                 s_name || '_r' || r.i AS s_name,
-                 s_nationkey, s_acctbal
-          FROM '{src}/supplier.parquet' {rep}
-        ) TO '{out}/supplier.parquet' (FORMAT PARQUET)
-        """)
-        con.sql(f"""
-        COPY (
-          SELECT p_partkey + {P}*r.i AS p_partkey,
-                 p_name || '_r' || r.i AS p_name,
-                 p_brand, p_type, p_size, p_retailprice
-          FROM '{src}/part.parquet' {rep}
-        ) TO '{out}/part.parquet' (FORMAT PARQUET)
-        """)
-        con.sql(f"""
-        COPY (
-          SELECT o_orderkey + {O}*r.i AS o_orderkey,
-                 o_custkey + {C}*r.i AS o_custkey,
-                 o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-          FROM '{src}/orders.parquet' {rep}
-        ) TO '{out}/orders.parquet' (FORMAT PARQUET)
-        """)
-        con.sql(f"""
-        COPY (
-          SELECT l_orderkey + {O}*r.i AS l_orderkey,
-                 l_partkey + {P}*r.i AS l_partkey,
-                 l_suppkey + {S}*r.i AS l_suppkey,
-                 l_linenumber, l_quantity, l_extendedprice, l_discount,
-                 l_tax, l_returnflag, l_linestatus, l_shipdate
-          FROM '{src}/lineitem.parquet' {rep}
-        ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
-        """)
-        for t in ("region", "nation"):
-            dst = f"{out}/{t}.parquet"
-            if not os.path.lexists(dst):
-                os.symlink(f"{src}/{t}.parquet", dst)
+        _build_star(con, src, out, factor)
     report = ("documents", "embeddings", "events") if docs_only else (
         "documents", "embeddings", "events", "lineitem", "orders",
         "customer", "supplier", "part")
@@ -142,11 +104,73 @@ def build_stress(
         n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(f"{out}/{t}.parquet: {n} rows")
 
-    # Composite check dir: 10x scaled tables + the sf0.1 star tables, so
-    # tools/check_oracle.py can run the full VALUE differential at the 10x
-    # tier (this sweep caught the OLS int64 overflow and two planner
-    # broadcast-OOM traps in round 4):
-    #   python tools/check_oracle.py --bare /tmp/stresscheck <entries...>
+    _build_check_dir(src, out)
+
+
+def _build_star(con, src: str, out: str, factor: int) -> None:
+    """Star tables at ``factor``x with FK integrity preserved (see the
+    offset comment in build_stress's original block)."""
+    import os
+
+    C, O, S, P = 15_000, 150_000, 1_000, 20_000
+    rep = f"CROSS JOIN (SELECT unnest(range({factor})) AS i) r"
+    con.sql(f"""
+    COPY (
+      SELECT c_custkey + {C}*r.i AS c_custkey,
+             c_name || '_r' || r.i AS c_name,
+             c_nationkey, c_acctbal, c_mktsegment
+      FROM '{src}/customer.parquet' {rep}
+    ) TO '{out}/customer.parquet' (FORMAT PARQUET)
+    """)
+    con.sql(f"""
+    COPY (
+      SELECT s_suppkey + {S}*r.i AS s_suppkey,
+             s_name || '_r' || r.i AS s_name,
+             s_nationkey, s_acctbal
+      FROM '{src}/supplier.parquet' {rep}
+    ) TO '{out}/supplier.parquet' (FORMAT PARQUET)
+    """)
+    con.sql(f"""
+    COPY (
+      SELECT p_partkey + {P}*r.i AS p_partkey,
+             p_name || '_r' || r.i AS p_name,
+             p_brand, p_type, p_size, p_retailprice
+      FROM '{src}/part.parquet' {rep}
+    ) TO '{out}/part.parquet' (FORMAT PARQUET)
+    """)
+    con.sql(f"""
+    COPY (
+      SELECT o_orderkey + {O}*r.i AS o_orderkey,
+             o_custkey + {C}*r.i AS o_custkey,
+             o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM '{src}/orders.parquet' {rep}
+    ) TO '{out}/orders.parquet' (FORMAT PARQUET)
+    """)
+    con.sql(f"""
+    COPY (
+      SELECT l_orderkey + {O}*r.i AS l_orderkey,
+             l_partkey + {P}*r.i AS l_partkey,
+             l_suppkey + {S}*r.i AS l_suppkey,
+             l_linenumber, l_quantity, l_extendedprice, l_discount,
+             l_tax, l_returnflag, l_linestatus, l_shipdate
+      FROM '{src}/lineitem.parquet' {rep}
+    ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+    for t in ("region", "nation"):
+        dst = f"{out}/{t}.parquet"
+        if not os.path.lexists(dst):
+            os.symlink(f"{src}/{t}.parquet", dst)
+
+
+def _build_check_dir(src: str, out: str) -> None:
+    """Composite check dir: 10x scaled tables + the sf0.1 star tables,
+    so tools/check_oracle.py can run the full VALUE differential at the
+    10x tier (this sweep caught the OLS int64 overflow and two planner
+    broadcast-OOM traps in round 4):
+      python tools/check_oracle.py --bare /tmp/stresscheck <entries...>
+    """
+    import os
+
     check = f"{out}check" if out.endswith("10") else f"{out}_check"
     check = "/tmp/stresscheck" if out == "/tmp/stressx10" else check
     os.makedirs(check, exist_ok=True)
