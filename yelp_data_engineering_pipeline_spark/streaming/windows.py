@@ -379,7 +379,7 @@ _WM_DELAY_US = 30 * 60 * 1_000_000  # withWatermark("ts", "30 minutes")
 
 
 def late_data_accounting(
-    events: DataFrame, delay_us: int = _WM_DELAY_US
+    events: DataFrame, delay_us: int = _WM_DELAY_US, late_filter_lag: int = 1
 ) -> DataFrame:
     """How many events WOULD a 30-minute watermark drop? — the audit you
     run on historical data before picking a streaming delay.
@@ -394,12 +394,23 @@ def late_data_accounting(
     a whole-stream watermark would need in batch; a real stream
     computes it incrementally, with no sort at all).
 
+    ``late_filter_lag`` selects WHICH of Spark's two per-batch
+    watermarks to simulate (SPARK-40925 separates them; verified
+    empirically in tests/test_streaming.py's differential): the
+    EVICTION watermark is max(event time) through the previous
+    arrival (lag=1, the default — the number that matches "state
+    the stream has finalized", hash-locked by the catalog oracle),
+    while the LATE-EVENT FILTER uses the watermark from one batch
+    earlier still (lag=2) — rows between the two land in state and
+    survive. With one event per micro-batch, lag=2 reproduces a real
+    ``withWatermark`` run's drop count row-for-row.
+
     All arithmetic is integer micros; output is counts per event_type.
     """
     w = (
         Window.partitionBy("user_id")
         .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(Window.unboundedPreceding, -late_filter_lag)
     )
     tagged = events.select(
         "event_type",
