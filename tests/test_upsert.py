@@ -691,3 +691,75 @@ def test_merge_table_compact_small_files(spark, tmp_path):
     flat_dir = os.path.join(str(tmp_path / "flat"), f"v={u.current_version()}")
     assert len([f for f in os.listdir(flat_dir) if f.endswith(".parquet")]) == 1
     assert u.read().count() == 10
+
+
+def test_merge_table_time_travel_and_change_feed(spark, tmp_path):
+    """read(version=) time-travels to any retained snapshot (immutable
+    directories), raises cleanly for vacuumed/uncommitted versions, and
+    changes_between() classifies keys across versions like Delta's CDF
+    — all derived from the snapshots, no change log."""
+    import pytest as _pytest
+
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="k")
+    t.merge(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.merge(
+        spark.createDataFrame(
+            [(2, "B", False), (3, "c", False), (1, None, True)],
+            "k long, v string, is_delete boolean",
+        ),
+        delete_col="is_delete",
+    )
+    # time travel: v1 unchanged, v2 = current
+    assert {(r.k, r.v) for r in t.read(version=1).collect()} == {(1, "a"), (2, "b")}
+    assert {(r.k, r.v) for r in t.read(version=2).collect()} == {(2, "B"), (3, "c")}
+    with _pytest.raises(ValueError, match="not committed"):
+        t.read(version=3)
+    cdf = {r.k: r.change_type for r in t.changes_between(1, 2).collect()}
+    assert cdf == {1: "deleted", 2: "updated", 3: "inserted"}
+    t.merge(spark.createDataFrame([(3, "c")], "k long, v string"))  # no-op content
+    assert {
+        r.change_type for r in t.changes_between(2, 3).collect()
+    } == {"unchanged"}
+    t.vacuum(keep_last_n=1)
+    with _pytest.raises(ValueError, match="vacuumed"):
+        t.read(version=1)
+
+
+def test_merge_table_schema_evolution(spark, tmp_path):
+    """schema_evolution=True commits the UNION of columns (Delta
+    mergeSchema): old rows read NULL for the new column — including
+    rows living in HARDLINKED untouched partitions, whose files
+    physically lack the column but read back under the saved snapshot
+    schema; off by default, a differing batch fails instead of
+    silently widening."""
+    import pytest as _pytest
+
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="k", partition_by="p")
+    t.merge(
+        spark.createDataFrame(
+            [(1, "a", "x"), (10, "b", "y")], "k long, p string, v string"
+        )
+    )
+    wider = spark.createDataFrame(
+        [(2, "a", "x2", 9.5)], "k long, p string, v string, score double"
+    )
+    with _pytest.raises(Exception):
+        t.merge(wider)  # strict by default
+    t.merge(wider, schema_evolution=True)
+    got = {(r.k): (r.p, r.v, r.score) for r in t.read().collect()}
+    assert got == {
+        1: ("a", "x", None),
+        2: ("a", "x2", 9.5),
+        10: ("b", "y", None),  # hardlinked partition, column from schema
+    }
+    # the widened column persists through a later narrow batch
+    t.merge(
+        spark.createDataFrame([(3, "b", "z")], "k long, p string, v string"),
+        schema_evolution=True,
+    )
+    assert t.read().schema["score"].dataType.typeName() == "double"
+    assert {r.k for r in t.read().filter("score IS NULL").collect()} == {1, 3, 10}

@@ -159,3 +159,37 @@ def test_pagination_complete_and_disjoint(star):
         page += 1
     assert len(seen) == total
     assert len(set(seen)) == len(seen)
+
+
+def test_dim_resolution_cache_semantic_key_and_null_names(spark):
+    """ADVICE r6: the name->id cache must HIT for a fresh-but-
+    semantically-equal dim frame (the served-per-request pattern that
+    an id()-keyed cache missed every time while pinning dead frames),
+    stay bounded, and skip NULL names rather than crash on .lower()."""
+    import pandas as pd
+
+    from yelp_data_engineering_pipeline_spark.plans.yelp_queries import (
+        _DIM_MAP_CACHE,
+        _DIM_MAP_CACHE_MAX,
+        _resolve_dim_id,
+    )
+
+    _DIM_MAP_CACHE.clear()
+    pdf = pd.DataFrame({"id": [1, 2, 3], "name": ["Monday", None, "Taco"]})
+    d1 = spark.createDataFrame(pdf)
+    assert _resolve_dim_id(d1, "taco") == 3
+    assert _resolve_dim_id(d1, "monday") == 1
+    assert _resolve_dim_id(d1, "7") == 7  # digit dispatch, no cache touch
+    assert _resolve_dim_id(d1, "missing") is None
+    assert len(_DIM_MAP_CACHE) == 1
+    # a FRESH frame with the same logical plan hits the same entry
+    d2 = spark.createDataFrame(pdf)
+    assert _resolve_dim_id(d2, "taco") == 3
+    assert len(_DIM_MAP_CACHE) == 1
+    # bounded: distinct plans evict oldest, never grow past the cap
+    for i in range(_DIM_MAP_CACHE_MAX + 5):
+        di = spark.createDataFrame(
+            pd.DataFrame({"id": [i], "name": [f"n{i}"]})
+        )
+        _resolve_dim_id(di, f"n{i}")
+    assert len(_DIM_MAP_CACHE) <= _DIM_MAP_CACHE_MAX

@@ -32,11 +32,16 @@ from ..plans.normalize import normalize
 from .dim_merge import merge_dimension
 
 
-def merge_upsert(existing: DataFrame, incoming: DataFrame, key: str) -> DataFrame:
+def merge_upsert(
+    existing: DataFrame, incoming: DataFrame, key: str, allow_missing: bool = False
+) -> DataFrame:
     """UPSERT by key: incoming wins on conflict, existing rows without a
-    matching incoming key survive."""
+    matching incoming key survive. ``allow_missing`` turns on schema
+    evolution: the result carries the UNION of both sides' columns,
+    with NULLs where a side lacks a column (the Delta
+    ``mergeSchema``/autoMerge behavior)."""
     kept = existing.join(incoming.select(key).distinct(), key, "left_anti")
-    return kept.unionByName(incoming)
+    return kept.unionByName(incoming, allowMissingColumns=allow_missing)
 
 
 def normalize_incremental(
@@ -419,8 +424,14 @@ class ParquetMergeTable:
 
         return os.path.join(self.root, f"v={version}")
 
-    def read(self) -> DataFrame | None:
-        """The committed snapshot, or None before the first commit."""
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """The committed snapshot, or None before the first commit.
+
+        ``version`` time-travels to an older retained snapshot (the
+        lakehouse ``VERSION AS OF`` read): snapshots are immutable
+        directories, so any version vacuum has not removed is readable
+        forever. Raises if the requested version was vacuumed or never
+        committed."""
         import json as _json
         import os
 
@@ -429,6 +440,17 @@ class ParquetMergeTable:
         v = self.current_version()
         if v == 0:
             return None
+        if version is not None:
+            if not 1 <= version <= v:
+                raise ValueError(
+                    f"version {version} not committed (current: {v})"
+                )
+            if not os.path.isdir(self._snap_dir(version)):
+                raise ValueError(
+                    f"version {version} was vacuumed (oldest retained "
+                    "version is discoverable via os.listdir)"
+                )
+            v = version
         snap = self._snap_dir(v)
         # schema saved at commit time: an EMPTY snapshot (a batch that
         # deleted every row) has no parquet files to infer from, and an
@@ -503,7 +525,7 @@ class ParquetMergeTable:
             _json.dump(df.schema.jsonValue(), f)
 
     def merge(self, incoming: DataFrame, delete_col: str | None = None,
-              wait: bool = True) -> int:
+              wait: bool = True, schema_evolution: bool = False) -> int:
         """MERGE: WHEN MATCHED THEN UPDATE (incoming row wins), WHEN NOT
         MATCHED THEN INSERT; rows where ``delete_col`` is true instead
         DELETE their key. Returns the committed snapshot version.
@@ -526,7 +548,12 @@ class ParquetMergeTable:
 
         ``wait``: with another writer mid-commit, True queues behind it
         (serial-replay semantics), False raises
-        :class:`ConcurrentMergeError` without touching the table."""
+        :class:`ConcurrentMergeError` without touching the table.
+
+        ``schema_evolution``: a batch whose columns differ from the
+        table's commits the UNION of columns, NULL-filling either side
+        (Delta's mergeSchema). Off by default so a malformed batch
+        can't silently widen the table."""
         if delete_col is not None:
             deletes = incoming.filter(F.col(delete_col)).select(self.key)
             upserts = incoming.filter(~F.col(delete_col)).drop(delete_col)
@@ -542,8 +569,12 @@ class ParquetMergeTable:
                 merged = upserts
             else:
                 if self.partition_by:
-                    return self._merge_pruned(current, incoming, upserts, deletes)
-                merged = merge_upsert(current, upserts, self.key)
+                    return self._merge_pruned(
+                        current, incoming, upserts, deletes, schema_evolution
+                    )
+                merged = merge_upsert(
+                    current, upserts, self.key, allow_missing=schema_evolution
+                )
             if deletes is not None:
                 merged = merged.join(deletes, self.key, "left_anti")
             return self._commit(merged)
@@ -582,10 +613,16 @@ class ParquetMergeTable:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
-    def _merge_pruned(self, current, incoming, upserts, deletes) -> int:
+    def _merge_pruned(self, current, incoming, upserts, deletes,
+                      schema_evolution: bool = False) -> int:
         """Partition-pruned CoW: recompute touched partitions, hardlink
         the rest from the previous snapshot. Caller holds the writer
-        lock."""
+        lock.
+
+        Schema evolution composes with pruning because the saved
+        _SCHEMA.json governs reads: untouched partitions' hardlinked
+        files lack the new column and read back as NULL (parquet
+        schema-merge semantics under an explicit read schema)."""
         part = self.partition_by
         # touched partition values — bounded by partition count, the
         # same driver-side cardinality any partition-pruning planner
@@ -599,7 +636,9 @@ class ParquetMergeTable:
         if None in touched:
             cond = cond | F.col(part).isNull()
         cur_touched = current.filter(cond)
-        merged = merge_upsert(cur_touched, upserts, self.key)
+        merged = merge_upsert(
+            cur_touched, upserts, self.key, allow_missing=schema_evolution
+        )
         if deletes is not None:
             merged = merged.join(deletes, self.key, "left_anti")
 
@@ -635,6 +674,24 @@ class ParquetMergeTable:
             os.makedirs(dst_dir, exist_ok=True)
             for fname in os.listdir(src_dir):
                 os.link(os.path.join(src_dir, fname), os.path.join(dst_dir, fname))
+
+    def changes_between(
+        self, v_from: int, v_to: int | None = None,
+        compare_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Change data feed between two retained snapshots: every key
+        classified inserted / deleted / updated / unchanged — Delta's
+        CDF read, derived from the immutable version directories via
+        :func:`snapshot_diff` (no change log needed; cost is one
+        full-outer join of the two snapshots, co-partitioned by key
+        under bucketing). ``compare_cols`` defaults to all shared
+        non-key columns."""
+        old = self.read(version=v_from)
+        new = self.read(version=v_to) if v_to is not None else self.read()
+        if compare_cols is None:
+            shared = [c for c in old.columns if c in set(new.columns)]
+            compare_cols = [c for c in shared if c != self.key]
+        return snapshot_diff(old, new, self.key, compare_cols)
 
     def vacuum(self, keep_last_n: int = 2, wait: bool = True) -> list[int]:
         """Delete snapshot directories older than the last
