@@ -117,6 +117,71 @@ def main() -> None:
 
     from yelp_data_engineering_pipeline_spark.cache import release_tracked
 
+    def run_yelp_e2e(spark) -> dict[str, float]:
+        """The reference's ACTUAL product path, timed end-to-end
+        (VERDICT r6 next-7): 10k synthetic businesses through NDJSON
+        ingest → normalize (star build), an overlapping 2k incremental
+        batch through normalize_incremental (MERGE semantics), then the
+        three API endpoints. Correctness is pytest's job
+        (tests/test_yelp_queries.py goldens); this pins the wall-clock
+        budget so a plan regression in the product path shows up in
+        the ledger, not just the operator micro-times."""
+        import shutil
+        import tempfile
+        from datetime import datetime, timezone
+
+        from tests.yelp_fixtures import make_results, write_ndjson
+        from yelp_data_engineering_pipeline_spark.operators.upsert import (
+            normalize_incremental,
+        )
+        from yelp_data_engineering_pipeline_spark.plans.normalize import normalize
+        from yelp_data_engineering_pipeline_spark.plans.yelp_queries import (
+            restaurants_by_category,
+            restaurants_by_day,
+            restaurants_open_now,
+        )
+        from yelp_data_engineering_pipeline_spark.schemas import RESULTS_SCHEMA
+
+        out: dict[str, float] = {}
+        tmp = tempfile.mkdtemp(prefix="yelp_e2e.")
+        try:
+            rows = make_results(10_000, seed=77)
+            p1 = write_ndjson(rows[:8_000], Path(tmp) / "b1.ndjson")
+            # batch 2 overlaps 500 re-scraped businesses + 2000 novel
+            p2 = write_ndjson(rows[7_500:], Path(tmp) / "b2.ndjson")
+
+            t0 = time.time()
+            first = normalize(spark.read.schema(RESULTS_SCHEMA).json(str(p1)))
+            for df in first.values():
+                df.write.format("noop").mode("overwrite").save()
+            out["ingest_normalize_8k"] = round(time.time() - t0, 3)
+
+            t0 = time.time()
+            merged = normalize_incremental(
+                spark.read.schema(RESULTS_SCHEMA).json(str(p2)), first
+            )
+            for df in merged.values():
+                df.write.format("noop").mode("overwrite").save()
+            out["incremental_merge_2k"] = round(time.time() - t0, 3)
+
+            t0 = time.time()
+            for res in (
+                restaurants_by_category(merged, "pizza", page=2),
+                restaurants_by_day(merged, "Mon", page=2),
+                restaurants_open_now(
+                    merged, datetime(2024, 3, 8, 19, 30, tzinfo=timezone.utc)
+                ),
+            ):
+                page = res.get("businesses", res.get("restaurants"))
+                if page is not None:
+                    page.write.format("noop").mode("overwrite").save()
+            out["api_three_endpoints"] = round(time.time() - t0, 3)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+            spark.catalog.clearCache()  # endpoints .cache() their join
+            release_tracked()
+        return out
+
     def run_set(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
@@ -130,6 +195,7 @@ def main() -> None:
     timings = run_set(HEADLINE)
     tpch = run_set(TPCH)
     pipeline = run_set(PIPELINE)
+    yelp = run_yelp_e2e(spark)
     # Second, steady-state pass over the headline set: the first pass
     # pays one-time whole-stage-codegen compilation per query shape
     # (measured ~5 s on the minhash expression tree alone), which a
@@ -154,6 +220,8 @@ def main() -> None:
                 "tpch_total": round(sum(tpch.values()), 3),
                 "pipeline": pipeline,
                 "pipeline_total": round(sum(pipeline.values()), 3),
+                "yelp_e2e": yelp,
+                "yelp_e2e_total": round(sum(yelp.values()), 3),
                 "sf": sf,
             }
         )

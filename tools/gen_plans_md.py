@@ -97,6 +97,21 @@ COMMENTARY = {
         "64 ids per register before the shuffle, and the final "
         "sum(bit_count) is exact — no COUNT DISTINCT expand."
     ),
+    "agg_kmv_intersection": (
+        "r7 refactor audit: per-side bottom-k plans as WindowGroupLimit "
+        "(local top-k before the one exchange); everything after the "
+        "two sketch passes touches <= k rows per side — the union "
+        "merge, the membership semi-joins, and the 1-row stats "
+        "crossJoins are all k-bounded."
+    ),
+    "similarity_recall_at_k": (
+        "The adaptive router's IVF branch on the near-uniform fixture: "
+        "centroid assignment is a bounded BroadcastNestedLoopJoin "
+        "(16-row build side), candidate pairs come from the cell "
+        "equi-join, and the isotropy probe's sample is "
+        "TakeOrderedAndProject (CI-asserted since r7) — no global "
+        "sort, no corpus cross-join anywhere."
+    ),
 }
 
 

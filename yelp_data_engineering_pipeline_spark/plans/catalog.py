@@ -127,6 +127,12 @@ _PRIORITY: tuple[str, ...] = (
 # debt guard (tests/test_plans.py::test_evidence_max_age) starts
 # FAILING for these once the r8 artifact lands unless they hold r8
 # window slots — staleness can no longer silently re-accumulate.
+# NOT window-slotted despite living in r7-touched modules (plans are
+# bit-identical, verified): stream_watermark_late_drop (windows.py
+# gained the late_filter_lag PARAMETER, default preserves the entry's
+# exact frame; the new differential test is the stronger guard) and
+# similarity_recall_at_k (similarity.py only factored the probe's
+# sample into _isotropy_sample for a plan assertion).
 
 
 def _ordered(entries: dict) -> dict:
