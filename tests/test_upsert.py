@@ -763,3 +763,33 @@ def test_merge_table_schema_evolution(spark, tmp_path):
     )
     assert t.read().schema["score"].dataType.typeName() == "double"
     assert {r.k for r in t.read().filter("score IS NULL").collect()} == {1, 3, 10}
+
+
+def test_merge_with_retry_under_contention(spark, tmp_path):
+    """Two threads race merge_with_retry on disjoint keys: both must
+    eventually commit (the loser backs off and retries) and the table
+    equals the serial replay."""
+    import threading
+
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="k")
+    t.merge(spark.createDataFrame([(0, "base")], "k long, v string"))
+    errs: list[Exception] = []
+
+    def w(rows):
+        try:
+            t.merge_with_retry(
+                spark.createDataFrame(rows, "k long, v string"), attempts=10
+            )
+        except Exception as e:  # noqa: BLE001 - surfaced via assert below
+            errs.append(e)
+
+    t1 = threading.Thread(target=w, args=([(1, "one")],))
+    t2 = threading.Thread(target=w, args=([(2, "two")],))
+    t1.start(); t2.start(); t1.join(timeout=120); t2.join(timeout=120)
+    assert not errs
+    assert t.current_version() == 3
+    assert {(r.k, r.v) for r in t.read().collect()} == {
+        (0, "base"), (1, "one"), (2, "two"),
+    }

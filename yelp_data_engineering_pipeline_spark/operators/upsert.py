@@ -675,6 +675,33 @@ class ParquetMergeTable:
             for fname in os.listdir(src_dir):
                 os.link(os.path.join(src_dir, fname), os.path.join(dst_dir, fname))
 
+    def merge_with_retry(
+        self, incoming: DataFrame, delete_col: str | None = None,
+        schema_evolution: bool = False, attempts: int = 5,
+        base_sleep: float = 0.05,
+    ) -> int:
+        """The class-docstring retry recipe as a method: optimistic
+        ``merge(wait=False)`` with jittered exponential backoff.
+        Unlike ``wait=True`` (kernel-queued, FIFO-ish), this is the
+        pattern for callers that re-derive their batch from
+        ``read()`` between attempts; here the batch is fixed, so a
+        retry is just a later serial position. Raises the final
+        :class:`ConcurrentMergeError` after ``attempts`` losses."""
+        import random
+        import time as _time
+
+        for i in range(attempts):
+            try:
+                return self.merge(
+                    incoming, delete_col=delete_col, wait=False,
+                    schema_evolution=schema_evolution,
+                )
+            except ConcurrentMergeError:
+                if i == attempts - 1:
+                    raise
+                _time.sleep(base_sleep * (2**i) * (0.5 + random.random()))
+        raise AssertionError("unreachable")
+
     def changes_between(
         self, v_from: int, v_to: int | None = None,
         compare_cols: list[str] | None = None,
