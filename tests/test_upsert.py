@@ -793,3 +793,34 @@ def test_merge_with_retry_under_contention(spark, tmp_path):
     assert {(r.k, r.v) for r in t.read().collect()} == {
         (0, "base"), (1, "one"), (2, "two"),
     }
+
+
+def test_merge_table_compact_zorder_layout(spark, tmp_path):
+    """compact(zorder_by=(x, y)) = OPTIMIZE ZORDER: identical row set,
+    target file count, and each output file covers a DISJOINT z-range
+    (the property that makes parquet min/max stats prune scans on
+    either column)."""
+    from pyspark.sql import functions as F
+
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+    from yelp_data_engineering_pipeline_spark.operators.zorder import zvalue
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="k")
+    rows = [(i, i * 37 % 100, i * 61 % 100) for i in range(500)]
+    t.merge(spark.createDataFrame(rows, "k long, x long, y long").repartition(8))
+    before = sorted((r.k, r.x, r.y) for r in t.read().collect())
+
+    t.compact(zorder_by=("x", "y"), target_files=4)
+    cur = t.read()
+    assert sorted((r.k, r.x, r.y) for r in cur.collect()) == before
+    per_file = (
+        cur.withColumn("_f", F.input_file_name())
+        .withColumn("_z", zvalue(F.col("x"), F.col("y")))
+        .groupBy("_f")
+        .agg(F.min("_z").alias("lo"), F.max("_z").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) == 4
+    spans = sorted((r.lo, r.hi) for r in per_file)
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint z-ranges across files

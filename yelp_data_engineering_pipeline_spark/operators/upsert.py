@@ -758,7 +758,7 @@ class ParquetMergeTable:
     # partition value (the __HIVE_DEFAULT_PARTITION__ directory)
 
     def compact(self, partition_value=_WHOLE_TABLE, target_files: int = 1,
-                wait: bool = True) -> int:
+                wait: bool = True, zorder_by: tuple[str, str] | None = None) -> int:
         """Small-file management (VERDICT r6 next-6): rewrite the
         current snapshot — or, on a partitioned table, ONE partition
         (``partition_value``; ``None`` means the NULL partition),
@@ -766,7 +766,22 @@ class ParquetMergeTable:
         as a new version with byte-identical rows. Many small merges
         each append a few files per touched partition; compaction
         restores scan efficiency without changing data (tested
-        idempotent on the row set)."""
+        idempotent on the row set).
+
+        ``zorder_by=(x, y)`` makes this OPTIMIZE ZORDER: the rewrite
+        range-partitions + sorts on the Morton interleave of the two
+        columns (operators/zorder.py), so the compacted files carry
+        bounded (x, y) rectangles and parquet min/max stats prune
+        scans filtered on EITHER column. ``target_files`` then sets
+        the z-range file count instead of a coalesce width."""
+        def _layout(df: DataFrame) -> DataFrame:
+            if zorder_by is None:
+                return df.coalesce(max(1, target_files))
+            from .zorder import zorder_layout
+
+            x, y = zorder_by
+            return zorder_layout(df, x, y, n_files=max(1, target_files)).drop("_z")
+
         lock = self._writer_lock(wait)
         try:
             current = self.read()
@@ -775,14 +790,15 @@ class ParquetMergeTable:
             part = self.partition_by
             if part is None or partition_value is self._WHOLE_TABLE:
                 # whole-table compaction: on a partitioned table the
-                # single-task write still emits one file per partition
-                return self._commit(current.coalesce(max(1, target_files)))
+                # single-task coalesce write still emits one file per
+                # partition (zorder clusters within its z-ranges)
+                return self._commit(_layout(current))
             cond = (
                 F.col(part).isNull()
                 if partition_value is None
                 else F.col(part) == F.lit(partition_value)
             )
-            merged = current.filter(cond).coalesce(target_files)
+            merged = _layout(current.filter(cond))
             old_v = self.current_version()
             new_v = old_v + 1
             self._clear_orphan(new_v)
