@@ -824,3 +824,22 @@ def test_merge_table_compact_zorder_layout(spark, tmp_path):
     spans = sorted((r.lo, r.hi) for r in per_file)
     for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2  # disjoint z-ranges across files
+
+
+def test_merge_table_history(spark, tmp_path):
+    """history() lists retained commits newest-first with operation
+    labels and file counts; vacuumed versions drop out of the listing
+    but never break it."""
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="k", partition_by="p")
+    t.merge(spark.createDataFrame([(1, "a", "x")], "k long, p string, v string"))
+    t.merge(spark.createDataFrame([(2, "a", "y")], "k long, p string, v string"))
+    t.compact(partition_value="a")
+    h = t.history()
+    assert [e["version"] for e in h] == [3, 2, 1]
+    assert [e["operation"] for e in h] == ["compact", "merge_pruned", "merge"]
+    assert all(e["n_files"] >= 1 for e in h)
+    assert h[0]["committed_at_unix"] >= h[-1]["committed_at_unix"]
+    t.vacuum(keep_last_n=1)
+    assert [e["version"] for e in t.history()] == [3]

@@ -506,7 +506,7 @@ class ParquetMergeTable:
             f.write(str(new_v))
         os.replace(tmp, self._pointer())
 
-    def _commit(self, df: DataFrame) -> int:
+    def _commit(self, df: DataFrame, op: str = "merge") -> int:
         new_v = self.current_version() + 1
         self._clear_orphan(new_v)
         writer = df.write.mode("errorifexists")
@@ -514,6 +514,7 @@ class ParquetMergeTable:
             writer = writer.partitionBy(self.partition_by)
         writer.parquet(self._snap_dir(new_v))
         self._save_schema(df, new_v)
+        self._save_commit_info(new_v, op)
         self._flip_pointer(new_v)
         return new_v
 
@@ -523,6 +524,48 @@ class ParquetMergeTable:
 
         with open(os.path.join(self._snap_dir(version), "_SCHEMA.json"), "w") as f:
             _json.dump(df.schema.jsonValue(), f)
+
+    def _save_commit_info(self, version: int, op: str) -> None:
+        import json as _json
+        import os
+        import time as _time
+
+        info = {
+            "version": version,
+            "operation": op,
+            "committed_at_unix": round(_time.time(), 3),
+            "n_files": sum(
+                len([f for f in files if f.endswith(".parquet")])
+                for _, _, files in os.walk(self._snap_dir(version))
+            ),
+        }
+        with open(
+            os.path.join(self._snap_dir(version), "_COMMITINFO.json"), "w"
+        ) as f:
+            _json.dump(info, f)
+
+    def history(self) -> list[dict]:
+        """Retained commit history, newest first (the DESCRIBE HISTORY
+        analog): one dict per retained snapshot — version, operation,
+        commit wall time, parquet file count. Driver-side cost is one
+        directory walk per retained version (bounded by the vacuum
+        retention window, never by data)."""
+        import json as _json
+        import os
+
+        out: list[dict] = []
+        v = self.current_version()
+        for n in range(v, 0, -1):
+            d = self._snap_dir(n)
+            if not os.path.isdir(d):
+                continue  # vacuumed
+            info_file = os.path.join(d, "_COMMITINFO.json")
+            if os.path.exists(info_file):
+                with open(info_file) as f:
+                    out.append(_json.load(f))
+            else:  # snapshot from a pre-history build: still listed
+                out.append({"version": n, "operation": "unknown"})
+        return out
 
     def merge(self, incoming: DataFrame, delete_col: str | None = None,
               wait: bool = True, schema_evolution: bool = False) -> int:
@@ -653,6 +696,7 @@ class ParquetMergeTable:
         self._save_schema(merged, new_v)
         touched_dirs = self._spark_partition_dirnames(touched, incoming.schema[part])
         self._hardlink_untouched(old_v, new_v, touched_dirs)
+        self._save_commit_info(new_v, "merge_pruned")
         self._flip_pointer(new_v)
         return new_v
 
@@ -792,7 +836,10 @@ class ParquetMergeTable:
                 # whole-table compaction: on a partitioned table the
                 # single-task coalesce write still emits one file per
                 # partition (zorder clusters within its z-ranges)
-                return self._commit(_layout(current))
+                return self._commit(
+                    _layout(current),
+                    op="compact_zorder" if zorder_by else "compact",
+                )
             cond = (
                 F.col(part).isNull()
                 if partition_value is None
@@ -809,6 +856,7 @@ class ParquetMergeTable:
                 {partition_value}, current.schema[part]
             )
             self._hardlink_untouched(old_v, new_v, touched_dirs)
+            self._save_commit_info(new_v, "compact")
             self._flip_pointer(new_v)
             return new_v
         finally:
