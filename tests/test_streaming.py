@@ -961,3 +961,60 @@ def test_late_accounting_matches_real_stream_drops(spark, tmp_path):
         assert acct[typ][1] == survived.get(typ, 0)
     # and the fixture actually exercises drops on both types
     assert acct["view"][0] == 1 and acct["click"][0] == 1
+
+
+def test_stream_merge_into_partitioned_prunes_per_batch(spark, tmp_path):
+    """Streaming ingest into a PARTITIONED merge table: each
+    micro-batch takes the partition-pruned CoW path — a batch touching
+    one partition hardlinks every other partition forward (same
+    inodes), and the merged content equals the serial replay."""
+    import json as _json
+    import os
+
+    from tests.yelp_fixtures import make_results
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+    from yelp_data_engineering_pipeline_spark.streaming.ingest import (
+        run_ingest_merge_into,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rows = make_results(8, seed=5)
+    for i, r in enumerate(rows):
+        r["price"] = "$" if i % 2 else "$$"  # partition key
+    with open(in_dir / "b1.ndjson", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    root = str(tmp_path / "tbl")
+    run_ingest_merge_into(
+        spark, str(in_dir), root, str(tmp_path / "ckpt"),
+        partition_by="price",
+    )
+    t = ParquetMergeTable(spark, root, key="bizId", partition_by="price")
+    v1 = t.current_version()
+    assert t.read().count() == 8
+
+    # batch 2 touches ONLY the '$' partition (odd-index rows)
+    update = dict(rows[1])
+    assert update["price"] == "$"
+    update["name"] = "RENAMED"
+    with open(in_dir / "b2.ndjson", "w") as f:
+        f.write(_json.dumps(update) + "\n")
+    run_ingest_merge_into(
+        spark, str(in_dir), root, str(tmp_path / "ckpt"),
+        partition_by="price",
+    )
+    v2 = t.current_version()
+    assert v2 == v1 + 1
+    got = {r.bizId: r.name for r in t.read().select("bizId", "name").collect()}
+    assert len(got) == 8 and got[update["bizId"]] == "RENAMED"
+    # untouched '$$' partition rode forward as hardlinks (same inodes)
+    old_dir = os.path.join(root, f"v={v1}", "price=$$")
+    new_dir = os.path.join(root, f"v={v2}", "price=$$")
+    assert os.path.isdir(old_dir) and os.path.isdir(new_dir)
+    for fname in os.listdir(old_dir):
+        if fname.endswith(".parquet"):
+            assert (
+                os.stat(os.path.join(old_dir, fname)).st_ino
+                == os.stat(os.path.join(new_dir, fname)).st_ino
+            )

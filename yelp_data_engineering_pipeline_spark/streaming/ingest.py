@@ -84,6 +84,7 @@ def run_ingest_merge_into(
     table_root: str,
     checkpoint_dir: str,
     key: str = "bizId",
+    partition_by: str | None = None,
 ) -> int:
     """Stream NDJSON batches INTO the MERGE table (ST1 + T1 closed
     end-to-end): each micro-batch upserts by ``key`` through
@@ -101,7 +102,10 @@ def run_ingest_merge_into(
     parquet tier. Returns the committed table version."""
     from ..operators.upsert import ParquetMergeTable
 
-    table = ParquetMergeTable(spark, table_root, key=key)
+    # partition_by turns each micro-batch merge into the partition-
+    # pruned CoW path: merge cost tracks the partitions a batch
+    # touches, not table size — the continuous-ingest shape at 100 TB
+    table = ParquetMergeTable(spark, table_root, key=key, partition_by=partition_by)
     stream = read_results_stream(spark, in_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
