@@ -403,14 +403,17 @@ def test_merge_pruned_read_pushes_partition_filter(spark, tmp_path):
 @settings(max_examples=5, deadline=None)
 @given(
     st.lists(
-        st.lists(
-            st.tuples(
-                st.integers(0, 6),                      # key
-                st.text("xyz", min_size=1, max_size=3),  # value
-                st.booleans(),                           # is_delete
+        st.tuples(
+            st.lists(
+                st.tuples(
+                    st.integers(0, 6),                      # key
+                    st.text("xyz", min_size=1, max_size=3),  # value
+                    st.booleans(),                           # is_delete
+                ),
+                min_size=1,
+                max_size=4,
             ),
-            min_size=1,
-            max_size=4,
+            st.integers(0, 2),  # maintenance after the merge: none/vacuum/compact
         ),
         min_size=1,
         max_size=3,
@@ -433,7 +436,7 @@ def test_merge_table_matches_dict_replay_model(spark, tmp_path_factory, batches)
     root = str(tmp_path_factory.mktemp("mbt") / "tbl")
     t = ParquetMergeTable(spark, root, key="k", partition_by="p")
     model: dict[int, tuple[str, str]] = {}
-    for batch in batches:
+    for batch, maint in batches:
         # one candidate per key per batch: deterministic max by
         # (value, is_delete) — mirrored in the DataFrame path below
         best: dict[int, tuple[str, str, bool]] = {}
@@ -449,6 +452,12 @@ def test_merge_table_matches_dict_replay_model(spark, tmp_path_factory, batches)
                 model.pop(k, None)
             else:
                 model[k] = (p, v)
+        # r7: interleave retention/compaction maintenance — content
+        # must be invariant under vacuum and compact at ANY point
+        if maint == 1 and t.current_version() > 0:
+            t.vacuum(keep_last_n=1)
+        elif maint == 2 and t.current_version() > 0:
+            t.compact(partition_value="pa")
     got = {r.k: (r.p, r.v) for r in t.read().collect()} if t.read() is not None else {}
     assert got == model
 
