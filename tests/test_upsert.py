@@ -852,3 +852,51 @@ def test_merge_table_history(spark, tmp_path):
     assert h[0]["committed_at_unix"] >= h[-1]["committed_at_unix"]
     t.vacuum(keep_last_n=1)
     assert [e["version"] for e in t.history()] == [3]
+
+
+def test_partition_dirname_fast_path_matches_spark_writer(spark, tmp_path):
+    """The driver-side escapePathName port must render EXACTLY the
+    directory names Spark's writer produces, over a nasty value corpus
+    (Hive escape set, controls, unicode, empty string, NULL, ints,
+    bools) — this parity test is what licenses the zero-job fast path
+    in _spark_partition_dirnames; a Spark-side rendering change fails
+    here, not silently in production."""
+    import os
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+
+    nasty = [
+        "plain", "a b", "x:y", "p%q", "h#t", "q'v", 'd"q', "s/s", "e=f",
+        "st*r", "wh?t", "back\\slash", "br[ack]ets", "c^ret", "cu{rly",
+        "tab\there", "nl\nline", "ctl\x01chr", "del\x7fchr", "café",
+        "", None,
+    ]
+    schema = StructType([StructField("p", StringType(), True)])
+    df = spark.createDataFrame([(v,) for v in nasty], schema)
+    out = str(tmp_path / "probe")
+    df.selectExpr("p", "1 as d").repartition(1).write.partitionBy("p").parquet(out)
+    spark_dirs = {e for e in os.listdir(out) if e.startswith("p=")}
+    fast_dirs = {
+        ParquetMergeTable._partition_dirname_fast("p", v) for v in nasty
+    }
+    assert None not in fast_dirs
+    assert fast_dirs == spark_dirs
+    # ints and bools render as str(int) / lowercase true-false
+    dfi = spark.createDataFrame([(7,), (None,)], "p long").selectExpr("p", "1 as d")
+    outi = str(tmp_path / "probe_int")
+    dfi.repartition(1).write.partitionBy("p").parquet(outi)
+    assert {e for e in os.listdir(outi) if e.startswith("p=")} == {
+        ParquetMergeTable._partition_dirname_fast("p", 7),
+        ParquetMergeTable._partition_dirname_fast("p", None),
+    }
+    dfb = spark.createDataFrame([(True,), (False,)], "p boolean").selectExpr("p", "1 as d")
+    outb = str(tmp_path / "probe_bool")
+    dfb.repartition(1).write.partitionBy("p").parquet(outb)
+    assert {e for e in os.listdir(outb) if e.startswith("p=")} == {
+        ParquetMergeTable._partition_dirname_fast("p", True),
+        ParquetMergeTable._partition_dirname_fast("p", False),
+    }
+    # a type OUTSIDE the fast set falls back (returns None)
+    assert ParquetMergeTable._partition_dirname_fast("p", 1.5) is None

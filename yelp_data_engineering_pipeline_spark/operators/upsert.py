@@ -624,15 +624,54 @@ class ParquetMergeTable:
         finally:
             lock.close()
 
+    # Hive/Spark partition-path escape set (ExternalCatalogUtils.
+    # charToEscape): C0 controls, DEL, and the listed specials —
+    # escaped as %XX uppercase hex. Parity with Spark's writer is
+    # pinned by tests/test_upsert.py::test_partition_dirname_fast_path
+    # over a nasty-value corpus, so a Spark-side change fails CI.
+    _PATH_ESCAPE = (
+        {chr(c) for c in range(0x20)}
+        | {chr(0x7F)}
+        | set('"#%\'*/:=?\\{[]^')
+    )
+
+    @classmethod
+    def _partition_dirname_fast(cls, part: str, value) -> str | None:
+        """Driver-side rendering of ``part=<escaped>`` for the COMMON
+        partition-key types (str/int/bool/None) — byte-identical to
+        Spark's writer (see _PATH_ESCAPE). Returns None for any other
+        type (float/date/timestamp), where the caller falls back to
+        the Spark-probe write so rendering stays exact by
+        construction."""
+        if value is None:
+            return f"{part}=__HIVE_DEFAULT_PARTITION__"
+        if isinstance(value, bool):
+            s = "true" if value else "false"
+        elif isinstance(value, (int, str)):
+            s = str(value)
+        else:
+            return None
+        if s == "":
+            # Hive treats the empty string as the default partition too
+            return f"{part}=__HIVE_DEFAULT_PARTITION__"
+        return f"{part}=" + "".join(
+            f"%{ord(ch):02X}" if ch in cls._PATH_ESCAPE else ch for ch in s
+        )
+
     def _spark_partition_dirnames(self, values, field) -> set[str]:
         """The EXACT ``part=<x>`` directory names Spark renders for
-        these partition values — obtained by having Spark itself write
-        them (one tiny job over ≤ partition-count rows), not by
-        ``str()`` (ADVICE r6): NULL becomes
-        ``__HIVE_DEFAULT_PARTITION__``, specials are Hive/URI-escaped
-        (spaces, ':', '%', …), and type rendering (float, date,
-        timestamp) is whatever this Spark version does — by
-        construction, since the same writer renders the real snapshot."""
+        these partition values. Common types (str/int/bool/NULL) render
+        driver-side via the CI-pinned escapePathName port above — zero
+        Spark jobs, the hot path for every merge. Any other value type
+        falls back to having Spark itself write the names (one tiny
+        job over ≤ partition-count rows), so NULL→
+        ``__HIVE_DEFAULT_PARTITION__``, Hive escaping, and exotic type
+        rendering (float, date, timestamp) stay exact by construction
+        (ADVICE r6)."""
+        part = self.partition_by
+        fast = {self._partition_dirname_fast(part, v) for v in values}
+        if None not in fast:
+            return fast
         import os
         import shutil
         import tempfile
