@@ -1018,3 +1018,44 @@ def test_stream_merge_into_partitioned_prunes_per_batch(spark, tmp_path):
                 os.stat(os.path.join(old_dir, fname)).st_ino
                 == os.stat(os.path.join(new_dir, fname)).st_ino
             )
+
+
+def test_stream_merge_into_replays_through_crash_orphan(spark, tmp_path):
+    """The exactly-once composition claim under a simulated crash
+    BETWEEN snapshot write and pointer flip (ADVICE r6): an orphan
+    v=n+1 directory sits above the committed pointer when the stream
+    restarts; the replayed/next micro-batch must clear it and commit —
+    before r7 the errorifexists write made the restart fail
+    permanently."""
+    import json as _json
+    import os
+
+    from tests.yelp_fixtures import make_results
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+    from yelp_data_engineering_pipeline_spark.streaming.ingest import (
+        run_ingest_merge_into,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rows = make_results(5, seed=12)
+    with open(in_dir / "b1.ndjson", "w") as f:
+        for r in rows[:3]:
+            f.write(_json.dumps(r) + "\n")
+    root = str(tmp_path / "tbl")
+    v1 = run_ingest_merge_into(spark, str(in_dir), root, str(tmp_path / "ckpt"))
+
+    # crash site: a half-written snapshot above the committed pointer
+    orphan = os.path.join(root, f"v={v1 + 1}")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-000.parquet"), "w") as f:
+        f.write("torn write")
+
+    with open(in_dir / "b2.ndjson", "w") as f:
+        for r in rows[3:]:
+            f.write(_json.dumps(r) + "\n")
+    v2 = run_ingest_merge_into(spark, str(in_dir), root, str(tmp_path / "ckpt"))
+    assert v2 == v1 + 1
+    t = ParquetMergeTable(spark, root, key="bizId")
+    assert t.read().count() == 5
+    assert t.read().select("bizId").distinct().count() == 5
