@@ -648,8 +648,11 @@ def test_merge_table_vacuum_retention(spark, tmp_path):
     assert t.current_version() == 3
     before = sorted((r.k, r.p, r.v) for r in t.read().collect())
 
+    import os as _os
+
+    _os.makedirs(_os.path.join(root, "v=9"))  # crash orphan above pointer
     removed = t.vacuum(keep_last_n=1)
-    assert removed == [1, 2]
+    assert removed == [1, 2, 9]  # retention + orphan cleanup
     assert not os.path.exists(os.path.join(root, "v=1"))
     assert not os.path.exists(os.path.join(root, "v=2"))
     # partition b was only ever written in v=1 and hardlinked since:

@@ -830,7 +830,9 @@ class ParquetMergeTable:
                     n = int(entry[2:])
                 except ValueError:
                     continue
-                if n < floor:
+                if n < floor or n > v:
+                    # above the committed pointer = crash orphan (we
+                    # hold the writer lock, so no live writer owns it)
                     shutil.rmtree(os.path.join(self.root, entry))
                     removed.append(n)
         finally:
