@@ -195,3 +195,18 @@ def test_kmv_intersection_band_on_large_sets_vs_independent_truth(spark):
     assert exact == 4000
     row = kmv_intersection_estimate(a, b, "v", k=256).collect()[0]
     assert exact * 0.5 < row.inter_est < exact * 1.5
+
+
+def test_kmv_intersection_disjoint_sets_is_zero(spark):
+    """Disjoint inputs: no union-sketch member can be in both sides,
+    so n_both_in_sketch and the estimate must be exactly 0 (not a
+    small positive bias)."""
+    from yelp_data_engineering_pipeline_spark.operators.sketches import (
+        kmv_intersection_estimate,
+    )
+
+    a = spark.createDataFrame([(v,) for v in range(0, 300)], "v long")
+    b = spark.createDataFrame([(v,) for v in range(1000, 1300)], "v long")
+    row = kmv_intersection_estimate(a, b, "v", k=64).collect()[0]
+    assert row.n_both_in_sketch == 0
+    assert row.inter_est == 0.0
