@@ -120,12 +120,18 @@ def main() -> None:
     def run_yelp_e2e(spark) -> dict[str, float]:
         """The reference's ACTUAL product path, timed end-to-end
         (VERDICT r6 next-7): 10k synthetic businesses through NDJSON
-        ingest → normalize (star build), an overlapping 2k incremental
-        batch through normalize_incremental (MERGE semantics), then the
-        three API endpoints. Correctness is pytest's job
-        (tests/test_yelp_queries.py goldens); this pins the wall-clock
-        budget so a plan regression in the product path shows up in
-        the ledger, not just the operator micro-times."""
+        ingest → normalize (star build WRITTEN to parquet — the
+        reference writes its star to Postgres, so the sink belongs in
+        the timing), an overlapping 2k incremental batch through
+        normalize_incremental reading the STORED star (MERGE
+        semantics, new snapshot written), then the three API endpoints
+        served off the stored star. Stage boundaries are storage, as
+        in production — each stage's cost is its own plan, not a
+        recompute chain through the previous stages' lazy frames.
+        Correctness is pytest's job (tests/test_yelp_queries.py
+        goldens); this pins the wall-clock budget so a plan regression
+        in the product path shows up in the ledger, not just the
+        operator micro-times."""
         import shutil
         import tempfile
         from datetime import datetime, timezone
@@ -150,26 +156,36 @@ def main() -> None:
             # batch 2 overlaps 500 re-scraped businesses + 2000 novel
             p2 = write_ndjson(rows[7_500:], Path(tmp) / "b2.ndjson")
 
+            def write_star(tables, vdir):
+                for name, df in tables.items():
+                    df.write.mode("overwrite").parquet(f"{tmp}/{vdir}/{name}")
+
+            def read_star(names, vdir):
+                return {
+                    name: spark.read.parquet(f"{tmp}/{vdir}/{name}")
+                    for name in names
+                }
+
             t0 = time.time()
             first = normalize(spark.read.schema(RESULTS_SCHEMA).json(str(p1)))
-            for df in first.values():
-                df.write.format("noop").mode("overwrite").save()
+            write_star(first, "v1")
             out["ingest_normalize_8k"] = round(time.time() - t0, 3)
 
             t0 = time.time()
+            stored = read_star(first.keys(), "v1")
             merged = normalize_incremental(
-                spark.read.schema(RESULTS_SCHEMA).json(str(p2)), first
+                spark.read.schema(RESULTS_SCHEMA).json(str(p2)), stored
             )
-            for df in merged.values():
-                df.write.format("noop").mode("overwrite").save()
+            write_star(merged, "v2")
             out["incremental_merge_2k"] = round(time.time() - t0, 3)
 
             t0 = time.time()
+            served = read_star(merged.keys(), "v2")
             for res in (
-                restaurants_by_category(merged, "pizza", page=2),
-                restaurants_by_day(merged, "Mon", page=2),
+                restaurants_by_category(served, "pizza", page=2),
+                restaurants_by_day(served, "Mon", page=2),
                 restaurants_open_now(
-                    merged, datetime(2024, 3, 8, 19, 30, tzinfo=timezone.utc)
+                    served, datetime(2024, 3, 8, 19, 30, tzinfo=timezone.utc)
                 ),
             ):
                 page = res.get("businesses", res.get("restaurants"))

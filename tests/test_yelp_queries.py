@@ -186,6 +186,23 @@ def test_dim_resolution_cache_semantic_key_and_null_names(spark):
     d2 = spark.createDataFrame(pdf)
     assert _resolve_dim_id(d2, "taco") == 3
     assert len(_DIM_MAP_CACHE) == 1
+    # two DIFFERENT parquet-backed dims with IDENTICAL schemas must
+    # NOT share maps: Spark canonicalization erases file paths, so the
+    # key includes inputFiles() (the r7 bench-caught collision)
+    import tempfile as _tf
+
+    tdir = _tf.mkdtemp()
+    spark.createDataFrame([(1, "Mon")], "id long, name string").write.parquet(
+        tdir + "/weekday"
+    )
+    spark.createDataFrame([(1, "pizza")], "id long, name string").write.parquet(
+        tdir + "/cat"
+    )
+    wk = spark.read.parquet(tdir + "/weekday")
+    cat = spark.read.parquet(tdir + "/cat")
+    assert _resolve_dim_id(cat, "pizza") == 1
+    assert _resolve_dim_id(wk, "mon") == 1  # would be None under collision
+    assert _resolve_dim_id(cat, "mon") is None
     # bounded: distinct plans evict oldest, never grow past the cap
     for i in range(_DIM_MAP_CACHE_MAX + 5):
         di = spark.createDataFrame(

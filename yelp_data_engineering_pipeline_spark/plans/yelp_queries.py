@@ -45,14 +45,17 @@ def _page(df: DataFrame, order_by: list[str], page: int, page_size: int) -> Data
 # SERVED deployment calls the endpoints per request, and a .first() job
 # per call re-plans a ≤7-row lookup every time (VERDICT r5 minor note).
 # Dims are bounded (weekday=7, categories≈dozens), so the whole map is
-# driver-cacheable. Keyed on the CANONICALIZED logical plan (ADVICE
-# r6): a caller that re-reads the same dim table per request builds a
-# fresh DataFrame object each time, so an id()-keyed cache would miss
-# every request AND pin each dead frame forever — the plan string is
-# the stable semantic identity (same source path + same ops → hit),
-# while a reloaded-from-elsewhere or transformed dim still gets a
-# fresh map. Bounded LRU (deployments hold a handful of dims; eviction
-# only matters if a caller cycles many distinct plans).
+# driver-cacheable. Keyed on (canonicalized logical plan, source
+# files) (ADVICE r6): a caller that re-reads the same dim table per
+# request builds a fresh DataFrame object each time, so an id()-keyed
+# cache would miss every request AND pin each dead frame forever. The
+# canonicalized string alone is NOT enough — Spark canonicalization
+# ERASES file-source paths ("paths: 1 provided"), so two same-schema
+# parquet dims collide on it (this bit the yelp_e2e bench: the weekday
+# lookup got food_category's map); inputFiles() restores the file
+# identity, and for in-memory frames the canonicalized LocalRelation
+# embeds the data itself. Bounded LRU (deployments hold a handful of
+# dims; eviction only matters if a caller cycles many distinct plans).
 _DIM_MAP_CACHE: "dict[str, dict[str, int]]" = {}
 _DIM_MAP_CACHE_MAX = 32
 
@@ -63,7 +66,11 @@ def _resolve_dim_id(dim: DataFrame, key: int | str) -> int | None:
     NULL names are skipped (they can never match a requested name)."""
     if isinstance(key, int) or (isinstance(key, str) and key.isdigit()):
         return int(key)
-    cache_key = dim._jdf.queryExecution().logical().canonicalized().toString()
+    cache_key = (
+        dim._jdf.queryExecution().logical().canonicalized().toString()
+        + "|"
+        + ",".join(sorted(dim.inputFiles()))
+    )
     m = _DIM_MAP_CACHE.get(cache_key)
     if m is None:
         m = {
