@@ -79,7 +79,10 @@ def _resolve_dim_id(dim: DataFrame, key: int | str) -> int | None:
             if r["name"] is not None
         }
         if len(_DIM_MAP_CACHE) >= _DIM_MAP_CACHE_MAX:
-            _DIM_MAP_CACHE.pop(next(iter(_DIM_MAP_CACHE)))
+            try:
+                _DIM_MAP_CACHE.pop(next(iter(_DIM_MAP_CACHE)))
+            except (KeyError, StopIteration):  # concurrent evictor won
+                pass
         _DIM_MAP_CACHE[cache_key] = m
     return m.get(str(key).lower())
 
