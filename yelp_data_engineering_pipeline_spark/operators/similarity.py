@@ -212,10 +212,17 @@ def topk_lsh_multitable(
     their vectors and rank by exact cosine.
 
     Scale: the composite-key join is a bucket hash join (never
-    all-pairs); the distinct() collapses the candidate union before the
-    verify join, so exact cosine runs once per unique candidate pair.
-    Query side is broadcast (bounded query sets); the corpus never
-    shuffles except by bucket/neighbor id.
+    all-pairs) with the BOUNDED query side broadcast (keys AND
+    embeddings — queries are the small side by contract), so the
+    corpus is touched in ONE map-side pass: bucket keys and the exact
+    cosine are both computed inside the broadcast join's project, no
+    second corpus scan and no corpus shuffle at all (the r7 rewrite;
+    the previous shape re-joined the corpus by neighbor_id to verify,
+    a whole extra corpus pass). A pair colliding in j ≤ L tables has
+    its cosine evaluated j times before the (query, neighbor) dedup —
+    the right trade for small L: duplicate arithmetic on collisions is
+    cheaper than re-scanning and re-shuffling the corpus. Only
+    candidate PAIRS ever shuffle (for dedup + the per-query top-k).
     """
     from pyspark.sql import Window
 
@@ -234,25 +241,20 @@ def topk_lsh_multitable(
                 for i, p in enumerate(plane_tables)
             ]
         )
-        return df.select(id_col, F.explode(tagged).alias("k")).select(
-            id_col, F.col("k.tid").alias("tid"), F.col("k.bucket").alias("bucket")
+        return df.select(id_col, F.col(emb), F.explode(tagged).alias("k")).select(
+            id_col, F.col(emb), F.col("k.tid").alias("tid"), F.col("k.bucket").alias("bucket")
         )
 
-    cands = (
+    pairs = (
         F.broadcast(keys(q, "query_id", "q_emb"))
         .join(keys(c, "neighbor_id", "c_emb"), ["tid", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
-    pairs = (
-        cands.join(F.broadcast(q), "query_id")
-        .join(c, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
             F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("cos_sim"),
         )
+        .distinct()  # collapse multi-table collisions (identical rows)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return pairs.withColumn("rk", F.row_number().over(w).cast("bigint")).filter(F.col("rk") <= k)
