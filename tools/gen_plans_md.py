@@ -104,6 +104,13 @@ COMMENTARY = {
         "merge, the membership semi-joins, and the 1-row stats "
         "crossJoins are all k-bounded."
     ),
+    "similarity_topk_lsh": (
+        "r7 fused shape: ONE corpus pass — bucket keys and the exact "
+        "cosine both evaluate inside the broadcast candidate join's "
+        "project (query side broadcasts keys AND embeddings); only "
+        "candidate pairs shuffle (dedup + per-query top-k). No second "
+        "corpus scan, no join-by-neighbor_id, no corpus exchange."
+    ),
     "similarity_recall_at_k": (
         "The adaptive router's IVF branch on the near-uniform fixture: "
         "centroid assignment is a bounded BroadcastNestedLoopJoin "
