@@ -1,16 +1,21 @@
-"""Star-join axis scaling evidence (VERDICT r6 next-3): time the
-flagship + the 5-query TPC-H tier at sf0.1 and at the x10 stress tier
-(6M-row lineitem, /tmp/stressx10 — build with tools/make_stress.py)
-and print the per-query ratio. The 100x story's rule of thumb: a
-healthy distributed plan stays <= ~2x wall per 10x data on a fixed
-local[32] box (scans parallelize, shuffles grow linearly, nothing
-super-linear sneaks in).
+"""Star-join axis scaling evidence (VERDICT r6 next-3, extended r7 to
+an arbitrary tier ladder): time the flagship + the 5-query TPC-H tier
+at every given tier dir and print per-query consecutive-tier ratios.
+The 100x story's rule of thumb: a healthy distributed plan stays
+<= ~2x wall per 10x data on a fixed local[32] box (scans parallelize,
+shuffles grow linearly, nothing super-linear sneaks in). Two decades
+(sf0.1 -> x10 -> x100, 60M-row lineitem at the top) make the
+extrapolation to cluster scale a measurement, not a guess.
 
-    python tools/make_stress.py            # once, ~1 min
-    python tools/bench_scaling.py          # prints one JSON line
+    python tools/make_stress.py            # once, ~1 min (x10)
+    python -c "import sys; sys.path.insert(0,'tools'); \
+from make_stress import build_stress; \
+build_stress('/root/testdata/sf0.1','/tmp/stressx100',factor=100,star_only=True)"
+    python tools/bench_scaling.py          # sf0.1 vs /tmp/stressx10
+    python tools/bench_scaling.py /root/testdata/sf0.1 /tmp/stressx10 /tmp/stressx100
 
 Methodology matches bench.py: noop sink, whole-stage-codegen warmup on
-sf0.001 first so both tiers are timed steady-state, release_tracked()
+sf0.001 first so all tiers are timed steady-state, release_tracked()
 between queries so nothing is cached across timings.
 """
 
@@ -34,10 +39,10 @@ QUERIES = [
 
 
 def main() -> None:
-    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/stressx10"
-    if not os.path.exists(os.path.join(big, "lineitem.parquet")):
-        sys.exit(f"{big}/lineitem.parquet missing — run tools/make_stress.py first")
+    tiers = sys.argv[1:] or ["/root/testdata/sf0.1", "/tmp/stressx10"]
+    for d in tiers[1:]:
+        if not os.path.exists(os.path.join(d, "lineitem.parquet")):
+            sys.exit(f"{d}/lineitem.parquet missing — run tools/make_stress.py first")
 
     import __spark_entry__ as entry
     from yelp_data_engineering_pipeline_spark.cache import release_tracked
@@ -62,23 +67,19 @@ def main() -> None:
             release_tracked()
         return out
 
-    t_base = run(base)
-    t_big = run(big)
-    ratios = {n: round(t_big[n] / max(t_base[n], 1e-9), 2) for n in QUERIES}
-    print(
-        json.dumps(
-            {
-                "metric": "star_axis_x10_scaling",
-                "base_dir": base,
-                "big_dir": big,
-                "base_sec": t_base,
-                "x10_sec": t_big,
-                "ratio_x10_over_base": ratios,
-                "base_total": round(sum(t_base.values()), 3),
-                "x10_total": round(sum(t_big.values()), 3),
-            }
-        )
-    )
+    timings = [run(d) for d in tiers]
+    out: dict = {
+        "metric": "star_axis_scaling",
+        "tier_dirs": tiers,
+        "tier_sec": timings,
+        "tier_total": [round(sum(t.values()), 3) for t in timings],
+    }
+    for i in range(1, len(timings)):
+        out[f"ratio_t{i}_over_t{i-1}"] = {
+            n: round(timings[i][n] / max(timings[i - 1][n], 1e-9), 2)
+            for n in QUERIES
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

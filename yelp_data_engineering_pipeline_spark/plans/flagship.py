@@ -29,17 +29,27 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
 
-    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev")
+    # Engine-stable at ANY scale: l_extendedprice has 2 decimals and
+    # l_discount 2, so cents = round(price*100) and bp = round(disc*100)
+    # are exact integers; rev_micro = cents*(100-bp) is an exact BIGINT
+    # per row (units of 1e-4 dollars) and the SUM is an exact integer —
+    # order-free, so Spark's partial-aggregate tree and DuckDB's serial
+    # sum agree bit-for-bit. A double formulation diverged by ~2 ulps at
+    # the x100 tier (60M rows, sum ~1.1e15 micro-units) from summation
+    # order alone. One division at the end lands both engines on the
+    # identical nearest double.
+    rev_micro = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (F.lit(100).cast("long") - F.round(F.col("l_discount") * 100, 0).cast("long"))
+    ).alias("rev_micro")
     return (
-        lineitem.select("l_orderkey", revenue)
+        lineitem.select("l_orderkey", rev_micro)
         .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            # rev terms live on a 1e-4 grid → round 4 keeps both engines
-            # on the same grid point (round 2 could hit a x.xx50 boundary).
-            F.round(F.sum("rev"), 4).alias("revenue"),
+            (F.sum("rev_micro") / F.lit(10000.0)).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
@@ -49,7 +59,8 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 FLAGSHIP_ORACLE_SQL = """
 SELECT
   n_name,
-  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+  SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+      * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) / 10000.0 AS revenue,
   COUNT(*) AS n_lineitems
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
