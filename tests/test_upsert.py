@@ -903,3 +903,125 @@ def test_partition_dirname_fast_path_matches_spark_writer(spark, tmp_path):
     }
     # a type OUTSIDE the fast set falls back (returns None)
     assert ParquetMergeTable._partition_dirname_fast("p", 1.5) is None
+
+
+def test_merge_table_zone_map_skipping_unpartitioned(spark, tmp_path):
+    """Every commit writes file-level min/max zone maps (_STATS.json);
+    read_where() prunes the file list driver-side from pure metadata
+    and still equals read().filter(...) exactly. Files are laid out by
+    repartitionByRange so each carries a disjoint key range — the
+    clustered-table case where skipping pays."""
+    from datetime import datetime, timezone
+
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id")
+    df = (
+        spark.range(0, 1000)
+        .withColumn("val", F.col("id") * 2)
+        .withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")) +
+                    F.make_interval(mins=F.col("id").cast("int")))
+        .repartitionByRange(4, "id")
+        .sortWithinPartitions("id")
+    )
+    t.merge(df)
+    stats = t.stats()
+    assert stats and len(stats) == 4
+    assert all("id" in zm and "min" in zm["id"] for zm in stats.values())
+
+    pruned = t.read_where({"id": (100, 180)})
+    full = t.read().filter((F.col("id") >= 100) & (F.col("id") <= 180))
+    assert sorted((r.id, r.val) for r in pruned.collect()) == sorted(
+        (r.id, r.val) for r in full.collect()
+    )
+    assert len(pruned.inputFiles()) == 1 < len(t.read().inputFiles())
+
+    # timestamp zone maps prune too: kind-tagged UTC plane — the
+    # probe must be tz-AWARE (a naive probe is a different plane and
+    # conservatively never prunes, see _stat_norm)
+    utc = timezone.utc
+    p2 = t.read_where({"ts": (datetime(2024, 1, 1, 2, 0, tzinfo=utc),
+                              datetime(2024, 1, 1, 2, 30, tzinfo=utc))})
+    assert p2.count() == 31
+    assert len(p2.inputFiles()) == 1
+    # a NAIVE probe is cross-plane: prunes nothing, result still exact
+    p2n = t.read_where({"ts": (datetime(2024, 1, 1, 2, 0),
+                               datetime(2024, 1, 1, 2, 30))})
+    assert p2n.count() == 31 and len(p2n.inputFiles()) == 4
+
+    # a range no zone intersects: zero files, empty result, same schema
+    p3 = t.read_where({"id": (5_000, 6_000)})
+    assert p3.count() == 0
+    assert p3.schema == t.read().schema
+
+    # one-sided range
+    p4 = t.read_where({"id": (900, None)})
+    assert p4.count() == 100 and len(p4.inputFiles()) == 1
+
+
+def test_merge_table_zone_map_partition_dirs_and_inheritance(spark, tmp_path, monkeypatch):
+    """Partition values (living in dir names, not footers) join the
+    same zone-map plane — including the NULL partition, skippable by
+    any range probe — and a pruned merge's hardlinked files INHERIT
+    their stats by inode: footers are re-read only for the touched
+    partition's new files."""
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id", partition_by="p")
+    rows = [(i, i % 4 if i % 10 else None, f"v{i}") for i in range(200)]
+    t.merge(spark.createDataFrame(rows, "id long, p int, v string"))
+
+    pruned = t.read_where({"p": (2, 2)})
+    full = t.read().filter(F.col("p") == 2)
+    assert sorted(r.id for r in pruned.collect()) == sorted(r.id for r in full.collect())
+    assert 0 < len(pruned.inputFiles()) < len(t.read().inputFiles())
+    # the NULL-partition directory is skipped by any range probe
+    assert all("__HIVE_DEFAULT_PARTITION__" not in f for f in pruned.inputFiles())
+
+    # count footer reads during a merge touching ONLY partition 1
+    calls = []
+    orig = ParquetMergeTable._file_zone_map
+    monkeypatch.setattr(
+        ParquetMergeTable, "_file_zone_map",
+        lambda self, path: calls.append(path) or orig(self, path),
+    )
+    t.merge(spark.createDataFrame([(1, 1, "V1"), (5, 1, "V5")], "id long, p int, v string"))
+    assert calls, "new files must be stat'd"
+    assert all("p=1" in c for c in calls), f"footer reads outside touched partition: {calls}"
+    # inherited entries survived into the new manifest
+    stats = t.stats()
+    assert any("p=2" in rel for rel in stats)
+    # pruning still exact after the incremental stats carry-over
+    again = t.read_where({"p": (1, 1)})
+    assert sorted((r.id, r.v) for r in again.collect()) == sorted(
+        (r.id, r.v) for r in t.read().filter(F.col("p") == 1).collect()
+    )
+
+
+def test_merge_table_zone_map_composes_with_zorder(spark, tmp_path):
+    """OPTIMIZE ZORDER + zone maps = the lakehouse data-skipping story:
+    after compact(zorder_by=(x, y)) the files carry bounded rectangles
+    on BOTH columns, so a narrow probe on either one prunes most of the
+    scan — and the result still equals the plain filtered read."""
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id")
+    df = spark.range(0, 4096).select(
+        F.col("id"),
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / F.lit(64)).cast("long").alias("y"),
+    )
+    t.merge(df)
+    t.compact(target_files=16, zorder_by=("x", "y"))
+
+    total = len(t.read().inputFiles())
+    assert total >= 8
+    for col in ("x", "y"):
+        pruned = t.read_where({col: (10, 13)})
+        assert sorted(r.id for r in pruned.collect()) == sorted(
+            r.id for r in t.read().filter(F.col(col).between(10, 13)).collect()
+        )
+        assert len(pruned.inputFiles()) < total / 2, (
+            f"zorder zone maps failed to prune on {col}: "
+            f"{len(pruned.inputFiles())}/{total} files"
+        )

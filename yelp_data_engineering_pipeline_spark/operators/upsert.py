@@ -23,6 +23,7 @@ co-partitioned across runs).
 
 from __future__ import annotations
 
+import re as _re
 from functools import reduce as _reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -543,6 +544,280 @@ class ParquetMergeTable:
             os.path.join(self._snap_dir(version), "_COMMITINFO.json"), "w"
         ) as f:
             _json.dump(info, f)
+        self._save_stats(version)
+
+    # ---- file-level zone maps (data skipping) ----------------------
+    #
+    # Every commit records per-file column min/max/null-count zone maps
+    # in the snapshot's _STATS.json — the same file-statistics design
+    # Delta/Iceberg keep in their transaction logs (Iceberg spec
+    # "Manifests: value counts / lower and upper bounds"). read_where()
+    # then prunes the file list DRIVER-SIDE from pure metadata before
+    # Spark ever opens a footer: on a 100 TB table a narrow predicate
+    # over a clustered column (ZORDER, ingestion time, monotone key)
+    # touches a handful of files instead of every footer in the scan's
+    # listing. Collection is metadata-only (parquet footers, no data
+    # pages) and INCREMENTAL: files hardlinked forward from the parent
+    # snapshot are recognized by inode and inherit their stats, so the
+    # per-commit cost is proportional to NEW files (touched partitions),
+    # matching the pruned-merge write cost — not table size.
+
+    @staticmethod
+    def _stat_norm(v):
+        """Normalize a stats bound (or a read_where() probe value) into
+        the JSON-storable, order-comparable plane: numbers stay numbers,
+        strings stay strings, temporals become KIND-TAGGED pairs —
+        ``["tsu", iso]`` for tz-aware datetimes (converted to UTC;
+        parquet TIMESTAMP with isAdjustedToUTC), ``["tsn", iso]`` for
+        naive wall-clock datetimes (TIMESTAMP_NTZ), ``["d", iso]`` for
+        dates — with microsecond-padded fixed-width ISO so lexicographic
+        order equals time order. The kind tag exists so an aware bound
+        is NEVER compared against a naive probe (different planes; a
+        cross-plane compare could wrongly skip a matching file — see
+        :meth:`read_where`'s kind check). Returns None for types with
+        no stable order here (bool, bytes, decimals, nested) — those
+        columns simply carry no zone map, which is always safe."""
+        import datetime as _dt
+
+        if isinstance(v, bool) or v is None:
+            return None  # bool zone maps prune nothing useful; skip
+        if isinstance(v, (int, float, str)):
+            return v
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                return ["tsu", v.astimezone(_dt.timezone.utc)
+                        .strftime("%Y-%m-%dT%H:%M:%S.%f")]
+            return ["tsn", v.strftime("%Y-%m-%dT%H:%M:%S.%f")]
+        if isinstance(v, _dt.date):
+            return ["d", v.isoformat()]
+        return None
+
+    @staticmethod
+    def _stat_lt(a, b):
+        """``a < b`` on the normalized stats plane, or None when the
+        two values are not provably comparable (different kinds, or a
+        numeric/string type clash) — the caller treats None as "cannot
+        prune", never as an ordering."""
+        ka, va = (a[0], a[1]) if isinstance(a, (list, tuple)) else (
+            "num" if isinstance(a, (int, float)) else "str", a)
+        kb, vb = (b[0], b[1]) if isinstance(b, (list, tuple)) else (
+            "num" if isinstance(b, (int, float)) else "str", b)
+        if ka != kb:
+            return None
+        try:
+            return va < vb
+        except TypeError:
+            return None
+
+    def _file_zone_map(self, path: str) -> dict:
+        """One parquet file's footer rolled up to file-level zone maps:
+        ``{col: {"min": x, "max": x} | {"all_null": true} | {}}`` ({} =
+        column present but unbounded — statistics missing or an
+        unsupported type; such a column never prunes this file).
+        Metadata-only: reads the footer, no data pages."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        out: dict[str, dict] = {}
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            for ci in range(rg.num_columns):
+                col = rg.column(ci)
+                name = col.path_in_schema
+                if "." in name:  # nested leaf — no scalar order
+                    continue
+                cur = out.setdefault(name, {"min": None, "max": None,
+                                            "all_null": True, "ok": True})
+                if not cur["ok"]:
+                    continue
+                st = col.statistics
+                n_vals = rg.num_rows
+                if st is not None and st.null_count is not None and \
+                        st.null_count == n_vals:
+                    continue  # this row group is all-NULL for the column
+                cur["all_null"] = False
+                if st is None or not st.has_min_max:
+                    cur["ok"] = False
+                    continue
+                lo, hi = self._stat_norm(st.min), self._stat_norm(st.max)
+                if lo is None or hi is None:
+                    cur["ok"] = False
+                    continue
+                cur["min"] = lo if cur["min"] is None else min(cur["min"], lo)
+                cur["max"] = hi if cur["max"] is None else max(cur["max"], hi)
+        final: dict[str, dict] = {}
+        for name, cur in out.items():
+            if cur["all_null"]:
+                final[name] = {"all_null": True}
+            elif cur["ok"] and cur["min"] is not None:
+                final[name] = {"min": cur["min"], "max": cur["max"]}
+            else:
+                final[name] = {}
+        return final
+
+    _PCT = _re.compile("%([0-9A-Fa-f]{2})")
+
+    def _partition_zone_map(self, relpath: str, schema) -> dict:
+        """Zone map contributed by the file's partition DIRECTORY name
+        (partition values live in paths, not footers): min == max ==
+        the unescaped, schema-typed value, so partition pruning falls
+        out of the same overlap test as data-column skipping. Only
+        string and integral partition types get a zone map — any other
+        type's path rendering is not guaranteed to match the probe's
+        normalization, and a wrong bound would prune incorrectly."""
+        import os
+
+        from pyspark.sql.types import (ByteType, IntegerType, LongType,
+                                       ShortType, StringType)
+
+        part = self.partition_by
+        if not part or schema is None:
+            return {}
+        try:
+            dtype = schema[part].dataType
+        except KeyError:
+            return {}
+        integral = isinstance(dtype, (ByteType, ShortType, IntegerType, LongType))
+        if not integral and not isinstance(dtype, StringType):
+            return {}
+        for comp in relpath.split(os.sep)[:-1]:
+            if not comp.startswith(f"{part}="):
+                continue
+            raw = self._PCT.sub(lambda m: chr(int(m.group(1), 16)),
+                                comp[len(part) + 1:])
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                return {part: {"all_null": True}}
+            v: object = raw
+            if integral:
+                try:
+                    v = int(raw)
+                except ValueError:
+                    return {}
+            n = self._stat_norm(v)
+            return {part: {"min": n, "max": n}} if n is not None else {}
+        return {}
+
+    def _save_stats(self, version: int) -> None:
+        """Write ``_STATS.json`` for the snapshot: relpath → zone maps.
+        Files shared with the parent snapshot (hardlinked forward by a
+        pruned merge / single-partition compact) are matched by INODE
+        and inherit the parent's entry without reopening the footer."""
+        import json as _json
+        import os
+
+        from pyspark.sql.types import StructType
+
+        snap = self._snap_dir(version)
+        schema = None
+        schema_file = os.path.join(snap, "_SCHEMA.json")
+        if os.path.exists(schema_file):
+            with open(schema_file) as f:
+                schema = StructType.fromJson(_json.load(f))
+        inherited: dict[int, dict] = {}
+        for pv in range(version - 1, 0, -1):
+            pdir = self._snap_dir(pv)
+            pstats = os.path.join(pdir, "_STATS.json")
+            if not os.path.exists(pstats):
+                continue
+            with open(pstats) as f:
+                prev = _json.load(f)
+            for rel, zm in prev.items():
+                try:
+                    inherited[os.stat(os.path.join(pdir, rel)).st_ino] = zm
+                except OSError:
+                    continue
+            break
+        stats: dict[str, dict] = {}
+        for dirpath, _, files in os.walk(snap):
+            for fname in files:
+                if not fname.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fname)
+                rel = os.path.relpath(full, snap)
+                zm = inherited.get(os.stat(full).st_ino)
+                if zm is None:
+                    zm = self._file_zone_map(full)
+                    zm.update(self._partition_zone_map(rel, schema))
+                stats[rel] = zm
+        with open(os.path.join(snap, "_STATS.json"), "w") as f:
+            _json.dump(stats, f)
+
+    def stats(self, version: int | None = None) -> dict | None:
+        """The snapshot's file → zone-map index (None if the version
+        predates stats collection)."""
+        import json as _json
+        import os
+
+        v = version if version is not None else self.current_version()
+        if v == 0:
+            return None
+        p = os.path.join(self._snap_dir(v), "_STATS.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return _json.load(f)
+
+    def read_where(self, ranges: dict, version: int | None = None
+                   ) -> DataFrame | None:
+        """Data-skipping read: ``ranges`` maps column → ``(lo, hi)``
+        (either side None for one-sided), conjunctive. Files whose zone
+        maps prove no row can satisfy every range are dropped from the
+        scan DRIVER-SIDE — zero Spark jobs, zero footer opens for
+        skipped files; the residual filter is still applied, so the
+        result is always exactly ``read().filter(...)`` and skipping is
+        purely a scan-cost optimization (a file without stats for a
+        column is conservatively kept). Range semantics are SQL
+        BETWEEN: NULL never matches, hence all-NULL zones are skipped.
+        Composes with ``compact(zorder_by=...)``: z-ordered files carry
+        bounded rectangles on both z columns, so narrow predicates on
+        either column reduce to a handful of files."""
+        import os
+
+        df = self.read(version=version)
+        if df is None:
+            return None
+        v = version if version is not None else self.current_version()
+        residual = None
+        for col, (lo, hi) in ranges.items():
+            c = F.col(col)
+            for bound, cmp in ((lo, c >= F.lit(lo)), (hi, c <= F.lit(hi))):
+                if bound is not None:
+                    residual = cmp if residual is None else residual & cmp
+        stats = self.stats(version=v)
+        if stats is None:  # pre-stats snapshot: plain filtered read
+            return df.filter(residual) if residual is not None else df
+
+        def keep(zm: dict) -> bool:
+            for col, (lo, hi) in ranges.items():
+                z = zm.get(col)
+                if not z:  # absent or {} (unbounded): can't prune
+                    continue
+                if z.get("all_null"):
+                    return False  # BETWEEN/>=/<= never matches NULL
+                nlo, nhi = self._stat_norm(lo), self._stat_norm(hi)
+                if lo is not None and nlo is None:
+                    continue  # probe value outside the stats plane
+                if hi is not None and nhi is None:
+                    continue
+                # kind-checked comparisons: None = not provably
+                # comparable (tz-aware vs naive, str vs num) → keep
+                if nlo is not None and self._stat_lt(z["max"], nlo):
+                    return False
+                if nhi is not None and self._stat_lt(nhi, z["min"]):
+                    return False
+            return True
+
+        snap = self._snap_dir(v)
+        kept = [os.path.join(snap, rel) for rel, zm in sorted(stats.items())
+                if keep(zm)]
+        if not kept:
+            return self.spark.createDataFrame([], df.schema)
+        pruned = (
+            self.spark.read.schema(df.schema)
+            .option("basePath", snap)
+            .parquet(*kept)
+        )
+        return pruned.filter(residual) if residual is not None else pruned
 
     def history(self) -> list[dict]:
         """Retained commit history, newest first (the DESCRIBE HISTORY

@@ -60,6 +60,14 @@ def get_spark(app_name: str = "yelp-pipeline-spark", *, shuffle_partitions: int 
         # NOTE: no nanosAsLong conf — tables.load reads event timestamps
         # as physical INT64 via an explicit schema (round 4), so the
         # engine no longer depends on ANY session conf for correctness.
+        # Write timestamps as TIMESTAMP_MICROS, not the legacy INT96
+        # default: INT96 is deprecated in the parquet spec and carries
+        # NO column statistics, so INT96 snapshots defeat footer-level
+        # data skipping (ParquetMergeTable zone maps + any downstream
+        # reader's row-group pruning). Correctness is conf-independent —
+        # under a bare session the zone-map plane just records "no
+        # stats" for timestamp columns and never prunes them.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # Files: pack small test files, bound huge scans at scale.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
