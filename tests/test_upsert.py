@@ -825,9 +825,15 @@ def test_merge_table_compact_zorder_layout(spark, tmp_path):
     t.compact(zorder_by=("x", "y"), target_files=4)
     cur = t.read()
     assert sorted((r.k, r.x, r.y) for r in cur.collect()) == before
+    # recompute z exactly as zorder_layout does: keys range-normalized
+    # into 16-bit rank space (domains here are 0..99), THEN interleaved
+    def _bucket(c):
+        num = F.col(c) * F.lit(1 << 16)
+        return ((num - F.pmod(num, F.lit(100))) / F.lit(100)).cast("long")
+
     per_file = (
         cur.withColumn("_f", F.input_file_name())
-        .withColumn("_z", zvalue(F.col("x"), F.col("y")))
+        .withColumn("_z", zvalue(_bucket("x"), _bucket("y")))
         .groupBy("_f")
         .agg(F.min("_z").alias("lo"), F.max("_z").alias("hi"))
         .collect()
@@ -1006,20 +1012,26 @@ def test_merge_table_zone_map_composes_with_zorder(spark, tmp_path):
     from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
 
     t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id")
+    # key domains WIDER than the 16-bit interleave (x spans ~3.2M,
+    # y ~2.1M): regression for the low-bit wrap bug, where every
+    # 2^16-th key collided, file rectangles spanned the whole domain,
+    # and zone maps pruned nothing at real key widths (seen on the
+    # x10 lineitem tier). zorder_layout now range-normalizes first.
     df = spark.range(0, 4096).select(
         F.col("id"),
-        (F.col("id") % 64).alias("x"),
-        (F.col("id") / F.lit(64)).cast("long").alias("y"),
+        ((F.col("id") % 64) * 50_000).alias("x"),
+        ((F.col("id") / F.lit(64)).cast("long") * 33_000).alias("y"),
     )
     t.merge(df)
     t.compact(target_files=16, zorder_by=("x", "y"))
 
     total = len(t.read().inputFiles())
     assert total >= 8
-    for col in ("x", "y"):
-        pruned = t.read_where({col: (10, 13)})
+    for col, unit in (("x", 50_000), ("y", 33_000)):
+        lo, hi = 10 * unit, 13 * unit + unit - 1
+        pruned = t.read_where({col: (lo, hi)})
         assert sorted(r.id for r in pruned.collect()) == sorted(
-            r.id for r in t.read().filter(F.col(col).between(10, 13)).collect()
+            r.id for r in t.read().filter(F.col(col).between(lo, hi)).collect()
         )
         assert len(pruned.inputFiles()) < total / 2, (
             f"zorder zone maps failed to prune on {col}: "

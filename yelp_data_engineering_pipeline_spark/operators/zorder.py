@@ -40,8 +40,29 @@ def zvalue(x: Column, y: Column, bits: int = _BITS) -> Column:
 
 def zorder_layout(df: DataFrame, x: str, y: str, n_files: int = 32) -> DataFrame:
     """The write-side layout: range-partition by z so each output file
-    covers a bounded (x, y) rectangle; sort within for row-group stats."""
-    z = zvalue(F.col(x), F.col(y))
+    covers a bounded (x, y) rectangle; sort within for row-group stats.
+
+    Each key is first RANGE-NORMALIZED into ``_BITS``-bit rank space
+    (``(v - min) * 2^bits // span`` — exact integer floor via the
+    pmod identity). Interleaving raw low bits instead WRAPS any key
+    domain wider than 16 bits: every 2^16-th key collides, so file
+    "rectangles" span the whole domain and min/max pruning gets
+    nothing — measured on the ×10 lineitem tier (21-bit orderkey),
+    where the raw-bit layout produced zero file skipping. The
+    normalization costs one min/max aggregate over the input (4
+    scalars to the driver) — the right trade inside OPTIMIZE ZORDER,
+    which is already a whole-data rewrite."""
+    bounds = df.agg(F.min(x), F.max(x), F.min(y), F.max(y)).first()
+    if bounds is None or bounds[0] is None or bounds[2] is None:
+        z = zvalue(F.col(x), F.col(y))  # empty/all-null: layout is moot
+    else:
+
+        def bucket(col: str, lo, hi) -> "F.Column":
+            span = max(int(hi) - int(lo), 0) + 1
+            num = (F.col(col).cast("long") - F.lit(int(lo))) * F.lit(1 << _BITS)
+            return ((num - F.pmod(num, F.lit(span))) / F.lit(span)).cast("long")
+
+        z = zvalue(bucket(x, bounds[0], bounds[1]), bucket(y, bounds[2], bounds[3]))
     return (
         df.withColumn("_z", z)
         .repartitionByRange(n_files, "_z")
