@@ -933,7 +933,9 @@ def test_merge_table_zone_map_skipping_unpartitioned(spark, tmp_path):
     t.merge(df)
     stats = t.stats()
     assert stats and len(stats) == 4
-    assert all("id" in zm and "min" in zm["id"] for zm in stats.values())
+    assert all(
+        "min" in zm["cols"]["id"] and zm["rows"] > 0 for zm in stats.values()
+    )
 
     pruned = t.read_where({"id": (100, 180)})
     full = t.read().filter((F.col("id") >= 100) & (F.col("id") <= 180))
@@ -1037,3 +1039,59 @@ def test_merge_table_zone_map_composes_with_zorder(spark, tmp_path):
             f"zorder zone maps failed to prune on {col}: "
             f"{len(pruned.inputFiles())}/{total} files"
         )
+
+
+def test_merge_table_count_where_metadata_only(spark, tmp_path):
+    """count_where answers fully-clustered probes from footer row
+    counts alone (zero Spark jobs — asserted by monkeypatching the
+    scan path), scans only boundary files otherwise, and always equals
+    read_where().count()."""
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id")
+    t.merge(
+        spark.range(0, 1000)
+        .withColumn("val", F.col("id") * 3)
+        .repartitionByRange(4, "id")
+        .sortWithinPartitions("id")
+    )
+    # file boundaries at 250/500/750: [250, 749] covers files 1-2 fully
+    assert t.count_where({"id": (250, 749)}) == 500
+    # metadata-only: forbid the scan fallback for the aligned probe
+    orig = ParquetMergeTable._read_files
+    try:
+        def _boom(self, snap, files, schema):
+            raise AssertionError(f"scan path used for {files}")
+        ParquetMergeTable._read_files = _boom
+        assert t.count_where({"id": (250, 749)}) == 500
+        assert t.count_where({"id": (5000, 9000)}) == 0
+    finally:
+        ParquetMergeTable._read_files = orig
+    # unaligned probe: boundary files scanned, exact count
+    for rng in ((100, 620), (0, 999), (999, 2000), (None, 10)):
+        assert t.count_where({"id": rng}) == t.read_where({"id": rng}).count()
+
+
+def test_merge_table_read_point_lookup(spark, tmp_path):
+    """read_point prunes by IN-list membership against the zones: keys
+    from one file touch one file; NULL probes are dropped (SQL IN)."""
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id")
+    t.merge(
+        spark.range(0, 1000)
+        .withColumn("val", F.col("id") + 7)
+        .repartitionByRange(4, "id")
+        .sortWithinPartitions("id")
+    )
+    total = len(t.read().inputFiles())
+    p = t.read_point("id", [10, 20, 777, None])
+    assert sorted((r.id, r.val) for r in p.collect()) == [
+        (10, 17), (20, 27), (777, 784)
+    ]
+    assert len(p.inputFiles()) == 2 < total  # files {0..249} and {750..999}
+    # all probes outside every zone: empty, no files
+    p2 = t.read_point("id", [5000, -3])
+    assert p2.count() == 0 and len(p2.inputFiles()) == 0
+    # all-NULL probe list: empty result by IN semantics
+    assert t.read_point("id", [None]).count() == 0

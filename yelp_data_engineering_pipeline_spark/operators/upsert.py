@@ -610,11 +610,13 @@ class ParquetMergeTable:
             return None
 
     def _file_zone_map(self, path: str) -> dict:
-        """One parquet file's footer rolled up to file-level zone maps:
-        ``{col: {"min": x, "max": x} | {"all_null": true} | {}}`` ({} =
-        column present but unbounded — statistics missing or an
+        """One parquet file's footer rolled up to a file-level manifest
+        entry ``{"rows": n, "cols": {col: zone}}`` where a zone is
+        ``{"min": x, "max": x, "nulls": n} | {"all_null": true} | {}``
+        ({} = column present but unbounded — statistics missing or an
         unsupported type; such a column never prunes this file).
-        Metadata-only: reads the footer, no data pages."""
+        ``rows`` + exact ``nulls`` enable METADATA-ONLY counting
+        (:meth:`count_where`). Reads the footer only, no data pages."""
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(path).metadata
@@ -627,10 +629,16 @@ class ParquetMergeTable:
                 if "." in name:  # nested leaf — no scalar order
                     continue
                 cur = out.setdefault(name, {"min": None, "max": None,
-                                            "all_null": True, "ok": True})
+                                            "all_null": True, "ok": True,
+                                            "nulls": 0})
+                st = col.statistics
+                if st is not None and st.null_count is not None:
+                    if cur["nulls"] is not None:
+                        cur["nulls"] += st.null_count
+                else:
+                    cur["nulls"] = None  # unknown null count
                 if not cur["ok"]:
                     continue
-                st = col.statistics
                 n_vals = rg.num_rows
                 if st is not None and st.null_count is not None and \
                         st.null_count == n_vals:
@@ -645,15 +653,18 @@ class ParquetMergeTable:
                     continue
                 cur["min"] = lo if cur["min"] is None else min(cur["min"], lo)
                 cur["max"] = hi if cur["max"] is None else max(cur["max"], hi)
-        final: dict[str, dict] = {}
+        cols: dict[str, dict] = {}
         for name, cur in out.items():
             if cur["all_null"]:
-                final[name] = {"all_null": True}
+                cols[name] = {"all_null": True}
             elif cur["ok"] and cur["min"] is not None:
-                final[name] = {"min": cur["min"], "max": cur["max"]}
+                z = {"min": cur["min"], "max": cur["max"]}
+                if cur["nulls"] is not None:
+                    z["nulls"] = cur["nulls"]
+                cols[name] = z
             else:
-                final[name] = {}
-        return final
+                cols[name] = {}
+        return {"rows": md.num_rows, "cols": cols}
 
     _PCT = _re.compile("%([0-9A-Fa-f]{2})")
 
@@ -694,7 +705,9 @@ class ParquetMergeTable:
                 except ValueError:
                     return {}
             n = self._stat_norm(v)
-            return {part: {"min": n, "max": n}} if n is not None else {}
+            if n is None:
+                return {}
+            return {part: {"min": n, "max": n, "nulls": 0}}
         return {}
 
     def _save_stats(self, version: int) -> None:
@@ -737,7 +750,7 @@ class ParquetMergeTable:
                 zm = inherited.get(os.stat(full).st_ino)
                 if zm is None:
                     zm = self._file_zone_map(full)
-                    zm.update(self._partition_zone_map(rel, schema))
+                    zm["cols"].update(self._partition_zone_map(rel, schema))
                 stats[rel] = zm
         with open(os.path.join(snap, "_STATS.json"), "w") as f:
             _json.dump(stats, f)
@@ -756,6 +769,75 @@ class ParquetMergeTable:
             return None
         with open(p) as f:
             return _json.load(f)
+
+    @staticmethod
+    def _zone_cols(zm: dict) -> dict:
+        """Column zones of a manifest entry; tolerates the pre-``rows``
+        manifest layout (a bare col→zone dict) for tables written by an
+        older build."""
+        cols = zm.get("cols")
+        return cols if isinstance(cols, dict) else zm
+
+    def _range_keep(self, zm: dict, ranges: dict) -> bool:
+        """True unless the zone maps PROVE no row in the file can
+        satisfy every range (conjunctive BETWEEN semantics: NULL never
+        matches, so an all-NULL zone is skippable). Kind-checked
+        comparisons — a cross-plane probe (tz-aware vs naive, str vs
+        num) is never ordered, hence never prunes."""
+        cols = self._zone_cols(zm)
+        for col, (lo, hi) in ranges.items():
+            z = cols.get(col)
+            if not z:  # absent or {} (unbounded): can't prune
+                continue
+            if z.get("all_null"):
+                return False
+            nlo, nhi = self._stat_norm(lo), self._stat_norm(hi)
+            if lo is not None and nlo is None:
+                continue  # probe value outside the stats plane
+            if hi is not None and nhi is None:
+                continue
+            if nlo is not None and self._stat_lt(z["max"], nlo):
+                return False
+            if nhi is not None and self._stat_lt(nhi, z["min"]):
+                return False
+        return True
+
+    def _range_contained(self, zm: dict, ranges: dict) -> bool:
+        """True when the zone maps PROVE every row in the file
+        satisfies every range: bounds inside [lo, hi] on the normalized
+        plane AND an exact zero null count (NULL fails BETWEEN, so an
+        unknown null count blocks containment)."""
+        cols = self._zone_cols(zm)
+        for col, (lo, hi) in ranges.items():
+            z = cols.get(col)
+            if not z or z.get("all_null") or z.get("nulls") != 0:
+                return False
+            nlo, nhi = self._stat_norm(lo), self._stat_norm(hi)
+            if lo is not None and (nlo is None or
+                                   self._stat_lt(z["min"], nlo) is not False):
+                return False
+            if hi is not None and (nhi is None or
+                                   self._stat_lt(nhi, z["max"]) is not False):
+                return False
+        return True
+
+    def _range_residual(self, ranges: dict):
+        residual = None
+        for col, (lo, hi) in ranges.items():
+            c = F.col(col)
+            for bound, cmp in ((lo, c >= F.lit(lo)), (hi, c <= F.lit(hi))):
+                if bound is not None:
+                    residual = cmp if residual is None else residual & cmp
+        return residual
+
+    def _read_files(self, snap: str, files: list, schema) -> DataFrame:
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return (
+            self.spark.read.schema(schema)
+            .option("basePath", snap)
+            .parquet(*files)
+        )
 
     def read_where(self, ranges: dict, version: int | None = None
                    ) -> DataFrame | None:
@@ -777,47 +859,99 @@ class ParquetMergeTable:
         if df is None:
             return None
         v = version if version is not None else self.current_version()
-        residual = None
-        for col, (lo, hi) in ranges.items():
-            c = F.col(col)
-            for bound, cmp in ((lo, c >= F.lit(lo)), (hi, c <= F.lit(hi))):
-                if bound is not None:
-                    residual = cmp if residual is None else residual & cmp
+        residual = self._range_residual(ranges)
         stats = self.stats(version=v)
         if stats is None:  # pre-stats snapshot: plain filtered read
             return df.filter(residual) if residual is not None else df
+        snap = self._snap_dir(v)
+        kept = [os.path.join(snap, rel) for rel, zm in sorted(stats.items())
+                if self._range_keep(zm, ranges)]
+        pruned = self._read_files(snap, kept, df.schema)
+        return pruned.filter(residual) if residual is not None else pruned
 
-        def keep(zm: dict) -> bool:
-            for col, (lo, hi) in ranges.items():
-                z = zm.get(col)
-                if not z:  # absent or {} (unbounded): can't prune
-                    continue
-                if z.get("all_null"):
-                    return False  # BETWEEN/>=/<= never matches NULL
-                nlo, nhi = self._stat_norm(lo), self._stat_norm(hi)
-                if lo is not None and nlo is None:
-                    continue  # probe value outside the stats plane
-                if hi is not None and nhi is None:
-                    continue
-                # kind-checked comparisons: None = not provably
-                # comparable (tz-aware vs naive, str vs num) → keep
-                if nlo is not None and self._stat_lt(z["max"], nlo):
-                    return False
-                if nhi is not None and self._stat_lt(nhi, z["min"]):
-                    return False
-            return True
+    def count_where(self, ranges: dict, version: int | None = None
+                    ) -> int | None:
+        """METADATA-ONLY counting where the manifest allows it (the
+        Delta "answer from file statistics" pattern): files the zone
+        maps prove FULLY inside every range (including a zero null
+        count) contribute their footer row counts with no scan; files
+        proven outside contribute nothing; only boundary files are
+        scanned with the residual filter. Always equals
+        ``read_where(ranges).count()`` — a fully-clustered probe runs
+        zero Spark jobs."""
+        import os
+
+        df = self.read(version=version)
+        if df is None:
+            return None
+        v = version if version is not None else self.current_version()
+        stats = self.stats(version=v)
+        residual = self._range_residual(ranges)
+        if stats is None:
+            full = df.filter(residual) if residual is not None else df
+            return full.count()
+        meta_rows = 0
+        boundary: list[str] = []
+        snap = self._snap_dir(v)
+        for rel, zm in sorted(stats.items()):
+            if not self._range_keep(zm, ranges):
+                continue
+            if isinstance(zm.get("rows"), int) and \
+                    self._range_contained(zm, ranges):
+                meta_rows += zm["rows"]
+            else:
+                boundary.append(os.path.join(snap, rel))
+        if not boundary:
+            return meta_rows
+        scan = self._read_files(snap, boundary, df.schema)
+        if residual is not None:
+            scan = scan.filter(residual)
+        return meta_rows + scan.count()
+
+    def read_point(self, col: str, values, version: int | None = None
+                   ) -> DataFrame | None:
+        """IN-list point lookup with file skipping: keeps a file only
+        if SOME probe value lands inside the column's zone (the
+        key-lookup shape — a streaming join probing a zordered dim
+        table touches one file per key instead of the table). Result
+        always equals ``read().filter(col.isin(values))``; NULL probes
+        are dropped (SQL IN never matches NULL)."""
+        import os
+
+        df = self.read(version=version)
+        if df is None:
+            return None
+        v = version if version is not None else self.current_version()
+        vals = [x for x in values if x is not None]
+        if not vals:
+            return self.spark.createDataFrame([], df.schema)
+        residual = F.col(col).isin(vals)
+        stats = self.stats(version=v)
+        if stats is None:
+            return df.filter(residual)
+
+        def hit(zm: dict) -> bool:
+            z = self._zone_cols(zm).get(col)
+            if not z:
+                return True  # no zone map: cannot prune
+            if z.get("all_null"):
+                return False
+            for x in vals:
+                n = self._stat_norm(x)
+                if n is None:
+                    return True  # unnormalizable probe: keep
+                below = self._stat_lt(n, z["min"])
+                above = self._stat_lt(z["max"], n)
+                if below is None or above is None:
+                    return True  # cross-plane: keep
+                if not below and not above:
+                    return True
+            return False
 
         snap = self._snap_dir(v)
         kept = [os.path.join(snap, rel) for rel, zm in sorted(stats.items())
-                if keep(zm)]
-        if not kept:
-            return self.spark.createDataFrame([], df.schema)
-        pruned = (
-            self.spark.read.schema(df.schema)
-            .option("basePath", snap)
-            .parquet(*kept)
-        )
-        return pruned.filter(residual) if residual is not None else pruned
+                if hit(zm)]
+        return self._read_files(snap, kept, df.schema).filter(residual)
 
     def history(self) -> list[dict]:
         """Retained commit history, newest first (the DESCRIBE HISTORY
