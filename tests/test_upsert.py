@@ -1095,3 +1095,35 @@ def test_merge_table_read_point_lookup(spark, tmp_path):
     assert p2.count() == 0 and len(p2.inputFiles()) == 0
     # all-NULL probe list: empty result by IN semantics
     assert t.read_point("id", [None]).count() == 0
+
+
+def test_merge_table_zorder_three_columns(spark, tmp_path):
+    """compact(zorder_by=) takes ANY number of keys (Delta's OPTIMIZE
+    ZORDER BY shape): with three wide-domain keys, a narrow probe on
+    EACH of the three prunes most files, and the row set is intact."""
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id")
+    df = spark.range(0, 8192).select(
+        F.col("id"),
+        ((F.col("id") % 16) * 70_001).alias("x"),
+        (((F.col("id") / 16).cast("long") % 16) * 50_003).alias("y"),
+        (((F.col("id") / 256).cast("long") % 32) * 90_007).alias("w"),
+    )
+    t.merge(df)
+    before = sorted(r.id for r in t.read().collect())
+    t.compact(target_files=32, zorder_by=("x", "y", "w"))
+    assert sorted(r.id for r in t.read().collect()) == before
+
+    total = len(t.read().inputFiles())
+    assert total >= 16
+    for col, unit, width in (("x", 70_001, 2), ("y", 50_003, 2), ("w", 90_007, 4)):
+        lo, hi = 6 * unit, (6 + width) * unit - 1
+        pruned = t.read_where({col: (lo, hi)})
+        assert sorted(r.id for r in pruned.collect()) == sorted(
+            r.id for r in t.read().filter(F.col(col).between(lo, hi)).collect()
+        )
+        assert len(pruned.inputFiles()) < total * 3 // 4, (
+            f"3-way zorder failed to prune on {col}: "
+            f"{len(pruned.inputFiles())}/{total}"
+        )

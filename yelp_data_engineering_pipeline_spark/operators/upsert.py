@@ -1252,7 +1252,7 @@ class ParquetMergeTable:
     # partition value (the __HIVE_DEFAULT_PARTITION__ directory)
 
     def compact(self, partition_value=_WHOLE_TABLE, target_files: int = 1,
-                wait: bool = True, zorder_by: tuple[str, str] | None = None) -> int:
+                wait: bool = True, zorder_by: tuple[str, ...] | None = None) -> int:
         """Small-file management (VERDICT r6 next-6): rewrite the
         current snapshot — or, on a partitioned table, ONE partition
         (``partition_value``; ``None`` means the NULL partition),
@@ -1262,19 +1262,22 @@ class ParquetMergeTable:
         restores scan efficiency without changing data (tested
         idempotent on the row set).
 
-        ``zorder_by=(x, y)`` makes this OPTIMIZE ZORDER: the rewrite
-        range-partitions + sorts on the Morton interleave of the two
-        columns (operators/zorder.py), so the compacted files carry
-        bounded (x, y) rectangles and parquet min/max stats prune
-        scans filtered on EITHER column. ``target_files`` then sets
-        the z-range file count instead of a coalesce width."""
+        ``zorder_by=(c1, ..., ck)`` makes this OPTIMIZE ZORDER for any
+        number of keys: the rewrite range-partitions + sorts on the
+        k-way Morton interleave of the range-normalized columns
+        (operators/zorder.py), so the compacted files carry bounded
+        k-rectangles and zone maps prune scans filtered on ANY of the
+        keys (one key = plain linear clustering). ``target_files``
+        then sets the z-range file count instead of a coalesce
+        width."""
         def _layout(df: DataFrame) -> DataFrame:
             if zorder_by is None:
                 return df.coalesce(max(1, target_files))
-            from .zorder import zorder_layout
+            from .zorder import zorder_layout_cols
 
-            x, y = zorder_by
-            return zorder_layout(df, x, y, n_files=max(1, target_files)).drop("_z")
+            return zorder_layout_cols(
+                df, list(zorder_by), n_files=max(1, target_files)
+            ).drop("_z")
 
         lock = self._writer_lock(wait)
         try:

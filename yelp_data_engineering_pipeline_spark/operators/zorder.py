@@ -24,50 +24,80 @@ from ..tables import load
 _BITS = 16
 
 
-def zvalue(x: Column, y: Column, bits: int = _BITS) -> Column:
-    """Interleave the low ``bits`` of x (even positions) and y (odd)."""
-    xm = x.cast("long") % (1 << bits)
-    ym = y.cast("long") % (1 << bits)
+def zvalue_cols(cols: list[Column], bits_each: int) -> Column:
+    """Interleave the low ``bits_each`` bits of k columns: bit ``b`` of
+    column ``i`` lands at position ``b*k + i`` (for k=2 this is exactly
+    the classic even/odd Morton interleave). ``k * bits_each`` must fit
+    a signed 64-bit z — callers size ``bits_each`` accordingly."""
+    k = len(cols)
     terms = []
-    for b in range(bits):
-        terms.append(F.shiftleft(F.shiftright(xm, b).bitwiseAND(F.lit(1)), 2 * b))
-        terms.append(F.shiftleft(F.shiftright(ym, b).bitwiseAND(F.lit(1)), 2 * b + 1))
+    for i, c in enumerate(cols):
+        m = c.cast("long") % (1 << bits_each)
+        for b in range(bits_each):
+            terms.append(
+                F.shiftleft(F.shiftright(m, b).bitwiseAND(F.lit(1)), b * k + i)
+            )
     out = terms[0]
     for t in terms[1:]:
         out = out + t
     return out
 
 
-def zorder_layout(df: DataFrame, x: str, y: str, n_files: int = 32) -> DataFrame:
-    """The write-side layout: range-partition by z so each output file
-    covers a bounded (x, y) rectangle; sort within for row-group stats.
+def zvalue(x: Column, y: Column, bits: int = _BITS) -> Column:
+    """Interleave the low ``bits`` of x (even positions) and y (odd)."""
+    return zvalue_cols([x, y], bits)
 
-    Each key is first RANGE-NORMALIZED into ``_BITS``-bit rank space
+
+def zorder_layout_cols(df: DataFrame, cols: list[str], n_files: int = 32) -> DataFrame:
+    """The write-side OPTIMIZE ZORDER layout for ANY number of keys:
+    range-partition by the k-way Morton z so each output file covers a
+    bounded k-rectangle; sort within for row-group stats. One key
+    degenerates to plain linear clustering (sort by the key itself).
+
+    Each key is first RANGE-NORMALIZED into rank space
     (``(v - min) * 2^bits // span`` — exact integer floor via the
-    pmod identity). Interleaving raw low bits instead WRAPS any key
-    domain wider than 16 bits: every 2^16-th key collides, so file
-    "rectangles" span the whole domain and min/max pruning gets
-    nothing — measured on the ×10 lineitem tier (21-bit orderkey),
-    where the raw-bit layout produced zero file skipping. The
-    normalization costs one min/max aggregate over the input (4
-    scalars to the driver) — the right trade inside OPTIMIZE ZORDER,
-    which is already a whole-data rewrite."""
-    bounds = df.agg(F.min(x), F.max(x), F.min(y), F.max(y)).first()
-    if bounds is None or bounds[0] is None or bounds[2] is None:
-        z = zvalue(F.col(x), F.col(y))  # empty/all-null: layout is moot
+    pmod identity), with ``bits = min(16, 62 // k)`` so the interleave
+    always fits a signed 64-bit z. Interleaving raw low bits instead
+    WRAPS any key domain wider than the bit budget: every 2^bits-th
+    key collides, so file "rectangles" span the whole domain and
+    min/max pruning gets nothing — measured on the ×10 lineitem tier
+    (21-bit orderkey), where the raw-bit layout produced zero file
+    skipping. The normalization costs one min/max aggregate over the
+    input (2k scalars to the driver) — the right trade inside OPTIMIZE
+    ZORDER, which is already a whole-data rewrite."""
+    if len(cols) == 1:
+        c = cols[0]
+        return (
+            df.withColumn("_z", F.col(c).cast("long"))
+            .repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+        )
+    bits_each = min(_BITS, 62 // len(cols))
+    aggs = [f(c) for c in cols for f in (F.min, F.max)]
+    bounds = df.agg(*aggs).first()
+    if bounds is None or any(bounds[2 * i] is None for i in range(len(cols))):
+        z = zvalue_cols([F.col(c) for c in cols], bits_each)  # empty/all-null
     else:
 
         def bucket(col: str, lo, hi) -> "F.Column":
             span = max(int(hi) - int(lo), 0) + 1
-            num = (F.col(col).cast("long") - F.lit(int(lo))) * F.lit(1 << _BITS)
+            num = (F.col(col).cast("long") - F.lit(int(lo))) * F.lit(1 << bits_each)
             return ((num - F.pmod(num, F.lit(span))) / F.lit(span)).cast("long")
 
-        z = zvalue(bucket(x, bounds[0], bounds[1]), bucket(y, bounds[2], bounds[3]))
+        z = zvalue_cols(
+            [bucket(c, bounds[2 * i], bounds[2 * i + 1]) for i, c in enumerate(cols)],
+            bits_each,
+        )
     return (
         df.withColumn("_z", z)
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
     )
+
+
+def zorder_layout(df: DataFrame, x: str, y: str, n_files: int = 32) -> DataFrame:
+    """Two-key OPTIMIZE ZORDER (see :func:`zorder_layout_cols`)."""
+    return zorder_layout_cols(df, [x, y], n_files)
 
 
 def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
