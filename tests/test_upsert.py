@@ -1127,3 +1127,202 @@ def test_merge_table_zorder_three_columns(spark, tmp_path):
             f"3-way zorder failed to prune on {col}: "
             f"{len(pruned.inputFiles())}/{total}"
         )
+
+
+# ---------------------------------------------------------------------------
+# predicate DML: DELETE / UPDATE / conditional MERGE INTO (r7)
+# ---------------------------------------------------------------------------
+
+
+def _clustered_table(spark, path, n=1000, files=4):
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+
+    t = ParquetMergeTable(spark, str(path), key="id")
+    df = (
+        spark.range(0, n)
+        .withColumn("val", F.col("id") * 2)
+        .withColumn("g", F.when(F.col("id") % 7 == 0, None)
+                    .otherwise(F.col("id") % 3))
+        .repartitionByRange(files, "id")
+        .sortWithinPartitions("id")
+    )
+    t.merge(df)
+    return t
+
+
+def _snap_inodes(root, version):
+    import os
+
+    snap = os.path.join(str(root), f"v={version}")
+    out = {}
+    for dirpath, _, files in os.walk(snap):
+        for f in files:
+            if f.endswith(".parquet"):
+                full = os.path.join(dirpath, f)
+                out[os.path.relpath(full, snap)] = os.stat(full).st_ino
+    return out
+
+
+def test_merge_table_delete_where_metadata_only(spark, tmp_path):
+    """A DELETE whose range exactly covers one clustered file is pure
+    metadata: the file vanishes from the manifest, every surviving file
+    is the SAME inode hardlinked forward (no Spark write happened), and
+    the row set equals the SQL DELETE semantics."""
+    t = _clustered_table(spark, tmp_path / "tbl")
+    stats = t.stats()
+    assert len(stats) == 4
+    # pick a middle file's exact [min, max] id range
+    rel, zm = sorted(stats.items(), key=lambda kv: kv[1]["cols"]["id"]["min"])[1]
+    lo, hi = zm["cols"]["id"]["min"], zm["cols"]["id"]["max"]
+    before = _snap_inodes(t.root, t.current_version())
+    expected = sorted(
+        r.id for r in t.read().filter(~F.col("id").between(lo, hi)).collect()
+    )
+    v = t.delete_where({"id": (lo, hi)})
+    after = _snap_inodes(t.root, v)
+    assert rel not in after
+    assert after == {r: i for r, i in before.items() if r != rel}  # hardlinks
+    assert sorted(r.id for r in t.read().collect()) == expected
+    assert t.history()[0]["operation"] == "delete_where"
+    # time travel: the pre-delete snapshot is intact
+    assert t.read(version=v - 1).count() == 1000
+
+
+def test_merge_table_delete_where_boundary_and_nulls(spark, tmp_path):
+    """A range crossing file boundaries rewrites ONLY the boundary
+    files; rows whose predicate column is NULL never match (SQL
+    BETWEEN), so they survive any delete on that column."""
+    t = _clustered_table(spark, tmp_path / "tbl")
+    before = _snap_inodes(t.root, t.current_version())
+    expected = sorted(
+        r.id for r in t.read().filter(~F.col("id").between(100, 180)).collect()
+    )
+    v = t.delete_where({"id": (100, 180)})
+    after = _snap_inodes(t.root, v)
+    # exactly one boundary file rewritten; the other three hardlinked
+    kept_same = [r for r in after if r in before and after[r] == before[r]]
+    assert len(kept_same) == 3
+    assert sorted(r.id for r in t.read().collect()) == expected
+
+    # delete on the NULLABLE column: NULL rows survive
+    null_before = t.read().filter(F.col("g").isNull()).count()
+    assert null_before > 0
+    t.delete_where({"g": (0, 2)})
+    rem = t.read()
+    assert rem.count() == null_before
+    assert rem.filter(F.col("g").isNotNull()).count() == 0
+
+
+def test_merge_table_update_where_semantics(spark, tmp_path):
+    """UPDATE rewrites only files the zone maps can't prove untouched,
+    the assignment may reference other columns, NULL-predicate rows
+    pass through, and the schema (dtypes included) is unchanged."""
+    t = _clustered_table(spark, tmp_path / "tbl")
+    schema_before = t.read().schema
+    before = _snap_inodes(t.root, t.current_version())
+    v = t.update_where({"id": (0, 99)}, {"val": F.col("val") + 1})
+    after = _snap_inodes(t.root, v)
+    # three untouched files hardlinked, one rewritten
+    assert len([r for r in after if after.get(r) == before.get(r)]) == 3
+    rows = {r.id: r.val for r in t.read().collect()}
+    for i in range(1000):
+        assert rows[i] == i * 2 + (1 if i < 100 else 0)
+    assert t.read().schema == schema_before
+    assert t.history()[0]["operation"] == "update_where"
+
+    # literal assignment + NULL predicate rows untouched
+    t.update_where({"g": (2, 2)}, {"val": -1})
+    got = t.read()
+    assert got.filter(F.col("g").isNull()).filter(F.col("val") == -1).count() == 0
+    assert got.filter(F.col("g") == 2).filter(F.col("val") != -1).count() == 0
+
+    with pytest.raises(ValueError, match="unknown column"):
+        t.update_where({"id": (0, 1)}, {"nope": 1})
+
+
+def test_merge_table_update_where_partitioned(spark, tmp_path):
+    """On a partitioned table, UPDATE hardlinks partitions the zone
+    maps prove untouched (partition dirs contribute zones) and refuses
+    to assign the partition column."""
+    import os
+
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id",
+                          partition_by="p")
+    rows = [(i, i % 4, float(i)) for i in range(400)]
+    t.merge(spark.createDataFrame(rows, "id long, p int, x double"))
+    before = _snap_inodes(t.root, t.current_version())
+    v = t.update_where({"p": (2, 2)}, {"x": F.col("x") * 10.0})
+    after = _snap_inodes(t.root, v)
+    untouched = [r for r in after if "p=2" not in r]
+    assert untouched and all(after[r] == before.get(r) for r in untouched)
+    got = {r.id: r.x for r in t.read().collect()}
+    for i in range(400):
+        assert got[i] == (i * 10.0 if i % 4 == 2 else float(i))
+
+    with pytest.raises(ValueError, match="partition column"):
+        t.update_where({"id": (0, 1)}, {"p": 9})
+
+
+def test_merge_table_merge_into_clause_matrix(spark, tmp_path):
+    """Conditional MERGE INTO: DELETE clause wins over UPDATE for a
+    row matching both, UPDATE fires only where its s/t condition
+    holds (others keep the target row), INSERT fires only where its
+    condition holds, unmatched target rows always survive."""
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="k")
+    t.merge(spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c"), (4, 40, "d")],
+        "k long, v long, tag string"))
+    src = spark.createDataFrame(
+        [(1, 99, "s1"),   # matched, s.v > t.v -> update
+         (2, 5, "s2"),    # matched, s.v < t.v -> keep target row
+         (3, 99, "s3"),   # matched, delete condition -> delete
+         (5, 1, "new"),   # unmatched, insert cond holds
+         (6, 2, "skip")], # unmatched, insert cond fails
+        "k long, v long, tag string")
+    t.merge_into(
+        src,
+        when_matched_update="s.v > t.v",
+        when_matched_delete="t.k = 3",
+        when_not_matched_insert="s.tag = 'new'",
+    )
+    got = {r.k: (r.v, r.tag) for r in t.read().collect()}
+    assert got == {1: (99, "s1"), 2: (20, "b"), 4: (40, "d"), 5: (1, "new")}
+    assert t.history()[0]["operation"] == "merge_into"
+
+    # idempotent re-apply: same source, same clauses -> same table
+    # (k=3 already gone; k=1 update rewrites the same values)
+    t.merge_into(src, when_matched_update="s.v > t.v",
+                 when_matched_delete="t.k = 3",
+                 when_not_matched_insert="s.tag = 'new'")
+    assert {r.k: (r.v, r.tag) for r in t.read().collect()} == got
+
+    # empty table: only the insert clause applies
+    t2 = ParquetMergeTable(spark, str(tmp_path / "tbl2"), key="k")
+    t2.merge_into(src, when_not_matched_insert="s.v > 1")
+    assert sorted(r.k for r in t2.read().collect()) == [1, 2, 3, 6]
+
+
+def test_merge_table_merge_into_partition_pruned(spark, tmp_path):
+    """merge_into on a partitioned table rewrites only partitions the
+    SOURCE touches; the rest come forward as hardlinks."""
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id",
+                          partition_by="p")
+    t.merge(spark.createDataFrame(
+        [(i, i % 3, i * 1.0) for i in range(90)], "id long, p int, x double"))
+    before = _snap_inodes(t.root, t.current_version())
+    src = spark.createDataFrame(
+        [(0, 0, 100.0), (3, 0, -1.0), (900, 0, 7.0)],
+        "id long, p int, x double")
+    v = t.merge_into(src, when_matched_update="s.x > t.x",
+                     when_not_matched_insert=True)
+    after = _snap_inodes(t.root, v)
+    untouched = [r for r in after if "p=0" not in r]
+    assert untouched and all(after[r] == before.get(r) for r in untouched)
+    got = {r.id: r.x for r in t.read().filter(F.col("p") == 0).collect()}
+    assert got[0] == 100.0 and got[3] == 3.0 and got[900] == 7.0

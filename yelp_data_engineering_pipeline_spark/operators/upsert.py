@@ -26,7 +26,7 @@ from __future__ import annotations
 import re as _re
 from functools import reduce as _reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.normalize import normalize
@@ -1316,6 +1316,270 @@ class ParquetMergeTable:
             lock.close()
 
 
+    # ---- predicate DML: DELETE / UPDATE / conditional MERGE INTO ----
+    #
+    # The Delta-parity DML tier on top of the same snapshot machinery.
+    # delete_where/update_where take the read_where() ranges dict, so
+    # the zone-map manifest drives FILE-level copy-on-write: files the
+    # stats prove untouched are hardlinked forward (zero read, zero
+    # write), a file proven fully inside a DELETE predicate is dropped
+    # from the manifest without any Spark job (the Delta
+    # "metadata-only delete" pattern), and only boundary files are
+    # rewritten. Composes with compact(zorder_by=...): after
+    # clustering, a narrow predicate touches a handful of files, so
+    # DML cost follows the predicate's selectivity, not table size.
+
+    def _hardlink_rels(self, old_v: int, new_v: int, rels) -> None:
+        """Bring individual files forward by relpath-preserving
+        hardlink (file-granularity analog of _hardlink_untouched)."""
+        import os
+
+        old_dir, new_dir = self._snap_dir(old_v), self._snap_dir(new_v)
+        for rel in rels:
+            dst = os.path.join(new_dir, rel)
+            d = os.path.dirname(dst)
+            if d:
+                os.makedirs(d, exist_ok=True)
+            os.link(os.path.join(old_dir, rel), dst)
+
+    def _dml_commit(self, out_df, keep_rels, old_v: int, schema_df,
+                    op: str) -> int:
+        """Shared DML tail: Spark-write the rewritten rows (if any),
+        hardlink the untouched files, commit. ``out_df`` None means a
+        METADATA-ONLY commit — no Spark job runs at all."""
+        import os
+
+        new_v = old_v + 1
+        self._clear_orphan(new_v)
+        new_dir = self._snap_dir(new_v)
+        if out_df is not None:
+            writer = out_df.write.mode("errorifexists")
+            if self.partition_by:
+                writer = writer.partitionBy(self.partition_by)
+            writer.parquet(new_dir)
+        else:
+            os.makedirs(new_dir)
+        self._hardlink_rels(old_v, new_v, keep_rels)
+        self._save_schema(schema_df, new_v)
+        self._save_commit_info(new_v, op)
+        self._flip_pointer(new_v)
+        return new_v
+
+    def delete_where(self, ranges: dict, wait: bool = True) -> int:
+        """``DELETE FROM t WHERE <conjunctive BETWEEN ranges>`` (the
+        read_where() predicate shape; either bound None for one-sided).
+        SQL semantics: a NULL predicate column never matches, so those
+        rows survive. File-level CoW via the zone-map manifest:
+
+        * file proven to hold NO matching row → hardlinked forward,
+        * file proven ALL-matching (bounds inside the range, zero
+          nulls) → dropped — metadata-only, no scan,
+        * boundary file → rewritten with the keep-filter.
+
+        A delete whose predicate aligns with the clustering (zorder /
+        ingestion time / monotone key) therefore runs zero or near-zero
+        Spark jobs regardless of table size. Returns the new version."""
+        lock = self._writer_lock(wait)
+        try:
+            current = self.read()
+            if current is None:
+                raise ValueError("delete_where on an empty table")
+            residual = self._range_residual(ranges)
+            # NULL never matches a BETWEEN: keep = NOT coalesce(m, F)
+            keep_pred = (
+                F.lit(False) if residual is None
+                else ~F.coalesce(residual, F.lit(False))
+            )
+            old_v = self.current_version()
+            stats = self.stats()
+            if stats is None:  # pre-stats snapshot: full rewrite
+                return self._commit(current.filter(keep_pred),
+                                    op="delete_where")
+            keep_rels, boundary = [], []
+            for rel, zm in sorted(stats.items()):
+                if not self._range_keep(zm, ranges):
+                    keep_rels.append(rel)       # no row matches
+                elif self._range_contained(zm, ranges):
+                    pass                        # every row matches: drop
+                else:
+                    boundary.append(rel)
+            out = None
+            if boundary:
+                import os
+
+                snap = self._snap_dir(old_v)
+                scan = self._read_files(
+                    snap, [os.path.join(snap, r) for r in boundary],
+                    current.schema,
+                )
+                out = scan.filter(keep_pred)
+            return self._dml_commit(out, keep_rels, old_v, current,
+                                    "delete_where")
+        finally:
+            lock.close()
+
+    def update_where(self, ranges: dict, assignments: dict,
+                     wait: bool = True) -> int:
+        """``UPDATE t SET col = expr WHERE <ranges>``. ``assignments``
+        maps column → Column expression (may reference other columns)
+        or plain literal; each result is cast back to the column's
+        table type so rewritten files stay schema-identical to
+        hardlinked ones. Files proven to hold no matching row are
+        hardlinked untouched; everything else is rewritten with the
+        conditional projection (rows outside the predicate pass through
+        bit-unchanged). The partition column cannot be assigned (a row
+        may not change partitions — the standard lakehouse constraint;
+        use delete + merge for a partition move)."""
+        lock = self._writer_lock(wait)
+        try:
+            current = self.read()
+            if current is None:
+                raise ValueError("update_where on an empty table")
+            missing = [c for c in assignments if c not in current.columns]
+            if missing:
+                raise ValueError(f"UPDATE of unknown column(s): {missing}")
+            if self.partition_by and self.partition_by in assignments:
+                raise ValueError(
+                    "UPDATE may not assign the partition column "
+                    f"{self.partition_by!r} (rows cannot change "
+                    "partitions; delete + merge instead)"
+                )
+            residual = self._range_residual(ranges)
+            match = (
+                F.lit(True) if residual is None
+                else F.coalesce(residual, F.lit(False))
+            )
+
+            def _proj(df):
+                cols = []
+                for f_ in df.schema.fields:
+                    if f_.name in assignments:
+                        v = assignments[f_.name]
+                        v = v if isinstance(v, Column) else F.lit(v)
+                        cols.append(
+                            F.when(match, v.cast(f_.dataType))
+                            .otherwise(F.col(f_.name))
+                            .cast(f_.dataType).alias(f_.name)
+                        )
+                    else:
+                        cols.append(F.col(f_.name))
+                return df.select(cols)
+
+            old_v = self.current_version()
+            stats = self.stats()
+            if stats is None:
+                return self._commit(_proj(current), op="update_where")
+            keep_rels, touched = [], []
+            for rel, zm in sorted(stats.items()):
+                if not self._range_keep(zm, ranges):
+                    keep_rels.append(rel)       # no row matches
+                else:
+                    touched.append(rel)
+            out = None
+            if touched:
+                import os
+
+                snap = self._snap_dir(old_v)
+                scan = self._read_files(
+                    snap, [os.path.join(snap, r) for r in touched],
+                    current.schema,
+                )
+                out = _proj(scan)
+            return self._dml_commit(out, keep_rels, old_v, current,
+                                    "update_where")
+        finally:
+            lock.close()
+
+    @staticmethod
+    def _clause_cond(cond):
+        """Normalize a merge_into clause condition: bool → constant,
+        str → SQL over the ``t`` (target) / ``s`` (source) aliases,
+        Column → as-is; always NULL-safe (NULL condition = clause does
+        not fire, per SQL MERGE)."""
+        if isinstance(cond, bool):
+            return F.lit(cond)
+        c = F.expr(cond) if isinstance(cond, str) else cond
+        return F.coalesce(c, F.lit(False))
+
+    def merge_into(self, source: DataFrame, when_matched_update=True,
+                   when_matched_delete=False, when_not_matched_insert=True,
+                   wait: bool = True) -> int:
+        """Conditional-clause MERGE (the full ``MERGE INTO t USING s ON
+        t.key = s.key`` statement): each clause condition is a bool, a
+        Column, or a SQL string over the aliases ``t`` (target row) and
+        ``s`` (source row), e.g. ``"s.ts > t.ts"``. Clause order
+        follows SQL MERGE: for a matched pair DELETE is evaluated
+        first, then UPDATE (source row wins wholesale), else the target
+        row is kept unchanged; an unmatched source row INSERTs only if
+        its condition holds; unmatched target rows always survive.
+        ``source`` must carry the table's columns (key included).
+
+        On a partitioned table the rewrite is partition-pruned exactly
+        like :meth:`merge`: only partitions the SOURCE touches are
+        recomputed (a matched target row is by definition in a source
+        partition — key→partition immutability is the documented
+        constraint), the rest are hardlinked."""
+        key = self.key
+        upd = self._clause_cond(when_matched_update)
+        dele = self._clause_cond(when_matched_delete)
+        ins = self._clause_cond(when_not_matched_insert)
+        lock = self._writer_lock(wait)
+        try:
+            current = self.read()
+            first = current is None
+            if first:
+                # empty table: every source row is unmatched; conditions
+                # over t.* see NULLs (coalesced false) as SQL MERGE does
+                current = self.spark.createDataFrame([], source.schema)
+            pruned = self.partition_by is not None and not first
+            if pruned:
+                part = self.partition_by
+                touched = {
+                    r[0] for r in source.select(part).distinct().collect()
+                }
+                non_null = [t for t in touched if t is not None]
+                cond = F.col(part).isin(non_null) if non_null else F.lit(False)
+                if None in touched:
+                    cond = cond | F.col(part).isNull()
+                target = current.filter(cond)
+            else:
+                target = current
+            t = target.withColumn("_t", F.lit(True)).alias("t")
+            s = source.withColumn("_s", F.lit(True)).alias("s")
+            joined = t.join(
+                s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer"
+            )
+            t_here = F.col("t._t").isNotNull()
+            s_here = F.col("s._s").isNotNull()
+            matched = t_here & s_here
+            take_src = (s_here & ~t_here & ins) | (matched & ~dele & upd)
+            keep = (t_here & ~(matched & dele)) | (s_here & ~t_here & ins)
+            cols = [
+                F.when(take_src, F.col(f"s.{f_.name}").cast(f_.dataType))
+                .otherwise(F.col(f"t.{f_.name}")).alias(f_.name)
+                for f_ in current.schema.fields
+            ]
+            merged = joined.filter(keep).select(cols)
+            if not pruned:
+                return self._commit(merged, op="merge_into")
+            old_v = self.current_version()
+            new_v = old_v + 1
+            self._clear_orphan(new_v)
+            merged.write.mode("errorifexists").partitionBy(part).parquet(
+                self._snap_dir(new_v)
+            )
+            self._save_schema(merged, new_v)
+            touched_dirs = self._spark_partition_dirnames(
+                touched, current.schema[part]
+            )
+            self._hardlink_untouched(old_v, new_v, touched_dirs)
+            self._save_commit_info(new_v, "merge_into")
+            self._flip_pointer(new_v)
+            return new_v
+        finally:
+            lock.close()
+
+
 def merge_upsert_idempotent(spark: SparkSession, sf_dir: str):
     """Evidence query for MERGE idempotence: the same batch is applied
     TWICE through merge_upsert and the result must equal the
@@ -1334,6 +1598,43 @@ def merge_upsert_idempotent(spark: SparkSession, sf_dir: str):
     return twice.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum(F.when(F.col("o_orderpriority").startswith("X-"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_updated"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+
+
+def merge_dml_where(spark: SparkSession, sf_dir: str):
+    """Evidence query for the predicate-DML tier: build a REAL
+    ParquetMergeTable from orders (range-clustered on o_totalprice so
+    the zone maps have traction), run a file-pruned DELETE and a
+    conditional UPDATE through the committed-snapshot machinery, and
+    aggregate what survived. The oracle computes the same DELETE +
+    UPDATE semantics in SQL over the raw parquet — a wrong keep-filter,
+    a mis-pruned file (rows silently surviving/vanishing), or an
+    update leaking past its predicate all hash-mismatch."""
+    import os
+    import tempfile
+
+    from ..tables import load
+
+    orders = load(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="merge_dml_")
+    t = ParquetMergeTable(spark, os.path.join(root, "t"), "o_orderkey")
+    t.merge(
+        orders.repartitionByRange(8, "o_totalprice")
+        .sortWithinPartitions("o_totalprice")
+    )
+    t.delete_where({"o_totalprice": (150_000.0, 300_000.0)})
+    t.update_where(
+        {"o_totalprice": (None, 50_000.0)},
+        {"o_orderpriority": F.concat(F.lit("U-"), F.col("o_orderpriority"))},
+    )
+    return t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("o_orderpriority").startswith("U-"), 1).otherwise(0))
         .cast("bigint")
         .alias("n_updated"),
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
@@ -1371,6 +1672,24 @@ def _register_merge() -> None:
                CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                  AS total_cents
         FROM merged GROUP BY o_orderstatus
+        """,
+    )
+    # DELETE semantics: NULL predicate values never match (kept);
+    # UPDATE semantics: the prefix lands exactly on the <=50k rows.
+    register(
+        "merge_dml_where",
+        merge_dml_where,
+        """
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN o_totalprice <= 50000 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_updated,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM orders
+        WHERE o_totalprice IS NULL
+           OR NOT (o_totalprice BETWEEN 150000 AND 300000)
+        GROUP BY o_orderstatus
         """,
     )
 
