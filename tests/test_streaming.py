@@ -1059,3 +1059,53 @@ def test_stream_merge_into_replays_through_crash_orphan(spark, tmp_path):
     t = ParquetMergeTable(spark, root, key="bizId")
     assert t.read().count() == 5
     assert t.read().select("bizId").distinct().count() == 5
+
+
+def test_stream_cdc_conditional_upsert_out_of_order(spark, tmp_path):
+    """run_cdc_upsert_stream: a later micro-batch carrying an OLDER
+    change event for a key must NOT regress the row (s.ts >= t.ts
+    clause), while genuinely newer events update and novel keys
+    insert — the out-of-order CDC delivery shape."""
+    import json as _json
+
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        ParquetMergeTable,
+    )
+    from yelp_data_engineering_pipeline_spark.streaming.ingest import (
+        run_cdc_upsert_stream,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    schema = "k LONG, ts LONG, v STRING"
+
+    def feed(name, rows):
+        with open(in_dir / name, "w") as f:
+            for k, ts, v in rows:
+                f.write(_json.dumps({"k": k, "ts": ts, "v": v}) + "\n")
+        stream = spark.readStream.schema(schema).json(str(in_dir))
+        return run_cdc_upsert_stream(
+            spark, stream, str(tmp_path / "tbl"), str(tmp_path / "ckpt"),
+            key="k", ts_col="ts",
+        )
+
+    # batch 1: three keys; k=1 has two in-batch events — max ts wins
+    feed("b1.ndjson", [(1, 10, "a"), (1, 12, "a2"), (2, 10, "b"), (3, 10, "c")])
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="k")
+    got = {r.k: (r.ts, r.v) for r in t.read().collect()}
+    assert got == {1: (12, "a2"), 2: (10, "b"), 3: (10, "c")}
+
+    # batch 2: stale event for k=1 (ts 11 < 12) must NOT regress;
+    # newer event for k=2 updates; k=4 inserts
+    feed("b2.ndjson", [(1, 11, "STALE"), (2, 20, "b2"), (4, 5, "d")])
+    got = {r.k: (r.ts, r.v) for r in t.read().collect()}
+    assert got == {1: (12, "a2"), 2: (20, "b2"), 3: (10, "c"), 4: (5, "d")}
+
+    # restart with nothing new: no commit
+    v_before = t.current_version()
+    stream = spark.readStream.schema(schema).json(str(in_dir))
+    v_after = run_cdc_upsert_stream(
+        spark, stream, str(tmp_path / "tbl"), str(tmp_path / "ckpt"),
+        key="k", ts_col="ts",
+    )
+    assert v_after == v_before

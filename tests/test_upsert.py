@@ -413,7 +413,7 @@ def test_merge_pruned_read_pushes_partition_filter(spark, tmp_path):
                 min_size=1,
                 max_size=4,
             ),
-            st.integers(0, 2),  # maintenance after the merge: none/vacuum/compact
+            st.integers(0, 4),  # after the merge: none/vacuum/compact/delete_where/update_where
         ),
         min_size=1,
         max_size=3,
@@ -458,6 +458,18 @@ def test_merge_table_matches_dict_replay_model(spark, tmp_path_factory, batches)
             t.vacuum(keep_last_n=1)
         elif maint == 2 and t.current_version() > 0:
             t.compact(partition_value="pa")
+        # r7 DML: predicate delete/update must match the same mutation
+        # applied to the model at the same sequence point
+        elif maint == 3 and t.current_version() > 0:
+            t.delete_where({"k": (2, 4)})
+            for k in (2, 3, 4):
+                model.pop(k, None)
+        elif maint == 4 and t.current_version() > 0:
+            t.update_where({"k": (0, 3)},
+                           {"v": F.concat(F.lit("U"), F.col("v"))})
+            for k in list(model):
+                if 0 <= k <= 3:
+                    model[k] = (model[k][0], "U" + model[k][1])
     got = {r.k: (r.p, r.v) for r in t.read().collect()} if t.read() is not None else {}
     assert got == model
 
@@ -1326,3 +1338,42 @@ def test_merge_table_merge_into_partition_pruned(spark, tmp_path):
     assert untouched and all(after[r] == before.get(r) for r in untouched)
     got = {r.id: r.x for r in t.read().filter(F.col("p") == 0).collect()}
     assert got[0] == 100.0 and got[3] == 3.0 and got[900] == 7.0
+
+
+def test_merge_table_clone_zero_copy_and_divergence(spark, tmp_path):
+    """clone() forks a snapshot as a NEW table by hardlink (zero data
+    copy — inode-asserted), carries stats/schema so skipping works
+    immediately, and the two tables diverge independently; vacuuming
+    the source never breaks the clone (hardlinked data survives)."""
+    from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
+
+    t = _clustered_table(spark, tmp_path / "src")
+    c = t.clone(str(tmp_path / "dev"))
+    assert c.current_version() == 1
+    # zero-copy: every cloned parquet file is the same inode
+    src_ino = set(_snap_inodes(t.root, t.current_version()).values())
+    dev_ino = set(_snap_inodes(c.root, 1).values())
+    assert dev_ino == src_ino
+    # stats came along: skipping works on the clone with no recompute
+    assert c.stats() is not None
+    pruned = c.read_where({"id": (0, 10)})
+    assert pruned.count() == 11 and len(pruned.inputFiles()) == 1
+
+    # divergence: write to the clone, delete in the source
+    c.merge(spark.createDataFrame([(5000, 1, 0)], "id long, val long, g long"))
+    t.delete_where({"id": (0, 499)})
+    assert c.read().count() == 1001
+    assert t.read().count() == 500
+    assert c.read().filter(F.col("id") == 5000).count() == 1
+    assert t.read().filter(F.col("id") == 5000).count() == 0
+
+    # source vacuum drops its old snapshots; the clone still reads
+    t.merge(spark.createDataFrame([(6000, 1, 0)], "id long, val long, g long"))
+    t.vacuum(keep_last_n=1)
+    assert c.read().count() == 1001
+    assert c.read_where({"id": (0, 10)}).count() == 11
+
+    # cloning onto an existing table refuses
+    with pytest.raises(ValueError, match="already holds"):
+        t.clone(str(tmp_path / "dev"))
+    assert "clone" in c.history()[-1]["operation"]

@@ -1,0 +1,163 @@
+"""Measure predicate-DML cost vs selectivity on the MERGE table.
+
+Builds the same 6M-row zordered lineitem table as bench_skipping.py
+(x10 star tier), then times three DELETE shapes and one UPDATE:
+
+  full    — manifest ignored: the whole-snapshot rewrite every
+            pre-zone-map engine pays (the baseline),
+  ranged  — middle-1%-of-domain predicate: zone maps hardlink the
+            untouched files, rewrite only boundary files,
+  aligned — a predicate exactly covering one file's zone: the
+            metadata-only path (file dropped, zero Spark jobs),
+  update  — conditional projection over the same 1% shape.
+
+Row counts after each op are asserted against the predicate algebra,
+so the timings can't come from a wrong row set. Prints one JSON line.
+
+    python tools/bench_dml.py [tier_dir] [table_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    tier = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stressx10"
+    root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/dmltable"
+    if not os.path.exists(os.path.join(tier, "lineitem.parquet")):
+        sys.exit(f"{tier}/lineitem.parquet missing — run tools/make_stress.py")
+
+    from pyspark.sql import functions as F
+
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        ParquetMergeTable,
+    )
+    from yelp_data_engineering_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench-dml")
+    shutil.rmtree(root, ignore_errors=True)
+    t = ParquetMergeTable(spark, root, key="rk")
+    li = (
+        spark.read.parquet(os.path.join(tier, "lineitem.parquet"))
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+        .withColumn("rk", F.monotonically_increasing_id())
+    )
+    t.merge(li)
+    # ONE clustering key = linear disjoint ranges (the monotone-key /
+    # ingestion-time layout DML predicates align with in practice)
+    t.compact(target_files=64, zorder_by=("l_orderkey",))
+    rows = t.read().count()
+    n_files = len(t.read().inputFiles())
+    out: dict = {
+        "metric": "merge_table_dml",
+        "tier": tier,
+        "rows": rows,
+        "n_files": n_files,
+        "ops": {},
+    }
+
+    b = t.read().agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    dlo, dhi = b[0], b[1]
+    width = max((dhi - dlo) // 100, 1)
+
+    def inodes() -> dict:
+        snap = t._snap_dir(t.current_version())
+        return {
+            f: os.stat(os.path.join(snap, f)).st_ino
+            for f in os.listdir(snap) if f.endswith(".parquet")
+        }
+
+    def not_between(lo, hi):
+        return ~F.coalesce(F.col("l_orderkey").between(lo, hi), F.lit(False))
+
+    # -- metadata-only DELETE: one file's exact zone -------------------
+    stats = t.stats()
+    rel, zm = sorted(
+        stats.items(), key=lambda kv: kv[1]["cols"]["l_orderkey"]["min"]
+    )[3]
+    zlo = zm["cols"]["l_orderkey"]["min"]
+    zhi = zm["cols"]["l_orderkey"]["max"]
+    before = inodes()
+    expect = t.read().filter(not_between(zlo, zhi)).count()
+    t0 = time.perf_counter()
+    t.delete_where({"l_orderkey": (zlo, zhi)})
+    s_meta = time.perf_counter() - t0
+    assert t.read().count() == expect
+    after = inodes()
+    hardlinked = sum(1 for f, i in after.items() if before.get(f) == i)
+    out["ops"]["delete_file_aligned"] = {
+        "rows_deleted": rows - expect,
+        "files_dropped": len(before) - hardlinked,
+        "files_hardlinked": hardlinked,
+        "files_rewritten": len(after) - hardlinked,
+        "sec": round(s_meta, 3),
+    }
+    rows = expect
+
+    # -- pruned DELETE: middle 1% of the domain (boundary rewrite) -----
+    before = inodes()
+    lo = dlo + (dhi - dlo) // 2
+    hi = lo + width
+    expect = t.read().filter(not_between(lo, hi)).count()
+    t0 = time.perf_counter()
+    t.delete_where({"l_orderkey": (lo, hi)})
+    s_pruned = time.perf_counter() - t0
+    assert t.read().count() == expect
+    after = inodes()
+    hardlinked = sum(1 for f, i in after.items() if before.get(f) == i)
+    out["ops"]["delete_pruned_1pct"] = {
+        "rows_deleted": rows - expect,
+        "files_hardlinked": hardlinked,
+        "files_rewritten": len(after) - hardlinked,
+        "sec": round(s_pruned, 3),
+    }
+    rows = expect
+
+    # -- pruned UPDATE: same 1% shape, different spot -------------------
+    before = inodes()
+    lo = dlo + (dhi - dlo) * 7 // 10
+    hi = lo + width
+    n_match = t.read().filter(F.col("l_orderkey").between(lo, hi)).count()
+    t0 = time.perf_counter()
+    t.update_where(
+        {"l_orderkey": (lo, hi)}, {"l_quantity": F.col("l_quantity") + 1}
+    )
+    s_upd = time.perf_counter() - t0
+    assert t.read().count() == rows
+    after = inodes()
+    hardlinked = sum(1 for f, i in after.items() if before.get(f) == i)
+    out["ops"]["update_pruned_1pct"] = {
+        "rows_updated": n_match,
+        "files_hardlinked": hardlinked,
+        "files_rewritten": len(after) - hardlinked,
+        "sec": round(s_upd, 3),
+    }
+
+    # -- full-rewrite baseline LAST (it destroys the clustering) -------
+    lo = dlo + (dhi - dlo) // 5
+    hi = lo + width
+    expect = t.read().filter(not_between(lo, hi)).count()
+    t0 = time.perf_counter()
+    t._commit(t.read().filter(not_between(lo, hi)), op="delete_full_rewrite")
+    s_full = time.perf_counter() - t0
+    assert t.read().count() == expect
+    out["ops"]["delete_full_rewrite_baseline"] = {
+        "rows_deleted": rows - expect,
+        "files_rewritten": len(t.read().inputFiles()),
+        "sec": round(s_full, 3),
+    }
+
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

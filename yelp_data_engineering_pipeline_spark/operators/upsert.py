@@ -526,7 +526,8 @@ class ParquetMergeTable:
         with open(os.path.join(self._snap_dir(version), "_SCHEMA.json"), "w") as f:
             _json.dump(df.schema.jsonValue(), f)
 
-    def _save_commit_info(self, version: int, op: str) -> None:
+    def _save_commit_info(self, version: int, op: str,
+                          stats: bool = True) -> None:
         import json as _json
         import os
         import time as _time
@@ -544,7 +545,8 @@ class ParquetMergeTable:
             os.path.join(self._snap_dir(version), "_COMMITINFO.json"), "w"
         ) as f:
             _json.dump(info, f)
-        self._save_stats(version)
+        if stats:  # clone() copies the manifest instead of recomputing
+            self._save_stats(version)
 
     # ---- file-level zone maps (data skipping) ----------------------
     #
@@ -1576,6 +1578,54 @@ class ParquetMergeTable:
             self._save_commit_info(new_v, "merge_into")
             self._flip_pointer(new_v)
             return new_v
+        finally:
+            lock.close()
+
+    def clone(self, target_root: str,
+              version: int | None = None) -> "ParquetMergeTable":
+        """Zero-copy snapshot clone (the Delta ``CLONE`` shape): the
+        chosen snapshot's files are HARDLINKED into a brand-new table
+        rooted at ``target_root`` (committed as its version 1), so the
+        clone costs directory entries, not data bytes — the
+        dev/test-branch pattern. Safe by the same immutability argument
+        as pruned merges: no writer ever modifies a committed parquet
+        file in place (every commit writes new files; vacuum only
+        unlinks directory entries), so source and clone diverge freely
+        after the fork. Stats and schema come along, so zone-map
+        skipping works on the clone immediately."""
+        import json as _json
+        import os
+        import shutil
+
+        v = version if version is not None else self.current_version()
+        if v == 0:
+            raise ValueError("clone of an empty table")
+        src = self._snap_dir(v)
+        if not os.path.isdir(src):
+            raise ValueError(f"version {v} was vacuumed")
+        out = ParquetMergeTable(self.spark, target_root, self.key,
+                                partition_by=self.partition_by)
+        lock = out._writer_lock(wait=True)
+        try:
+            if out.current_version() != 0:
+                raise ValueError(f"{target_root} already holds a table")
+            dst = out._snap_dir(1)
+            out._clear_orphan(1)
+            for dirpath, _, files in os.walk(src):
+                rel_dir = os.path.relpath(dirpath, src)
+                tgt_dir = dst if rel_dir == "." else os.path.join(dst, rel_dir)
+                os.makedirs(tgt_dir, exist_ok=True)
+                for fname in files:
+                    s = os.path.join(dirpath, fname)
+                    d = os.path.join(tgt_dir, fname)
+                    if fname.endswith(".parquet"):
+                        os.link(s, d)       # zero-copy data
+                    elif fname in ("_SCHEMA.json", "_STATS.json"):
+                        shutil.copyfile(s, d)  # tiny metadata, own copy
+            out._save_commit_info(1, f"clone(v={v} of {self.root})",
+                                  stats=False)
+            out._flip_pointer(1)
+            return out
         finally:
             lock.close()
 

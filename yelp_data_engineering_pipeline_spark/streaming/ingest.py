@@ -132,3 +132,59 @@ def run_ingest_merge_into(
     )
     q.awaitTermination()
     return table.current_version()
+
+
+def run_cdc_upsert_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    table_root: str,
+    checkpoint_dir: str,
+    key: str,
+    ts_col: str,
+    partition_by: str | None = None,
+) -> int:
+    """CDC-shaped streaming upsert: each micro-batch applies a
+    CONDITIONAL merge — ``WHEN MATCHED AND s.ts >= t.ts THEN UPDATE,
+    WHEN NOT MATCHED THEN INSERT`` — so an out-of-order or replayed
+    change event can never regress a row to an older state (the
+    last-WRITER-wins trap plain upsert has under reordered delivery).
+    Within a batch, only the max-``ts_col`` row per key survives
+    (deterministic), matching what serial per-event application would
+    leave.
+
+    Exactly-once composition, stronger than run_ingest_merge_into's:
+    the checkpoint gives at-most-once per input file, and a REPLAYED
+    batch re-merges with ``s.ts >= t.ts`` — equal timestamps, identical
+    rows — so the replay is a bit-identical no-op even if newer data
+    landed in between (the newer row's ts wins the condition). Returns
+    the committed table version."""
+    from pyspark.sql import Window as W
+
+    from ..operators.upsert import ParquetMergeTable
+
+    table = ParquetMergeTable(spark, table_root, key=key,
+                              partition_by=partition_by)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = W.partitionBy(key).orderBy(F.col(ts_col).desc())
+        once = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        table.merge_into(
+            once,
+            when_matched_update=f"s.{ts_col} >= t.{ts_col}",
+            when_not_matched_insert=True,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.current_version()
