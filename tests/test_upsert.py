@@ -1377,3 +1377,88 @@ def test_merge_table_clone_zero_copy_and_divergence(spark, tmp_path):
     with pytest.raises(ValueError, match="already holds"):
         t.clone(str(tmp_path / "dev"))
     assert "clone" in c.history()[-1]["operation"]
+
+
+def test_merge_table_multi_column_partitioning(spark, tmp_path):
+    """partition_by=("p","q") — nested hive layout: pruned merges
+    rewrite only touched LEAF partitions (others hardlinked), partition
+    zone maps exist per level so read_where prunes on either, NULL and
+    escaping-needing values work at any level, compact targets one
+    leaf tuple, and DML prunes through the nested dirs."""
+    import os
+
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        ParquetMergeTable,
+    )
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id",
+                          partition_by=("p", "q"))
+    rows = [
+        (i,
+         i % 3 if i % 10 else None,            # p: ints + NULL partition
+         ["a", "x y", "b:c"][(i // 3) % 3],    # q: strings needing escaping
+         float(i))
+        for i in range(300)
+    ]  # id=1 -> leaf (p=1, q="a"); p and q vary independently
+    t.merge(spark.createDataFrame(rows, "id long, p int, q string, x double"))
+    assert t.read().count() == 300
+
+    # nested dirs exist with hive escaping at level 2
+    v1 = os.path.join(str(tmp_path / "tbl"), "v=1")
+    leafs = t._leaf_partition_dirs(v1)
+    assert any("__HIVE_DEFAULT_PARTITION__" in r for r in leafs)
+    assert any("q=x y" in r for r in leafs)          # space NOT escaped
+    assert any("q=b%3Ac" in r for r in leafs)        # ':' escaped
+
+    # zone maps exist for BOTH levels -> read_where prunes on either
+    pr = t.read_where({"p": (2, 2)})
+    assert sorted(r.id for r in pr.collect()) == sorted(
+        r.id for r in t.read().filter(F.col("p") == 2).collect())
+    assert 0 < len(pr.inputFiles()) < len(t.read().inputFiles())
+    qr = t.read_point("q", ["x y"])
+    assert qr.count() == t.read().filter(F.col("q") == "x y").count()
+    assert 0 < len(qr.inputFiles()) < len(t.read().inputFiles())
+
+    # pruned merge touching ONE leaf (p=1, q='a'): every other leaf
+    # hardlinked forward
+    before = _snap_inodes(t.root, t.current_version())
+    t.merge(spark.createDataFrame([(1, 1, "a", -1.0), (9001, 1, "a", -2.0)],
+                                  "id long, p int, q string, x double"))
+    after = _snap_inodes(t.root, t.current_version())
+    changed = {r for r in after if after[r] != before.get(r)}
+    assert changed and all(r.startswith(os.path.join("p=1", "q=a"))
+                           for r in changed)
+    got = {r.id: r.x for r in t.read().filter(
+        (F.col("p") == 1) & (F.col("q") == "a")).collect()}
+    assert got[1] == -1.0 and got[9001] == -2.0
+    assert t.read().count() == 301
+
+    # NULL-partition touch pulls existing NULL rows through the merge
+    null_before = t.read().filter(F.col("p").isNull()).count()
+    t.merge(spark.createDataFrame([(9002, None, "a", 0.5)],
+                                  "id long, p int, q string, x double"))
+    assert t.read().filter(F.col("p").isNull()).count() == null_before + 1
+
+    # compact one leaf tuple; wrong arity refuses
+    with pytest.raises(ValueError, match="one value per partition level"):
+        t.compact(partition_value=1)
+    t.compact(partition_value=(0, "a"), target_files=1)
+    assert t.read().count() == 302
+
+    # DML through nested dirs: update one p, delete a q stripe
+    t.update_where({"p": (2, 2)}, {"x": F.lit(0.0)})
+    assert t.read().filter((F.col("p") == 2) & (F.col("x") != 0.0)).count() == 0
+    with pytest.raises(ValueError, match="partition column"):
+        t.update_where({"id": (0, 1)}, {"q": "zz"})
+    n_xy = t.read().filter(F.col("q") == "x y").count()
+    total = t.read().count()
+    t.delete_where({"q": ("x y", "x y")})
+    assert t.read().count() == total - n_xy
+    assert t.read().filter(F.col("q") == "x y").count() == 0
+
+    # merge_into pruned on the tuple level
+    src = spark.createDataFrame([(2, 2, "b:c", 999.0)],
+                                "id long, p int, q string, x double")
+    t.merge_into(src, when_matched_update="s.x > t.x",
+                 when_not_matched_insert=True)
+    assert t.read().filter(F.col("id") == 2).first().x == 999.0

@@ -119,6 +119,14 @@ COMMENTARY = {
         "TakeOrderedAndProject (CI-asserted since r7) — no global "
         "sort, no corpus cross-join anywhere."
     ),
+    "merge_dml_where": (
+        "The read AFTER delete_where/update_where: a plain pruned "
+        "parquet scan over the surviving snapshot files — the DELETE "
+        "left no filter in the plan (it is file drops + boundary "
+        "rewrites at commit time), the UPDATE left no CASE (values "
+        "were rewritten in place), so every downstream query pays "
+        "zero predicate residue. One hash aggregate over the scan."
+    ),
 }
 
 

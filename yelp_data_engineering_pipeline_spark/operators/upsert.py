@@ -370,8 +370,9 @@ class ParquetMergeTable:
     the correct trade for bulk incremental loads (the Delta/Iceberg
     default for unpartitioned MERGE too); a 100 TB deployment
     partitions the table and rewrites only partitions containing
-    matched keys (pass ``partition_by``), which is exactly
-    copy-on-write at partition granularity. What a real lakehouse
+    matched keys (pass ``partition_by`` — one column or a tuple for
+    nested hive layouts like ``("date", "source")``), which is exactly
+    copy-on-write at (leaf-)partition granularity. What a real lakehouse
     format adds on top is a distributed transaction LOG (cross-host
     writers, time travel beyond retained snapshots) — here writers are
     serialized with an advisory ``flock`` on ``<root>/_LOCK``
@@ -395,12 +396,21 @@ class ParquetMergeTable:
     """
 
     def __init__(self, spark: SparkSession, root: str, key: str,
-                 partition_by: str | None = None) -> None:
+                 partition_by: str | list[str] | tuple[str, ...] | None = None,
+                 ) -> None:
         import os
 
         self.spark = spark
         self.root = root
         self.key = key
+        # one column or several (hive-nested dirs p1=a/p2=b — the
+        # date+source layout real lakehouse tables use); internal code
+        # works on the normalized tuple
+        self._parts: tuple[str, ...] = (
+            () if partition_by is None
+            else (partition_by,) if isinstance(partition_by, str)
+            else tuple(partition_by)
+        )
         self.partition_by = partition_by
         os.makedirs(root, exist_ok=True)
 
@@ -511,8 +521,8 @@ class ParquetMergeTable:
         new_v = self.current_version() + 1
         self._clear_orphan(new_v)
         writer = df.write.mode("errorifexists")
-        if self.partition_by:
-            writer = writer.partitionBy(self.partition_by)
+        if self._parts:
+            writer = writer.partitionBy(*self._parts)
         writer.parquet(self._snap_dir(new_v))
         self._save_schema(df, new_v)
         self._save_commit_info(new_v, op)
@@ -671,46 +681,53 @@ class ParquetMergeTable:
     _PCT = _re.compile("%([0-9A-Fa-f]{2})")
 
     def _partition_zone_map(self, relpath: str, schema) -> dict:
-        """Zone map contributed by the file's partition DIRECTORY name
-        (partition values live in paths, not footers): min == max ==
-        the unescaped, schema-typed value, so partition pruning falls
-        out of the same overlap test as data-column skipping. Only
-        string and integral partition types get a zone map — any other
-        type's path rendering is not guaranteed to match the probe's
-        normalization, and a wrong bound would prune incorrectly."""
+        """Zone maps contributed by the file's partition DIRECTORY
+        names (partition values live in paths, not footers): min ==
+        max == the unescaped, schema-typed value, so partition pruning
+        falls out of the same overlap test as data-column skipping —
+        one zone per partition LEVEL for multi-column partitioning.
+        Only string and integral partition types get a zone map — any
+        other type's path rendering is not guaranteed to match the
+        probe's normalization, and a wrong bound would prune
+        incorrectly."""
         import os
 
         from pyspark.sql.types import (ByteType, IntegerType, LongType,
                                        ShortType, StringType)
 
-        part = self.partition_by
-        if not part or schema is None:
+        if not self._parts or schema is None:
             return {}
-        try:
-            dtype = schema[part].dataType
-        except KeyError:
-            return {}
-        integral = isinstance(dtype, (ByteType, ShortType, IntegerType, LongType))
-        if not integral and not isinstance(dtype, StringType):
-            return {}
-        for comp in relpath.split(os.sep)[:-1]:
-            if not comp.startswith(f"{part}="):
+        out: dict[str, dict] = {}
+        comps = relpath.split(os.sep)[:-1]
+        for part in self._parts:
+            try:
+                dtype = schema[part].dataType
+            except KeyError:
                 continue
-            raw = self._PCT.sub(lambda m: chr(int(m.group(1), 16)),
-                                comp[len(part) + 1:])
-            if raw == "__HIVE_DEFAULT_PARTITION__":
-                return {part: {"all_null": True}}
-            v: object = raw
-            if integral:
-                try:
-                    v = int(raw)
-                except ValueError:
-                    return {}
-            n = self._stat_norm(v)
-            if n is None:
-                return {}
-            return {part: {"min": n, "max": n, "nulls": 0}}
-        return {}
+            integral = isinstance(
+                dtype, (ByteType, ShortType, IntegerType, LongType)
+            )
+            if not integral and not isinstance(dtype, StringType):
+                continue
+            for comp in comps:
+                if not comp.startswith(f"{part}="):
+                    continue
+                raw = self._PCT.sub(lambda m: chr(int(m.group(1), 16)),
+                                    comp[len(part) + 1:])
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    out[part] = {"all_null": True}
+                    break
+                v: object = raw
+                if integral:
+                    try:
+                        v = int(raw)
+                    except ValueError:
+                        break
+                n = self._stat_norm(v)
+                if n is not None:
+                    out[part] = {"min": n, "max": n, "nulls": 0}
+                break
+        return out
 
     def _save_stats(self, version: int) -> None:
         """Write ``_STATS.json`` for the snapshot: relpath → zone maps.
@@ -1022,7 +1039,7 @@ class ParquetMergeTable:
             if current is None:
                 merged = upserts
             else:
-                if self.partition_by:
+                if self._parts:
                     return self._merge_pruned(
                         current, incoming, upserts, deletes, schema_evolution
                     )
@@ -1069,42 +1086,85 @@ class ParquetMergeTable:
             f"%{ord(ch):02X}" if ch in cls._PATH_ESCAPE else ch for ch in s
         )
 
-    def _spark_partition_dirnames(self, values, field) -> set[str]:
-        """The EXACT ``part=<x>`` directory names Spark renders for
-        these partition values. Common types (str/int/bool/NULL) render
-        driver-side via the CI-pinned escapePathName port above — zero
-        Spark jobs, the hot path for every merge. Any other value type
-        falls back to having Spark itself write the names (one tiny
-        job over ≤ partition-count rows), so NULL→
-        ``__HIVE_DEFAULT_PARTITION__``, Hive escaping, and exotic type
-        rendering (float, date, timestamp) stay exact by construction
-        (ADVICE r6)."""
-        part = self.partition_by
-        fast = {self._partition_dirname_fast(part, v) for v in values}
-        if None not in fast:
-            return fast
+    def _spark_partition_dirnames(self, values, fields) -> set[str]:
+        """The EXACT relative partition directory paths Spark renders
+        for these partition-value TUPLES (``p1=a/p2=b`` for nested
+        partitioning; plain ``p=a`` for one level). Common types
+        (str/int/bool/NULL) render driver-side via the CI-pinned
+        escapePathName port above — zero Spark jobs, the hot path for
+        every merge. Any other value type falls back to having Spark
+        itself write the names (one tiny job over ≤ partition-count
+        rows), so NULL→``__HIVE_DEFAULT_PARTITION__``, Hive escaping,
+        and exotic type rendering (float, date, timestamp) stay exact
+        by construction (ADVICE r6)."""
         import os
+
+        parts = self._parts
+        fast: set[str | None] = set()
+        for tup in values:
+            levels = [self._partition_dirname_fast(p, v)
+                      for p, v in zip(parts, tup)]
+            fast.add(None if None in levels else os.sep.join(levels))
+        if None not in fast:
+            return fast  # type: ignore[return-value]
         import shutil
         import tempfile
 
         from pyspark.sql.types import StructField, StructType
 
-        part = self.partition_by
         tmp = tempfile.mkdtemp(dir=self.root, prefix="_PARTNAMES.")
         probe_dir = os.path.join(tmp, "p")
         # nullable regardless of source schema: the probe may carry the
         # NULL partition value even when live rows never do
-        schema = StructType([StructField(field.name, field.dataType, True)])
+        schema = StructType(
+            [StructField(f.name, f.dataType, True) for f in fields]
+        )
         try:
-            df = self.spark.createDataFrame([(v,) for v in values], schema)
+            df = self.spark.createDataFrame([tuple(t) for t in values], schema)
             df.withColumn("_d", F.lit(1)).repartition(1).write.partitionBy(
-                part
+                *parts
             ).parquet(probe_dir)
-            return {
-                e for e in os.listdir(probe_dir) if e.startswith(f"{part}=")
-            }
+            out: set[str] = set()
+
+            def rec(d: str, depth: int, rel: str) -> None:
+                for e in os.listdir(d):
+                    full = os.path.join(d, e)
+                    if not os.path.isdir(full) or \
+                            not e.startswith(f"{parts[depth]}="):
+                        continue
+                    r = os.path.join(rel, e) if rel else e
+                    if depth == len(parts) - 1:
+                        out.add(r)
+                    else:
+                        rec(full, depth + 1, r)
+
+            rec(probe_dir, 0, "")
+            return out
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+    def _leaf_partition_dirs(self, snap_dir: str) -> list[str]:
+        """Relative leaf partition directory paths of a snapshot
+        (depth = number of partition levels)."""
+        import os
+
+        parts = self._parts
+        out: list[str] = []
+
+        def rec(d: str, depth: int, rel: str) -> None:
+            for e in os.listdir(d):
+                full = os.path.join(d, e)
+                if not os.path.isdir(full) or \
+                        not e.startswith(f"{parts[depth]}="):
+                    continue
+                r = os.path.join(rel, e) if rel else e
+                if depth == len(parts) - 1:
+                    out.append(r)
+                else:
+                    rec(full, depth + 1, r)
+
+        rec(snap_dir, 0, "")
+        return out
 
     def _merge_pruned(self, current, incoming, upserts, deletes,
                       schema_evolution: bool = False) -> int:
@@ -1116,19 +1176,14 @@ class ParquetMergeTable:
         _SCHEMA.json governs reads: untouched partitions' hardlinked
         files lack the new column and read back as NULL (parquet
         schema-merge semantics under an explicit read schema)."""
-        part = self.partition_by
-        # touched partition values — bounded by partition count, the
-        # same driver-side cardinality any partition-pruning planner
-        # holds
-        touched = {r[0] for r in incoming.select(part).distinct().collect()}
-        # NULL-safe prune: isin() never matches NULL (ADVICE r6), so a
-        # batch touching the NULL partition must pull existing
-        # NULL-partition rows explicitly or they'd vanish from the merge
-        non_null = [t for t in touched if t is not None]
-        cond = F.col(part).isin(non_null) if non_null else F.lit(False)
-        if None in touched:
-            cond = cond | F.col(part).isNull()
-        cur_touched = current.filter(cond)
+        parts = self._parts
+        # touched partition-value tuples — bounded by partition count,
+        # the same driver-side cardinality any partition-pruning
+        # planner holds
+        touched = {
+            tuple(r) for r in incoming.select(*parts).distinct().collect()
+        }
+        cur_touched = current.filter(self._touched_cond(touched))
         merged = merge_upsert(
             cur_touched, upserts, self.key, allow_missing=schema_evolution
         )
@@ -1142,32 +1197,58 @@ class ParquetMergeTable:
         # Spark writes ONLY the touched partitions (merged carries no
         # untouched rows); partition pruning on the read side
         # (filter above) means untouched data was never scanned.
-        merged.write.mode("errorifexists").partitionBy(part).parquet(new_dir)
+        merged.write.mode("errorifexists").partitionBy(*parts).parquet(new_dir)
         self._save_schema(merged, new_v)
-        touched_dirs = self._spark_partition_dirnames(touched, incoming.schema[part])
+        touched_dirs = self._spark_partition_dirnames(
+            touched, [incoming.schema[p] for p in parts]
+        )
         self._hardlink_untouched(old_v, new_v, touched_dirs)
         self._save_commit_info(new_v, "merge_pruned")
         self._flip_pointer(new_v)
         return new_v
 
-    def _hardlink_untouched(self, old_v: int, new_v: int, touched_dirs: set[str]) -> None:
-        """Bring untouched partition directories forward by hardlink
-        (zero data copy — parquet files are immutable once committed)."""
+    def _touched_cond(self, touched: set[tuple]):
+        """Row predicate selecting exactly the touched partition-value
+        tuples, NULL-safe per level (isin() never matches NULL —
+        ADVICE r6; a batch touching the NULL partition must pull
+        existing NULL-partition rows or they'd vanish)."""
+        parts = self._parts
+        if len(parts) == 1:  # IN-set plan instead of an OR chain
+            vals = [t[0] for t in touched]
+            non_null = [v for v in vals if v is not None]
+            cond = (F.col(parts[0]).isin(non_null) if non_null
+                    else F.lit(False))
+            if None in vals:
+                cond = cond | F.col(parts[0]).isNull()
+            return cond
+        cond = F.lit(False)
+        for tup in touched:
+            c = F.lit(True)
+            for p, v in zip(parts, tup):
+                c = c & (F.col(p).isNull() if v is None
+                         else F.col(p) == F.lit(v))
+            cond = cond | c
+        return cond
+
+    def _hardlink_untouched(self, old_v: int, new_v: int,
+                            touched_dirs: set[str]) -> None:
+        """Bring untouched leaf partition directories forward by
+        hardlink (zero data copy — parquet files are immutable once
+        committed). ``touched_dirs`` holds RELATIVE leaf paths
+        (``p1=a/p2=b``)."""
         import os
 
-        part = self.partition_by
         old_dir = self._snap_dir(old_v)
         new_dir = self._snap_dir(new_v)
-        for entry in os.listdir(old_dir):
-            if not entry.startswith(f"{part}="):
+        for rel in self._leaf_partition_dirs(old_dir):
+            if rel in touched_dirs:
                 continue
-            if entry in touched_dirs:
-                continue
-            src_dir = os.path.join(old_dir, entry)
-            dst_dir = os.path.join(new_dir, entry)
+            src_dir = os.path.join(old_dir, rel)
+            dst_dir = os.path.join(new_dir, rel)
             os.makedirs(dst_dir, exist_ok=True)
             for fname in os.listdir(src_dir):
-                os.link(os.path.join(src_dir, fname), os.path.join(dst_dir, fname))
+                os.link(os.path.join(src_dir, fname),
+                        os.path.join(dst_dir, fname))
 
     def merge_with_retry(
         self, incoming: DataFrame, delete_col: str | None = None,
@@ -1286,8 +1367,8 @@ class ParquetMergeTable:
             current = self.read()
             if current is None:
                 return 0
-            part = self.partition_by
-            if part is None or partition_value is self._WHOLE_TABLE:
+            parts = self._parts
+            if not parts or partition_value is self._WHOLE_TABLE:
                 # whole-table compaction: on a partitioned table the
                 # single-task coalesce write still emits one file per
                 # partition (zorder clusters within its z-ranges)
@@ -1295,20 +1376,24 @@ class ParquetMergeTable:
                     _layout(current),
                     op="compact_zorder" if zorder_by else "compact",
                 )
-            cond = (
-                F.col(part).isNull()
-                if partition_value is None
-                else F.col(part) == F.lit(partition_value)
-            )
-            merged = _layout(current.filter(cond))
+            # one leaf partition: a scalar for 1-level tables, a tuple
+            # for nested partitioning
+            tup = (partition_value if isinstance(partition_value, tuple)
+                   else (partition_value,))
+            if len(tup) != len(parts):
+                raise ValueError(
+                    f"compact() needs one value per partition level "
+                    f"({len(parts)}), got {tup!r}"
+                )
+            merged = _layout(current.filter(self._touched_cond({tup})))
             old_v = self.current_version()
             new_v = old_v + 1
             self._clear_orphan(new_v)
             new_dir = self._snap_dir(new_v)
-            merged.write.mode("errorifexists").partitionBy(part).parquet(new_dir)
+            merged.write.mode("errorifexists").partitionBy(*parts).parquet(new_dir)
             self._save_schema(current, new_v)
             touched_dirs = self._spark_partition_dirnames(
-                {partition_value}, current.schema[part]
+                {tup}, [current.schema[p] for p in parts]
             )
             self._hardlink_untouched(old_v, new_v, touched_dirs)
             self._save_commit_info(new_v, "compact")
@@ -1356,8 +1441,8 @@ class ParquetMergeTable:
         new_dir = self._snap_dir(new_v)
         if out_df is not None:
             writer = out_df.write.mode("errorifexists")
-            if self.partition_by:
-                writer = writer.partitionBy(self.partition_by)
+            if self._parts:
+                writer = writer.partitionBy(*self._parts)
             writer.parquet(new_dir)
         else:
             os.makedirs(new_dir)
@@ -1440,10 +1525,11 @@ class ParquetMergeTable:
             missing = [c for c in assignments if c not in current.columns]
             if missing:
                 raise ValueError(f"UPDATE of unknown column(s): {missing}")
-            if self.partition_by and self.partition_by in assignments:
+            assigned_parts = set(assignments) & set(self._parts)
+            if assigned_parts:
                 raise ValueError(
-                    "UPDATE may not assign the partition column "
-                    f"{self.partition_by!r} (rows cannot change "
+                    "UPDATE may not assign the partition column(s) "
+                    f"{sorted(assigned_parts)!r} (rows cannot change "
                     "partitions; delete + merge instead)"
                 )
             residual = self._range_residual(ranges)
@@ -1533,17 +1619,14 @@ class ParquetMergeTable:
                 # empty table: every source row is unmatched; conditions
                 # over t.* see NULLs (coalesced false) as SQL MERGE does
                 current = self.spark.createDataFrame([], source.schema)
-            pruned = self.partition_by is not None and not first
+            pruned = bool(self._parts) and not first
             if pruned:
-                part = self.partition_by
+                parts = self._parts
                 touched = {
-                    r[0] for r in source.select(part).distinct().collect()
+                    tuple(r)
+                    for r in source.select(*parts).distinct().collect()
                 }
-                non_null = [t for t in touched if t is not None]
-                cond = F.col(part).isin(non_null) if non_null else F.lit(False)
-                if None in touched:
-                    cond = cond | F.col(part).isNull()
-                target = current.filter(cond)
+                target = current.filter(self._touched_cond(touched))
             else:
                 target = current
             t = target.withColumn("_t", F.lit(True)).alias("t")
@@ -1567,12 +1650,12 @@ class ParquetMergeTable:
             old_v = self.current_version()
             new_v = old_v + 1
             self._clear_orphan(new_v)
-            merged.write.mode("errorifexists").partitionBy(part).parquet(
+            merged.write.mode("errorifexists").partitionBy(*parts).parquet(
                 self._snap_dir(new_v)
             )
             self._save_schema(merged, new_v)
             touched_dirs = self._spark_partition_dirnames(
-                touched, current.schema[part]
+                touched, [current.schema[p] for p in parts]
             )
             self._hardlink_untouched(old_v, new_v, touched_dirs)
             self._save_commit_info(new_v, "merge_into")
