@@ -1462,3 +1462,79 @@ def test_merge_table_multi_column_partitioning(spark, tmp_path):
     t.merge_into(src, when_matched_update="s.x > t.x",
                  when_not_matched_insert=True)
     assert t.read().filter(F.col("id") == 2).first().x == 999.0
+
+
+def test_merge_table_check_constraints(spark, tmp_path):
+    """CHECK constraints: validated once at add (refused if existing
+    rows violate), then enforced on every commit's WRITTEN rows inside
+    the write job (Observation — no extra scan); a violating commit
+    aborts before the pointer flip, leaving the table bit-unchanged
+    and no orphan snapshot. NULL passes, as in SQL CHECK."""
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        ConstraintViolationError,
+        ParquetMergeTable,
+    )
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="k")
+    t.merge(spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None)], "k long, v long"))
+    t.add_constraint("v_nonneg", "v >= 0")      # NULL v passes
+    assert t.constraints() == {"v_nonneg": "v >= 0"}
+
+    # adding a constraint the existing data violates is refused
+    with pytest.raises(ConstraintViolationError, match="existing rows"):
+        t.add_constraint("v_big", "v >= 15")
+    assert "v_big" not in t.constraints()
+
+    # a violating merge aborts cleanly: version, rows, files unchanged
+    v_before = t.current_version()
+    rows_before = sorted((r.k, r.v) for r in t.read().collect())
+    with pytest.raises(ConstraintViolationError, match="v_nonneg"):
+        t.merge(spark.createDataFrame([(4, -5)], "k long, v long"))
+    assert t.current_version() == v_before
+    assert sorted((r.k, r.v) for r in t.read().collect()) == rows_before
+    import os
+    assert not os.path.exists(t._snap_dir(v_before + 1))  # no orphan
+
+    # a valid merge (including NULL) still commits
+    t.merge(spark.createDataFrame([(4, None), (5, 7)], "k long, v long"))
+    assert t.read().count() == 5
+
+    # update_where is checked too
+    with pytest.raises(ConstraintViolationError):
+        t.update_where({"k": (5, 5)}, {"v": F.lit(-1)})
+    assert t.read().filter(F.col("k") == 5).first().v == 7
+
+    # drop re-opens the gate
+    t.drop_constraint("v_nonneg")
+    t.merge(spark.createDataFrame([(6, -1)], "k long, v long"))
+    assert t.read().count() == 6
+
+
+def test_merge_table_constraints_partitioned_pruned_commit(spark, tmp_path):
+    """Constraint abort on the partition-pruned path: the touched
+    partition's rewrite is discarded, untouched partitions were never
+    read, and the table stays at the prior version."""
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        ConstraintViolationError,
+        ParquetMergeTable,
+    )
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="k",
+                          partition_by="p")
+    t.merge(spark.createDataFrame(
+        [(i, i % 3, i * 1.0) for i in range(30)], "k long, p int, x double"))
+    t.add_constraint("x_pos", "x >= 0.0")
+    v = t.current_version()
+    with pytest.raises(ConstraintViolationError):
+        t.merge(spark.createDataFrame([(1, 1, -9.0)],
+                                      "k long, p int, x double"))
+    assert t.current_version() == v
+    assert t.read().count() == 30
+    # merge_into path enforces as well
+    with pytest.raises(ConstraintViolationError):
+        t.merge_into(
+            spark.createDataFrame([(2, 2, -1.0)], "k long, p int, x double"),
+            when_matched_update=True, when_not_matched_insert=True,
+        )
+    assert t.read().filter(F.col("x") < 0).count() == 0

@@ -349,6 +349,12 @@ class ConcurrentMergeError(RuntimeError):
     and can be retried safely."""
 
 
+class ConstraintViolationError(ValueError):
+    """A commit wrote rows violating a table CHECK constraint; the
+    snapshot was discarded before the pointer flip, so readers never
+    saw it and the table is unchanged."""
+
+
 class ParquetMergeTable:
     """``MERGE INTO``-shaped keyed upsert/delete over plain parquet with
     versioned copy-on-write snapshots — the engine-native stand-in for
@@ -517,13 +523,119 @@ class ParquetMergeTable:
             f.write(str(new_v))
         os.replace(tmp, self._pointer())
 
+    # ---- CHECK constraints (Delta ADD CONSTRAINT shape) -------------
+    #
+    # Enforcement costs ZERO extra passes: the violation counters ride
+    # the snapshot-write job itself via DataFrame.observe, and a
+    # violated commit is aborted AFTER the write but BEFORE the pointer
+    # flip — MVCC means readers never saw the bad snapshot and the
+    # table is bit-unchanged. Hardlinked (untouched) partitions are
+    # never revalidated: they passed when written, and add_constraint
+    # validates the whole table once — sound by induction.
+
+    def _constraints_file(self) -> str:
+        import os
+
+        return os.path.join(self.root, "_CONSTRAINTS.json")
+
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints, name → SQL expression."""
+        import json as _json
+        import os
+
+        p = self._constraints_file()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return _json.load(f)
+
+    def add_constraint(self, name: str, sql_expr: str,
+                       wait: bool = True) -> None:
+        """Add a CHECK constraint (SQL boolean over the table's
+        columns; NULL passes, as in SQL CHECK). The CURRENT table is
+        validated first — one scan — and the add is refused if any row
+        violates; afterwards every commit's written rows are checked
+        inside the write job and a violating commit aborts cleanly
+        (:class:`ConstraintViolationError`) without becoming visible."""
+        import json as _json
+
+        lock = self._writer_lock(wait)
+        try:
+            current = self.read()
+            if current is not None:
+                bad = current.filter(
+                    F.expr(sql_expr) == F.lit(False)
+                ).limit(1).count()
+                if bad:
+                    raise ConstraintViolationError(
+                        f"existing rows violate CHECK {name!r}: {sql_expr}"
+                    )
+            cons = self.constraints()
+            cons[name] = sql_expr
+            with open(self._constraints_file(), "w") as f:
+                _json.dump(cons, f)
+        finally:
+            lock.close()
+
+    def drop_constraint(self, name: str, wait: bool = True) -> None:
+        import json as _json
+
+        lock = self._writer_lock(wait)
+        try:
+            cons = self.constraints()
+            cons.pop(name, None)
+            with open(self._constraints_file(), "w") as f:
+                _json.dump(cons, f)
+        finally:
+            lock.close()
+
+    def _attach_constraint_obs(self, df: DataFrame):
+        """Ride violation counters on the write job (no extra scan)."""
+        cons = self.constraints()
+        if not cons:
+            return df, None, ()
+        from pyspark.sql import Observation
+
+        names = sorted(cons)
+        obs = Observation()
+        aggs = [
+            F.sum(
+                F.when(F.expr(cons[n]) == F.lit(False), 1).otherwise(0)
+            ).alias(f"viol_{i}")
+            for i, n in enumerate(names)
+        ]
+        return df.observe(obs, *aggs), obs, names
+
+    def _enforce_constraints(self, obs, names, new_v: int) -> None:
+        """After the snapshot write, before the pointer flip: discard
+        the snapshot and raise if any constraint counted a violation."""
+        import shutil
+
+        if obs is None:
+            return
+        got = obs.get
+        cons = self.constraints()
+        bad = [
+            (n, cons.get(n, "?"))
+            for i, n in enumerate(names)
+            if (got.get(f"viol_{i}") or 0) > 0
+        ]
+        if bad:
+            shutil.rmtree(self._snap_dir(new_v), ignore_errors=True)
+            raise ConstraintViolationError(
+                "commit aborted before pointer flip — written rows "
+                f"violate CHECK constraint(s): {bad}"
+            )
+
     def _commit(self, df: DataFrame, op: str = "merge") -> int:
         new_v = self.current_version() + 1
         self._clear_orphan(new_v)
+        df, obs, names = self._attach_constraint_obs(df)
         writer = df.write.mode("errorifexists")
         if self._parts:
             writer = writer.partitionBy(*self._parts)
         writer.parquet(self._snap_dir(new_v))
+        self._enforce_constraints(obs, names, new_v)
         self._save_schema(df, new_v)
         self._save_commit_info(new_v, op)
         self._flip_pointer(new_v)
@@ -1197,7 +1309,9 @@ class ParquetMergeTable:
         # Spark writes ONLY the touched partitions (merged carries no
         # untouched rows); partition pruning on the read side
         # (filter above) means untouched data was never scanned.
+        merged, obs, cnames = self._attach_constraint_obs(merged)
         merged.write.mode("errorifexists").partitionBy(*parts).parquet(new_dir)
+        self._enforce_constraints(obs, cnames, new_v)
         self._save_schema(merged, new_v)
         touched_dirs = self._spark_partition_dirnames(
             touched, [incoming.schema[p] for p in parts]
@@ -1440,10 +1554,12 @@ class ParquetMergeTable:
         self._clear_orphan(new_v)
         new_dir = self._snap_dir(new_v)
         if out_df is not None:
+            out_df, obs, cnames = self._attach_constraint_obs(out_df)
             writer = out_df.write.mode("errorifexists")
             if self._parts:
                 writer = writer.partitionBy(*self._parts)
             writer.parquet(new_dir)
+            self._enforce_constraints(obs, cnames, new_v)
         else:
             os.makedirs(new_dir)
         self._hardlink_rels(old_v, new_v, keep_rels)
@@ -1650,9 +1766,11 @@ class ParquetMergeTable:
             old_v = self.current_version()
             new_v = old_v + 1
             self._clear_orphan(new_v)
+            merged, obs, cnames = self._attach_constraint_obs(merged)
             merged.write.mode("errorifexists").partitionBy(*parts).parquet(
                 self._snap_dir(new_v)
             )
+            self._enforce_constraints(obs, cnames, new_v)
             self._save_schema(merged, new_v)
             touched_dirs = self._spark_partition_dirnames(
                 touched, [current.schema[p] for p in parts]
@@ -1776,6 +1894,45 @@ def merge_dml_where(spark: SparkSession, sf_dir: str):
     )
 
 
+def merge_into_conditional(spark: SparkSession, sf_dir: str):
+    """Evidence query for the conditional-clause MERGE statement: a
+    REAL ParquetMergeTable seeded from orders, then one merge_into with
+    all three clause kinds live — UPDATE only where the source price
+    is higher, DELETE matched keys divisible by 4 (checked BEFORE
+    update, per SQL MERGE), INSERT only expensive unmatched rows. The
+    oracle replays the same clause algebra in SQL over the raw
+    parquet, so wrong precedence, a leaked clause, or a lost unmatched
+    target row all hash-mismatch."""
+    import os
+    import tempfile
+
+    from ..tables import load
+
+    orders = load(spark, sf_dir, "orders")
+    existing = orders.filter(F.col("o_orderkey") % 10 != 0)
+    src = orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice",
+        F.col("o_totalprice")
+        + F.when(F.col("o_orderkey") % 2 == 0, F.lit(1000.0))
+        .otherwise(F.lit(-1000.0)),
+    )
+    root = tempfile.mkdtemp(prefix="merge_into_cond_")
+    t = ParquetMergeTable(spark, os.path.join(root, "t"), "o_orderkey")
+    t.merge(existing)
+    t.merge_into(
+        src,
+        when_matched_update="s.o_totalprice > t.o_totalprice",
+        when_matched_delete="t.o_orderkey % 4 = 0",
+        when_not_matched_insert="s.o_totalprice > 100000",
+    )
+    return t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+
+
 def _register_merge() -> None:
     from ..plans.catalog import register
 
@@ -1823,6 +1980,43 @@ def _register_merge() -> None:
         WHERE o_totalprice IS NULL
            OR NOT (o_totalprice BETWEEN 150000 AND 300000)
         GROUP BY o_orderstatus
+        """,
+    )
+    # Clause algebra replay: matched = key in BOTH existing and src
+    # (keys ≡ 5 mod 10); DELETE precedes UPDATE; unmatched targets
+    # always survive; unmatched src (keys ≡ 0 mod 10) insert only when
+    # expensive. Identical double arithmetic on both engines.
+    register(
+        "merge_into_conditional",
+        merge_into_conditional,
+        """
+        WITH existing AS (
+          SELECT * FROM orders WHERE o_orderkey % 10 <> 0
+        ),
+        src AS (
+          SELECT * REPLACE (
+            o_totalprice + CASE WHEN o_orderkey % 2 = 0
+                                THEN 1000.0 ELSE -1000.0 END
+            AS o_totalprice)
+          FROM orders WHERE o_orderkey % 5 = 0
+        ),
+        merged AS (
+          SELECT e.o_orderstatus,
+                 CASE WHEN s.o_orderkey IS NOT NULL
+                           AND s.o_totalprice > e.o_totalprice
+                      THEN s.o_totalprice ELSE e.o_totalprice
+                 END AS o_totalprice
+          FROM existing e LEFT JOIN src s USING (o_orderkey)
+          WHERE NOT (s.o_orderkey IS NOT NULL AND e.o_orderkey % 4 = 0)
+          UNION ALL
+          SELECT o_orderstatus, o_totalprice FROM src
+          WHERE o_orderkey % 10 = 0 AND o_totalprice > 100000
+        )
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM merged GROUP BY o_orderstatus
         """,
     )
 

@@ -89,6 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_bitmap_distinct",
     "merge_upsert_idempotent",
     "merge_dml_where",
+    "merge_into_conditional",
     "agg_kmv_intersection",
     # -- oldest-evidence refreshes (latest row = r3, code unchanged) --
     "dedup_exact",
@@ -113,14 +114,14 @@ _PRIORITY: tuple[str, ...] = (
     "stream_tumbling_window",
     "window_pagination",
     "window_rank_distribution",
-    "explode_word_counts",
 )
-# r8-window-first candidates (non-debt, informational): the 19
+# r8-window-first candidates (non-debt, informational): the 20
 # remaining r3-evidence entries this round's changes displaced from
 # the refresh tail — agg_approx_sketches, array_higher_order,
 # collect_sorted_list, explode_zip_pairs, filter_disjunctive_range,
 # prep_vocab (displaced by the r7 kmv refactor slot),
 # func_json_extract (displaced by the r7 merge_dml_where slot),
+# explode_word_counts (displaced by the r7 merge_into_conditional slot),
 # filter_quarantine, func_case_mapping, func_html_unescape,
 # func_time_parse, join_range_bucketed, map_functions, mm_binary_meta,
 # prep_repetition_stats, sql_api_groupby, text_lang_id,
