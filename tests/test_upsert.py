@@ -1538,3 +1538,71 @@ def test_merge_table_constraints_partitioned_pruned_commit(spark, tmp_path):
             when_matched_update=True, when_not_matched_insert=True,
         )
     assert t.read().filter(F.col("x") < 0).count() == 0
+
+
+def test_merge_table_deletion_vectors(spark, tmp_path):
+    """Merge-on-read DELETE: use_deletion_vectors hardlinks EVERY file
+    (inode-asserted — nothing rewritten) and records matching row
+    POSITIONS; reads anti-join the DV so results equal the CoW
+    semantics; DVs merge across deletes, survive unrelated commits,
+    purge when their file is rewritten, and never resurrect rows."""
+    t = _clustered_table(spark, tmp_path / "tbl")  # 1000 rows, 4 files
+    before = _snap_inodes(t.root, t.current_version())
+    v = t.delete_where({"id": (100, 180)}, use_deletion_vectors=True)
+    after = _snap_inodes(t.root, v)
+    assert after == before                      # zero rewrite
+    assert t.read().count() == 919
+    assert t.read().filter(F.col("id").between(100, 180)).count() == 0
+    assert sum(len(p) for p in t.deletion_vectors().values()) == 81
+
+    # a second DV delete merges; count_where stays exact
+    t.delete_where({"id": (150, 250)}, use_deletion_vectors=True)
+    assert t.read().count() == 1000 - 151
+    assert t.count_where({"id": (0, 999)}) == 849
+    assert t.count_where({"id": (90, 300)}) == 211 - 151
+
+    # an unrelated CoW update purges only the files it rewrites and
+    # keeps every deletion in force
+    t.update_where({"id": (900, 999)}, {"val": F.lit(-1)})
+    assert t.read().count() == 849
+    assert t.read().filter(F.col("id").between(100, 250)).count() == 0
+    # compact purges all DVs, data unchanged
+    t.compact(target_files=4)
+    assert t.deletion_vectors() == {}
+    assert t.read().count() == 849
+    # time travel to the DV snapshot still applies its DV
+    assert t.read(version=v).count() == 919
+
+
+def test_merge_table_deletion_vectors_partitioned_escaped(spark, tmp_path):
+    """DV keys are the URI-form paths _metadata.file_path yields —
+    Hive-escaped partition dirs ('x y' → 'x%20y', 'b%3Ac' →
+    'b%253Ac') must round-trip through recording, filtering, AND the
+    unquote-based carry-forward across a later commit."""
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        ParquetMergeTable,
+    )
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id",
+                          partition_by="q")
+    rows = [(i, ["plain", "x y", "b:c"][i % 3], i * 1.0) for i in range(90)]
+    t.merge(spark.createDataFrame(rows, "id long, q string, x double"))
+    before = _snap_inodes(t.root, t.current_version())
+    v = t.delete_where({"id": (10, 40)}, use_deletion_vectors=True)
+    after = _snap_inodes(t.root, v)
+    # fully-contained files are still metadata-DROPPED; every survivor
+    # is a hardlink (DV mode never rewrites)
+    assert set(after.items()) <= set(before.items())
+    assert t.read().count() == 90 - 31
+    assert t.read().filter(F.col("id").between(10, 40)).count() == 0
+    assert any("%20" in k or "%25" in k for k in t.deletion_vectors())
+
+    # carry-forward across a pruned merge touching only 'plain'
+    t.merge(spark.createDataFrame([(90, "plain", 9.0)],
+                                  "id long, q string, x double"))
+    assert t.read().count() == 60
+    assert t.read().filter(F.col("id").between(10, 40)).count() == 0
+    # clone carries the DV
+    c = t.clone(str(tmp_path / "dev"))
+    assert c.read().count() == 60
+    assert c.read().filter(F.col("id").between(10, 40)).count() == 0

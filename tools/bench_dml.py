@@ -141,6 +141,29 @@ def main() -> None:
         "sec": round(s_upd, 3),
     }
 
+    # -- merge-on-read DELETE: the SPARSE (GDPR-row) shape DVs exist
+    # for — a handful of rows scattered in big files; CoW would
+    # rewrite the whole boundary file for them
+    before = inodes()
+    lo = dlo + (dhi - dlo) * 3 // 10
+    hi = lo + max((dhi - dlo) // 100_000, 1)
+    n_match = t.read().filter(F.col("l_orderkey").between(lo, hi)).count()
+    rows_now = t.read().count()
+    t0 = time.perf_counter()
+    t.delete_where({"l_orderkey": (lo, hi)}, use_deletion_vectors=True)
+    s_dv = time.perf_counter() - t0
+    assert t.read().count() == rows_now - n_match
+    after = inodes()
+    out["ops"]["delete_dv_sparse"] = {
+        "rows_deleted": n_match,
+        "files_rewritten": sum(
+            1 for f, i in after.items() if before.get(f) != i
+        ),
+        "dv_positions": sum(len(p) for p in t.deletion_vectors().values()),
+        "sec": round(s_dv, 3),
+    }
+    rows = t.read().count()
+
     # -- full-rewrite baseline LAST (it destroys the clustering) -------
     lo = dlo + (dhi - dlo) // 5
     hi = lo + width

@@ -476,8 +476,10 @@ class ParquetMergeTable:
         if os.path.exists(schema_file):
             with open(schema_file) as f:
                 schema = StructType.fromJson(_json.load(f))
-            return self.spark.read.schema(schema).parquet(snap)
-        return self.spark.read.parquet(snap)
+            df = self.spark.read.schema(schema).parquet(snap)
+        else:
+            df = self.spark.read.parquet(snap)
+        return self._apply_dv(df, v)
 
     def _writer_lock(self, wait: bool):
         """Exclusive advisory lock serializing commits. ``flock`` binds
@@ -648,8 +650,39 @@ class ParquetMergeTable:
         with open(os.path.join(self._snap_dir(version), "_SCHEMA.json"), "w") as f:
             _json.dump(df.schema.jsonValue(), f)
 
+    def _save_dv(self, version: int, new_dv: dict | None) -> None:
+        """Carry deletion vectors forward across a commit: parent DV
+        entries survive exactly when their file was hardlinked into
+        the new snapshot (rewritten/dropped files purge theirs —
+        the keys are URI-form, the filesystem check unquotes), then
+        merge any freshly recorded positions."""
+        import json as _json
+        import os
+        from urllib.parse import unquote
+
+        snap = self._snap_dir(version)
+        parent = {}
+        if version > 1 and os.path.isdir(self._snap_dir(version - 1)):
+            pf = os.path.join(self._snap_dir(version - 1), "_DV.json")
+            if os.path.exists(pf):
+                with open(pf) as f:
+                    parent = _json.load(f)
+        merged: dict[str, list[int]] = {}
+        for k, ps in parent.items():
+            if os.path.exists(os.path.join(snap, unquote(k))):
+                merged[k] = list(ps)
+        for k, ps in (new_dv or {}).items():
+            merged[k] = sorted(set(merged.get(k, [])) | set(ps))
+        target = os.path.join(snap, "_DV.json")
+        if merged:
+            with open(target, "w") as f:
+                _json.dump(merged, f)
+        # no merged entries: leave any pre-copied DV (clone) alone
+
     def _save_commit_info(self, version: int, op: str,
-                          stats: bool = True) -> None:
+                          stats: bool = True,
+                          new_dv: dict | None = None) -> None:
+        self._save_dv(version, new_dv)
         import json as _json
         import os
         import time as _time
@@ -961,14 +994,72 @@ class ParquetMergeTable:
                     residual = cmp if residual is None else residual & cmp
         return residual
 
-    def _read_files(self, snap: str, files: list, schema) -> DataFrame:
+    # ---- deletion vectors (merge-on-read DELETE) --------------------
+    #
+    # ``_DV.json`` in a snapshot maps file key → sorted deleted ROW
+    # POSITIONS (``_metadata.row_index``); the file key is the
+    # URI-form relative path ``_metadata.file_path`` yields (stable
+    # across reads, self-consistent for the anti-join — the fs-form
+    # differs for Hive-escaped partition dirs, handled by unquote at
+    # carry-forward time). Readers anti-join (file, pos) against the
+    # broadcast DV — zero overhead when no DV exists. DVs are carried
+    # forward for hardlinked files at every commit and purged
+    # naturally when a file is rewritten (compact / CoW paths), the
+    # Delta deletion-vector lifecycle.
+
+    def deletion_vectors(self, version: int | None = None) -> dict:
+        """file key → sorted deleted row positions ({} when none)."""
+        import json as _json
+        import os
+
+        v = version if version is not None else self.current_version()
+        if v == 0:
+            return {}
+        p = os.path.join(self._snap_dir(v), "_DV.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return _json.load(f)
+
+    def _apply_dv(self, df: DataFrame, version: int,
+                  keep_pos: bool = False) -> DataFrame:
+        """Filter DV-deleted rows out of a snapshot scan; with
+        ``keep_pos`` the (file key, row position) columns stay visible
+        as ``_file_rel``/``_row_pos`` (the DV-building scan needs
+        them). No-op (identical plan) when the snapshot has no DV."""
+        dv = self.deletion_vectors(version)
+        if not dv and not keep_pos:
+            return df
+        marker = f"/v={version}/"
+        out = df.withColumn(
+            "_file_rel",
+            F.substring_index(F.col("_metadata.file_path"), marker, -1),
+        ).withColumn("_row_pos", F.col("_metadata.row_index"))
+        if dv:
+            rows = [(rel, int(p)) for rel, ps in dv.items() for p in ps]
+            dv_df = self.spark.createDataFrame(
+                rows, "_dv_rel string, _dv_pos long"
+            )
+            out = out.join(
+                F.broadcast(dv_df),
+                (out["_file_rel"] == dv_df["_dv_rel"])
+                & (out["_row_pos"] == dv_df["_dv_pos"]),
+                "left_anti",
+            )
+        if not keep_pos:
+            out = out.drop("_file_rel", "_row_pos")
+        return out
+
+    def _read_files(self, snap: str, files: list, schema,
+                    version: int, keep_pos: bool = False) -> DataFrame:
         if not files:
             return self.spark.createDataFrame([], schema)
-        return (
+        df = (
             self.spark.read.schema(schema)
             .option("basePath", snap)
             .parquet(*files)
         )
+        return self._apply_dv(df, version, keep_pos=keep_pos)
 
     def read_where(self, ranges: dict, version: int | None = None
                    ) -> DataFrame | None:
@@ -997,7 +1088,7 @@ class ParquetMergeTable:
         snap = self._snap_dir(v)
         kept = [os.path.join(snap, rel) for rel, zm in sorted(stats.items())
                 if self._range_keep(zm, ranges)]
-        pruned = self._read_files(snap, kept, df.schema)
+        pruned = self._read_files(snap, kept, df.schema, v)
         return pruned.filter(residual) if residual is not None else pruned
 
     def count_where(self, ranges: dict, version: int | None = None
@@ -1021,6 +1112,12 @@ class ParquetMergeTable:
         if stats is None:
             full = df.filter(residual) if residual is not None else df
             return full.count()
+        from urllib.parse import unquote
+
+        # deleted-but-unpurged rows come off the footer counts (their
+        # match status is irrelevant — they are deleted either way)
+        dv_fs = {unquote(k): len(ps)
+                 for k, ps in self.deletion_vectors(v).items()}
         meta_rows = 0
         boundary: list[str] = []
         snap = self._snap_dir(v)
@@ -1029,12 +1126,12 @@ class ParquetMergeTable:
                 continue
             if isinstance(zm.get("rows"), int) and \
                     self._range_contained(zm, ranges):
-                meta_rows += zm["rows"]
+                meta_rows += zm["rows"] - dv_fs.get(rel, 0)
             else:
                 boundary.append(os.path.join(snap, rel))
         if not boundary:
             return meta_rows
-        scan = self._read_files(snap, boundary, df.schema)
+        scan = self._read_files(snap, boundary, df.schema, v)
         if residual is not None:
             scan = scan.filter(residual)
         return meta_rows + scan.count()
@@ -1082,7 +1179,7 @@ class ParquetMergeTable:
         snap = self._snap_dir(v)
         kept = [os.path.join(snap, rel) for rel, zm in sorted(stats.items())
                 if hit(zm)]
-        return self._read_files(snap, kept, df.schema).filter(residual)
+        return self._read_files(snap, kept, df.schema, v).filter(residual)
 
     def history(self) -> list[dict]:
         """Retained commit history, newest first (the DESCRIBE HISTORY
@@ -1544,10 +1641,12 @@ class ParquetMergeTable:
             os.link(os.path.join(old_dir, rel), dst)
 
     def _dml_commit(self, out_df, keep_rels, old_v: int, schema_df,
-                    op: str) -> int:
+                    op: str, new_dv: dict | None = None) -> int:
         """Shared DML tail: Spark-write the rewritten rows (if any),
         hardlink the untouched files, commit. ``out_df`` None means a
-        METADATA-ONLY commit — no Spark job runs at all."""
+        METADATA-ONLY commit — no Spark job runs at all. ``new_dv``
+        merges fresh deletion-vector positions into the snapshot's
+        carried-forward DV."""
         import os
 
         new_v = old_v + 1
@@ -1564,11 +1663,12 @@ class ParquetMergeTable:
             os.makedirs(new_dir)
         self._hardlink_rels(old_v, new_v, keep_rels)
         self._save_schema(schema_df, new_v)
-        self._save_commit_info(new_v, op)
+        self._save_commit_info(new_v, op, new_dv=new_dv)
         self._flip_pointer(new_v)
         return new_v
 
-    def delete_where(self, ranges: dict, wait: bool = True) -> int:
+    def delete_where(self, ranges: dict, wait: bool = True,
+                     use_deletion_vectors: bool = False) -> int:
         """``DELETE FROM t WHERE <conjunctive BETWEEN ranges>`` (the
         read_where() predicate shape; either bound None for one-sided).
         SQL semantics: a NULL predicate column never matches, so those
@@ -1577,7 +1677,16 @@ class ParquetMergeTable:
         * file proven to hold NO matching row → hardlinked forward,
         * file proven ALL-matching (bounds inside the range, zero
           nulls) → dropped — metadata-only, no scan,
-        * boundary file → rewritten with the keep-filter.
+        * boundary file → rewritten with the keep-filter, OR — with
+          ``use_deletion_vectors`` — HARDLINKED with the matching row
+          POSITIONS recorded in the snapshot's deletion vector
+          (merge-on-read): no data is rewritten at all, readers
+          anti-join the broadcast DV, and the DV purges when the file
+          is eventually rewritten (compact / a later CoW touch). The
+          unclustered-predicate / GDPR-single-row shape where
+          rewriting multi-GB files for a handful of rows is the wrong
+          trade; the cost moves to reads, so compact once
+          ``deletion_vectors()`` grows past a few % of table rows.
 
         A delete whose predicate aligns with the clustering (zorder /
         ingestion time / monotone key) therefore runs zero or near-zero
@@ -1607,17 +1716,38 @@ class ParquetMergeTable:
                 else:
                     boundary.append(rel)
             out = None
-            if boundary:
+            new_dv: dict | None = None
+            if boundary and use_deletion_vectors:
                 import os
 
                 snap = self._snap_dir(old_v)
                 scan = self._read_files(
                     snap, [os.path.join(snap, r) for r in boundary],
-                    current.schema,
+                    current.schema, old_v, keep_pos=True,
+                )
+                # positions of LIVE matching rows (the DV-aware scan
+                # already excludes previously-deleted positions);
+                # collect size = newly deleted rows in boundary files
+                match = (F.lit(True) if residual is None
+                         else F.coalesce(residual, F.lit(False)))
+                hits = scan.filter(match).select("_file_rel",
+                                                 "_row_pos").collect()
+                new_dv = {}
+                for r in hits:
+                    new_dv.setdefault(r._file_rel, []).append(int(r._row_pos))
+                keep_rels = keep_rels + boundary  # hardlink, don't rewrite
+            elif boundary:
+                import os
+
+                snap = self._snap_dir(old_v)
+                scan = self._read_files(
+                    snap, [os.path.join(snap, r) for r in boundary],
+                    current.schema, old_v,
                 )
                 out = scan.filter(keep_pred)
             return self._dml_commit(out, keep_rels, old_v, current,
-                                    "delete_where")
+                                    "delete_where_dv" if new_dv is not None
+                                    else "delete_where", new_dv=new_dv)
         finally:
             lock.close()
 
@@ -1686,7 +1816,7 @@ class ParquetMergeTable:
                 snap = self._snap_dir(old_v)
                 scan = self._read_files(
                     snap, [os.path.join(snap, r) for r in touched],
-                    current.schema,
+                    current.schema, old_v,
                 )
                 out = _proj(scan)
             return self._dml_commit(out, keep_rels, old_v, current,
@@ -1821,7 +1951,8 @@ class ParquetMergeTable:
                     d = os.path.join(tgt_dir, fname)
                     if fname.endswith(".parquet"):
                         os.link(s, d)       # zero-copy data
-                    elif fname in ("_SCHEMA.json", "_STATS.json"):
+                    elif fname in ("_SCHEMA.json", "_STATS.json",
+                                   "_DV.json"):
                         shutil.copyfile(s, d)  # tiny metadata, own copy
             out._save_commit_info(1, f"clone(v={v} of {self.root})",
                                   stats=False)
