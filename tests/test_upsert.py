@@ -1606,3 +1606,17 @@ def test_merge_table_deletion_vectors_partitioned_escaped(spark, tmp_path):
     c = t.clone(str(tmp_path / "dev"))
     assert c.read().count() == 60
     assert c.read().filter(F.col("id").between(10, 40)).count() == 0
+
+
+def test_merge_table_dv_free_read_has_no_join(spark, tmp_path):
+    """The zero-overhead claim as a plan assertion: read() on a table
+    with NO deletion vector must plan as a bare scan (no join, no
+    _metadata projection) — a refactor that unconditionally wraps the
+    DV anti-join would regress every reader and fail here."""
+    t = _clustered_table(spark, tmp_path / "tbl")
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "_metadata" not in plan
+    # and WITH a DV, the anti-join appears exactly as designed
+    t.delete_where({"id": (100, 110)}, use_deletion_vectors=True)
+    plan2 = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan2
