@@ -1620,3 +1620,41 @@ def test_merge_table_dv_free_read_has_no_join(spark, tmp_path):
     t.delete_where({"id": (100, 110)}, use_deletion_vectors=True)
     plan2 = t.read()._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan2
+
+
+def test_merge_table_update_where_deletion_vectors(spark, tmp_path):
+    """Merge-on-read UPDATE: every pre-existing file hardlinks forward
+    (inode-asserted), old row versions are DV-deleted, updated copies
+    append as a new file; values and row count equal the CoW UPDATE,
+    repeated DV updates chain correctly, and compact purges the DVs
+    leaving identical data."""
+    t = _clustered_table(spark, tmp_path / "tbl")  # 1000 rows, 4 files
+    before = _snap_inodes(t.root, t.current_version())
+    v = t.update_where({"id": (100, 110)}, {"val": F.col("val") + 1},
+                       use_deletion_vectors=True)
+    after = _snap_inodes(t.root, v)
+    assert set(before.items()) <= set(after.items())   # all hardlinked
+    assert len(after) == len(before) + 1               # one appended file
+    assert t.read().count() == 1000
+    rows = {r.id: r.val for r in t.read().collect()}
+    for i in range(1000):
+        assert rows[i] == i * 2 + (1 if 100 <= i <= 110 else 0)
+    assert t.history()[0]["operation"] == "update_where_dv"
+
+    # chained DV update over the SAME rows: the appended file carries
+    # stats, gets scanned, its old copies DV-deleted in turn
+    t.update_where({"id": (105, 115)}, {"val": F.lit(-1)},
+                   use_deletion_vectors=True)
+    rows = {r.id: r.val for r in t.read().collect()}
+    assert t.read().count() == 1000
+    for i in range(1000):
+        if 105 <= i <= 115:
+            assert rows[i] == -1
+        else:
+            assert rows[i] == i * 2 + (1 if 100 <= i <= 110 else 0)
+
+    # compact purges, data identical
+    expected = sorted(rows.items())
+    t.compact(target_files=4)
+    assert t.deletion_vectors() == {}
+    assert sorted((r.id, r.val) for r in t.read().collect()) == expected

@@ -1752,7 +1752,8 @@ class ParquetMergeTable:
             lock.close()
 
     def update_where(self, ranges: dict, assignments: dict,
-                     wait: bool = True) -> int:
+                     wait: bool = True,
+                     use_deletion_vectors: bool = False) -> int:
         """``UPDATE t SET col = expr WHERE <ranges>``. ``assignments``
         maps column → Column expression (may reference other columns)
         or plain literal; each result is cast back to the column's
@@ -1760,9 +1761,16 @@ class ParquetMergeTable:
         hardlinked ones. Files proven to hold no matching row are
         hardlinked untouched; everything else is rewritten with the
         conditional projection (rows outside the predicate pass through
-        bit-unchanged). The partition column cannot be assigned (a row
-        may not change partitions — the standard lakehouse constraint;
-        use delete + merge for a partition move)."""
+        bit-unchanged). With ``use_deletion_vectors`` the update is
+        merge-on-read instead: every file hardlinks forward, the OLD
+        versions of matching rows are DV-deleted, and the updated
+        copies append as a new file — write cost ∝ matched rows,
+        independent of the size of the files they live in (the sparse-
+        update analog of the DV delete; same read-side anti-join
+        trade, same compact-to-purge lifecycle). The partition column
+        cannot be assigned (a row may not change partitions — the
+        standard lakehouse constraint; use delete + merge for a
+        partition move)."""
         lock = self._writer_lock(wait)
         try:
             current = self.read()
@@ -1810,7 +1818,27 @@ class ParquetMergeTable:
                 else:
                     touched.append(rel)
             out = None
-            if touched:
+            new_dv: dict | None = None
+            if touched and use_deletion_vectors:
+                import os
+
+                # merge-on-read UPDATE: hardlink EVERY file, DV-delete
+                # the old versions of matching rows, append the updated
+                # copies as a new file — write cost ∝ matched rows,
+                # independent of the size of the files they live in
+                snap = self._snap_dir(old_v)
+                scan = self._read_files(
+                    snap, [os.path.join(snap, r) for r in touched],
+                    current.schema, old_v, keep_pos=True,
+                )
+                matched = scan.filter(match)
+                hits = matched.select("_file_rel", "_row_pos").collect()
+                new_dv = {}
+                for r in hits:
+                    new_dv.setdefault(r._file_rel, []).append(int(r._row_pos))
+                out = _proj(matched.drop("_file_rel", "_row_pos"))
+                keep_rels = keep_rels + touched
+            elif touched:
                 import os
 
                 snap = self._snap_dir(old_v)
@@ -1820,7 +1848,8 @@ class ParquetMergeTable:
                 )
                 out = _proj(scan)
             return self._dml_commit(out, keep_rels, old_v, current,
-                                    "update_where")
+                                    "update_where_dv" if new_dv is not None
+                                    else "update_where", new_dv=new_dv)
         finally:
             lock.close()
 
