@@ -119,6 +119,13 @@ COMMENTARY = {
         "TakeOrderedAndProject (CI-asserted since r7) — no global "
         "sort, no corpus cross-join anywhere."
     ),
+    "merge_into_conditional": (
+        "Read-after-MERGE: a bare pruned scan + one hash aggregate — "
+        "no clause logic survives into readers. The merge itself "
+        "materialized as ONE full-outer join on the key carrying all "
+        "three clauses as projections/filters over the joined row "
+        "(no per-clause re-join, no second pass)."
+    ),
     "merge_dml_where": (
         "The read AFTER delete_where/update_where: a plain pruned "
         "parquet scan over the surviving snapshot files — the DELETE "
