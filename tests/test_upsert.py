@@ -413,7 +413,8 @@ def test_merge_pruned_read_pushes_partition_filter(spark, tmp_path):
                 min_size=1,
                 max_size=4,
             ),
-            st.integers(0, 4),  # after the merge: none/vacuum/compact/delete_where/update_where
+            st.integers(0, 6),  # after the merge: none/vacuum/compact/
+            # delete_where/update_where/DV-delete/DV-update
         ),
         min_size=1,
         max_size=3,
@@ -470,6 +471,19 @@ def test_merge_table_matches_dict_replay_model(spark, tmp_path_factory, batches)
             for k in list(model):
                 if 0 <= k <= 3:
                     model[k] = (model[k][0], "U" + model[k][1])
+        # r7 merge-on-read: the DV paths must be indistinguishable
+        # from their CoW twins at the model level
+        elif maint == 5 and t.current_version() > 0:
+            t.delete_where({"k": (1, 3)}, use_deletion_vectors=True)
+            for k in (1, 2, 3):
+                model.pop(k, None)
+        elif maint == 6 and t.current_version() > 0:
+            t.update_where({"k": (4, 6)},
+                           {"v": F.concat(F.lit("D"), F.col("v"))},
+                           use_deletion_vectors=True)
+            for k in list(model):
+                if 4 <= k <= 6:
+                    model[k] = (model[k][0], "D" + model[k][1])
     got = {r.k: (r.p, r.v) for r in t.read().collect()} if t.read() is not None else {}
     assert got == model
 
@@ -1658,3 +1672,57 @@ def test_merge_table_update_where_deletion_vectors(spark, tmp_path):
     t.compact(target_files=4)
     assert t.deletion_vectors() == {}
     assert sorted((r.id, r.val) for r in t.read().collect()) == expected
+
+
+def test_merge_table_bloom_file_index(spark, tmp_path):
+    """Per-file Bloom index: point lookups on an UNCLUSTERED column
+    (zone maps span everything) drop bloom-miss files driver-side with
+    zero Spark jobs; an absent probe reads zero files; the index
+    carries across hardlink commits, is dropped for rewritten files
+    (results stay exact, just unpruned), and new unindexed files are
+    kept conservatively."""
+    import os
+
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        ParquetMergeTable,
+    )
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="k")
+    df = (
+        spark.range(0, 20000)
+        .select(F.col("id").alias("k"),
+                (F.xxhash64(F.col("id")) % 10000).alias("u"))
+        .repartitionByRange(8, "k")
+        .sortWithinPartitions("k")
+    )
+    t.merge(df)
+    vals = [r.u for r in t.read().limit(3).collect()]
+    expect = t.read().filter(F.col("u").isin(vals)).count()
+    assert len(t.read_point("u", vals).inputFiles()) == 8  # no pruning
+
+    t.build_file_index("u")
+    pruned = t.read_point("u", vals)
+    assert pruned.count() == expect
+    assert 0 < len(pruned.inputFiles()) < 8
+    # definitely-absent probe: zero files, no job needed for the probe
+    gone = t.read_point("u", [99_999_999])
+    assert gone.count() == 0 and len(gone.inputFiles()) == 0
+
+    # survives a DV (hardlink) commit; exactness preserved vs re-filter
+    t.delete_where({"k": (0, 50)}, use_deletion_vectors=True)
+    assert t.file_index()
+    p = t.read_point("u", vals)
+    assert p.count() == t.read().filter(F.col("u").isin(vals)).count()
+
+    # a full rewrite drops the stale index; lookups stay exact
+    t.compact(target_files=4)
+    assert t.file_index() == {}
+    p2 = t.read_point("u", vals)
+    assert p2.count() == t.read().filter(F.col("u").isin(vals)).count()
+
+    # rebuild on the compacted layout; clone carries the index file
+    t.build_file_index("u")
+    c = t.clone(str(tmp_path / "dev"))
+    assert c.file_index()
+    assert c.read_point("u", [99_999_999]).count() == 0
+    assert len(c.read_point("u", [99_999_999]).inputFiles()) == 0

@@ -683,6 +683,7 @@ class ParquetMergeTable:
                           stats: bool = True,
                           new_dv: dict | None = None) -> None:
         self._save_dv(version, new_dv)
+        self._save_bloom(version)
         import json as _json
         import os
         import time as _time
@@ -1177,9 +1178,193 @@ class ParquetMergeTable:
             return False
 
         snap = self._snap_dir(v)
-        kept = [os.path.join(snap, rel) for rel, zm in sorted(stats.items())
-                if hit(zm)]
+        kept = [rel for rel, zm in sorted(stats.items()) if hit(zm)]
+        # bloom index (if built for this column): a file survives only
+        # if SOME probe value might be present — the unclustered-column
+        # pruning zone maps cannot provide. Pure driver-side, no jobs.
+        bloom = self.file_index(v).get(col)
+        if bloom:
+            from urllib.parse import unquote
+
+            by_fs = {unquote(k): e for k, e in bloom.items()}
+            kept = [
+                rel for rel in kept
+                if rel not in by_fs  # unindexed file: keep (new since build)
+                or any(self._bloom_might_contain(by_fs[rel], x) for x in vals)
+            ]
+        kept = [os.path.join(snap, rel) for rel in kept]
         return self._read_files(snap, kept, df.schema, v).filter(residual)
+
+    # ---- per-file Bloom index (point lookups on UNCLUSTERED cols) ---
+    #
+    # Zone maps prune range probes on CLUSTERED columns; a point lookup
+    # on a high-cardinality unclustered column (user_id in a
+    # time-partitioned table) overlaps every file's [min,max] and
+    # prunes nothing. The Delta answer is a per-file Bloom filter
+    # index: build_file_index() computes one bitset per file in a
+    # single distributed pass, read_point() then drops files whose
+    # bloom proves no probe value present. Hashing is md5-based so the
+    # driver can probe in pure Python with ZERO Spark jobs — the same
+    # engine-stable discipline the oracle twins use. The index lives
+    # in the snapshot's _BLOOM.json, carried forward for hardlinked
+    # files at every commit and dropped for rewritten ones (stale bits
+    # are never consulted).
+
+    _BLOOM_K = 7  # hash functions; with m = 10 bits/row, FPR ≈ 1%
+
+    @staticmethod
+    def _bloom_m(rows: int, bits_per_row: int = 10) -> int:
+        m = max(64, rows * bits_per_row)
+        return (m + 63) // 64 * 64
+
+    @staticmethod
+    def _bloom_h12(s: str) -> tuple[int, int]:
+        """Python twin of the Spark-side md5 hash pair (32-bit each)."""
+        import hashlib
+
+        h1 = int(hashlib.md5(("bf1|" + s).encode()).hexdigest()[:8], 16)
+        h2 = int(hashlib.md5(("bf2|" + s).encode()).hexdigest()[:8], 16) | 1
+        return h1, h2
+
+    def _bloom_file(self, version: int) -> str:
+        import os
+
+        return os.path.join(self._snap_dir(version), "_BLOOM.json")
+
+    def file_index(self, version: int | None = None) -> dict:
+        """col → {file key → {m, words: {word_idx: int}}} ({} if none)."""
+        import json as _json
+        import os
+
+        v = version if version is not None else self.current_version()
+        if v == 0 or not os.path.exists(self._bloom_file(v)):
+            return {}
+        with open(self._bloom_file(v)) as f:
+            return _json.load(f)
+
+    def build_file_index(self, col: str, bits_per_row: int = 10,
+                         wait: bool = True) -> None:
+        """Build the per-file Bloom index for ``col`` over the CURRENT
+        snapshot (string/integral columns — the value is hashed via its
+        CAST-to-string rendering, which Python reproduces exactly).
+        One distributed pass: k md5 buckets per row, 64-bit words
+        bit_or-combined per (file, word), sparse words collected —
+        driver memory ∝ set bits (≈ rows·k/64 words), the same
+        metadata plane as _STATS.json; a 100 TB deployment shards this
+        per partition. Re-run after heavy rewrites; hardlinked files
+        keep their bits across commits automatically."""
+        lock = self._writer_lock(wait)
+        try:
+            v = self.current_version()
+            if v == 0:
+                raise ValueError("index on an empty table")
+            df = self._apply_dv(
+                self.read(), v, keep_pos=True,
+            ).select(F.col(col).cast("string").alias("_s"), "_file_rel")
+            df = df.filter(F.col("_s").isNotNull())
+            # per-file m from LIVE row counts, keyed in the scan's own
+            # URI form (no re-derivation of Spark's path escaping)
+            counts = df.groupBy("_file_rel").count().collect()
+            if not counts:
+                raise ValueError("no rows to index")
+            m_by_file = {
+                r._file_rel: self._bloom_m(int(r["count"]), bits_per_row)
+                for r in counts
+            }
+            m_df = self.spark.createDataFrame(
+                list(m_by_file.items()), "_file_rel string, _m long"
+            )
+            h1 = F.conv(
+                F.substring(F.md5(F.concat(F.lit("bf1|"), F.col("_s"))), 1, 8),
+                16, 10,
+            ).cast("long")
+            h2 = F.conv(
+                F.substring(F.md5(F.concat(F.lit("bf2|"), F.col("_s"))), 1, 8),
+                16, 10,
+            ).cast("long").bitwiseOR(F.lit(1))
+            k = self._BLOOM_K
+            buckets = (
+                df.join(F.broadcast(m_df), "_file_rel")
+                .select(
+                    "_file_rel",
+                    F.explode(
+                        F.array(*[
+                            F.pmod(h1 + F.lit(i) * h2, F.col("_m"))
+                            for i in range(k)
+                        ])
+                    ).alias("_b"),
+                )
+            )
+            words = (
+                buckets.groupBy(
+                    "_file_rel", (F.col("_b") / 64).cast("long").alias("_w")
+                )
+                .agg(
+                    F.bit_or(
+                        F.expr("shiftleft(1L, cast(pmod(_b, 64) as int))")
+                    ).alias("_bits")
+                )
+                .collect()
+            )
+            index: dict[str, dict] = {}
+            mask = (1 << 64) - 1
+            for r in words:
+                e = index.setdefault(
+                    r._file_rel,
+                    {"m": m_by_file.get(r._file_rel), "words": {}},
+                )
+                e["words"][str(int(r._w))] = int(r._bits) & mask
+            import json as _json
+
+            full = self.file_index(v)
+            full[col] = index
+            with open(self._bloom_file(v), "w") as f:
+                _json.dump(full, f)
+        finally:
+            lock.close()
+
+    def _bloom_might_contain(self, entry: dict, value) -> bool:
+        """Driver-side probe of one file's bloom — pure Python, no
+        Spark job. True = cannot rule the value out."""
+        m = entry.get("m")
+        if not m:
+            return True
+        h1, h2 = self._bloom_h12(str(value))
+        words = entry["words"]
+        for i in range(self._BLOOM_K):
+            b = (h1 + i * h2) % m
+            if not (words.get(str(b // 64), 0) >> (b % 64)) & 1:
+                return False
+        return True
+
+    def _save_bloom(self, version: int) -> None:
+        """Carry the Bloom index forward across a commit for files that
+        were hardlinked (same key → same bytes); rewritten files drop
+        out — their bits would be stale."""
+        import json as _json
+        import os
+        from urllib.parse import unquote
+
+        if version <= 1:
+            return
+        prev = self._bloom_file(version - 1)
+        if not os.path.exists(prev):
+            return
+        with open(prev) as f:
+            parent = _json.load(f)
+        snap = self._snap_dir(version)
+        kept: dict[str, dict] = {}
+        for col, files in parent.items():
+            surviving = {
+                k: e for k, e in files.items()
+                if os.path.exists(os.path.join(snap, unquote(k)))
+            }
+            if surviving:
+                kept[col] = surviving
+        target = self._bloom_file(version)
+        if kept:
+            with open(target, "w") as f:
+                _json.dump(kept, f)
 
     def history(self) -> list[dict]:
         """Retained commit history, newest first (the DESCRIBE HISTORY
@@ -1981,7 +2166,7 @@ class ParquetMergeTable:
                     if fname.endswith(".parquet"):
                         os.link(s, d)       # zero-copy data
                     elif fname in ("_SCHEMA.json", "_STATS.json",
-                                   "_DV.json"):
+                                   "_DV.json", "_BLOOM.json"):
                         shutil.copyfile(s, d)  # tiny metadata, own copy
             out._save_commit_info(1, f"clone(v={v} of {self.root})",
                                   stats=False)
