@@ -1109,3 +1109,51 @@ def test_stream_cdc_conditional_upsert_out_of_order(spark, tmp_path):
         key="k", ts_col="ts",
     )
     assert v_after == v_before
+
+
+def test_stream_cdc_upsert_with_delete_events(spark, tmp_path):
+    """CDC feeds carry DELETE events (Debezium op='d'): a delete
+    removes its key only when NEWER than the stored row (a stale
+    delete after a newer upsert is ignored), a delete for an absent
+    key no-ops, and the event marker never enters the table schema."""
+    import json as _json
+
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        ParquetMergeTable,
+    )
+    from yelp_data_engineering_pipeline_spark.streaming.ingest import (
+        run_cdc_upsert_stream,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    schema = "k LONG, ts LONG, v STRING, _del BOOLEAN"
+
+    def feed(name, rows):
+        with open(in_dir / name, "w") as f:
+            for k, ts, v, d in rows:
+                f.write(_json.dumps(
+                    {"k": k, "ts": ts, "v": v, "_del": d}) + "\n")
+        stream = spark.readStream.schema(schema).json(str(in_dir))
+        return run_cdc_upsert_stream(
+            spark, stream, str(tmp_path / "tbl"), str(tmp_path / "ckpt"),
+            key="k", ts_col="ts", delete_col="_del",
+        )
+
+    feed("b1.ndjson", [(1, 10, "a", False), (2, 10, "b", False),
+                       (3, 10, "c", False),
+                       (9, 10, None, True)])  # delete before any insert
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="k")
+    assert "_del" not in t.read().columns
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 3]
+
+    # newer delete removes; stale delete ignored; delete+newer-upsert
+    # in ONE batch resolves to the newest event (the upsert)
+    feed("b2.ndjson", [(1, 20, None, True),    # newer delete -> gone
+                       (2, 5, None, True),     # stale delete -> kept
+                       (3, 20, None, True),    # delete...
+                       (3, 30, "c3", False),   # ...but newer upsert wins
+                       (4, 7, "d", False)])    # novel insert
+    got = {r.k: (r.ts, r.v) for r in t.read().collect()}
+    assert got == {2: (10, "b"), 3: (30, "c3"), 4: (7, "d")}
+    assert "_del" not in t.read().columns

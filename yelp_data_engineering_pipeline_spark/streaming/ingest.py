@@ -142,6 +142,7 @@ def run_cdc_upsert_stream(
     key: str,
     ts_col: str,
     partition_by: str | None = None,
+    delete_col: str | None = None,
 ) -> int:
     """CDC-shaped streaming upsert: each micro-batch applies a
     CONDITIONAL merge — ``WHEN MATCHED AND s.ts >= t.ts THEN UPDATE,
@@ -157,7 +158,15 @@ def run_cdc_upsert_stream(
     batch re-merges with ``s.ts >= t.ts`` — equal timestamps, identical
     rows — so the replay is a bit-identical no-op even if newer data
     landed in between (the newer row's ts wins the condition). Returns
-    the committed table version."""
+    the committed table version.
+
+    ``delete_col``: a boolean column marking CDC DELETE events (Debezium
+    ``op = 'd'``). A delete fires under the same newer-than condition —
+    a stale delete arriving after a newer upsert is ignored, and the
+    max-ts within-batch dedup makes upsert-then-delete in one batch
+    resolve to whichever event is newest, matching serial apply. A
+    delete for an absent key is a no-op (the insert clause skips
+    delete-marked rows)."""
     from pyspark.sql import Window as W
 
     from ..operators.upsert import ParquetMergeTable
@@ -174,11 +183,26 @@ def run_cdc_upsert_stream(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        table.merge_into(
-            once,
-            when_matched_update=f"s.{ts_col} >= t.{ts_col}",
-            when_not_matched_insert=True,
-        )
+        newer = f"s.{ts_col} >= t.{ts_col}"
+        if delete_col is None:
+            table.merge_into(
+                once,
+                when_matched_update=newer,
+                when_not_matched_insert=True,
+            )
+        elif table.current_version() == 0:
+            # first batch defines the TABLE schema: the CDC marker is
+            # event metadata, not table data — strip it
+            table.merge(once.filter(~F.col(delete_col)).drop(delete_col))
+        else:
+            # marker rides only the source side: conditions see it,
+            # the table's output columns never include it
+            table.merge_into(
+                once,
+                when_matched_delete=f"({newer}) AND s.{delete_col}",
+                when_matched_update=f"({newer}) AND NOT s.{delete_col}",
+                when_not_matched_insert=f"NOT s.{delete_col}",
+            )
 
     q = (
         stream.writeStream.foreachBatch(_apply)
