@@ -1315,11 +1315,19 @@ class ParquetMergeTable:
                 )
                 e["words"][str(int(r._w))] = int(r._bits) & mask
             import json as _json
+            import os
+            import tempfile
 
             full = self.file_index(v)
             full[col] = index
-            with open(self._bloom_file(v), "w") as f:
+            # the index mutates a COMMITTED snapshot concurrent readers
+            # may list — write-then-rename so they never see partial
+            # JSON (same discipline as the version pointer)
+            fd, tmp = tempfile.mkstemp(dir=self._snap_dir(v),
+                                       prefix="_BLOOM.")
+            with os.fdopen(fd, "w") as f:
                 _json.dump(full, f)
+            os.replace(tmp, self._bloom_file(v))
         finally:
             lock.close()
 
@@ -2150,6 +2158,11 @@ class ParquetMergeTable:
             raise ValueError(f"version {v} was vacuumed")
         out = ParquetMergeTable(self.spark, target_root, self.key,
                                 partition_by=self.partition_by)
+        # hold the SOURCE's writer lock too: a concurrent vacuum could
+        # otherwise delete the snapshot out from under the walk
+        # (snapshot files are immutable, but their directory entries
+        # are not)
+        src_lock = self._writer_lock(wait=True)
         lock = out._writer_lock(wait=True)
         try:
             if out.current_version() != 0:
@@ -2174,6 +2187,7 @@ class ParquetMergeTable:
             return out
         finally:
             lock.close()
+            src_lock.close()
 
 
 def merge_upsert_idempotent(spark: SparkSession, sf_dir: str):
