@@ -2074,7 +2074,17 @@ class ParquetMergeTable:
         like :meth:`merge`: only partitions the SOURCE touches are
         recomputed (a matched target row is by definition in a source
         partition — key→partition immutability is the documented
-        constraint), the rest are hardlinked."""
+        constraint), the rest are hardlinked.
+
+        Preconditions (the SQL MERGE contract): the source must be
+        KEY-UNIQUE — duplicate source keys make a matched target row
+        multiply, exactly the condition ANSI MERGE/Delta reject;
+        dedupe first (see run_cdc_upsert_stream's max-ts rule). Source
+        columns beyond the table's are visible to the clause
+        conditions but never written — EXCEPT on the very first commit
+        of an empty table, whose schema is taken from the source
+        verbatim (strip event-metadata columns before a first
+        merge_into, as the CDC ingest does)."""
         key = self.key
         upd = self._clause_cond(when_matched_update)
         dele = self._clause_cond(when_matched_delete)
