@@ -574,22 +574,30 @@ class ParquetMergeTable:
                     )
             cons = self.constraints()
             cons[name] = sql_expr
-            with open(self._constraints_file(), "w") as f:
-                _json.dump(cons, f)
+            self._write_constraints(cons)
         finally:
             lock.close()
 
     def drop_constraint(self, name: str, wait: bool = True) -> None:
-        import json as _json
-
         lock = self._writer_lock(wait)
         try:
             cons = self.constraints()
             cons.pop(name, None)
-            with open(self._constraints_file(), "w") as f:
-                _json.dump(cons, f)
+            self._write_constraints(cons)
         finally:
             lock.close()
+
+    def _write_constraints(self, cons: dict) -> None:
+        """Write-then-rename: constraints() callers never see partial
+        JSON (they read without the writer lock)."""
+        import json as _json
+        import os
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_CONSTRAINTS.")
+        with os.fdopen(fd, "w") as f:
+            _json.dump(cons, f)
+        os.replace(tmp, self._constraints_file())
 
     def _attach_constraint_obs(self, df: DataFrame):
         """Ride violation counters on the write job (no extra scan)."""
