@@ -1726,3 +1726,38 @@ def test_merge_table_bloom_file_index(spark, tmp_path):
     assert c.file_index()
     assert c.read_point("u", [99_999_999]).count() == 0
     assert len(c.read_point("u", [99_999_999]).inputFiles()) == 0
+
+
+def test_merge_table_bloom_index_partitioned_escaped(spark, tmp_path):
+    """Bloom index over a partitioned table: file keys carry the
+    URI-escaped partition dirs; probes prune across partitions, the
+    index survives a pruned merge's hardlinks (dropped only for the
+    rewritten partition), and results stay exact throughout."""
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        ParquetMergeTable,
+    )
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id",
+                          partition_by="q")
+    rows = [(i, ["plain", "x y", "b:c"][i % 3],
+             int(i * 2654435761 % 100000)) for i in range(3000)]
+    t.merge(spark.createDataFrame(rows, "id long, q string, u long"))
+    t.build_file_index("u")
+    assert any("%20" in k or "%25" in k
+               for files in t.file_index().values() for k in files)
+
+    probe = [rows[7][2], rows[1234][2]]
+    expect = t.read().filter(F.col("u").isin(probe)).count()
+    p = t.read_point("u", probe)
+    assert p.count() == expect
+    assert 0 < len(p.inputFiles()) < len(t.read().inputFiles())
+    assert t.read_point("u", [2**40]).count() == 0
+
+    # pruned merge rewrites ONE partition: its bloom entries drop,
+    # the hardlinked partitions keep theirs; lookups stay exact
+    t.merge(spark.createDataFrame([(0, "plain", 55555)],
+                                  "id long, q string, u long"))
+    idx = t.file_index()["u"]
+    assert idx and all("q=plain" not in k for k in idx)
+    p2 = t.read_point("u", probe)
+    assert p2.count() == t.read().filter(F.col("u").isin(probe)).count()
