@@ -1761,3 +1761,37 @@ def test_merge_table_bloom_index_partitioned_escaped(spark, tmp_path):
     assert idx and all("q=plain" not in k for k in idx)
     p2 = t.read_point("u", probe)
     assert p2.count() == t.read().filter(F.col("u").isin(probe)).count()
+
+
+def test_merge_table_restore(spark, tmp_path):
+    """restore(v) commits a retained snapshot's exact content as a NEW
+    head: data, deletion vectors and bloom index all roll back; the
+    restore is hardlink-only (inode-asserted), history is preserved
+    (the restore is itself a version), and a vacuumed or future
+    version refuses."""
+    t = _clustered_table(spark, tmp_path / "tbl")          # v1: 1000
+    t.delete_where({"id": (100, 180)}, use_deletion_vectors=True)  # v2: 919
+    t.build_file_index("val")
+    t.update_where({"id": (0, 49)}, {"val": F.lit(-1)})     # v3
+    assert t.read().filter(F.col("val") == -1).count() == 50
+
+    src_ino = set(_snap_inodes(t.root, 2).values())
+    v = t.restore(2)
+    assert v == 4
+    # content ≡ v2: the DV is back in force, the update is gone
+    assert t.read().count() == 919
+    assert t.read().filter(F.col("id").between(100, 180)).count() == 0
+    assert t.read().filter(F.col("val") == -1).count() == 0
+    assert set(_snap_inodes(t.root, v).values()) == src_ino  # hardlinks
+    assert t.history()[0]["operation"] == "restore(v=2)"
+    # the abandoned head is still readable (history preserved)
+    assert t.read(version=3).filter(F.col("val") == -1).count() == 50
+
+    with pytest.raises(ValueError, match="not committed"):
+        t.restore(99)
+    t.vacuum(keep_last_n=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.restore(2)
+    # and life goes on after a restore: a normal merge commits
+    t.merge(spark.createDataFrame([(5000, 1, 0)], "id long, val long, g long"))
+    assert t.read().count() == 920

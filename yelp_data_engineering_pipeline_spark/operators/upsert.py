@@ -689,9 +689,11 @@ class ParquetMergeTable:
 
     def _save_commit_info(self, version: int, op: str,
                           stats: bool = True,
-                          new_dv: dict | None = None) -> None:
-        self._save_dv(version, new_dv)
-        self._save_bloom(version)
+                          new_dv: dict | None = None,
+                          carry_meta: bool = True) -> None:
+        if carry_meta:  # restore()/clone() copy their own DV/bloom
+            self._save_dv(version, new_dv)
+            self._save_bloom(version)
         import json as _json
         import os
         import time as _time
@@ -2152,6 +2154,57 @@ class ParquetMergeTable:
         finally:
             lock.close()
 
+    def _link_snapshot_into(self, src: str, dst: str) -> None:
+        """Hardlink a snapshot's parquet files (relpath-preserving) and
+        copy its small metadata files into ``dst``."""
+        import os
+        import shutil
+
+        for dirpath, _, files in os.walk(src):
+            rel_dir = os.path.relpath(dirpath, src)
+            tgt_dir = dst if rel_dir == "." else os.path.join(dst, rel_dir)
+            os.makedirs(tgt_dir, exist_ok=True)
+            for fname in files:
+                s = os.path.join(dirpath, fname)
+                d = os.path.join(tgt_dir, fname)
+                if fname.endswith(".parquet"):
+                    os.link(s, d)       # zero-copy data
+                elif fname in ("_SCHEMA.json", "_STATS.json",
+                               "_DV.json", "_BLOOM.json"):
+                    shutil.copyfile(s, d)  # tiny metadata, own copy
+
+    def restore(self, version: int, wait: bool = True) -> int:
+        """Delta ``RESTORE TABLE ... TO VERSION AS OF``: commit a
+        RETAINED snapshot's exact content (deletion vectors, stats and
+        bloom index included) as the new head — a NEW version, so
+        history is preserved and the restore itself is auditable and
+        restorable; zero data copy (hardlinks). The escape hatch for a
+        bad batch: merge v5, notice, ``restore(4)`` → v6 ≡ v4."""
+        import os
+
+        lock = self._writer_lock(wait)
+        try:
+            v_now = self.current_version()
+            if not 1 <= version <= v_now:
+                raise ValueError(
+                    f"version {version} not committed (current: {v_now})"
+                )
+            src = self._snap_dir(version)
+            if not os.path.isdir(src):
+                raise ValueError(f"version {version} was vacuumed")
+            new_v = v_now + 1
+            self._clear_orphan(new_v)
+            self._link_snapshot_into(src, self._snap_dir(new_v))
+            # stats copied verbatim; DV/bloom must NOT merge the
+            # abandoned head's entries — the restored snapshot's own
+            # files are authoritative
+            self._save_commit_info(new_v, f"restore(v={version})",
+                                    stats=False, carry_meta=False)
+            self._flip_pointer(new_v)
+            return new_v
+        finally:
+            lock.close()
+
     def clone(self, target_root: str,
               version: int | None = None) -> "ParquetMergeTable":
         """Zero-copy snapshot clone (the Delta ``CLONE`` shape): the
@@ -2185,22 +2238,10 @@ class ParquetMergeTable:
         try:
             if out.current_version() != 0:
                 raise ValueError(f"{target_root} already holds a table")
-            dst = out._snap_dir(1)
             out._clear_orphan(1)
-            for dirpath, _, files in os.walk(src):
-                rel_dir = os.path.relpath(dirpath, src)
-                tgt_dir = dst if rel_dir == "." else os.path.join(dst, rel_dir)
-                os.makedirs(tgt_dir, exist_ok=True)
-                for fname in files:
-                    s = os.path.join(dirpath, fname)
-                    d = os.path.join(tgt_dir, fname)
-                    if fname.endswith(".parquet"):
-                        os.link(s, d)       # zero-copy data
-                    elif fname in ("_SCHEMA.json", "_STATS.json",
-                                   "_DV.json", "_BLOOM.json"):
-                        shutil.copyfile(s, d)  # tiny metadata, own copy
+            self._link_snapshot_into(src, out._snap_dir(1))
             out._save_commit_info(1, f"clone(v={v} of {self.root})",
-                                  stats=False)
+                                  stats=False, carry_meta=False)
             out._flip_pointer(1)
             return out
         finally:
