@@ -40,101 +40,99 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # only after r3). Entries already driver-green with unchanged code
 # keep that evidence and move to the tail.
 #
-# Round-7 window (exactly 50) — the evidence-freshness round
-# (VERDICT.md r6 next-1: with the whole catalog externally certified,
-# the remaining gap is STALENESS — 19 entries whose latest driver row
-# is still r1). Composition:
+# Round-8 window (exactly 50) — the manifest-lakehouse round.
+# Composition (evidence ages recomputed from CORRECTNESS_r01–r07
+# this round: 21 entries on r3 evidence, 43 on r4, rest r5+):
 # - flagship (always first: the driver's smoke query);
-# - the 19 r1-evidence entries (computed from the CORRECTNESS_r*.json
-#   artifacts this round; the r6 comment listed 20 but
-#   window_running_distinct already holds an r4 row) — code unchanged
-#   since their green rows, so these are re-certifications;
-# - 6 entries whose code or oracle CHANGED in r7: the three as-of
-#   entries (explicit NULLS FIRST tiebreak order on both sides,
-#   ADVICE r6), agg_bitmap_distinct (NULL-id guard, ADVICE r6), and
-#   merge_upsert_idempotent (upsert.py gained the flock commit
-#   protocol — the merge_upsert dataflow is unchanged but lives in the
-#   changed module), and agg_kmv_intersection (estimator factored
-#   into the reusable kmv_intersection_estimate so pytest can hold the
-#   independent-formulation truth — VERDICT r6 next-2);
-# - remaining 24 slots: the oldest-evidence refreshes (latest row =
-#   r3), picked dedup/similarity/prep-first since those modules carry
-#   the most engineering risk.
+# - the 21 r3-evidence refreshes named in r7's r8-window-first
+#   comment (the max-age guard's floor becomes r3 the moment the r8
+#   artifact lands — these are mandatory, code unchanged since their
+#   green rows);
+# - the 5 entries registered by operators/upsert.py, which this
+#   round re-architects around a manifest version plane (VERDICT r7
+#   next-1: object-store-capable lakehouse): agg_incremental_merge,
+#   cdc_snapshot_diff, merge_upsert_idempotent, merge_dml_where,
+#   merge_into_conditional — changed-module slots per the rotation
+#   rule (cdc_snapshot_diff doubles as an r4 refresh);
+# - remaining 23 slots: oldest r4-evidence refreshes, all 20
+#   non-TPC-H r4 entries plus the three headline TPC-H queries
+#   (q1/q5/q18 — the plan-pinned bench tier). The 19 remaining
+#   TPC-H r4 entries (tpch_full.py, code unchanged) reach the age
+#   ceiling only at r10 and head the r9 window.
 _PRIORITY: tuple[str, ...] = (
     "flagship_revenue_by_nation",
-    # -- the 19 r1-evidence re-certifications --
-    "window_first_nth",
-    "window_range_frame",
-    "date_series_explode",
-    "unpivot_stack",
-    "filter_project_pushdown",
-    "proj_compute_url",
-    "filter_fk_equality",
-    "filter_ilike",
-    "filter_isdigit_dispatch",
-    "window_custom_sort",
-    "window_surrogate_keys",
-    "window_topk_per_group",
-    "setop_union_all",
-    "setop_intersect",
-    "func_regexp_extract_all",
-    "func_weekday_name",
-    "func_interval_arith",
-    "func_string_ops",
-    "func_url_parse",
-    # -- code/oracle changed in r7 --
-    "join_asof",
-    "join_asof_forward_tolerance",
-    "join_asof_nearest",
-    "agg_bitmap_distinct",
+    # -- the 21 r3-evidence refreshes (mandatory: max-age floor) --
+    "agg_approx_sketches",
+    "array_higher_order",
+    "collect_sorted_list",
+    "explode_word_counts",
+    "explode_zip_pairs",
+    "filter_disjunctive_range",
+    "filter_quarantine",
+    "func_case_mapping",
+    "func_html_unescape",
+    "func_json_extract",
+    "func_time_parse",
+    "join_range_bucketed",
+    "map_functions",
+    "mm_binary_meta",
+    "prep_repetition_stats",
+    "prep_vocab",
+    "sql_api_groupby",
+    "text_lang_id",
+    "text_tfidf_topk",
+    "window_lag_lead",
+    "window_running_sum",
+    # -- upsert.py re-architected in r8 (manifest version plane) --
+    "agg_incremental_merge",
+    "cdc_snapshot_diff",
     "merge_upsert_idempotent",
     "merge_dml_where",
     "merge_into_conditional",
-    "agg_kmv_intersection",
-    # -- oldest-evidence refreshes (latest row = r3, code unchanged) --
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_ngram_jaccard",
-    "similarity_topk_bruteforce",
-    "similarity_topk_ivf",
-    "similarity_topk_rph",
-    "emb_kmeans",
-    "prep_chunk_documents",
-    "prep_decontaminate",
-    "prep_pack_bins",
-    "prep_pii_scrub",
-    "prep_train_val_split",
-    "pipeline_quality_dedup",
-    "text_quality",
-    "text_fingerprint",
-    "stream_sessionize",
-    "stream_tumbling_window",
-    "window_pagination",
-    "window_rank_distribution",
+    # -- oldest r4-evidence refreshes (code unchanged) --
+    "agg_salted_groupby",
+    "dedup_passage_prune",
+    "event_transitions",
+    "mm_audio_chunks",
+    "mm_frame_sample",
+    "pipeline_corpus_prep",
+    "prep_interleave_sources",
+    "prep_leakage_safe_split",
+    "prep_length_bins",
+    "prep_score_quantile_norm",
+    "prep_shard_histogram",
+    "prep_stratified_sample",
+    "prep_token_budget_mix",
+    "profile_by_source",
+    "profile_table",
+    "stream_session_window_native",
+    "stream_sliding_window",
+    "stream_stream_join",
+    "stream_window_approx_distinct",
+    "ts_gapfill_locf",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_orders",
 )
-# r8-window-first candidates (non-debt, informational): the 20
-# remaining r3-evidence entries this round's changes displaced from
-# the refresh tail — agg_approx_sketches, array_higher_order,
-# collect_sorted_list, explode_zip_pairs, filter_disjunctive_range,
-# prep_vocab (displaced by the r7 kmv refactor slot),
-# func_json_extract (displaced by the r7 merge_dml_where slot),
-# explode_word_counts (displaced by the r7 merge_into_conditional slot),
-# filter_quarantine, func_case_mapping, func_html_unescape,
-# func_time_parse, join_range_bucketed, map_functions, mm_binary_meta,
-# prep_repetition_stats, sql_api_groupby, text_lang_id,
-# text_tfidf_topk, window_lag_lead, window_running_sum. The max-age
-# debt guard (tests/test_plans.py::test_evidence_max_age) starts
-# FAILING for these once the r8 artifact lands unless they hold r8
-# window slots — staleness can no longer silently re-accumulate.
-# NOT window-slotted despite living in r7-touched modules (plans are
-# bit-identical, verified): stream_watermark_late_drop (windows.py
-# gained the late_filter_lag PARAMETER, default preserves the entry's
-# exact frame; the new differential test is the stronger guard) and
-# similarity_recall_at_k (similarity.py only factored the probe's
-# sample into _isotropy_sample for a plan assertion).
+# r9-window-first candidates (non-debt, informational): the 19
+# remaining r4-evidence entries — tpch_q2_min_cost_supplier,
+# tpch_q3_shipping_priority, tpch_q4_order_priority,
+# tpch_q6_forecast_revenue, tpch_q7_volume_shipping,
+# tpch_q8_market_share, tpch_q9_nation_profit,
+# tpch_q10_returned_items, tpch_q11_important_types,
+# tpch_q12_late_priority, tpch_q13_customer_distribution,
+# tpch_q14_promo_effect, tpch_q15_top_supplier,
+# tpch_q16_part_supplier_relation, tpch_q17_small_quantity,
+# tpch_q19_disjunctive_revenue, tpch_q20_dominant_suppliers,
+# tpch_q21_waiting_suppliers, tpch_q22_dormant_customers. They hit
+# the max-age ceiling when the r10 artifact lands, so the r9 window
+# must lead with them (tpch_full.py is code-unchanged; these are
+# pure re-certifications). The max-age debt guard
+# (tests/test_plans.py::test_evidence_max_age) enforces this
+# mechanically. NOT window-slotted despite the r8 ingest.py change
+# (CDC tiebreak determinism): no catalog entry registers from
+# streaming/ingest.py — run_cdc_upsert_stream is pytest-graded
+# (tests/test_streaming.py CDC ledger tests).
 
 
 def _ordered(entries: dict) -> dict:
