@@ -743,3 +743,83 @@ def test_prefix_filter_candidate_join_is_equijoin(spark, sf_dir):
     # filters are residual conditions, not a nested-loop driver
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_normalize_star_build_plan_shape(spark, tmp_path_factory):
+    """yelp_e2e plan pin (VERDICT r7 next-6): the star build's dim
+    joins must all broadcast — the bench tier's 1.3x budget is too
+    coarse to catch a lost broadcast hint, so the shape is asserted
+    directly. Bridges join exploded fact rows to name dims
+    (plans/normalize.py bridge()/business_amenity/open_hours); a
+    SortMergeJoin anywhere would shuffle the fact side on a dim key."""
+    from tests.yelp_fixtures import make_results, write_ndjson
+    from yelp_data_engineering_pipeline_spark.plans.normalize import normalize
+    from yelp_data_engineering_pipeline_spark.schemas import RESULTS_SCHEMA
+
+    path = write_ndjson(
+        make_results(80, seed=7), tmp_path_factory.mktemp("np") / "r.ndjson"
+    )
+    tables = normalize(spark.read.schema(RESULTS_SCHEMA).json(str(path)))
+    for name in ("business_food_category", "business_amenity", "open_hours"):
+        plan = _formatted(tables[name])
+        assert "SortMergeJoin" not in plan, f"{name}: dim join lost broadcast"
+        assert "ShuffledHashJoin" not in plan, f"{name}: dim join lost broadcast"
+        assert "BroadcastHashJoin" in plan, name
+    from yelp_data_engineering_pipeline_spark.cache import release_tracked
+
+    release_tracked()
+
+
+def test_open_now_plan_shape(spark, tmp_path_factory):
+    """yelp_e2e plan pin (VERDICT r7 next-6): restaurants_open_now over
+    the STORAGE-BACKED star (parquet write + read-back, matching the
+    e2e tier's stage boundaries) must (a) push the implied weekday
+    dispatch In-filter to the open_hours parquet scan — the rollover
+    branches compare close<open column-to-column, which can never
+    push, so the redundant conjunct is the scan-pruning path — and
+    (b) join business to the filtered hours as a broadcast, building
+    on the selective hours side."""
+    from datetime import datetime
+
+    from tests.yelp_fixtures import make_results, write_ndjson
+    from yelp_data_engineering_pipeline_spark.plans.normalize import (
+        normalize,
+        write_star_schema,
+    )
+    from yelp_data_engineering_pipeline_spark.plans.yelp_queries import (
+        open_now_predicate,
+        resolve_now,
+        restaurants_open_now,
+    )
+    from yelp_data_engineering_pipeline_spark.schemas import RESULTS_SCHEMA
+
+    tmp = tmp_path_factory.mktemp("onp")
+    path = write_ndjson(make_results(80, seed=7), tmp / "r.ndjson")
+    write_star_schema(
+        normalize(spark.read.schema(RESULTS_SCHEMA).json(str(path))),
+        str(tmp / "star"),
+    )
+    loaded = {
+        n: spark.read.parquet(str(tmp / "star" / f"{n}.parquet"))
+        for n in ("business", "weekday", "open_hours")
+    }
+    now = datetime(2024, 5, 15, 12, 30)
+    # endpoint runs end-to-end on the storage-backed star
+    res = restaurants_open_now(loaded, now)
+    assert res["total_results"] >= 0
+    # pin the joined frame's plan (same construction as the endpoint)
+    now_secs, _, _ = resolve_now(now)
+    joined = loaded["business"].join(
+        loaded["open_hours"]
+        .filter(open_now_predicate(now_secs, 3, 2))
+        .select("business_id", "close_time"),
+        F.col("id") == F.col("business_id"),
+    )
+    plan = _formatted(joined)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" in plan
+    # the weekday In-dispatch reached the open_hours scan as a pushed
+    # filter (In or the two-value Or form, depending on translation)
+    assert "In(weekday_id" in plan or "EqualTo(weekday_id" in plan, plan
+    from yelp_data_engineering_pipeline_spark.cache import release_tracked
+
+    release_tracked()

@@ -155,12 +155,22 @@ def resolve_now(now: datetime) -> tuple[int, str, str]:
 
 def open_now_predicate(now_secs: int, today_id: int, prev_id: int) -> Column:
     """The three-branch point-in-interval predicate (P9,
-    app.py:177-193) on seconds-of-day encoded columns."""
+    app.py:177-193) on seconds-of-day encoded columns.
+
+    The disjunction contains column-to-column comparisons (overnight
+    rollover: ``close < open``), which no columnar source can push, so
+    the IMPLIED dispatch ``weekday_id IN (today, prev)`` is added as a
+    redundant conjunct: it translates to a parquet In filter, pruning
+    row groups / partitions to the two relevant weekdays at the scan
+    while the exact disjunction stays as the residual (plan-pinned by
+    tests/test_plans.py::test_open_now_plan_shape)."""
     o, c, w = F.col("open_time"), F.col("close_time"), F.col("weekday_id")
     normal = (w == today_id) & (o <= now_secs) & (c > now_secs)
     overnight_today = (w == today_id) & (o <= now_secs) & (c < o)
     overnight_prev = (w == prev_id) & (o > c) & (c > now_secs)
-    return normal | overnight_today | overnight_prev
+    return w.isin(today_id, prev_id) & (
+        normal | overnight_today | overnight_prev
+    )
 
 
 def time_until_close_secs(now_secs: int) -> Column:
