@@ -1157,3 +1157,103 @@ def test_stream_cdc_upsert_with_delete_events(spark, tmp_path):
     got = {r.k: (r.ts, r.v) for r in t.read().collect()}
     assert got == {2: (10, "b"), 3: (30, "c3"), 4: (7, "d")}
     assert "_del" not in t.read().columns
+
+
+def test_stream_cdc_equal_ts_tiebreak_deterministic(spark, tmp_path):
+    """Two events with the same key AND equal ts must resolve by the
+    FIXED canonical rule (delete beats upsert, then greatest JSON
+    payload — ingest._dedup_order), not by partition luck: a
+    checkpoint-replayed batch that picked a different survivor would
+    overwrite the row (s.ts >= t.ts passes on equal ts) and break the
+    bit-identical-replay exactly-once argument (ADVICE r7)."""
+    import json as _json
+
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        ParquetMergeTable,
+    )
+    from yelp_data_engineering_pipeline_spark.streaming.ingest import (
+        run_cdc_upsert_stream,
+    )
+
+    rows = [(1, 10, "a", False), (1, 10, "z", False),   # payload tie
+            (2, 10, "x", True), (2, 10, "y", False),    # delete vs upsert
+            (3, 10, "c", False)]
+    schema = "k LONG, ts LONG, v STRING, _del BOOLEAN"
+
+    def run(tag):
+        in_dir = tmp_path / f"in_{tag}"
+        in_dir.mkdir()
+        with open(in_dir / "b1.ndjson", "w") as f:
+            for k, ts, v, d in rows:
+                f.write(_json.dumps({"k": k, "ts": ts, "v": v, "_del": d}) + "\n")
+        stream = spark.readStream.schema(schema).json(str(in_dir))
+        run_cdc_upsert_stream(
+            spark, stream, str(tmp_path / f"tbl_{tag}"),
+            str(tmp_path / f"ckpt_{tag}"), key="k", ts_col="ts",
+            delete_col="_del",
+        )
+        t = ParquetMergeTable(spark, str(tmp_path / f"tbl_{tag}"), key="k")
+        return {r.k: (r.ts, r.v) for r in t.read().collect()}
+
+    got_a, got_b = run("a"), run("b")
+    # identical across independent runs AND equal to the canonical
+    # outcome: k=1 keeps the greatest payload, k=2's delete wins the
+    # equal-ts tie (absent from the table)
+    assert got_a == got_b == {1: (10, "z"), 3: (10, "c")}
+
+
+def test_stream_cdc_change_feed_equals_input_batches(spark, tmp_path):
+    """CDC -> CDF ledger linkage (VERDICT r7 next-8): the change feed
+    between consecutive streamed commits must equal the effect of the
+    micro-batch that produced the commit — the exactly-once ledger a
+    downstream consumer replays. Three pre-staged files drain as three
+    micro-batches (maxFilesPerTrigger=1); each version's
+    changes_between classification is asserted against the batch's
+    input, including a delete event."""
+    import json as _json
+    import os
+
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        ParquetMergeTable,
+    )
+    from yelp_data_engineering_pipeline_spark.streaming.ingest import (
+        run_cdc_upsert_stream,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    batches = [
+        [(1, 10, "a", False), (2, 10, "b", False)],
+        [(1, 20, "a2", False), (3, 5, "c", False)],
+        [(2, 30, None, True), (4, 4, "d", False)],
+    ]
+    for i, rows in enumerate(batches):
+        p = in_dir / f"b{i}.ndjson"
+        with open(p, "w") as f:
+            for k, ts, v, d in rows:
+                f.write(_json.dumps({"k": k, "ts": ts, "v": v, "_del": d}) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))  # batch order
+
+    schema = "k LONG, ts LONG, v STRING, _del BOOLEAN"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(in_dir))
+    )
+    v = run_cdc_upsert_stream(
+        spark, stream, str(tmp_path / "tbl"), str(tmp_path / "ckpt"),
+        key="k", ts_col="ts", delete_col="_del",
+    )
+    assert v == 3  # one commit per micro-batch
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="k")
+
+    def feed(v_from, v_to):
+        return {
+            r.k: r.change_type
+            for r in t.changes_between(v_from, v_to).collect()
+        }
+
+    assert feed(1, 2) == {1: "updated", 2: "unchanged", 3: "inserted"}
+    assert feed(2, 3) == {1: "unchanged", 2: "deleted", 3: "unchanged",
+                          4: "inserted"}

@@ -26,6 +26,34 @@ from pyspark.sql import functions as F
 from ..schemas import RESULTS_SCHEMA
 
 
+def _dedup_order(df: DataFrame, key: str, primary: list[tuple]) -> list:
+    """Deterministic TOTAL order for within-batch dedup windows.
+
+    ``primary`` — ``(column name, sort Column)`` pairs, e.g.
+    ``[("ts", F.col("ts").desc())]`` — alone is not a total order: two
+    events with the same key and equal primary values would be picked
+    nondeterministically by row_number, so a checkpoint-replayed batch
+    could select a DIFFERENT survivor than the original run and (the
+    ``s.ts >= t.ts`` clause passing on equal ts) overwrite the row —
+    breaking the bit-identical-replay exactly-once argument
+    (ADVICE r7). Appending the JSON rendering of every remaining
+    column (desc — the lexicographically greatest payload wins, an
+    arbitrary but FIXED canonical rule) makes the order total up to
+    byte-identical JSON, where any survivor carries the same values.
+    ``to_json`` rather than raw column sort: it renders every type
+    (map columns are not order-comparable) and is engine-stable
+    across replays."""
+    primary_names = {n for n, _ in primary}
+    rest = sorted(c for c in df.columns
+                  if c != key and c not in primary_names)
+    order = [c for _, c in primary]
+    if rest:
+        order.append(
+            F.to_json(F.struct(*[F.col(c) for c in rest])).desc_nulls_last()
+        )
+    return order
+
+
 def read_results_stream(spark: SparkSession, in_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
     reader = spark.readStream.schema(RESULTS_SCHEMA)
     if max_files_per_trigger is not None:
@@ -111,12 +139,16 @@ def run_ingest_merge_into(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # within-batch dedup: keep ONE row per key (max ranking wins —
-        # deterministic), so merge_upsert's "incoming wins" contract
-        # sees a single candidate per key
+        # within-batch dedup: keep ONE row per key (max ranking wins;
+        # equal rankings resolve by the canonical payload tiebreak —
+        # see _dedup_order), so merge_upsert's "incoming wins"
+        # contract sees a single, replay-stable candidate per key
         from pyspark.sql import Window as W
 
-        w = W.partitionBy(key).orderBy(F.col("ranking").desc())
+        w = W.partitionBy(key).orderBy(
+            *_dedup_order(batch_df, key,
+                          [("ranking", F.col("ranking").desc())])
+        )
         once = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -166,7 +198,13 @@ def run_cdc_upsert_stream(
     max-ts within-batch dedup makes upsert-then-delete in one batch
     resolve to whichever event is newest, matching serial apply. A
     delete for an absent key is a no-op (the insert clause skips
-    delete-marked rows)."""
+    delete-marked rows).
+
+    Ties: events with the same key AND the same ``ts_col`` resolve by
+    a fixed canonical rule — delete beats upsert, then the greatest
+    JSON payload rendering (see :func:`_dedup_order`) — so the
+    survivor is a deterministic function of the batch CONTENTS, and a
+    checkpoint-replayed batch picks the identical row."""
     from pyspark.sql import Window as W
 
     from ..operators.upsert import ParquetMergeTable
@@ -177,7 +215,19 @@ def run_cdc_upsert_stream(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        w = W.partitionBy(key).orderBy(F.col(ts_col).desc())
+        # total-order tiebreaks after ts: the delete marker (a delete
+        # beats an upsert at EQUAL ts — arbitrary but fixed, so serial
+        # apply, batch apply, and checkpoint replay all agree), then
+        # the canonical payload rendering (_dedup_order)
+        primary = [(ts_col, F.col(ts_col).desc())]
+        if delete_col is not None:
+            primary.append(
+                (delete_col,
+                 F.coalesce(F.col(delete_col), F.lit(False)).desc())
+            )
+        w = W.partitionBy(key).orderBy(
+            *_dedup_order(batch_df, key, primary)
+        )
         once = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
