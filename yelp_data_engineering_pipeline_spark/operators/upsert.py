@@ -1193,6 +1193,14 @@ class ParquetMergeTable:
         # if SOME probe value might be present — the unclustered-column
         # pruning zone maps cannot provide. Pure driver-side, no jobs.
         bloom = self.file_index(v).get(col)
+        # the bloom contract covers str/int probes only (build-time
+        # type validation, ADVICE r7): any other probe type (float,
+        # bool, date) may render differently than Spark's CAST did at
+        # build time, and a false-negative probe would DROP rows — so
+        # such probes skip the bloom and fall back to zone maps alone
+        if bloom and any(isinstance(x, bool) or
+                         not isinstance(x, (str, int)) for x in vals):
+            bloom = None
         if bloom:
             from urllib.parse import unquote
 
@@ -1268,6 +1276,28 @@ class ParquetMergeTable:
             v = self.current_version()
             if v == 0:
                 raise ValueError("index on an empty table")
+            # string/integral ONLY (enforced, ADVICE r7): the driver-
+            # side probe hashes Python's str(value) while the index
+            # hashes Spark's CAST-to-string rendering — identical for
+            # strings and integers, but divergent for bool ('True' vs
+            # 'true'), float ('1e-07' vs '1.0E-7'), date/timestamp.
+            # A divergent rendering would be a FALSE-NEGATIVE bloom
+            # probe: read_point silently dropping matching rows.
+            from pyspark.sql.types import (ByteType, IntegerType,
+                                           LongType, ShortType,
+                                           StringType)
+
+            dtype = self.read().schema[col].dataType
+            if not isinstance(dtype, (StringType, ByteType, ShortType,
+                                      IntegerType, LongType)):
+                raise TypeError(
+                    f"build_file_index({col!r}): column type "
+                    f"{dtype.simpleString()} has no engine-stable "
+                    "string rendering shared by Spark's CAST and "
+                    "Python's str() — only string and integral "
+                    "columns are indexable (a mismatched rendering "
+                    "would silently drop rows from read_point)"
+                )
             df = self._apply_dv(
                 self.read(), v, keep_pos=True,
             ).select(F.col(col).cast("string").alias("_s"), "_file_rel")
@@ -1720,7 +1750,13 @@ class ParquetMergeTable:
         removed version numbers. Idempotent: a second call removes
         nothing. Readers pinned to a vacuumed snapshot (reader held a
         DataFrame across the retention window) are the documented
-        retention trade — same as Delta's VACUUM."""
+        retention trade — same as Delta's VACUUM: the held DataFrame
+        fails LOUDLY at scan time (FileNotFound task failure, proven
+        by tests/test_upsert.py::test_vacuum_live_reader_fails_loudly)
+        rather than returning wrong or empty results. Size
+        ``keep_last_n`` so retention covers the longest-lived reader:
+        with merges every M minutes and queries running up to Q
+        minutes, keep at least ceil(Q/M) + 1 versions."""
         import os
         import shutil
 
@@ -2192,6 +2228,22 @@ class ParquetMergeTable:
             src = self._snap_dir(version)
             if not os.path.isdir(src):
                 raise ValueError(f"version {version} was vacuumed")
+            # constraints added AFTER the restored snapshot was written
+            # must still hold on it (ADVICE r7) — otherwise the new
+            # head would violate active CHECKs that every later commit
+            # enforces. One validation scan, before anything is linked.
+            cons = self.constraints()
+            if cons:
+                viol = None
+                for expr in cons.values():
+                    bad = F.expr(expr) == F.lit(False)
+                    viol = bad if viol is None else (viol | bad)
+                if self.read(version=version).filter(viol).limit(1).count():
+                    raise ConstraintViolationError(
+                        f"restore(v={version}) aborted: the snapshot "
+                        f"violates active CHECK constraint(s) "
+                        f"{sorted(cons)} added after it was written"
+                    )
             new_v = v_now + 1
             self._clear_orphan(new_v)
             self._link_snapshot_into(src, self._snap_dir(new_v))
@@ -2240,6 +2292,12 @@ class ParquetMergeTable:
                 raise ValueError(f"{target_root} already holds a table")
             out._clear_orphan(1)
             self._link_snapshot_into(src, out._snap_dir(1))
+            # active CHECK constraints are table metadata and come
+            # along (ADVICE r7) — without this the clone would accept
+            # commits the source rejects
+            if os.path.exists(self._constraints_file()):
+                shutil.copyfile(self._constraints_file(),
+                                out._constraints_file())
             out._save_commit_info(1, f"clone(v={v} of {self.root})",
                                   stats=False, carry_meta=False)
             out._flip_pointer(1)
