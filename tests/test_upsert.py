@@ -400,6 +400,7 @@ def test_merge_pruned_read_pushes_partition_filter(spark, tmp_path):
     assert m and "p" in m.group(1) and "= a" in m.group(1), plan[:500]
 
 
+@pytest.mark.parametrize("storage", ["posix", "object"])
 @settings(max_examples=5, deadline=None)
 @given(
     st.lists(
@@ -420,7 +421,8 @@ def test_merge_pruned_read_pushes_partition_filter(spark, tmp_path):
         max_size=3,
     )
 )
-def test_merge_table_matches_dict_replay_model(spark, tmp_path_factory, batches):
+def test_merge_table_matches_dict_replay_model(spark, tmp_path_factory,
+                                               storage, batches):
     """Model-based MERGE check: any sequence of upsert/delete batches
     must leave the table equal to a plain dict replay (last write per
     key wins within the sequence; within a batch the dedup rule is
@@ -435,7 +437,8 @@ def test_merge_table_matches_dict_replay_model(spark, tmp_path_factory, batches)
     from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
 
     root = str(tmp_path_factory.mktemp("mbt") / "tbl")
-    t = ParquetMergeTable(spark, root, key="k", partition_by="p")
+    t = ParquetMergeTable(spark, root, key="k", partition_by="p",
+                          storage=storage)
     model: dict[int, tuple[str, str]] = {}
     for batch, maint in batches:
         # one candidate per key per batch: deterministic max by
@@ -1084,15 +1087,15 @@ def test_merge_table_count_where_metadata_only(spark, tmp_path):
     # file boundaries at 250/500/750: [250, 749] covers files 1-2 fully
     assert t.count_where({"id": (250, 749)}) == 500
     # metadata-only: forbid the scan fallback for the aligned probe
-    orig = ParquetMergeTable._read_files
+    orig = ParquetMergeTable._boundary_scan
     try:
-        def _boom(self, snap, files, schema):
-            raise AssertionError(f"scan path used for {files}")
-        ParquetMergeTable._read_files = _boom
+        def _boom(self, version, relkeys):
+            raise AssertionError(f"scan path used for {relkeys}")
+        ParquetMergeTable._boundary_scan = _boom
         assert t.count_where({"id": (250, 749)}) == 500
         assert t.count_where({"id": (5000, 9000)}) == 0
     finally:
-        ParquetMergeTable._read_files = orig
+        ParquetMergeTable._boundary_scan = orig
     # unaligned probe: boundary files scanned, exact count
     for rng in ((100, 620), (0, 999), (999, 2000), (None, 10)):
         assert t.count_where({"id": rng}) == t.read_where({"id": rng}).count()

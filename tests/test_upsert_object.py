@@ -1,0 +1,336 @@
+"""Object-store mode of ParquetMergeTable (VERDICT r7 next-1): the
+same lakehouse semantics with every POSIX primitive disabled — no
+hardlinks (carry-forward = manifest references), no flock (optimistic
+conditional-PUT commits), no rename-based pointer (version identity =
+the atomic creation of ``_log/<n>.json``). Each test pins a property
+the S3/GCS deployment story depends on; LAKEHOUSE.md maps the
+primitives. The replay-model property test runs in this mode too
+(tests/test_upsert.py, parametrized)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelp_data_engineering_pipeline_spark.operators.upsert import (
+    ConcurrentMergeError,
+    ConstraintViolationError,
+    ParquetMergeTable,
+)
+
+
+def _all_parquet(root):
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                out[os.path.relpath(p, root)] = os.stat(p)
+    return out
+
+
+def _table(spark, root, **kw):
+    return ParquetMergeTable(spark, str(root), key="id", storage="object",
+                             **kw)
+
+
+def test_object_mode_never_hardlinks_or_copies_on_carry(spark, tmp_path):
+    """Partition-pruned merge in object mode: untouched files are
+    carried by MANIFEST REFERENCE — the new version lists the same
+    physical paths, no second directory entry (st_nlink == 1
+    everywhere), no byte copy, and no ``v=<n>`` snapshot dirs at all."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id",
+                          partition_by="p", storage="object")
+    t.merge(spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", i * 10) for i in range(40)],
+        "id long, p string, v long"))
+    before = _all_parquet(t.root)
+    v2 = t.merge(spark.createDataFrame([(1, "a", 999)],
+                                       "id long, p string, v long"))
+    after = _all_parquet(t.root)
+    assert all(st.st_nlink == 1 for st in after.values())
+    assert not any(e.startswith("v=") for e in os.listdir(t.root))
+    # p=b files referenced unchanged across versions, same paths
+    m1, m2 = t._manifest(1), t._manifest(v2)
+    b1 = {r for r in m1["files"] if "/p=b/" in r}
+    assert b1 and b1 == {r for r in m2["files"] if "/p=b/" in r}
+    # untouched physical files identical (same inode, same mtime)
+    for rel in b1:
+        assert before[rel].st_ino == after[rel].st_ino
+    # and the merge semantics held
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[1] == 999 and got[2] == 20 and len(got) == 40
+
+
+def test_object_mode_metadata_only_delete_runs_no_job(spark, tmp_path):
+    """A DELETE aligned with a file's zone drops the file from the
+    manifest: no Spark job, no new data files on disk, and the old
+    file stays untouched for time travel until vacuum."""
+    t = _table(spark, tmp_path / "tbl")
+    df = (spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+          .repartitionByRange(4, "id").sortWithinPartitions("id"))
+    t.merge(df)
+    stats = t.stats()
+    rel, zm = sorted(stats.items(),
+                     key=lambda kv: kv[1]["cols"]["id"]["min"])[1]
+    lo, hi = zm["cols"]["id"]["min"], zm["cols"]["id"]["max"]
+    files_before = _all_parquet(t.root)
+    expected = sorted(
+        r.id for r in t.read().filter(~F.col("id").between(lo, hi)).collect()
+    )
+    v = t.delete_where({"id": (lo, hi)})
+    assert _all_parquet(t.root).keys() == files_before.keys()  # no writes
+    assert rel not in t.stats()
+    assert sorted(r.id for r in t.read().collect()) == expected
+    assert t.history()[0]["operation"] == "delete_where"
+    assert t.read(version=v - 1).count() == 1000  # time travel intact
+
+
+def test_object_mode_dv_delete_update_and_density(spark, tmp_path):
+    """Merge-on-read DML in object mode: DV delete touches no data
+    file; DV update appends only the rewritten rows; dv_density /
+    needs_compaction read the manifest (no jobs); compact() purges
+    the DVs and the read plan loses the anti-join."""
+    t = _table(spark, tmp_path / "tbl")
+    df = (spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+          .repartitionByRange(4, "id").sortWithinPartitions("id"))
+    t.merge(df)
+    files_v1 = set(_all_parquet(t.root))
+    t.delete_where({"id": (10, 39)}, use_deletion_vectors=True)
+    assert set(_all_parquet(t.root)) == files_v1     # zero new files
+    assert sum(len(p) for p in t.deletion_vectors().values()) == 30
+    assert t.read().count() == 970
+    t.update_where({"id": (500, 519)}, {"v": F.lit(-1)},
+                   use_deletion_vectors=True)
+    assert t.read().filter("v = -1").count() == 20
+    assert t.read().count() == 970
+    d = t.dv_density()
+    assert d["dv_positions"] == 50 and 0.04 < d["density"] < 0.06
+    assert t.needs_compaction(threshold=0.02)
+    assert not t.needs_compaction(threshold=0.10)
+    assert t.maintenance_plan(threshold=0.02)["actions"] == ["compact()"]
+    t.compact()
+    assert t.deletion_vectors() == {}
+    assert t.read().count() == 970
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_object_mode_auto_compact_dv(spark, tmp_path):
+    """The opt-in hook (VERDICT r7 next-4): with auto_compact_dv set,
+    a DV-writing DML that pushes density past the threshold triggers
+    compaction automatically — the DV disappears and reads are
+    join-free without any operator remembering the policy doc."""
+    t = _table(spark, tmp_path / "tbl", auto_compact_dv=0.02)
+    t.merge(spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+            .repartitionByRange(4, "id"))
+    t.delete_where({"id": (0, 99)}, use_deletion_vectors=True)
+    assert t.deletion_vectors() == {}            # compacted away
+    assert t.history()[0]["operation"] in ("compact", "compact_zorder")
+    assert t.read().count() == 900
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_object_mode_concurrent_writers_conditional_put(spark, tmp_path):
+    """No flock: two writers racing the same version — the loser's
+    conditional PUT fails. wait=False surfaces ConcurrentMergeError
+    with the table untouched; wait=True re-derives against the new
+    head and retries, so both batches land (serial-replay
+    equivalence). Simulated deterministically by pre-claiming the
+    loser's version mid-commit."""
+    t = _table(spark, tmp_path / "tbl")
+    t.merge(spark.createDataFrame([(1, 10)], "id long, v long"))
+
+    orig = ParquetMergeTable._write_new_files
+    raced = {"done": False}
+
+    def hijack(self, df):
+        out = orig(self, df)
+        if not raced["done"]:
+            raced["done"] = True
+            # a concurrent writer commits between our stage and PUT
+            other = _table(spark, tmp_path / "tbl")
+            other.merge(spark.createDataFrame([(50, 500)],
+                                              "id long, v long"))
+        return out
+
+    ParquetMergeTable._write_new_files = hijack
+    try:
+        with pytest.raises(ConcurrentMergeError):
+            t.merge(spark.createDataFrame([(2, 20)], "id long, v long"),
+                    wait=False)
+    finally:
+        ParquetMergeTable._write_new_files = orig
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {1: 10, 50: 500}  # loser never touched the table
+
+    raced["done"] = False
+    ParquetMergeTable._write_new_files = hijack
+    try:
+        t.merge(spark.createDataFrame([(2, 20)], "id long, v long"),
+                wait=True)  # retries against the new head
+    finally:
+        ParquetMergeTable._write_new_files = orig
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {1: 10, 2: 20, 50: 500}
+
+
+def test_object_mode_restore_is_pure_metadata(spark, tmp_path):
+    """restore() in object mode writes NO data files — the new
+    manifest references the restored version's files where they
+    live."""
+    t = _table(spark, tmp_path / "tbl")
+    t.merge(spark.range(0, 100).withColumn("v", F.col("id")))
+    t.merge(spark.range(0, 100).withColumn("v", F.col("id") * 7))
+    files_before = set(_all_parquet(t.root))
+    v = t.restore(1)
+    assert set(_all_parquet(t.root)) == files_before
+    assert t._manifest(v)["files"] == t._manifest(1)["files"]
+    assert t.read().filter("id = 3").collect()[0].v == 3
+    assert t.history()[0]["operation"] == "restore(v=1)"
+
+
+def test_object_mode_clone_copies_and_diverges(spark, tmp_path):
+    """clone() in object mode deep-copies (the server-side-copy
+    analog; shallow references would break under source vacuum —
+    Delta's documented hazard): clone reads equal the source snapshot,
+    constraints carry, DVs carry, and the two tables then diverge
+    freely — including a source vacuum."""
+    t = _table(spark, tmp_path / "src")
+    df = (spark.range(0, 400).withColumn("v", F.col("id") * 2)
+          .repartitionByRange(4, "id"))
+    t.merge(df)
+    t.delete_where({"id": (10, 19)}, use_deletion_vectors=True)
+    t.add_constraint("v_nonneg", "v >= 0")
+    c = t.clone(str(tmp_path / "dst"))
+    assert c.storage == "object"
+    assert c.read().count() == 390           # DV came along
+    assert c.constraints() == {"v_nonneg": "v >= 0"}
+    with pytest.raises(ConstraintViolationError):
+        c.merge(spark.createDataFrame([(1, -1)], "id long, v long"))
+    # divergence + source vacuum cannot break the clone (deep copy)
+    t.merge(spark.range(0, 400).withColumn("v", F.lit(0)))
+    t.vacuum(keep_last_n=1, stage_grace_seconds=0)
+    assert c.read().count() == 390
+    c.merge(spark.createDataFrame([(1000, 1)], "id long, v long"))
+    assert c.read().count() == 391 and t.read().count() == 400
+
+
+def test_object_mode_vacuum_reference_counted(spark, tmp_path):
+    """vacuum() deletes exactly the files no retained manifest
+    references: shared files survive (they're referenced by the head),
+    dropped versions' exclusive files go, vacuumed versions raise on
+    read, and a crash-orphan stage dir (staged files, no manifest) is
+    swept once past the grace window."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id",
+                          partition_by="p", storage="object")
+    rows = [(i, "a" if i % 2 else "b", i) for i in range(40)]
+    t.merge(spark.createDataFrame(rows, "id long, p string, v long"))
+    t.merge(spark.createDataFrame([(1, "a", -1)], "id long, p string, v long"))
+    t.merge(spark.createDataFrame([(3, "a", -3)], "id long, p string, v long"))
+    # fake a crash: staged files with no manifest
+    orphan = os.path.join(t.root, "_data", "tx-deadbeef0000")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-0.parquet"), "w").write("junk")
+    head_files = {os.path.normpath(os.path.join(t.root, r))
+                  for r in t._manifest(3)["files"]}
+    removed = t.vacuum(keep_last_n=1, stage_grace_seconds=0)
+    assert removed == [1, 2]
+    assert not os.path.exists(orphan)
+    left = {os.path.normpath(os.path.join(t.root, r))
+            for r in _all_parquet(t.root)}
+    assert left == head_files                 # exactly the referenced set
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.read(version=1)
+    assert t.read().count() == 40             # head intact (p=b shared
+    # files from v1 were still referenced and survived)
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[1] == -1 and got[3] == -3 and got[2] == 2
+
+
+def test_object_mode_grace_protects_inflight_stage(spark, tmp_path):
+    """With the default grace window, vacuum leaves young unreferenced
+    files alone — an in-flight writer's staged-but-uncommitted files
+    survive a concurrent vacuum (the no-lock hazard the grace window
+    exists for; Delta's retention-hours analog)."""
+    t = _table(spark, tmp_path / "tbl")
+    t.merge(spark.range(0, 10).withColumn("v", F.col("id")))
+    staged = os.path.join(t.root, "_data", "tx-inflight00000")
+    os.makedirs(staged)
+    open(os.path.join(staged, "part-0.parquet"), "w").write("live")
+    t.vacuum(keep_last_n=1)  # default grace: hours
+    assert os.path.exists(os.path.join(staged, "part-0.parquet"))
+
+
+def test_object_mode_compact_collapses_read_groups(spark, tmp_path):
+    """Every commit adds a tx-dir read group; maintenance_plan reports
+    the growth and compact() collapses it back to one — the object-
+    mode analog of small-file management."""
+    t = _table(spark, tmp_path / "tbl")
+    for i in range(4):
+        t.merge(spark.createDataFrame([(i, i)], "id long, v long"))
+    assert t.maintenance_plan()["read_groups"] == 1  # unpartitioned
+    # merge rewrites wholesale; use DV updates to accrete groups
+    t.update_where({"id": (0, 0)}, {"v": F.lit(100)},
+                   use_deletion_vectors=True)
+    t.update_where({"id": (1, 1)}, {"v": F.lit(101)},
+                   use_deletion_vectors=True)
+    assert t.maintenance_plan()["read_groups"] == 3
+    t.compact()
+    assert t.maintenance_plan()["read_groups"] == 1
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {0: 100, 1: 101, 2: 2, 3: 3}
+
+
+def test_object_mode_guard_rejects_cross_mode_writes(spark, tmp_path):
+    """A table's commits must stay in one mode (posix carry needs the
+    self-contained snapshot dir; object carry needs root-relative
+    references) — writing in the other mode raises, while READS work
+    from either (the manifest records its base)."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id")
+    t.merge(spark.range(0, 5).withColumn("v", F.col("id")))
+    o = _table(spark, tmp_path / "tbl")
+    assert o.read().count() == 5              # cross-mode read OK
+    with pytest.raises(ValueError, match="storage"):
+        o.merge(spark.createDataFrame([(9, 9)], "id long, v long"))
+    t2 = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id")
+    t2.merge(spark.createDataFrame([(9, 9)], "id long, v long"))
+    assert t2.read().count() == 6
+
+
+def test_object_mode_time_travel_and_cdf(spark, tmp_path):
+    """Time travel and the change feed work across reference-carried
+    versions (files shared between manifests)."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id",
+                          partition_by="p", storage="object")
+    t.merge(spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2)], "id long, p string, v long"))
+    t.merge(spark.createDataFrame(
+        [(1, "a", 10), (3, "a", 3)], "id long, p string, v long"))
+    assert {r.id: r.v for r in t.read(version=1).collect()} == {1: 1, 2: 2}
+    feed = {r.id: r.change_type for r in t.changes_between(1, 2).collect()}
+    assert feed == {1: "updated", 2: "unchanged", 3: "inserted"}
+
+
+def test_object_mode_bloom_point_lookup(spark, tmp_path):
+    """The per-file Bloom index builds and probes on root-relative
+    keys; pruning-exactness holds across a reference carry."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id",
+                          partition_by="p", storage="object")
+    rows = [(i, "a" if i % 2 else "b", f"u{i * 37 % 1000}")
+            for i in range(400)]
+    t.merge(spark.createDataFrame(rows, "id long, p string, u string"))
+    t.build_file_index("u")
+    probe = ["u37", "u74"]
+    got = t.read_point("u", probe)
+    assert got.count() == t.read().filter(F.col("u").isin(probe)).count()
+    # carry across a pruned merge: p=b files keep their bloom bits
+    t.merge(spark.createDataFrame([(1, "a", "zz")],
+                                  "id long, p string, u string"))
+    idx = t.file_index()
+    assert idx and any("/p=b/" in k for k in idx["u"])
+    got2 = t.read_point("u", probe)
+    assert got2.count() == t.read().filter(F.col("u").isin(probe)).count()

@@ -344,48 +344,84 @@ _register_cdc()
 
 
 class ConcurrentMergeError(RuntimeError):
-    """Raised by ``merge(wait=False)`` when another writer holds the
-    table's commit lock — the losing merge has not touched the table
-    and can be retried safely."""
+    """Raised by ``merge(wait=False)`` when another writer beat this
+    one to the commit — posix: the flock is held; object: the
+    conditional PUT of the version's manifest failed. The losing merge
+    has not touched the table and can be retried safely."""
 
 
 class ConstraintViolationError(ValueError):
     """A commit wrote rows violating a table CHECK constraint; the
-    snapshot was discarded before the pointer flip, so readers never
-    saw it and the table is unchanged."""
+    staged files were discarded before the manifest create, so readers
+    never saw them and the table is unchanged."""
+
+
+class _CommitRace(Exception):
+    """Internal: the version this writer tried to publish was claimed
+    by a concurrent commit (conditional-PUT failure). Converted to
+    :class:`ConcurrentMergeError` or retried by :meth:`ParquetMergeTable._txn`."""
 
 
 class ParquetMergeTable:
     """``MERGE INTO``-shaped keyed upsert/delete over plain parquet with
-    versioned copy-on-write snapshots — the engine-native stand-in for
-    the reference's single-transaction Postgres load
+    versioned snapshots — the engine-native stand-in for the
+    reference's single-transaction Postgres load
     (parse_and_upload_to_db.py:100,173-179) when the store is files.
 
-    Layout::
+    **Version identity is a MANIFEST, not a directory tree** (VERDICT
+    r7 next-1). Every commit writes ``<root>/_log/<n>.json`` — the
+    explicit list of the snapshot's data files with their per-file
+    zone maps, the schema, and the deletion vectors — and the ATOMIC
+    CREATION of that file IS the commit (create-if-absent; the loser
+    of a racing version number fails cleanly). Readers resolve the
+    file list from the manifest, never from directory listing, so a
+    version can reference files written by ANY earlier commit. This
+    is the Delta/Iceberg log model; see LAKEHOUSE.md for the design
+    note mapping each primitive to its object-store substitute.
 
-        <root>/v=<n>/           complete parquet snapshot n
-        <root>/_VERSION         committed snapshot number (atomic pointer)
+    Two storage modes (``storage=``):
 
-    A merge writes snapshot n+1 in FULL, then promotes it by writing
-    the pointer through ``os.replace`` (atomic on POSIX): a reader that
-    resolves the pointer sees either snapshot n or n+1, never a
-    half-written directory, and a crash mid-write leaves the table at
-    n with an orphan directory — job-level all-or-nothing (T1).
+    * ``"posix"`` (default) — keeps the self-contained ``v=<n>/``
+      snapshot directories: files carried forward from the parent
+      snapshot are HARDLINKED in (zero copy, same relative path, so
+      manifest keys stay stable), and writers are serialized with an
+      advisory ``flock`` on ``<root>/_LOCK`` (``merge(wait=True)``
+      queues writers; ``wait=False`` raises
+      :class:`ConcurrentMergeError` without touching the table).
+      Debuggable layout, cheapest carry-forward, POSIX-only.
+    * ``"object"`` — NO hardlinks, NO flock, NO rename: each commit
+      writes its new files into a fresh ``_data/tx-<id>/`` directory
+      and the manifest simply REFERENCES untouched files where they
+      already live; concurrency is optimistic — the commit-file
+      create-if-absent is the only coordination point (``wait=True``
+      re-derives the batch against the new head and retries, the
+      serial-replay equivalence; ``wait=False`` raises). This is the
+      mode whose every primitive has a direct S3/GCS/ADLS mapping.
 
-    Scale honesty: copy-on-write rewrites the whole snapshot, which is
-    the correct trade for bulk incremental loads (the Delta/Iceberg
-    default for unpartitioned MERGE too); a 100 TB deployment
-    partitions the table and rewrites only partitions containing
-    matched keys (pass ``partition_by`` — one column or a tuple for
-    nested hive layouts like ``("date", "source")``), which is exactly
-    copy-on-write at (leaf-)partition granularity. What a real lakehouse
-    format adds on top is a distributed transaction LOG (cross-host
-    writers, time travel beyond retained snapshots) — here writers are
-    serialized with an advisory ``flock`` on ``<root>/_LOCK``
-    (VERDICT r6 next-5): ``merge(wait=True)`` queues writers (result
-    equals a serial replay), ``wait=False`` makes the loser raise
-    :class:`ConcurrentMergeError` cleanly without touching the table.
-    Retry recipe for optimistic callers::
+    A table must keep one mode for its commits (readers handle either;
+    a commit in the wrong mode raises). Layout::
+
+        <root>/_log/<n>.json          commit n's manifest (source of truth)
+        <root>/_log/<n>.bloom.json    commit n's per-file Bloom index
+        <root>/v=<n>/                 posix mode: snapshot n's files
+        <root>/_data/tx-<id>/         object mode: one commit's new files
+
+    Crash safety: a crash before the manifest create leaves staged
+    data files but NO committed version — readers never see them and
+    ``vacuum()`` sweeps them (posix clears the orphan ``v=<n>``
+    directory under the writer lock, as in r6/r7). A crash after the
+    create is a completed commit. There is no pointer to flip and no
+    torn-manifest window (the manifest is fully written before the
+    atomic create).
+
+    Scale honesty: copy-on-write rewrites what the predicate/batch
+    touches — whole table unpartitioned, touched partitions with
+    ``partition_by`` (one column or a tuple for nested hive layouts
+    like ``("date", "source")``), individual files for the zone-map
+    DML paths, and nothing at all for metadata-only deletes and
+    DV-mode mutations. The partition value of a key must be immutable
+    across batches (standard lakehouse constraint). Retry recipe for
+    optimistic callers::
 
         while True:
             try:
@@ -393,22 +429,24 @@ class ParquetMergeTable:
             except ConcurrentMergeError:
                 time.sleep(random.uniform(0.1, 0.5))   # then re-derive
                 # the batch if it depends on table.read()
-
-    Crash safety (ADVICE r6): a crash between snapshot write and
-    pointer flip leaves an orphan ``v=n+1`` directory above the
-    committed pointer; every commit path deletes any such directory
-    before writing — by definition garbage from a failed attempt (no
-    live writer can own it while we hold the flock).
     """
 
     def __init__(self, spark: SparkSession, root: str, key: str,
                  partition_by: str | list[str] | tuple[str, ...] | None = None,
-                 ) -> None:
+                 storage: str = "posix",
+                 auto_compact_dv: float | None = None) -> None:
         import os
 
+        if storage not in ("posix", "object"):
+            raise ValueError(f"storage must be 'posix' or 'object', got {storage!r}")
         self.spark = spark
         self.root = root
         self.key = key
+        self.storage = storage
+        self._object = storage == "object"
+        # opt-in DV maintenance: after DV-writing DML, compact when
+        # density crosses this (see maintenance_plan / BASELINE.md)
+        self.auto_compact_dv = auto_compact_dv
         # one column or several (hive-nested dirs p1=a/p2=b — the
         # date+source layout real lakehouse tables use); internal code
         # works on the normalized tuple
@@ -418,74 +456,107 @@ class ParquetMergeTable:
             else tuple(partition_by)
         )
         self.partition_by = partition_by
-        os.makedirs(root, exist_ok=True)
+        self._mcache: dict[int, dict] = {}  # version -> manifest (immutable)
+        os.makedirs(os.path.join(root, "_log"), exist_ok=True)
 
-    def _pointer(self) -> str:
+    # ---- commit log (the manifest plane) ----------------------------
+
+    def _log_dir(self) -> str:
         import os
 
-        return os.path.join(self.root, "_VERSION")
+        return os.path.join(self.root, "_log")
+
+    def _manifest_path(self, version: int) -> str:
+        import os
+
+        return os.path.join(self._log_dir(), f"{version}.json")
+
+    def _bloom_file(self, version: int) -> str:
+        import os
+
+        return os.path.join(self._log_dir(), f"{version}.bloom.json")
 
     def current_version(self) -> int:
+        """Highest committed version = highest manifest in ``_log/``
+        (an object-store LIST on the log prefix — the Delta protocol's
+        version discovery; no pointer file to read or flip)."""
         import os
 
         try:
-            with open(self._pointer()) as f:
-                return int(f.read().strip())
-        except FileNotFoundError:
-            return 0
+            entries = os.listdir(self._log_dir())
         except OSError:
             return 0
+        best = 0
+        for e in entries:
+            m = _re.fullmatch(r"(\d+)\.json", e)
+            if m:
+                best = max(best, int(m.group(1)))
+        return best
 
-    def _snap_dir(self, version: int) -> str:
-        import os
+    def _manifest(self, version: int) -> dict:
+        """Load (and cache — manifests are immutable) one commit record."""
+        man = self._mcache.get(version)
+        if man is None:
+            import json as _json
 
-        return os.path.join(self.root, f"v={version}")
+            with open(self._manifest_path(version)) as f:
+                man = _json.load(f)
+            self._mcache[version] = man
+        return man
 
-    def read(self, version: int | None = None) -> DataFrame | None:
-        """The committed snapshot, or None before the first commit.
-
-        ``version`` time-travels to an older retained snapshot (the
-        lakehouse ``VERSION AS OF`` read): snapshots are immutable
-        directories, so any version vacuum has not removed is readable
-        forever. Raises if the requested version was vacuumed or never
-        committed."""
+    def _publish(self, new_v: int, man: dict) -> None:
+        """THE commit: make ``_log/<new_v>.json`` exist atomically,
+        failing if the version was claimed by a concurrent writer.
+        Local emulation of object-store conditional PUT: write the
+        full manifest to a temp file, then ``os.link(tmp, final)`` —
+        link fails with EEXIST if the name exists and never exposes a
+        torn manifest. Object-store substitutes (LAKEHOUSE.md): S3
+        ``PUT If-None-Match: *``, GCS ``ifGenerationMatch=0``, ADLS
+        ``If-None-Match: *`` — all atomic full-object create-if-absent."""
         import json as _json
         import os
+        import tempfile
 
-        from pyspark.sql.types import StructType
+        fd, tmp = tempfile.mkstemp(dir=self._log_dir(),
+                                   prefix=f"_tx{new_v}.")
+        try:
+            with os.fdopen(fd, "w") as f:
+                _json.dump(man, f)
+            try:
+                os.link(tmp, self._manifest_path(new_v))
+            except FileExistsError:
+                raise _CommitRace(new_v) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+        self._mcache[new_v] = man
 
-        v = self.current_version()
-        if v == 0:
-            return None
-        if version is not None:
-            if not 1 <= version <= v:
-                raise ValueError(
-                    f"version {version} not committed (current: {v})"
-                )
-            if not os.path.isdir(self._snap_dir(version)):
-                raise ValueError(
-                    f"version {version} was vacuumed (oldest retained "
-                    "version is discoverable via os.listdir)"
-                )
-            v = version
-        snap = self._snap_dir(v)
-        # schema saved at commit time: an EMPTY snapshot (a batch that
-        # deleted every row) has no parquet files to infer from, and an
-        # explicit schema also makes partition-column types stable
-        schema_file = os.path.join(snap, "_SCHEMA.json")
-        if os.path.exists(schema_file):
-            with open(schema_file) as f:
-                schema = StructType.fromJson(_json.load(f))
-            df = self.spark.read.schema(schema).parquet(snap)
-        else:
-            df = self.spark.read.parquet(snap)
-        return self._apply_dv(df, v)
+    def _finalize(self, new_v: int, man: dict, stage: str | None) -> None:
+        """Publish, cleaning up this writer's staged files on a lost
+        race (the table is untouched — only OUR uncommitted files go)."""
+        import os
+        import shutil
+
+        try:
+            self._publish(new_v, man)
+        except _CommitRace:
+            if stage and os.path.isdir(stage):
+                shutil.rmtree(stage, ignore_errors=True)
+            raise
+
+    class _NoLock:
+        def close(self) -> None:
+            pass
 
     def _writer_lock(self, wait: bool):
-        """Exclusive advisory lock serializing commits. ``flock`` binds
+        """posix: exclusive advisory flock serializing commits (binds
         to the open file description, so it excludes both other
-        processes and other threads of this one (each call opens its
-        own fd). Returns the open file; closing releases the lock."""
+        processes and other threads; closing releases). object: a
+        no-op — coordination is the conditional PUT in _publish."""
+        if self._object:
+            return self._NoLock()
         import fcntl
         import os
 
@@ -501,12 +572,48 @@ class ParquetMergeTable:
             ) from None
         return f
 
+    def _txn(self, wait: bool, body):
+        """Run one writer transaction. posix: under the flock (queue
+        semantics for wait=True — a race is impossible). object:
+        optimistic — on a lost conditional PUT, wait=True re-runs the
+        body against the new head (each body re-reads the current
+        snapshot, so the result equals a serial replay); wait=False
+        raises :class:`ConcurrentMergeError` with the table untouched."""
+        if not self._object:
+            lock = self._writer_lock(wait)
+            try:
+                return body()
+            except _CommitRace:
+                raise ConcurrentMergeError(
+                    f"commit race on {self.root} despite the writer "
+                    "lock — external writer bypassing the lock?"
+                ) from None
+            finally:
+                lock.close()
+        while True:
+            try:
+                return body()
+            except _CommitRace:
+                if not wait:
+                    raise ConcurrentMergeError(
+                        f"another writer committed to {self.root} "
+                        "concurrently; retry (see class docstring "
+                        "recipe) or call with wait=True to re-derive "
+                        "against the new head"
+                    ) from None
+
+    # ---- snapshot/stage locations -----------------------------------
+
+    def _snap_dir(self, version: int) -> str:
+        import os
+
+        return os.path.join(self.root, f"v={version}")
+
     def _clear_orphan(self, version: int) -> None:
-        """Delete a leftover uncommitted snapshot directory (crash
-        between write and pointer flip, ADVICE r6). Caller holds the
-        writer lock, so a directory above the committed pointer cannot
-        belong to a live writer — without this, the next merge's
-        mode('errorifexists') write would fail permanently."""
+        """posix: delete a leftover uncommitted snapshot directory
+        (crash between data write and manifest create). Caller holds
+        the writer lock, so a directory with no manifest cannot belong
+        to a live writer."""
         import os
         import shutil
 
@@ -514,26 +621,42 @@ class ParquetMergeTable:
         if os.path.exists(d):
             shutil.rmtree(d)
 
-    def _flip_pointer(self, new_v: int) -> None:
-        """Write-then-rename: the pointer flips atomically after the
-        snapshot is fully on disk."""
+    def _stage_dir(self, new_v: int) -> str:
+        """Where this commit's NEW data files go: posix — the ``v=<n>``
+        snapshot dir (cleared of crash orphans first); object — a
+        fresh ``_data/tx-<id>`` directory (never reused, so racing
+        writers cannot collide and a crashed attempt is inert until
+        vacuum sweeps it)."""
         import os
-        import tempfile
 
-        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_VERSION.")
-        with os.fdopen(fd, "w") as f:
-            f.write(str(new_v))
-        os.replace(tmp, self._pointer())
+        v_now = new_v - 1
+        if v_now >= 1:
+            base = self._manifest(v_now).get("base", "snapshot")
+            want = "root" if self._object else "snapshot"
+            if base != want:
+                raise ValueError(
+                    f"table at {self.root} was committed in storage="
+                    f"{'object' if base == 'root' else 'posix'!r} mode; "
+                    f"open it with that mode to write (reads work from "
+                    "either)"
+                )
+        if not self._object:
+            self._clear_orphan(new_v)
+            return self._snap_dir(new_v)
+        import uuid
+
+        return os.path.join(self.root, "_data", f"tx-{uuid.uuid4().hex[:12]}")
 
     # ---- CHECK constraints (Delta ADD CONSTRAINT shape) -------------
     #
     # Enforcement costs ZERO extra passes: the violation counters ride
     # the snapshot-write job itself via DataFrame.observe, and a
-    # violated commit is aborted AFTER the write but BEFORE the pointer
-    # flip — MVCC means readers never saw the bad snapshot and the
-    # table is bit-unchanged. Hardlinked (untouched) partitions are
-    # never revalidated: they passed when written, and add_constraint
-    # validates the whole table once — sound by induction.
+    # violated commit is aborted AFTER the write but BEFORE the
+    # manifest create — MVCC means readers never saw the bad snapshot
+    # and the table is bit-unchanged. Carried-forward (untouched)
+    # files are never revalidated: they passed when written, and
+    # add_constraint validates the whole table once — sound by
+    # induction.
 
     def _constraints_file(self) -> str:
         import os
@@ -558,9 +681,9 @@ class ParquetMergeTable:
         validated first — one scan — and the add is refused if any row
         violates; afterwards every commit's written rows are checked
         inside the write job and a violating commit aborts cleanly
-        (:class:`ConstraintViolationError`) without becoming visible."""
-        import json as _json
-
+        (:class:`ConstraintViolationError`) without becoming visible.
+        Constraint admin is a single-operator action in object mode
+        (no writer lock serializes it against in-flight commits)."""
         lock = self._writer_lock(wait)
         try:
             current = self.read()
@@ -589,7 +712,8 @@ class ParquetMergeTable:
 
     def _write_constraints(self, cons: dict) -> None:
         """Write-then-rename: constraints() callers never see partial
-        JSON (they read without the writer lock)."""
+        JSON (object-store substitute: a plain PUT — single-object
+        writes are atomic there)."""
         import json as _json
         import os
         import tempfile
@@ -616,9 +740,10 @@ class ParquetMergeTable:
         ]
         return df.observe(obs, *aggs), obs, names
 
-    def _enforce_constraints(self, obs, names, new_v: int) -> None:
-        """After the snapshot write, before the pointer flip: discard
-        the snapshot and raise if any constraint counted a violation."""
+    def _enforce_constraints(self, obs, names, stage: str) -> None:
+        """After the data write, before the manifest create: discard
+        the staged files and raise if any constraint counted a
+        violation — the commit never becomes visible."""
         import shutil
 
         if obs is None:
@@ -631,93 +756,330 @@ class ParquetMergeTable:
             if (got.get(f"viol_{i}") or 0) > 0
         ]
         if bad:
-            shutil.rmtree(self._snap_dir(new_v), ignore_errors=True)
+            shutil.rmtree(stage, ignore_errors=True)
             raise ConstraintViolationError(
-                "commit aborted before pointer flip — written rows "
-                f"violate CHECK constraint(s): {bad}"
+                "commit aborted before the manifest create — written "
+                f"rows violate CHECK constraint(s): {bad}"
             )
 
-    def _commit(self, df: DataFrame, op: str = "merge") -> int:
+    # ---- writing + manifest assembly --------------------------------
+
+    def _write_new_files(self, df: DataFrame) -> tuple[str, dict]:
+        """Spark-write ``df`` into this commit's staging location and
+        return ``(stage_dir, {relkey: zone map})`` for the NEW files —
+        footer stats are collected for new files only (carried files
+        inherit their manifest entry verbatim), so per-commit stats
+        cost is proportional to written data, not table size."""
+        import os
+
         new_v = self.current_version() + 1
-        self._clear_orphan(new_v)
-        df, obs, names = self._attach_constraint_obs(df)
-        writer = df.write.mode("errorifexists")
+        stage = self._stage_dir(new_v)
+        df2, obs, names = self._attach_constraint_obs(df)
+        writer = df2.write.mode("errorifexists")
         if self._parts:
             writer = writer.partitionBy(*self._parts)
-        writer.parquet(self._snap_dir(new_v))
-        self._enforce_constraints(obs, names, new_v)
-        self._save_schema(df, new_v)
-        self._save_commit_info(new_v, op)
-        self._flip_pointer(new_v)
-        return new_v
+        writer.parquet(stage)
+        self._enforce_constraints(obs, names, stage)
+        prefix = ""
+        if self._object:
+            prefix = os.path.relpath(stage, self.root) + "/"
+        entries: dict[str, dict] = {}
+        schema = df.schema
+        for dirpath, _, files in os.walk(stage):
+            for fname in files:
+                if not fname.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fname)
+                rel_in = os.path.relpath(full, stage)
+                zm = self._file_zone_map(full)
+                zm["cols"].update(self._partition_zone_map(rel_in, schema))
+                entries[prefix + rel_in] = zm
+        return stage, entries
 
-    def _save_schema(self, df: DataFrame, version: int) -> None:
-        import json as _json
-        import os
-
-        with open(os.path.join(self._snap_dir(version), "_SCHEMA.json"), "w") as f:
-            _json.dump(df.schema.jsonValue(), f)
-
-    def _save_dv(self, version: int, new_dv: dict | None) -> None:
-        """Carry deletion vectors forward across a commit: parent DV
-        entries survive exactly when their file was hardlinked into
-        the new snapshot (rewritten/dropped files purge theirs —
-        the keys are URI-form, the filesystem check unquotes), then
-        merge any freshly recorded positions."""
-        import json as _json
-        import os
+    def _assemble_manifest(self, new_v: int, op: str, schema,
+                           files: dict, parent_v: int,
+                           new_dv: dict | None = None) -> dict:
+        """Build commit ``new_v``'s record. Deletion vectors carry
+        forward from the parent for exactly the files still referenced
+        (a rewritten or dropped file purges its DV — the Delta DV
+        lifecycle), then merge any freshly recorded positions."""
+        import time as _time
         from urllib.parse import unquote
 
-        snap = self._snap_dir(version)
-        parent = {}
-        if version > 1 and os.path.isdir(self._snap_dir(version - 1)):
-            pf = os.path.join(self._snap_dir(version - 1), "_DV.json")
-            if os.path.exists(pf):
-                with open(pf) as f:
-                    parent = _json.load(f)
-        merged: dict[str, list[int]] = {}
-        for k, ps in parent.items():
-            if os.path.exists(os.path.join(snap, unquote(k))):
-                merged[k] = list(ps)
+        dv: dict[str, list[int]] = {}
+        if parent_v >= 1:
+            parent = self._manifest(parent_v)
+            for k, ps in (parent.get("dv") or {}).items():
+                if unquote(k) in files:
+                    dv[k] = list(ps)
         for k, ps in (new_dv or {}).items():
-            merged[k] = sorted(set(merged.get(k, [])) | set(ps))
-        target = os.path.join(snap, "_DV.json")
-        if merged:
-            with open(target, "w") as f:
-                _json.dump(merged, f)
-        # no merged entries: leave any pre-copied DV (clone) alone
-
-    def _save_commit_info(self, version: int, op: str,
-                          stats: bool = True,
-                          new_dv: dict | None = None,
-                          carry_meta: bool = True) -> None:
-        if carry_meta:  # restore()/clone() copy their own DV/bloom
-            self._save_dv(version, new_dv)
-            self._save_bloom(version)
-        import json as _json
-        import os
-        import time as _time
-
-        info = {
-            "version": version,
+            dv[k] = sorted(set(dv.get(k, [])) | set(ps))
+        return {
+            "format": 2,
+            "version": new_v,
             "operation": op,
             "committed_at_unix": round(_time.time(), 3),
-            "n_files": sum(
-                len([f for f in files if f.endswith(".parquet")])
-                for _, _, files in os.walk(self._snap_dir(version))
-            ),
+            "base": "root" if self._object else "snapshot",
+            "schema": schema.jsonValue(),
+            "files": files,
+            "dv": dv,
+            "n_files": len(files),
         }
-        with open(
-            os.path.join(self._snap_dir(version), "_COMMITINFO.json"), "w"
-        ) as f:
-            _json.dump(info, f)
-        if stats:  # clone() copies the manifest instead of recomputing
-            self._save_stats(version)
+
+    def _hardlink_rels(self, old_v: int, new_v: int, rels) -> None:
+        """posix carry-forward: bring referenced files into the new
+        snapshot directory by relpath-preserving hardlink (zero data
+        copy — parquet files are immutable once committed, and the
+        preserved relative path keeps manifest/DV/bloom keys stable
+        across versions). Object mode never calls this: the manifest
+        references the files where they already live."""
+        import os
+
+        old_dir, new_dir = self._snap_dir(old_v), self._snap_dir(new_v)
+        for rel in rels:
+            dst = os.path.join(new_dir, rel)
+            d = os.path.dirname(dst)
+            if d:
+                os.makedirs(d, exist_ok=True)
+            os.link(os.path.join(old_dir, rel), dst)
+
+    def _commit(self, df: DataFrame, op: str = "merge") -> int:
+        """Full-rewrite commit: every referenced file is newly written
+        (parent DVs purge naturally — no parent file survives)."""
+        parent_v = self.current_version()
+        new_v = parent_v + 1
+        stage, entries = self._write_new_files(df)
+        man = self._assemble_manifest(new_v, op, df.schema, entries,
+                                      parent_v)
+        self._finalize(new_v, man, stage)
+        self._carry_bloom(parent_v, new_v, set(entries))
+        return new_v
+
+    def _commit_carrying(self, out_df, keep_rels, old_v: int, schema,
+                         op: str, new_dv: dict | None = None) -> int:
+        """Shared partial-rewrite tail (pruned merges, DML, compaction):
+        Spark-write the rewritten rows (if any), carry ``keep_rels``
+        forward — posix: hardlink; object: manifest reference, zero
+        I/O — and commit. ``out_df`` None is a METADATA-ONLY commit:
+        no Spark job runs at all."""
+        import os
+
+        new_v = old_v + 1
+        if out_df is not None:
+            stage, entries = self._write_new_files(out_df)
+        else:
+            entries = {}
+            stage = None
+            if not self._object:
+                stage = self._stage_dir(new_v)
+                os.makedirs(stage, exist_ok=True)
+        keep_rels = list(keep_rels)
+        if not self._object and keep_rels:
+            self._hardlink_rels(old_v, new_v, keep_rels)
+        pfiles = self._manifest(old_v)["files"]
+        files = {r: pfiles[r] for r in keep_rels}
+        files.update(entries)
+        man = self._assemble_manifest(new_v, op, schema, files, old_v,
+                                      new_dv=new_dv)
+        self._finalize(new_v, man, stage)
+        self._carry_bloom(old_v, new_v, set(files))
+        return new_v
+
+    def _rel_partition_dir(self, rel: str) -> str:
+        """The leaf-partition directory path of a manifest key
+        (``p1=a/p2=b``), mode-independent: object keys strip their
+        ``_data/tx-*/`` prefix first."""
+        import os
+
+        if rel.startswith("_data/"):
+            rel = rel.split("/", 2)[2]
+        return os.path.dirname(rel)
+
+    # ---- reading through the manifest -------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """The committed snapshot, or None before the first commit.
+
+        ``version`` time-travels to an older retained snapshot (the
+        lakehouse ``VERSION AS OF`` read): manifests and the files
+        they reference are immutable, so any version vacuum has not
+        removed is readable forever. Raises if the requested version
+        was vacuumed or never committed."""
+        import os
+
+        v = self.current_version()
+        if v == 0:
+            return None
+        if version is not None:
+            if not 1 <= version <= v:
+                raise ValueError(
+                    f"version {version} not committed (current: {v})"
+                )
+            if not os.path.exists(self._manifest_path(version)):
+                raise ValueError(
+                    f"version {version} was vacuumed (oldest retained "
+                    "version is discoverable via history())"
+                )
+            v = version
+        return self._scan(v)
+
+    @staticmethod
+    def _base_uri_candidates(base: str) -> list[str]:
+        """The prefixes ``_metadata.file_path`` can carry for files
+        under ``base``, each ending in '/': Hadoop's ``file:/abs``
+        rendering (raw and percent-escaped), ``file:///abs``, and the
+        bare path. Used for ANCHORED relative-path derivation — a
+        prefix match at position 0 cannot be fooled by a root
+        directory or partition value that CONTAINS the marker text
+        (ADVICE r7: the old last-occurrence ``substring_index`` on
+        ``/v=<n>/`` mis-keyed DVs for such layouts)."""
+        import os
+        from pathlib import Path
+
+        b = os.path.abspath(base)
+        out = ["file:" + b + "/", b + "/"]
+        try:
+            u = Path(b).as_uri()            # file:///abs, %-escaped
+            out.append(u + "/")
+            out.append("file:" + u[len("file://"):] + "/")
+        except ValueError:
+            pass
+        seen: list[str] = []
+        for x in out:
+            if x not in seen:
+                seen.append(x)
+        return seen
+
+    def _rel_expr(self, base: str, prefix: str):
+        """Column expression: the manifest key of the file a row came
+        from, in the scan's own URI escaping — ``prefix`` + the path
+        relative to ``base``, derived by anchored prefix-strip."""
+        import os
+
+        fp = F.col("_metadata.file_path")
+        expr = None
+        big = F.lit(1 << 30)
+        for cand in self._base_uri_candidates(base):
+            cond = fp.startswith(cand)
+            piece = F.concat(F.lit(prefix),
+                             F.substring(fp, F.lit(len(cand) + 1), big))
+            expr = F.when(cond, piece) if expr is None else \
+                expr.when(cond, piece)
+        # defensive fallback (never expected to fire): the r7 behavior
+        marker = "/" + os.path.basename(base) + "/"
+        return expr.otherwise(
+            F.concat(F.lit(prefix), F.substring_index(fp, marker, -1))
+        )
+
+    @classmethod
+    def _to_nullable(cls, dt):
+        """File sources relax every field to nullable; the manifest
+        stores the writer's schema verbatim, so reads (including the
+        zero-file empty frame) normalize the same way for schema
+        equality across paths."""
+        from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+        if isinstance(dt, StructType):
+            return StructType([
+                StructField(f.name, cls._to_nullable(f.dataType), True,
+                            f.metadata)
+                for f in dt.fields
+            ])
+        if isinstance(dt, ArrayType):
+            return ArrayType(cls._to_nullable(dt.elementType), True)
+        if isinstance(dt, MapType):
+            return MapType(cls._to_nullable(dt.keyType),
+                           cls._to_nullable(dt.valueType), True)
+        return dt
+
+    def _scan(self, version: int, relkeys=None,
+              keep_pos: bool = False) -> DataFrame:
+        """Manifest-resolved snapshot scan: read exactly the listed
+        files (optionally a subset), under the commit's saved schema,
+        with deletion vectors anti-joined out. With ``keep_pos`` the
+        (manifest key, row position) columns stay visible as
+        ``_file_rel``/``_row_pos`` (DV-building scans need them).
+        When the snapshot has no DV and positions aren't requested,
+        the plan is a bare parquet scan — no join, no extra columns
+        (plan-asserted by tests/test_upsert.py)."""
+        import os
+
+        from pyspark.sql.types import StructType
+
+        man = self._manifest(version)
+        schema = self._to_nullable(StructType.fromJson(man["schema"]))
+        files = man["files"]
+        sel = sorted(files) if relkeys is None else sorted(relkeys)
+        dv = man.get("dv") or {}
+        need_rel = keep_pos or bool(dv)
+        if not sel:
+            df = self.spark.createDataFrame([], schema)
+            if keep_pos:
+                df = df.withColumn(
+                    "_file_rel", F.lit(None).cast("string")
+                ).withColumn("_row_pos", F.lit(None).cast("long"))
+            return df
+        # group by physical base directory: posix snapshots are one
+        # group; object snapshots hold one group per referencing
+        # commit's tx dir (bounded by retained history; compaction
+        # collapses it)
+        groups: dict[str | None, list[str]] = {}
+        if man.get("base") == "root":
+            for rel in sel:
+                top = "/".join(rel.split("/", 2)[:2])
+                groups.setdefault(top, []).append(rel)
+        else:
+            groups[None] = list(sel)
+        parts: list[DataFrame] = []
+        for top, rels in sorted(groups.items(),
+                                key=lambda kv: kv[0] or ""):
+            if top is None:
+                base = self._snap_dir(version)
+                prefix = ""
+                paths = [os.path.join(base, r) for r in rels]
+            else:
+                base = os.path.join(self.root, top)
+                prefix = top + "/"
+                paths = [os.path.join(base, r.split("/", 2)[2])
+                         for r in rels]
+            g = (
+                self.spark.read.schema(schema)
+                .option("basePath", base)
+                .parquet(*paths)
+            )
+            if need_rel:
+                g = g.withColumn(
+                    "_file_rel", self._rel_expr(base, prefix)
+                ).withColumn("_row_pos", F.col("_metadata.row_index"))
+            parts.append(g)
+        df = parts[0]
+        for g in parts[1:]:
+            df = df.unionByName(g)
+        if dv:
+            rows = [(rel, int(p)) for rel, ps in dv.items() for p in ps]
+            dv_df = self.spark.createDataFrame(
+                rows, "_dv_rel string, _dv_pos long"
+            )
+            df = df.join(
+                F.broadcast(dv_df),
+                (df["_file_rel"] == dv_df["_dv_rel"])
+                & (df["_row_pos"] == dv_df["_dv_pos"]),
+                "left_anti",
+            )
+        if need_rel and not keep_pos:
+            df = df.drop("_file_rel", "_row_pos")
+        return df
+
+    def _boundary_scan(self, version: int, relkeys) -> DataFrame:
+        """The scan fallback for files metadata alone cannot decide —
+        a separate hook so tests can assert a metadata-only operation
+        runs NO scan at all."""
+        return self._scan(version, relkeys=relkeys)
 
     # ---- file-level zone maps (data skipping) ----------------------
     #
-    # Every commit records per-file column min/max/null-count zone maps
-    # in the snapshot's _STATS.json — the same file-statistics design
+    # Every commit records per-file column min/max/null-count zone
+    # maps in its manifest — the same file-statistics design
     # Delta/Iceberg keep in their transaction logs (Iceberg spec
     # "Manifests: value counts / lower and upper bounds"). read_where()
     # then prunes the file list DRIVER-SIDE from pure metadata before
@@ -725,10 +1087,10 @@ class ParquetMergeTable:
     # over a clustered column (ZORDER, ingestion time, monotone key)
     # touches a handful of files instead of every footer in the scan's
     # listing. Collection is metadata-only (parquet footers, no data
-    # pages) and INCREMENTAL: files hardlinked forward from the parent
-    # snapshot are recognized by inode and inherit their stats, so the
-    # per-commit cost is proportional to NEW files (touched partitions),
-    # matching the pruned-merge write cost — not table size.
+    # pages) and INCREMENTAL: carried-forward files inherit their
+    # manifest entry without reopening the footer, so the per-commit
+    # cost is proportional to NEW files (touched partitions), matching
+    # the pruned-merge write cost — not table size.
 
     @staticmethod
     def _stat_norm(v):
@@ -885,65 +1247,16 @@ class ParquetMergeTable:
                 break
         return out
 
-    def _save_stats(self, version: int) -> None:
-        """Write ``_STATS.json`` for the snapshot: relpath → zone maps.
-        Files shared with the parent snapshot (hardlinked forward by a
-        pruned merge / single-partition compact) are matched by INODE
-        and inherit the parent's entry without reopening the footer."""
-        import json as _json
-        import os
-
-        from pyspark.sql.types import StructType
-
-        snap = self._snap_dir(version)
-        schema = None
-        schema_file = os.path.join(snap, "_SCHEMA.json")
-        if os.path.exists(schema_file):
-            with open(schema_file) as f:
-                schema = StructType.fromJson(_json.load(f))
-        inherited: dict[int, dict] = {}
-        for pv in range(version - 1, 0, -1):
-            pdir = self._snap_dir(pv)
-            pstats = os.path.join(pdir, "_STATS.json")
-            if not os.path.exists(pstats):
-                continue
-            with open(pstats) as f:
-                prev = _json.load(f)
-            for rel, zm in prev.items():
-                try:
-                    inherited[os.stat(os.path.join(pdir, rel)).st_ino] = zm
-                except OSError:
-                    continue
-            break
-        stats: dict[str, dict] = {}
-        for dirpath, _, files in os.walk(snap):
-            for fname in files:
-                if not fname.endswith(".parquet"):
-                    continue
-                full = os.path.join(dirpath, fname)
-                rel = os.path.relpath(full, snap)
-                zm = inherited.get(os.stat(full).st_ino)
-                if zm is None:
-                    zm = self._file_zone_map(full)
-                    zm["cols"].update(self._partition_zone_map(rel, schema))
-                stats[rel] = zm
-        with open(os.path.join(snap, "_STATS.json"), "w") as f:
-            _json.dump(stats, f)
-
     def stats(self, version: int | None = None) -> dict | None:
-        """The snapshot's file → zone-map index (None if the version
-        predates stats collection)."""
-        import json as _json
+        """The snapshot's file → zone-map index — the manifest's
+        ``files`` section (None before the first commit or for a
+        vacuumed version)."""
         import os
 
         v = version if version is not None else self.current_version()
-        if v == 0:
+        if v == 0 or not os.path.exists(self._manifest_path(v)):
             return None
-        p = os.path.join(self._snap_dir(v), "_STATS.json")
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            return _json.load(f)
+        return self._manifest(v)["files"]
 
     @staticmethod
     def _zone_cols(zm: dict) -> dict:
@@ -1007,70 +1320,25 @@ class ParquetMergeTable:
 
     # ---- deletion vectors (merge-on-read DELETE) --------------------
     #
-    # ``_DV.json`` in a snapshot maps file key → sorted deleted ROW
+    # The manifest's ``dv`` section maps file key → sorted deleted ROW
     # POSITIONS (``_metadata.row_index``); the file key is the
-    # URI-form relative path ``_metadata.file_path`` yields (stable
-    # across reads, self-consistent for the anti-join — the fs-form
-    # differs for Hive-escaped partition dirs, handled by unquote at
-    # carry-forward time). Readers anti-join (file, pos) against the
-    # broadcast DV — zero overhead when no DV exists. DVs are carried
-    # forward for hardlinked files at every commit and purged
-    # naturally when a file is rewritten (compact / CoW paths), the
-    # Delta deletion-vector lifecycle.
+    # URI-form manifest key ``_file_rel`` yields (stable across reads,
+    # self-consistent for the anti-join — the fs-form differs for
+    # Hive-escaped partition dirs, handled by unquote at carry-forward
+    # time). Readers anti-join (file, pos) against the broadcast DV —
+    # zero overhead when no DV exists. DVs are carried forward for
+    # still-referenced files at every commit and purged naturally when
+    # a file is rewritten (compact / CoW paths), the Delta
+    # deletion-vector lifecycle.
 
     def deletion_vectors(self, version: int | None = None) -> dict:
         """file key → sorted deleted row positions ({} when none)."""
-        import json as _json
         import os
 
         v = version if version is not None else self.current_version()
-        if v == 0:
+        if v == 0 or not os.path.exists(self._manifest_path(v)):
             return {}
-        p = os.path.join(self._snap_dir(v), "_DV.json")
-        if not os.path.exists(p):
-            return {}
-        with open(p) as f:
-            return _json.load(f)
-
-    def _apply_dv(self, df: DataFrame, version: int,
-                  keep_pos: bool = False) -> DataFrame:
-        """Filter DV-deleted rows out of a snapshot scan; with
-        ``keep_pos`` the (file key, row position) columns stay visible
-        as ``_file_rel``/``_row_pos`` (the DV-building scan needs
-        them). No-op (identical plan) when the snapshot has no DV."""
-        dv = self.deletion_vectors(version)
-        if not dv and not keep_pos:
-            return df
-        marker = f"/v={version}/"
-        out = df.withColumn(
-            "_file_rel",
-            F.substring_index(F.col("_metadata.file_path"), marker, -1),
-        ).withColumn("_row_pos", F.col("_metadata.row_index"))
-        if dv:
-            rows = [(rel, int(p)) for rel, ps in dv.items() for p in ps]
-            dv_df = self.spark.createDataFrame(
-                rows, "_dv_rel string, _dv_pos long"
-            )
-            out = out.join(
-                F.broadcast(dv_df),
-                (out["_file_rel"] == dv_df["_dv_rel"])
-                & (out["_row_pos"] == dv_df["_dv_pos"]),
-                "left_anti",
-            )
-        if not keep_pos:
-            out = out.drop("_file_rel", "_row_pos")
-        return out
-
-    def _read_files(self, snap: str, files: list, schema,
-                    version: int, keep_pos: bool = False) -> DataFrame:
-        if not files:
-            return self.spark.createDataFrame([], schema)
-        df = (
-            self.spark.read.schema(schema)
-            .option("basePath", snap)
-            .parquet(*files)
-        )
-        return self._apply_dv(df, version, keep_pos=keep_pos)
+        return self._manifest(v).get("dv") or {}
 
     def read_where(self, ranges: dict, version: int | None = None
                    ) -> DataFrame | None:
@@ -1086,20 +1354,15 @@ class ParquetMergeTable:
         Composes with ``compact(zorder_by=...)``: z-ordered files carry
         bounded rectangles on both z columns, so narrow predicates on
         either column reduce to a handful of files."""
-        import os
-
         df = self.read(version=version)
         if df is None:
             return None
         v = version if version is not None else self.current_version()
         residual = self._range_residual(ranges)
-        stats = self.stats(version=v)
-        if stats is None:  # pre-stats snapshot: plain filtered read
-            return df.filter(residual) if residual is not None else df
-        snap = self._snap_dir(v)
-        kept = [os.path.join(snap, rel) for rel, zm in sorted(stats.items())
+        stats = self._manifest(v)["files"]
+        kept = [rel for rel, zm in sorted(stats.items())
                 if self._range_keep(zm, ranges)]
-        pruned = self._read_files(snap, kept, df.schema, v)
+        pruned = self._scan(v, relkeys=kept)
         return pruned.filter(residual) if residual is not None else pruned
 
     def count_where(self, ranges: dict, version: int | None = None
@@ -1112,37 +1375,30 @@ class ParquetMergeTable:
         scanned with the residual filter. Always equals
         ``read_where(ranges).count()`` — a fully-clustered probe runs
         zero Spark jobs."""
-        import os
-
-        df = self.read(version=version)
-        if df is None:
-            return None
         v = version if version is not None else self.current_version()
-        stats = self.stats(version=v)
+        if v == 0:
+            return None
         residual = self._range_residual(ranges)
-        if stats is None:
-            full = df.filter(residual) if residual is not None else df
-            return full.count()
         from urllib.parse import unquote
 
+        man = self._manifest(v)
         # deleted-but-unpurged rows come off the footer counts (their
         # match status is irrelevant — they are deleted either way)
         dv_fs = {unquote(k): len(ps)
-                 for k, ps in self.deletion_vectors(v).items()}
+                 for k, ps in (man.get("dv") or {}).items()}
         meta_rows = 0
         boundary: list[str] = []
-        snap = self._snap_dir(v)
-        for rel, zm in sorted(stats.items()):
+        for rel, zm in sorted(man["files"].items()):
             if not self._range_keep(zm, ranges):
                 continue
             if isinstance(zm.get("rows"), int) and \
                     self._range_contained(zm, ranges):
                 meta_rows += zm["rows"] - dv_fs.get(rel, 0)
             else:
-                boundary.append(os.path.join(snap, rel))
+                boundary.append(rel)
         if not boundary:
             return meta_rows
-        scan = self._read_files(snap, boundary, df.schema, v)
+        scan = self._boundary_scan(v, boundary)
         if residual is not None:
             scan = scan.filter(residual)
         return meta_rows + scan.count()
@@ -1155,8 +1411,6 @@ class ParquetMergeTable:
         table touches one file per key instead of the table). Result
         always equals ``read().filter(col.isin(values))``; NULL probes
         are dropped (SQL IN never matches NULL)."""
-        import os
-
         df = self.read(version=version)
         if df is None:
             return None
@@ -1165,9 +1419,7 @@ class ParquetMergeTable:
         if not vals:
             return self.spark.createDataFrame([], df.schema)
         residual = F.col(col).isin(vals)
-        stats = self.stats(version=v)
-        if stats is None:
-            return df.filter(residual)
+        stats = self._manifest(v)["files"]
 
         def hit(zm: dict) -> bool:
             z = self._zone_cols(zm).get(col)
@@ -1187,7 +1439,6 @@ class ParquetMergeTable:
                     return True
             return False
 
-        snap = self._snap_dir(v)
         kept = [rel for rel, zm in sorted(stats.items()) if hit(zm)]
         # bloom index (if built for this column): a file survives only
         # if SOME probe value might be present — the unclustered-column
@@ -1210,8 +1461,7 @@ class ParquetMergeTable:
                 if rel not in by_fs  # unindexed file: keep (new since build)
                 or any(self._bloom_might_contain(by_fs[rel], x) for x in vals)
             ]
-        kept = [os.path.join(snap, rel) for rel in kept]
-        return self._read_files(snap, kept, df.schema, v).filter(residual)
+        return self._scan(v, relkeys=kept).filter(residual)
 
     # ---- per-file Bloom index (point lookups on UNCLUSTERED cols) ---
     #
@@ -1224,7 +1474,7 @@ class ParquetMergeTable:
     # bloom proves no probe value present. Hashing is md5-based so the
     # driver can probe in pure Python with ZERO Spark jobs — the same
     # engine-stable discipline the oracle twins use. The index lives
-    # in the snapshot's _BLOOM.json, carried forward for hardlinked
+    # in ``_log/<n>.bloom.json``, carried forward for still-referenced
     # files at every commit and dropped for rewritten ones (stale bits
     # are never consulted).
 
@@ -1243,11 +1493,6 @@ class ParquetMergeTable:
         h1 = int(hashlib.md5(("bf1|" + s).encode()).hexdigest()[:8], 16)
         h2 = int(hashlib.md5(("bf2|" + s).encode()).hexdigest()[:8], 16) | 1
         return h1, h2
-
-    def _bloom_file(self, version: int) -> str:
-        import os
-
-        return os.path.join(self._snap_dir(version), "_BLOOM.json")
 
     def file_index(self, version: int | None = None) -> dict:
         """col → {file key → {m, words: {word_idx: int}}} ({} if none)."""
@@ -1268,9 +1513,9 @@ class ParquetMergeTable:
         One distributed pass: k md5 buckets per row, 64-bit words
         bit_or-combined per (file, word), sparse words collected —
         driver memory ∝ set bits (≈ rows·k/64 words), the same
-        metadata plane as _STATS.json; a 100 TB deployment shards this
-        per partition. Re-run after heavy rewrites; hardlinked files
-        keep their bits across commits automatically."""
+        metadata plane as the manifest; a 100 TB deployment shards
+        this per partition. Re-run after heavy rewrites; carried
+        files keep their bits across commits automatically."""
         lock = self._writer_lock(wait)
         try:
             v = self.current_version()
@@ -1287,7 +1532,10 @@ class ParquetMergeTable:
                                            LongType, ShortType,
                                            StringType)
 
-            dtype = self.read().schema[col].dataType
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(self._manifest(v)["schema"])
+            dtype = schema[col].dataType
             if not isinstance(dtype, (StringType, ByteType, ShortType,
                                       IntegerType, LongType)):
                 raise TypeError(
@@ -1298,9 +1546,9 @@ class ParquetMergeTable:
                     "columns are indexable (a mismatched rendering "
                     "would silently drop rows from read_point)"
                 )
-            df = self._apply_dv(
-                self.read(), v, keep_pos=True,
-            ).select(F.col(col).cast("string").alias("_s"), "_file_rel")
+            df = self._scan(v, keep_pos=True).select(
+                F.col(col).cast("string").alias("_s"), "_file_rel"
+            )
             df = df.filter(F.col("_s").isNotNull())
             # per-file m from LIVE row counts, keyed in the scan's own
             # URI form (no re-derivation of Spark's path escaping)
@@ -1354,22 +1602,26 @@ class ParquetMergeTable:
                     {"m": m_by_file.get(r._file_rel), "words": {}},
                 )
                 e["words"][str(int(r._w))] = int(r._bits) & mask
-            import json as _json
-            import os
-            import tempfile
-
             full = self.file_index(v)
             full[col] = index
-            # the index mutates a COMMITTED snapshot concurrent readers
-            # may list — write-then-rename so they never see partial
-            # JSON (same discipline as the version pointer)
-            fd, tmp = tempfile.mkstemp(dir=self._snap_dir(v),
-                                       prefix="_BLOOM.")
-            with os.fdopen(fd, "w") as f:
-                _json.dump(full, f)
-            os.replace(tmp, self._bloom_file(v))
+            self._write_bloom(v, full)
         finally:
             lock.close()
+
+    def _write_bloom(self, version: int, full: dict) -> None:
+        """Write-then-rename: the index annotates a COMMITTED version
+        concurrent readers may list — they never see partial JSON.
+        Object-store substitute: a plain PUT (atomic single-object
+        replace; the index is idempotent metadata, last writer wins)."""
+        import json as _json
+        import os
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=self._log_dir(),
+                                   prefix=f"_bloom{version}.")
+        with os.fdopen(fd, "w") as f:
+            _json.dump(full, f)
+        os.replace(tmp, self._bloom_file(version))
 
     def _bloom_might_contain(self, entry: dict, value) -> bool:
         """Driver-side probe of one file's bloom — pure Python, no
@@ -1385,56 +1637,54 @@ class ParquetMergeTable:
                 return False
         return True
 
-    def _save_bloom(self, version: int) -> None:
-        """Carry the Bloom index forward across a commit for files that
-        were hardlinked (same key → same bytes); rewritten files drop
-        out — their bits would be stale."""
+    def _carry_bloom(self, parent_v: int, new_v: int,
+                     fileset: set) -> None:
+        """Carry the Bloom index across a commit for files still
+        referenced by the new manifest (same key → same bytes);
+        rewritten files drop out — their bits would be stale. Runs
+        AFTER the manifest create: losing it to a crash costs only a
+        rebuildable index, never correctness."""
         import json as _json
         import os
         from urllib.parse import unquote
 
-        if version <= 1:
+        if parent_v < 1:
             return
-        prev = self._bloom_file(version - 1)
+        prev = self._bloom_file(parent_v)
         if not os.path.exists(prev):
             return
         with open(prev) as f:
             parent = _json.load(f)
-        snap = self._snap_dir(version)
         kept: dict[str, dict] = {}
         for col, files in parent.items():
             surviving = {
                 k: e for k, e in files.items()
-                if os.path.exists(os.path.join(snap, unquote(k)))
+                if unquote(k) in fileset
             }
             if surviving:
                 kept[col] = surviving
-        target = self._bloom_file(version)
         if kept:
-            with open(target, "w") as f:
-                _json.dump(kept, f)
+            self._write_bloom(new_v, kept)
 
     def history(self) -> list[dict]:
         """Retained commit history, newest first (the DESCRIBE HISTORY
-        analog): one dict per retained snapshot — version, operation,
-        commit wall time, parquet file count. Driver-side cost is one
-        directory walk per retained version (bounded by the vacuum
-        retention window, never by data)."""
-        import json as _json
+        analog): one dict per retained manifest — version, operation,
+        commit wall time, referenced file count. Driver-side cost is
+        one small JSON read per retained version (bounded by the
+        vacuum retention window, never by data)."""
         import os
 
         out: list[dict] = []
-        v = self.current_version()
-        for n in range(v, 0, -1):
-            d = self._snap_dir(n)
-            if not os.path.isdir(d):
+        for n in range(self.current_version(), 0, -1):
+            if not os.path.exists(self._manifest_path(n)):
                 continue  # vacuumed
-            info_file = os.path.join(d, "_COMMITINFO.json")
-            if os.path.exists(info_file):
-                with open(info_file) as f:
-                    out.append(_json.load(f))
-            else:  # snapshot from a pre-history build: still listed
-                out.append({"version": n, "operation": "unknown"})
+            man = self._manifest(n)
+            out.append({
+                "version": man["version"],
+                "operation": man["operation"],
+                "committed_at_unix": man.get("committed_at_unix"),
+                "n_files": man.get("n_files"),
+            })
         return out
 
     def merge(self, incoming: DataFrame, delete_col: str | None = None,
@@ -1444,23 +1694,23 @@ class ParquetMergeTable:
         DELETE their key. Returns the committed snapshot version.
 
         With ``partition_by`` set, the rewrite is PARTITION-PRUNED:
-        only partitions the batch touches are recomputed and
-        rewritten; untouched partition directories are HARDLINKED from
-        the previous snapshot (zero data copy, the files are
-        immutable). That makes merge cost proportional to touched
-        partitions, not table size — copy-on-write at partition
-        granularity, the same strategy Delta/Iceberg CoW uses. The
-        partition value of a key must be immutable across batches
-        (standard lakehouse constraint; a key that changes partitions
-        needs a delete+insert batch).
+        only partitions the batch touches are recomputed and written;
+        untouched files come forward by hardlink (posix) or manifest
+        reference (object — zero I/O of any kind). That makes merge
+        cost proportional to touched partitions, not table size —
+        copy-on-write at partition granularity, the same strategy
+        Delta/Iceberg CoW uses. The partition value of a key must be
+        immutable across batches (standard lakehouse constraint; a key
+        that changes partitions needs a delete+insert batch).
 
         Idempotent by construction: re-applying the same batch
         re-derives the same row set (the upsert replaces the same keys
         with the same rows; deletes of absent keys are no-ops) — proven
         by tests/test_upsert.py round-trip.
 
-        ``wait``: with another writer mid-commit, True queues behind it
-        (serial-replay semantics), False raises
+        ``wait``: posix queues behind a concurrent writer
+        (serial-replay semantics); object re-derives against the new
+        head and retries. With ``wait=False`` both raise
         :class:`ConcurrentMergeError` without touching the table.
 
         ``schema_evolution``: a batch whose columns differ from the
@@ -1473,10 +1723,10 @@ class ParquetMergeTable:
         else:
             deletes = None
             upserts = incoming
-        lock = self._writer_lock(wait)
-        try:
-            # the current snapshot is resolved UNDER the lock — a
-            # concurrent committed merge must be visible to this one
+
+        def body() -> int:
+            # the current snapshot is resolved INSIDE the transaction —
+            # a concurrently committed merge must be visible to this one
             current = self.read()
             if current is None:
                 merged = upserts
@@ -1491,8 +1741,8 @@ class ParquetMergeTable:
             if deletes is not None:
                 merged = merged.join(deletes, self.key, "left_anti")
             return self._commit(merged)
-        finally:
-            lock.close()
+
+        return self._txn(wait, body)
 
     # Hive/Spark partition-path escape set (ExternalCatalogUtils.
     # charToEscape): C0 controls, DEL, and the listed specials —
@@ -1610,14 +1860,13 @@ class ParquetMergeTable:
 
     def _merge_pruned(self, current, incoming, upserts, deletes,
                       schema_evolution: bool = False) -> int:
-        """Partition-pruned CoW: recompute touched partitions, hardlink
-        the rest from the previous snapshot. Caller holds the writer
-        lock.
+        """Partition-pruned CoW: recompute touched partitions, carry
+        the rest forward (hardlink / reference). Runs inside _txn.
 
-        Schema evolution composes with pruning because the saved
-        _SCHEMA.json governs reads: untouched partitions' hardlinked
-        files lack the new column and read back as NULL (parquet
-        schema-merge semantics under an explicit read schema)."""
+        Schema evolution composes with pruning because the manifest's
+        schema governs reads: untouched partitions' carried files lack
+        the new column and read back as NULL (parquet schema-merge
+        semantics under an explicit read schema)."""
         parts = self._parts
         # touched partition-value tuples — bounded by partition count,
         # the same driver-side cardinality any partition-pruning
@@ -1633,23 +1882,18 @@ class ParquetMergeTable:
             merged = merged.join(deletes, self.key, "left_anti")
 
         old_v = self.current_version()
-        new_v = old_v + 1
-        self._clear_orphan(new_v)
-        new_dir = self._snap_dir(new_v)
-        # Spark writes ONLY the touched partitions (merged carries no
-        # untouched rows); partition pruning on the read side
-        # (filter above) means untouched data was never scanned.
-        merged, obs, cnames = self._attach_constraint_obs(merged)
-        merged.write.mode("errorifexists").partitionBy(*parts).parquet(new_dir)
-        self._enforce_constraints(obs, cnames, new_v)
-        self._save_schema(merged, new_v)
         touched_dirs = self._spark_partition_dirnames(
             touched, [incoming.schema[p] for p in parts]
         )
-        self._hardlink_untouched(old_v, new_v, touched_dirs)
-        self._save_commit_info(new_v, "merge_pruned")
-        self._flip_pointer(new_v)
-        return new_v
+        # Spark writes ONLY the touched partitions (merged carries no
+        # untouched rows); partition pruning on the read side
+        # (filter above) means untouched data was never scanned.
+        keep_rels = [
+            rel for rel in self._manifest(old_v)["files"]
+            if self._rel_partition_dir(rel) not in touched_dirs
+        ]
+        return self._commit_carrying(merged, keep_rels, old_v,
+                                     merged.schema, "merge_pruned")
 
     def _touched_cond(self, touched: set[tuple]):
         """Row predicate selecting exactly the touched partition-value
@@ -1674,26 +1918,6 @@ class ParquetMergeTable:
             cond = cond | c
         return cond
 
-    def _hardlink_untouched(self, old_v: int, new_v: int,
-                            touched_dirs: set[str]) -> None:
-        """Bring untouched leaf partition directories forward by
-        hardlink (zero data copy — parquet files are immutable once
-        committed). ``touched_dirs`` holds RELATIVE leaf paths
-        (``p1=a/p2=b``)."""
-        import os
-
-        old_dir = self._snap_dir(old_v)
-        new_dir = self._snap_dir(new_v)
-        for rel in self._leaf_partition_dirs(old_dir):
-            if rel in touched_dirs:
-                continue
-            src_dir = os.path.join(old_dir, rel)
-            dst_dir = os.path.join(new_dir, rel)
-            os.makedirs(dst_dir, exist_ok=True)
-            for fname in os.listdir(src_dir):
-                os.link(os.path.join(src_dir, fname),
-                        os.path.join(dst_dir, fname))
-
     def merge_with_retry(
         self, incoming: DataFrame, delete_col: str | None = None,
         schema_evolution: bool = False, attempts: int = 5,
@@ -1701,7 +1925,7 @@ class ParquetMergeTable:
     ) -> int:
         """The class-docstring retry recipe as a method: optimistic
         ``merge(wait=False)`` with jittered exponential backoff.
-        Unlike ``wait=True`` (kernel-queued, FIFO-ish), this is the
+        Unlike ``wait=True`` (queued / head-re-deriving), this is the
         pattern for callers that re-derive their batch from
         ``read()`` between attempts; here the batch is fixed, so a
         retry is just a later serial position. Raises the final
@@ -1727,7 +1951,7 @@ class ParquetMergeTable:
     ) -> DataFrame:
         """Change data feed between two retained snapshots: every key
         classified inserted / deleted / updated / unchanged — Delta's
-        CDF read, derived from the immutable version directories via
+        CDF read, derived from the immutable versions via
         :func:`snapshot_diff` (no change log needed; cost is one
         full-outer join of the two snapshots, co-partitioned by key
         under bucketing). ``compare_cols`` defaults to all shared
@@ -1739,44 +1963,107 @@ class ParquetMergeTable:
             compare_cols = [c for c in shared if c != self.key]
         return snapshot_diff(old, new, self.key, compare_cols)
 
-    def vacuum(self, keep_last_n: int = 2, wait: bool = True) -> list[int]:
-        """Delete snapshot directories older than the last
-        ``keep_last_n`` committed versions (VERDICT r6 next-6: a long
-        incremental run otherwise accumulates versions unboundedly).
-        Hardlink-aware for free: untouched partitions shared with kept
-        snapshots are the SAME inodes, so removing an old version only
-        drops its directory entries — data referenced by any kept
-        version survives (that's what hardlinks are). Returns the
-        removed version numbers. Idempotent: a second call removes
-        nothing. Readers pinned to a vacuumed snapshot (reader held a
-        DataFrame across the retention window) are the documented
-        retention trade — same as Delta's VACUUM: the held DataFrame
-        fails LOUDLY at scan time (FileNotFound task failure, proven
-        by tests/test_upsert.py::test_vacuum_live_reader_fails_loudly)
+    def vacuum(self, keep_last_n: int = 2, wait: bool = True,
+               stage_grace_seconds: float = 3600.0) -> list[int]:
+        """Drop snapshots older than the last ``keep_last_n`` committed
+        versions: their manifests (and bloom files) are removed, then
+        any data file no retained manifest references is deleted —
+        reference-counted retention, safe by construction for files
+        shared across versions in EITHER mode (a file referenced by
+        any kept manifest is never touched; posix hardlink sharing
+        adds nothing to reason about because deletion is by reference,
+        not by inode). Returns the removed version numbers.
+        Idempotent: a second call removes nothing.
+
+        posix also clears crash-orphan ``v=<n>`` directories above the
+        committed head (safe under the writer lock). object mode has
+        no lock, so an UNREFERENCED young file could belong to an
+        in-flight commit — ``stage_grace_seconds`` protects files
+        newer than the grace window (Delta's retention-hours analog;
+        pass 0 only when no writer can be live).
+
+        Readers pinned to a vacuumed snapshot (reader held a DataFrame
+        across the retention window) are the documented retention
+        trade — same as Delta's VACUUM: the held DataFrame fails
+        LOUDLY at scan time (FileNotFound task failure, proven by
+        tests/test_upsert.py::test_vacuum_live_reader_fails_loudly)
         rather than returning wrong or empty results. Size
         ``keep_last_n`` so retention covers the longest-lived reader:
         with merges every M minutes and queries running up to Q
         minutes, keep at least ceil(Q/M) + 1 versions."""
         import os
         import shutil
+        import time as _time
 
-        removed: list[int] = []
+        removed: set[int] = set()
         lock = self._writer_lock(wait)
         try:
             v = self.current_version()
             floor = max(1, v - keep_last_n + 1)
-            for entry in os.listdir(self.root):
-                if not entry.startswith("v="):
+            # 1) retire manifests (+ their bloom files) outside retention
+            for e in os.listdir(self._log_dir()):
+                m = _re.fullmatch(r"(\d+)\.json", e)
+                if m and not floor <= int(m.group(1)) <= v:
+                    n = int(m.group(1))
+                    os.remove(os.path.join(self._log_dir(), e))
+                    removed.add(n)
+                    self._mcache.pop(n, None)
+                    try:
+                        os.remove(self._bloom_file(n))
+                    except OSError:
+                        pass
+            if not self._object:
+                # 2a) posix: snapshot dirs are per-version and
+                # self-contained — drop those outside [floor, v]; a
+                # dir above the committed head is a crash orphan (we
+                # hold the writer lock, no live writer owns it)
+                for entry in os.listdir(self.root):
+                    if not entry.startswith("v="):
+                        continue
+                    try:
+                        n = int(entry[2:])
+                    except ValueError:
+                        continue
+                    if n < floor or n > v:
+                        shutil.rmtree(os.path.join(self.root, entry))
+                        removed.add(n)
+                return sorted(removed)
+            # 2b) object: reference-count across retained manifests,
+            # then sweep unreferenced data files (grace-guarded)
+            referenced: set[str] = set()
+            for n in range(floor, v + 1):
+                if not os.path.exists(self._manifest_path(n)):
                     continue
-                try:
-                    n = int(entry[2:])
-                except ValueError:
-                    continue
-                if n < floor or n > v:
-                    # above the committed pointer = crash orphan (we
-                    # hold the writer lock, so no live writer owns it)
-                    shutil.rmtree(os.path.join(self.root, entry))
-                    removed.append(n)
+                for rel in self._manifest(n)["files"]:
+                    referenced.add(
+                        os.path.normpath(os.path.join(self.root, rel))
+                    )
+            data_root = os.path.join(self.root, "_data")
+            if not os.path.isdir(data_root):
+                return sorted(removed)
+            cutoff = _time.time() - stage_grace_seconds
+            for tx in os.listdir(data_root):
+                txdir = os.path.join(data_root, tx)
+                keep_any = False
+                for dirpath, _, files in os.walk(txdir):
+                    for fname in files:
+                        full = os.path.join(dirpath, fname)
+                        if os.path.normpath(full) in referenced:
+                            keep_any = True
+                        elif fname.endswith(".parquet"):
+                            try:
+                                if os.path.getmtime(full) <= cutoff:
+                                    os.remove(full)
+                                else:
+                                    keep_any = True
+                            except OSError:
+                                keep_any = True
+                if not keep_any:
+                    try:
+                        if os.path.getmtime(txdir) <= cutoff:
+                            shutil.rmtree(txdir, ignore_errors=True)
+                    except OSError:
+                        pass
         finally:
             lock.close()
         return sorted(removed)
@@ -1789,11 +2076,15 @@ class ParquetMergeTable:
         """Small-file management (VERDICT r6 next-6): rewrite the
         current snapshot — or, on a partitioned table, ONE partition
         (``partition_value``; ``None`` means the NULL partition),
-        hardlinking the rest — into ``target_files`` files, committed
-        as a new version with byte-identical rows. Many small merges
-        each append a few files per touched partition; compaction
-        restores scan efficiency without changing data (tested
-        idempotent on the row set).
+        carrying the rest forward — into ``target_files`` files,
+        committed as a new version with byte-identical rows. Many
+        small merges each append a few files per touched partition
+        (and, in object mode, a new referenced tx-dir per commit);
+        compaction restores scan efficiency — and collapses the
+        read-path group count — without changing data (tested
+        idempotent on the row set). It is also what PURGES deletion
+        vectors: a compacted file is a rewrite, so its DV drops
+        (see :meth:`maintenance_plan`).
 
         ``zorder_by=(c1, ..., ck)`` makes this OPTIMIZE ZORDER for any
         number of keys: the rewrite range-partitions + sorts on the
@@ -1812,8 +2103,7 @@ class ParquetMergeTable:
                 df, list(zorder_by), n_files=max(1, target_files)
             ).drop("_z")
 
-        lock = self._writer_lock(wait)
-        try:
+        def body() -> int:
             current = self.read()
             if current is None:
                 return 0
@@ -1837,74 +2127,30 @@ class ParquetMergeTable:
                 )
             merged = _layout(current.filter(self._touched_cond({tup})))
             old_v = self.current_version()
-            new_v = old_v + 1
-            self._clear_orphan(new_v)
-            new_dir = self._snap_dir(new_v)
-            merged.write.mode("errorifexists").partitionBy(*parts).parquet(new_dir)
-            self._save_schema(current, new_v)
             touched_dirs = self._spark_partition_dirnames(
                 {tup}, [current.schema[p] for p in parts]
             )
-            self._hardlink_untouched(old_v, new_v, touched_dirs)
-            self._save_commit_info(new_v, "compact")
-            self._flip_pointer(new_v)
-            return new_v
-        finally:
-            lock.close()
+            keep_rels = [
+                rel for rel in self._manifest(old_v)["files"]
+                if self._rel_partition_dir(rel) not in touched_dirs
+            ]
+            return self._commit_carrying(merged, keep_rels, old_v,
+                                         current.schema, "compact")
 
+        return self._txn(wait, body)
 
     # ---- predicate DML: DELETE / UPDATE / conditional MERGE INTO ----
     #
     # The Delta-parity DML tier on top of the same snapshot machinery.
     # delete_where/update_where take the read_where() ranges dict, so
     # the zone-map manifest drives FILE-level copy-on-write: files the
-    # stats prove untouched are hardlinked forward (zero read, zero
-    # write), a file proven fully inside a DELETE predicate is dropped
-    # from the manifest without any Spark job (the Delta
-    # "metadata-only delete" pattern), and only boundary files are
-    # rewritten. Composes with compact(zorder_by=...): after
-    # clustering, a narrow predicate touches a handful of files, so
-    # DML cost follows the predicate's selectivity, not table size.
-
-    def _hardlink_rels(self, old_v: int, new_v: int, rels) -> None:
-        """Bring individual files forward by relpath-preserving
-        hardlink (file-granularity analog of _hardlink_untouched)."""
-        import os
-
-        old_dir, new_dir = self._snap_dir(old_v), self._snap_dir(new_v)
-        for rel in rels:
-            dst = os.path.join(new_dir, rel)
-            d = os.path.dirname(dst)
-            if d:
-                os.makedirs(d, exist_ok=True)
-            os.link(os.path.join(old_dir, rel), dst)
-
-    def _dml_commit(self, out_df, keep_rels, old_v: int, schema_df,
-                    op: str, new_dv: dict | None = None) -> int:
-        """Shared DML tail: Spark-write the rewritten rows (if any),
-        hardlink the untouched files, commit. ``out_df`` None means a
-        METADATA-ONLY commit — no Spark job runs at all. ``new_dv``
-        merges fresh deletion-vector positions into the snapshot's
-        carried-forward DV."""
-        import os
-
-        new_v = old_v + 1
-        self._clear_orphan(new_v)
-        new_dir = self._snap_dir(new_v)
-        if out_df is not None:
-            out_df, obs, cnames = self._attach_constraint_obs(out_df)
-            writer = out_df.write.mode("errorifexists")
-            if self._parts:
-                writer = writer.partitionBy(*self._parts)
-            writer.parquet(new_dir)
-            self._enforce_constraints(obs, cnames, new_v)
-        else:
-            os.makedirs(new_dir)
-        self._hardlink_rels(old_v, new_v, keep_rels)
-        self._save_schema(schema_df, new_v)
-        self._save_commit_info(new_v, op, new_dv=new_dv)
-        self._flip_pointer(new_v)
-        return new_v
+    # stats prove untouched carry forward (zero read, zero write), a
+    # file proven fully inside a DELETE predicate is dropped from the
+    # manifest without any Spark job (the Delta "metadata-only delete"
+    # pattern), and only boundary files are rewritten. Composes with
+    # compact(zorder_by=...): after clustering, a narrow predicate
+    # touches a handful of files, so DML cost follows the predicate's
+    # selectivity, not table size.
 
     def delete_where(self, ranges: dict, wait: bool = True,
                      use_deletion_vectors: bool = False) -> int:
@@ -1913,25 +2159,25 @@ class ParquetMergeTable:
         SQL semantics: a NULL predicate column never matches, so those
         rows survive. File-level CoW via the zone-map manifest:
 
-        * file proven to hold NO matching row → hardlinked forward,
+        * file proven to hold NO matching row → carried forward,
         * file proven ALL-matching (bounds inside the range, zero
           nulls) → dropped — metadata-only, no scan,
         * boundary file → rewritten with the keep-filter, OR — with
-          ``use_deletion_vectors`` — HARDLINKED with the matching row
-          POSITIONS recorded in the snapshot's deletion vector
+          ``use_deletion_vectors`` — carried forward with the matching
+          row POSITIONS recorded in the commit's deletion vector
           (merge-on-read): no data is rewritten at all, readers
           anti-join the broadcast DV, and the DV purges when the file
           is eventually rewritten (compact / a later CoW touch). The
           unclustered-predicate / GDPR-single-row shape where
           rewriting multi-GB files for a handful of rows is the wrong
-          trade; the cost moves to reads, so compact once
-          ``deletion_vectors()`` grows past a few % of table rows.
+          trade; the cost moves to reads, so compact once the DV
+          density passes :meth:`needs_compaction`'s threshold (or set
+          ``auto_compact_dv`` to make that automatic).
 
         A delete whose predicate aligns with the clustering (zorder /
         ingestion time / monotone key) therefore runs zero or near-zero
         Spark jobs regardless of table size. Returns the new version."""
-        lock = self._writer_lock(wait)
-        try:
+        def body() -> int:
             current = self.read()
             if current is None:
                 raise ValueError("delete_where on an empty table")
@@ -1942,10 +2188,7 @@ class ParquetMergeTable:
                 else ~F.coalesce(residual, F.lit(False))
             )
             old_v = self.current_version()
-            stats = self.stats()
-            if stats is None:  # pre-stats snapshot: full rewrite
-                return self._commit(current.filter(keep_pred),
-                                    op="delete_where")
+            stats = self._manifest(old_v)["files"]
             keep_rels, boundary = [], []
             for rel, zm in sorted(stats.items()):
                 if not self._range_keep(zm, ranges):
@@ -1957,13 +2200,7 @@ class ParquetMergeTable:
             out = None
             new_dv: dict | None = None
             if boundary and use_deletion_vectors:
-                import os
-
-                snap = self._snap_dir(old_v)
-                scan = self._read_files(
-                    snap, [os.path.join(snap, r) for r in boundary],
-                    current.schema, old_v, keep_pos=True,
-                )
+                scan = self._scan(old_v, relkeys=boundary, keep_pos=True)
                 # positions of LIVE matching rows (the DV-aware scan
                 # already excludes previously-deleted positions);
                 # collect size = newly deleted rows in boundary files
@@ -1974,21 +2211,19 @@ class ParquetMergeTable:
                 new_dv = {}
                 for r in hits:
                     new_dv.setdefault(r._file_rel, []).append(int(r._row_pos))
-                keep_rels = keep_rels + boundary  # hardlink, don't rewrite
+                keep_rels = keep_rels + boundary  # carry, don't rewrite
             elif boundary:
-                import os
-
-                snap = self._snap_dir(old_v)
-                scan = self._read_files(
-                    snap, [os.path.join(snap, r) for r in boundary],
-                    current.schema, old_v,
-                )
+                scan = self._scan(old_v, relkeys=boundary)
                 out = scan.filter(keep_pred)
-            return self._dml_commit(out, keep_rels, old_v, current,
-                                    "delete_where_dv" if new_dv is not None
-                                    else "delete_where", new_dv=new_dv)
-        finally:
-            lock.close()
+            return self._commit_carrying(
+                out, keep_rels, old_v, current.schema,
+                "delete_where_dv" if new_dv is not None else "delete_where",
+                new_dv=new_dv,
+            )
+
+        v = self._txn(wait, body)
+        self._maybe_auto_compact(wait)
+        return v
 
     def update_where(self, ranges: dict, assignments: dict,
                      wait: bool = True,
@@ -1997,11 +2232,11 @@ class ParquetMergeTable:
         maps column → Column expression (may reference other columns)
         or plain literal; each result is cast back to the column's
         table type so rewritten files stay schema-identical to
-        hardlinked ones. Files proven to hold no matching row are
-        hardlinked untouched; everything else is rewritten with the
+        carried ones. Files proven to hold no matching row carry
+        forward untouched; everything else is rewritten with the
         conditional projection (rows outside the predicate pass through
         bit-unchanged). With ``use_deletion_vectors`` the update is
-        merge-on-read instead: every file hardlinks forward, the OLD
+        merge-on-read instead: every file carries forward, the OLD
         versions of matching rows are DV-deleted, and the updated
         copies append as a new file — write cost ∝ matched rows,
         independent of the size of the files they live in (the sparse-
@@ -2010,8 +2245,7 @@ class ParquetMergeTable:
         cannot be assigned (a row may not change partitions — the
         standard lakehouse constraint; use delete + merge for a
         partition move)."""
-        lock = self._writer_lock(wait)
-        try:
+        def body() -> int:
             current = self.read()
             if current is None:
                 raise ValueError("update_where on an empty table")
@@ -2033,7 +2267,7 @@ class ParquetMergeTable:
 
             def _proj(df):
                 cols = []
-                for f_ in df.schema.fields:
+                for f_ in current.schema.fields:
                     if f_.name in assignments:
                         v = assignments[f_.name]
                         v = v if isinstance(v, Column) else F.lit(v)
@@ -2047,9 +2281,7 @@ class ParquetMergeTable:
                 return df.select(cols)
 
             old_v = self.current_version()
-            stats = self.stats()
-            if stats is None:
-                return self._commit(_proj(current), op="update_where")
+            stats = self._manifest(old_v)["files"]
             keep_rels, touched = [], []
             for rel, zm in sorted(stats.items()):
                 if not self._range_keep(zm, ranges):
@@ -2059,17 +2291,12 @@ class ParquetMergeTable:
             out = None
             new_dv: dict | None = None
             if touched and use_deletion_vectors:
-                import os
-
-                # merge-on-read UPDATE: hardlink EVERY file, DV-delete
-                # the old versions of matching rows, append the updated
-                # copies as a new file — write cost ∝ matched rows,
-                # independent of the size of the files they live in
-                snap = self._snap_dir(old_v)
-                scan = self._read_files(
-                    snap, [os.path.join(snap, r) for r in touched],
-                    current.schema, old_v, keep_pos=True,
-                )
+                # merge-on-read UPDATE: carry EVERY file forward,
+                # DV-delete the old versions of matching rows, append
+                # the updated copies as a new file — write cost ∝
+                # matched rows, independent of the size of the files
+                # they live in
+                scan = self._scan(old_v, relkeys=touched, keep_pos=True)
                 matched = scan.filter(match)
                 hits = matched.select("_file_rel", "_row_pos").collect()
                 new_dv = {}
@@ -2078,19 +2305,105 @@ class ParquetMergeTable:
                 out = _proj(matched.drop("_file_rel", "_row_pos"))
                 keep_rels = keep_rels + touched
             elif touched:
-                import os
-
-                snap = self._snap_dir(old_v)
-                scan = self._read_files(
-                    snap, [os.path.join(snap, r) for r in touched],
-                    current.schema, old_v,
-                )
+                scan = self._scan(old_v, relkeys=touched)
                 out = _proj(scan)
-            return self._dml_commit(out, keep_rels, old_v, current,
-                                    "update_where_dv" if new_dv is not None
-                                    else "update_where", new_dv=new_dv)
-        finally:
-            lock.close()
+            return self._commit_carrying(
+                out, keep_rels, old_v, current.schema,
+                "update_where_dv" if new_dv is not None else "update_where",
+                new_dv=new_dv,
+            )
+
+        v = self._txn(wait, body)
+        self._maybe_auto_compact(wait)
+        return v
+
+    # ---- DV maintenance policy (VERDICT r7 next-4) ------------------
+    #
+    # Merge-on-read is a loan: every DV'd position taxes EVERY
+    # subsequent read with the broadcast anti-join (measured in
+    # BASELINE.md: 0.39 s -> 1.72 s on the 6M-row fixture with a
+    # 60k-position DV in force). compact() repays it — a rewrite
+    # purges DVs. These methods turn the prose break-even ("compact
+    # once DVs exceed a few % of rows") into code a long-running
+    # table can act on.
+
+    def dv_density(self, version: int | None = None) -> dict:
+        """DV load of a snapshot: total live rows (manifest row counts
+        minus nothing — DV positions are part of the footer counts),
+        total DV'd positions, global density, and the per-file
+        densities — all from the manifest, zero Spark jobs."""
+        from urllib.parse import unquote
+
+        v = version if version is not None else self.current_version()
+        if v == 0:
+            return {"rows": 0, "dv_positions": 0, "density": 0.0,
+                    "per_file": {}}
+        man = self._manifest(v)
+        dv_fs = {unquote(k): len(ps)
+                 for k, ps in (man.get("dv") or {}).items()}
+        rows = 0
+        per_file: dict[str, float] = {}
+        dv_total = 0
+        for rel, zm in man["files"].items():
+            n = zm.get("rows")
+            d = dv_fs.get(rel, 0)
+            dv_total += d
+            if isinstance(n, int) and n > 0:
+                rows += n
+                if d:
+                    per_file[rel] = d / n
+        return {
+            "rows": rows,
+            "dv_positions": dv_total,
+            "density": (dv_total / rows) if rows else 0.0,
+            "per_file": per_file,
+        }
+
+    def needs_compaction(self, threshold: float = 0.02,
+                         version: int | None = None) -> bool:
+        """True when the snapshot's DV density has crossed the
+        read-tax break-even (default 2% of rows — the BASELINE.md
+        measurement puts the anti-join overhead past the rewrite
+        amortization around a few percent)."""
+        d = self.dv_density(version)
+        return d["dv_positions"] > 0 and d["density"] >= threshold
+
+    def maintenance_plan(self, threshold: float = 0.02) -> dict:
+        """What upkeep the CURRENT snapshot needs, from metadata alone:
+        DV density vs the compaction threshold, and (object mode) how
+        many tx-dir read groups a scan unions — both repaid by
+        ``compact()``. The acting form of the documented policy;
+        ``auto_compact_dv`` applies it automatically after DV-writing
+        DML."""
+        d = self.dv_density()
+        man = None
+        v = self.current_version()
+        groups = 0
+        if v:
+            man = self._manifest(v)
+            if man.get("base") == "root":
+                groups = len({
+                    "/".join(r.split("/", 2)[:2]) for r in man["files"]
+                })
+        compact_dv = d["dv_positions"] > 0 and d["density"] >= threshold
+        return {
+            "dv": d,
+            "dv_threshold": threshold,
+            "compact_for_dv": compact_dv,
+            "read_groups": groups,
+            "actions": (["compact()"] if compact_dv else []),
+        }
+
+    def _maybe_auto_compact(self, wait: bool) -> None:
+        """Opt-in post-DML hook: when ``auto_compact_dv`` is set and
+        the committed snapshot's DV density crosses it, compact —
+        purging the DVs and restoring the join-free read plan. Runs as
+        its own commit AFTER the DML transaction (flock is not
+        reentrant; and a failed compaction must not roll back the
+        DML)."""
+        thr = getattr(self, "auto_compact_dv", None)
+        if thr is not None and self.needs_compaction(thr):
+            self.compact(wait=wait)
 
     @staticmethod
     def _clause_cond(cond):
@@ -2120,7 +2433,7 @@ class ParquetMergeTable:
         like :meth:`merge`: only partitions the SOURCE touches are
         recomputed (a matched target row is by definition in a source
         partition — key→partition immutability is the documented
-        constraint), the rest are hardlinked.
+        constraint), the rest carry forward.
 
         Preconditions (the SQL MERGE contract): the source must be
         KEY-UNIQUE — duplicate source keys make a matched target row
@@ -2135,14 +2448,16 @@ class ParquetMergeTable:
         upd = self._clause_cond(when_matched_update)
         dele = self._clause_cond(when_matched_delete)
         ins = self._clause_cond(when_not_matched_insert)
-        lock = self._writer_lock(wait)
-        try:
+
+        def body() -> int:
             current = self.read()
             first = current is None
             if first:
                 # empty table: every source row is unmatched; conditions
                 # over t.* see NULLs (coalesced false) as SQL MERGE does
-                current = self.spark.createDataFrame([], source.schema)
+                current_df = self.spark.createDataFrame([], source.schema)
+            else:
+                current_df = current
             pruned = bool(self._parts) and not first
             if pruned:
                 parts = self._parts
@@ -2150,9 +2465,9 @@ class ParquetMergeTable:
                     tuple(r)
                     for r in source.select(*parts).distinct().collect()
                 }
-                target = current.filter(self._touched_cond(touched))
+                target = current_df.filter(self._touched_cond(touched))
             else:
-                target = current
+                target = current_df
             t = target.withColumn("_t", F.lit(True)).alias("t")
             s = source.withColumn("_s", F.lit(True)).alias("s")
             joined = t.join(
@@ -2166,72 +2481,49 @@ class ParquetMergeTable:
             cols = [
                 F.when(take_src, F.col(f"s.{f_.name}").cast(f_.dataType))
                 .otherwise(F.col(f"t.{f_.name}")).alias(f_.name)
-                for f_ in current.schema.fields
+                for f_ in current_df.schema.fields
             ]
             merged = joined.filter(keep).select(cols)
             if not pruned:
                 return self._commit(merged, op="merge_into")
             old_v = self.current_version()
-            new_v = old_v + 1
-            self._clear_orphan(new_v)
-            merged, obs, cnames = self._attach_constraint_obs(merged)
-            merged.write.mode("errorifexists").partitionBy(*parts).parquet(
-                self._snap_dir(new_v)
-            )
-            self._enforce_constraints(obs, cnames, new_v)
-            self._save_schema(merged, new_v)
             touched_dirs = self._spark_partition_dirnames(
-                touched, [current.schema[p] for p in parts]
+                touched, [current_df.schema[p] for p in parts]
             )
-            self._hardlink_untouched(old_v, new_v, touched_dirs)
-            self._save_commit_info(new_v, "merge_into")
-            self._flip_pointer(new_v)
-            return new_v
-        finally:
-            lock.close()
+            keep_rels = [
+                rel for rel in self._manifest(old_v)["files"]
+                if self._rel_partition_dir(rel) not in touched_dirs
+            ]
+            return self._commit_carrying(merged, keep_rels, old_v,
+                                         current_df.schema, "merge_into")
 
-    def _link_snapshot_into(self, src: str, dst: str) -> None:
-        """Hardlink a snapshot's parquet files (relpath-preserving) and
-        copy its small metadata files into ``dst``."""
-        import os
-        import shutil
-
-        for dirpath, _, files in os.walk(src):
-            rel_dir = os.path.relpath(dirpath, src)
-            tgt_dir = dst if rel_dir == "." else os.path.join(dst, rel_dir)
-            os.makedirs(tgt_dir, exist_ok=True)
-            for fname in files:
-                s = os.path.join(dirpath, fname)
-                d = os.path.join(tgt_dir, fname)
-                if fname.endswith(".parquet"):
-                    os.link(s, d)       # zero-copy data
-                elif fname in ("_SCHEMA.json", "_STATS.json",
-                               "_DV.json", "_BLOOM.json"):
-                    shutil.copyfile(s, d)  # tiny metadata, own copy
+        return self._txn(wait, body)
 
     def restore(self, version: int, wait: bool = True) -> int:
         """Delta ``RESTORE TABLE ... TO VERSION AS OF``: commit a
         RETAINED snapshot's exact content (deletion vectors, stats and
         bloom index included) as the new head — a NEW version, so
         history is preserved and the restore itself is auditable and
-        restorable; zero data copy (hardlinks). The escape hatch for a
-        bad batch: merge v5, notice, ``restore(4)`` → v6 ≡ v4."""
+        restorable. posix: zero data copy (hardlinks into the new
+        snapshot dir); object: PURE METADATA — the new manifest simply
+        references the old files where they live, no I/O at all. The
+        escape hatch for a bad batch: merge v5, notice, ``restore(4)``
+        → v6 ≡ v4."""
         import os
+        import shutil
 
-        lock = self._writer_lock(wait)
-        try:
+        def body() -> int:
             v_now = self.current_version()
             if not 1 <= version <= v_now:
                 raise ValueError(
                     f"version {version} not committed (current: {v_now})"
                 )
-            src = self._snap_dir(version)
-            if not os.path.isdir(src):
+            if not os.path.exists(self._manifest_path(version)):
                 raise ValueError(f"version {version} was vacuumed")
             # constraints added AFTER the restored snapshot was written
             # must still hold on it (ADVICE r7) — otherwise the new
             # head would violate active CHECKs that every later commit
-            # enforces. One validation scan, before anything is linked.
+            # enforces. One validation scan, before anything commits.
             cons = self.constraints()
             if cons:
                 viol = None
@@ -2244,63 +2536,133 @@ class ParquetMergeTable:
                         f"violates active CHECK constraint(s) "
                         f"{sorted(cons)} added after it was written"
                     )
+            src_man = self._manifest(version)
             new_v = v_now + 1
-            self._clear_orphan(new_v)
-            self._link_snapshot_into(src, self._snap_dir(new_v))
-            # stats copied verbatim; DV/bloom must NOT merge the
-            # abandoned head's entries — the restored snapshot's own
-            # files are authoritative
-            self._save_commit_info(new_v, f"restore(v={version})",
-                                    stats=False, carry_meta=False)
-            self._flip_pointer(new_v)
+            stage = None
+            import time as _time
+
+            if not self._object:
+                self._clear_orphan(new_v)
+                stage = self._snap_dir(new_v)
+                self._hardlink_rels(version, new_v, src_man["files"])
+            man = dict(
+                src_man,
+                version=new_v,
+                operation=f"restore(v={version})",
+                committed_at_unix=round(_time.time(), 3),
+            )
+            self._finalize(new_v, man, stage)
+            # the restored version's own bloom is authoritative —
+            # the abandoned head's entries must NOT merge in
+            if os.path.exists(self._bloom_file(version)):
+                shutil.copyfile(self._bloom_file(version),
+                                self._bloom_file(new_v))
             return new_v
-        finally:
-            lock.close()
+
+        return self._txn(wait, body)
 
     def clone(self, target_root: str,
               version: int | None = None) -> "ParquetMergeTable":
-        """Zero-copy snapshot clone (the Delta ``CLONE`` shape): the
-        chosen snapshot's files are HARDLINKED into a brand-new table
-        rooted at ``target_root`` (committed as its version 1), so the
-        clone costs directory entries, not data bytes — the
-        dev/test-branch pattern. Safe by the same immutability argument
-        as pruned merges: no writer ever modifies a committed parquet
-        file in place (every commit writes new files; vacuum only
-        unlinks directory entries), so source and clone diverge freely
-        after the fork. Stats and schema come along, so zone-map
-        skipping works on the clone immediately."""
-        import json as _json
+        """Snapshot clone (the Delta ``CLONE`` shape): the chosen
+        snapshot becomes a brand-new table rooted at ``target_root``
+        (committed as its version 1), CHECK constraints included.
+        posix: zero-copy — files HARDLINK across (directory entries,
+        not data bytes; safe because no writer ever modifies a
+        committed parquet file in place, so source and clone diverge
+        freely after the fork). object: files are COPIED into the
+        clone's own ``_data`` tree (on a real object store this is a
+        server-side copy — S3 CopyObject/UploadPartCopy — no bytes
+        through the client; a zero-copy SHALLOW clone would reference
+        the source's files by absolute path and break if the source
+        vacuums them, Delta's documented shallow-clone hazard, so this
+        table only offers the deep form). Stats, schema and DV come
+        along, so zone-map skipping works on the clone immediately."""
         import os
         import shutil
+        import time as _time
 
         v = version if version is not None else self.current_version()
         if v == 0:
             raise ValueError("clone of an empty table")
-        src = self._snap_dir(v)
-        if not os.path.isdir(src):
+        if not os.path.exists(self._manifest_path(v)):
             raise ValueError(f"version {v} was vacuumed")
         out = ParquetMergeTable(self.spark, target_root, self.key,
-                                partition_by=self.partition_by)
-        # hold the SOURCE's writer lock too: a concurrent vacuum could
-        # otherwise delete the snapshot out from under the walk
-        # (snapshot files are immutable, but their directory entries
-        # are not)
+                                partition_by=self.partition_by,
+                                storage=self.storage)
+        # hold the SOURCE's writer lock too (posix): a concurrent
+        # vacuum could otherwise delete the snapshot's files out from
+        # under the walk (files are immutable, directory entries are
+        # not). Object mode: the manifest pins the file list; a
+        # concurrent vacuum is the caller's retention-window problem,
+        # same as any long reader.
         src_lock = self._writer_lock(wait=True)
         lock = out._writer_lock(wait=True)
         try:
             if out.current_version() != 0:
                 raise ValueError(f"{target_root} already holds a table")
-            out._clear_orphan(1)
-            self._link_snapshot_into(src, out._snap_dir(1))
+            src_man = self._manifest(v)
+            if not self._object:
+                out._clear_orphan(1)
+                src_dir, dst_dir = self._snap_dir(v), out._snap_dir(1)
+                for rel in src_man["files"]:
+                    dst = os.path.join(dst_dir, rel)
+                    os.makedirs(os.path.dirname(dst) or dst_dir,
+                                exist_ok=True)
+                    os.link(os.path.join(src_dir, rel), dst)
+                files = dict(src_man["files"])
+                dv = dict(src_man.get("dv") or {})
+                bloom = None
+                if os.path.exists(self._bloom_file(v)):
+                    shutil.copyfile(self._bloom_file(v), out._bloom_file(1))
+            else:
+                import uuid
+
+                # one fresh tx dir per source read group; keys (and DV/
+                # bloom keys, same plane) remap by prefix
+                tops = {"/".join(r.split("/", 2)[:2])
+                        for r in src_man["files"]}
+                remap = {top: f"_data/tx-{uuid.uuid4().hex[:12]}"
+                         for top in sorted(tops)}
+
+                def rk(rel: str) -> str:
+                    top, rest = rel.split("/", 1)[0] + "/" + \
+                        rel.split("/", 2)[1], rel.split("/", 2)[2]
+                    return remap[top] + "/" + rest
+
+                files = {}
+                for rel, zm in src_man["files"].items():
+                    src = os.path.join(self.root, rel)
+                    dst = os.path.join(target_root, rk(rel))
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    shutil.copyfile(src, dst)
+                    files[rk(rel)] = zm
+                dv = {rk(k): ps for k, ps in (src_man.get("dv") or {}).items()}
+                bloom = self.file_index(v)
+                if bloom:
+                    bloom = {
+                        col: {rk(k): e for k, e in fs.items()}
+                        for col, fs in bloom.items()
+                    }
             # active CHECK constraints are table metadata and come
             # along (ADVICE r7) — without this the clone would accept
             # commits the source rejects
             if os.path.exists(self._constraints_file()):
                 shutil.copyfile(self._constraints_file(),
                                 out._constraints_file())
-            out._save_commit_info(1, f"clone(v={v} of {self.root})",
-                                  stats=False, carry_meta=False)
-            out._flip_pointer(1)
+            man = {
+                "format": 2,
+                "version": 1,
+                "operation": f"clone(v={v} of {self.root})",
+                "committed_at_unix": round(_time.time(), 3),
+                "base": "root" if self._object else "snapshot",
+                "schema": src_man["schema"],
+                "files": files,
+                "dv": dv,
+                "n_files": len(files),
+            }
+            out._publish(1, man)
+            if self._object and bloom:
+                out._write_bloom(1, bloom)
             return out
         finally:
             lock.close()
