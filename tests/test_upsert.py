@@ -1896,3 +1896,64 @@ def test_vacuum_live_reader_fails_loudly(spark, tmp_path):
     assert "not exist" in msg or "FileNotFound" in msg or "PATH_NOT_FOUND" in msg
     # the TABLE is healthy: fresh reads see the current head
     assert t.read().filter("id = 1").collect()[0].v == 4
+
+
+def test_bloom_packed_encoding_parity_and_size(spark, tmp_path):
+    """VERDICT r7 next-3: the Bloom index persists as a dense packed
+    bitset pair (json meta + raw .bin) instead of JSON words. Pins
+    (a) probe PARITY between the packed blob and the sparse words
+    form it replaced (reconstructed bit-exactly from the blob),
+    (b) zero false negatives against ground truth, and (c) the size
+    budget: ≤1.5 bytes/row at 10 bits/row (the r7 JSON words encoding
+    cost ~4.6 B/row on the 6M fixture)."""
+    import json as _json
+    import os
+
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        ParquetMergeTable,
+    )
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id")
+    n = 200_000
+    df = (
+        spark.range(0, n)
+        .withColumn("u", F.concat(F.lit("u"),
+                                  (F.col("id") * 2654435761 % 999983)))
+        .repartitionByRange(4, "id")
+    )
+    t.merge(df)
+    t.build_file_index("u")
+    idx = t.file_index()["u"]
+    assert idx and all("blob" in e for e in idx.values())
+
+    # (a) parity: words form reconstructed from the blob probes
+    # identically for present and absent values
+    def to_words(e):
+        blob, m = e["blob"], e["m"]
+        words = {}
+        for w in range(m // 64):
+            bits = int.from_bytes(blob[8 * w:8 * w + 8], "little")
+            if bits:
+                words[str(w)] = bits
+        return {"m": m, "words": words}
+
+    words_idx = {k: to_words(e) for k, e in idx.items()}
+    present = [r.u for r in t.read().select("u").limit(50).collect()]
+    probes = present + [f"absent-{i}" for i in range(200)]
+    for k in idx:
+        for p in probes:
+            assert t._bloom_might_contain(idx[k], p) == \
+                t._bloom_might_contain(words_idx[k], p)
+
+    # (b) no false negatives: every present value's lookup is exact
+    probe = present[:5]
+    assert t.read_point("u", probe).count() == \
+        t.read().filter(F.col("u").isin(probe)).count()
+
+    # (c) size budget: meta json + bin together ≤ 1.5 B/row
+    size = os.path.getsize(t._bloom_file(t.current_version())) + \
+        os.path.getsize(t._bloom_bin_file(t.current_version()))
+    assert size <= 1.5 * n, f"{size} bytes for {n} rows"
+    # and the meta actually references the bin (packed layout on disk)
+    with open(t._bloom_file(t.current_version())) as f:
+        assert "cols" in _json.load(f)
