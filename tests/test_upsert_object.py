@@ -334,3 +334,31 @@ def test_object_mode_bloom_point_lookup(spark, tmp_path):
     assert idx and any("/p=b/" in k for k in idx["u"])
     got2 = t.read_point("u", probe)
     assert got2.count() == t.read().filter(F.col("u").isin(probe)).count()
+
+
+def test_object_mode_partition_filter_pushdown(spark, tmp_path):
+    """The manifest-resolved read (explicit file list + basePath per
+    tx-group) must keep Catalyst partition pruning: a filter on the
+    partition column appears as PartitionFilters in the scan — in a
+    single-group head AND in a multi-group head carrying references
+    across commits."""
+    import re
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id",
+                          partition_by="p", storage="object")
+    t.merge(spark.createDataFrame(
+        [(i, chr(97 + i % 4), i) for i in range(40)],
+        "id long, p string, v long"))
+    t.merge(spark.createDataFrame([(41, "a", -1)],
+                                  "id long, p string, v long"))
+    man = t._manifest(t.current_version())
+    tops = {"/".join(r.split("/", 2)[:2]) for r in man["files"]}
+    assert len(tops) == 2  # genuinely multi-group
+    plan = (
+        t.read().filter(F.col("p") == "a")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    ms = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert ms and all("p" in m and "= a" in m for m in ms), plan[:800]
+    got = sorted(r.id for r in t.read().filter(F.col("p") == "a").collect())
+    assert got == [i for i in range(0, 40, 4)] + [41]
