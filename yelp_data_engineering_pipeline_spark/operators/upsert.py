@@ -1006,12 +1006,13 @@ class ParquetMergeTable:
 
         from pyspark.sql.types import StructType
 
+        from urllib.parse import unquote
+
         man = self._manifest(version)
         schema = self._to_nullable(StructType.fromJson(man["schema"]))
         files = man["files"]
         sel = sorted(files) if relkeys is None else sorted(relkeys)
         dv = man.get("dv") or {}
-        need_rel = keep_pos or bool(dv)
         if not sel:
             df = self.spark.createDataFrame([], schema)
             if keep_pos:
@@ -1019,56 +1020,118 @@ class ParquetMergeTable:
                     "_file_rel", F.lit(None).cast("string")
                 ).withColumn("_row_pos", F.lit(None).cast("long"))
             return df
-        # group by physical base directory: posix snapshots are one
-        # group; object snapshots hold one group per referencing
-        # commit's tx dir (bounded by retained history; compaction
-        # collapses it)
-        groups: dict[str | None, list[str]] = {}
-        if man.get("base") == "root":
-            for rel in sel:
-                top = "/".join(rel.split("/", 2)[:2])
-                groups.setdefault(top, []).append(rel)
-        else:
-            groups[None] = list(sel)
-        parts: list[DataFrame] = []
-        for top, rels in sorted(groups.items(),
-                                key=lambda kv: kv[0] or ""):
-            if top is None:
-                base = self._snap_dir(version)
-                prefix = ""
-                paths = [os.path.join(base, r) for r in rels]
-            else:
-                base = os.path.join(self.root, top)
-                prefix = top + "/"
-                paths = [os.path.join(base, r.split("/", 2)[2])
-                         for r in rels]
-            g = (
-                self.spark.read.schema(schema)
-                .option("basePath", base)
-                .parquet(*paths)
+        # the DV anti-join taxes ONLY the files that actually carry a
+        # deletion vector: the selection splits into a clean branch
+        # (bare scan, zero join, zero metadata work) and a DV branch
+        # (raw-file-path anti-join), so merge-on-read read cost is
+        # proportional to DV'd files, not table size
+        dv_fs = {unquote(k) for k in dv}
+        dv_sel = [r for r in sel if r in dv_fs]
+        clean_sel = [r for r in sel if r not in dv_fs]
+
+        def _by_group(rels):
+            """Group manifest keys by physical base directory: posix
+            snapshots are one group; object snapshots hold one group
+            per referencing commit's tx dir (bounded by retained
+            history; compaction collapses it)."""
+            groups: dict[str | None, list[str]] = {}
+            for rel in rels:
+                if man.get("base") == "root":
+                    groups.setdefault(
+                        "/".join(rel.split("/", 2)[:2]), []
+                    ).append(rel)
+                else:
+                    groups.setdefault(None, []).append(rel)
+            return sorted(groups.items(), key=lambda kv: kv[0] or "")
+
+        def _read_part(rels, with_fp):
+            parts: list[DataFrame] = []
+            for top, grels in _by_group(rels):
+                if top is None:
+                    base = self._snap_dir(version)
+                    prefix = ""
+                    paths = [os.path.join(base, r) for r in grels]
+                else:
+                    base = os.path.join(self.root, top)
+                    prefix = top + "/"
+                    paths = [os.path.join(base, r.split("/", 2)[2])
+                             for r in grels]
+                g = (
+                    self.spark.read.schema(schema)
+                    .option("basePath", base)
+                    .parquet(*paths)
+                )
+                # metadata must materialize per-scan (before unions);
+                # the derived _file_rel (an anchored-strip when-chain)
+                # is computed only for keep_pos consumers, which scan
+                # bounded file subsets
+                if with_fp or keep_pos:
+                    g = g.withColumn(
+                        "_row_pos", F.col("_metadata.row_index")
+                    )
+                if with_fp:
+                    g = g.withColumn("_fp", F.col("_metadata.file_path"))
+                if keep_pos:
+                    g = g.withColumn(
+                        "_file_rel", self._rel_expr(base, prefix)
+                    )
+                parts.append(g)
+            df = parts[0]
+            for g in parts[1:]:
+                df = df.unionByName(g)
+            return df
+
+        out: DataFrame | None = None
+        if clean_sel:
+            out = _read_part(clean_sel, with_fp=False)
+        if dv_sel:
+            dvp = _read_part(dv_sel, with_fp=True)
+            # two broadcast joins, both cheap: (1) a TINY path→id map
+            # (DV'd files × candidate URI renderings of their group
+            # base — exactly one matches, the rest are inert) resolves
+            # each row's file to an int id off the raw metadata path,
+            # no per-row string derivation; (2) the position list
+            # anti-joins on (id, pos) INT pairs — built through
+            # pandas/Arrow, because 10k+ Python tuples through the
+            # pickle createDataFrame path cost seconds per query
+            import pandas as pd
+
+            key_ids = {k: i for i, k in enumerate(sorted(dv))}
+            path_rows = []
+            for relkey, i in key_ids.items():
+                if man.get("base") == "root":
+                    top = "/".join(relkey.split("/", 2)[:2])
+                    base = os.path.join(self.root, top)
+                    suffix = relkey.split("/", 2)[2]
+                else:
+                    base = self._snap_dir(version)
+                    suffix = relkey
+                for cand in self._base_uri_candidates(base):
+                    path_rows.append((cand + suffix, i))
+            id_df = self.spark.createDataFrame(
+                path_rows, "_dv_path string, _dv_id long"
             )
-            if need_rel:
-                g = g.withColumn(
-                    "_file_rel", self._rel_expr(base, prefix)
-                ).withColumn("_row_pos", F.col("_metadata.row_index"))
-            parts.append(g)
-        df = parts[0]
-        for g in parts[1:]:
-            df = df.unionByName(g)
-        if dv:
-            rows = [(rel, int(p)) for rel, ps in dv.items() for p in ps]
-            dv_df = self.spark.createDataFrame(
-                rows, "_dv_rel string, _dv_pos long"
-            )
-            df = df.join(
-                F.broadcast(dv_df),
-                (df["_file_rel"] == dv_df["_dv_rel"])
-                & (df["_row_pos"] == dv_df["_dv_pos"]),
+            pos_df = self.spark.createDataFrame(pd.DataFrame(
+                {
+                    "_dv_id2": [i for k, i in key_ids.items()
+                                for _ in dv[k]],
+                    "_dv_pos": [int(p) for k in key_ids for p in dv[k]],
+                }
+            ))
+            dvp = dvp.join(
+                F.broadcast(id_df), dvp["_fp"] == id_df["_dv_path"],
+                "left",
+            ).drop("_dv_path", "_fp")
+            dvp = dvp.join(
+                F.broadcast(pos_df),
+                (dvp["_dv_id"] == pos_df["_dv_id2"])
+                & (dvp["_row_pos"] == pos_df["_dv_pos"]),
                 "left_anti",
-            )
-        if need_rel and not keep_pos:
-            df = df.drop("_file_rel", "_row_pos")
-        return df
+            ).drop("_dv_id")
+            if not keep_pos:
+                dvp = dvp.drop("_row_pos")
+            out = dvp if out is None else out.unionByName(dvp)
+        return out
 
     def _boundary_scan(self, version: int, relkeys) -> DataFrame:
         """The scan fallback for files metadata alone cannot decide —
@@ -2109,6 +2172,12 @@ class ParquetMergeTable:
             cutoff = _time.time() - stage_grace_seconds
             for tx in os.listdir(data_root):
                 txdir = os.path.join(data_root, tx)
+                # dir age SAMPLED BEFORE the sweep: removing files
+                # bumps the dir mtime, which must not re-young it
+                try:
+                    dir_young = os.path.getmtime(txdir) > cutoff
+                except OSError:
+                    continue
                 keep_any = False
                 for dirpath, _, files in os.walk(txdir):
                     for fname in files:
@@ -2123,12 +2192,8 @@ class ParquetMergeTable:
                                     keep_any = True
                             except OSError:
                                 keep_any = True
-                if not keep_any:
-                    try:
-                        if os.path.getmtime(txdir) <= cutoff:
-                            shutil.rmtree(txdir, ignore_errors=True)
-                    except OSError:
-                        pass
+                if not keep_any and not dir_young:
+                    shutil.rmtree(txdir, ignore_errors=True)
         finally:
             lock.close()
         return sorted(removed)
@@ -2243,16 +2308,22 @@ class ParquetMergeTable:
         ingestion time / monotone key) therefore runs zero or near-zero
         Spark jobs regardless of table size. Returns the new version."""
         def body() -> int:
-            current = self.read()
-            if current is None:
+            from pyspark.sql.types import StructType
+
+            old_v = self.current_version()
+            if old_v == 0:
                 raise ValueError("delete_where on an empty table")
+            # schema comes from the manifest — a metadata-only or
+            # DV delete never constructs a table scan at all
+            schema = self._to_nullable(
+                StructType.fromJson(self._manifest(old_v)["schema"])
+            )
             residual = self._range_residual(ranges)
             # NULL never matches a BETWEEN: keep = NOT coalesce(m, F)
             keep_pred = (
                 F.lit(False) if residual is None
                 else ~F.coalesce(residual, F.lit(False))
             )
-            old_v = self.current_version()
             stats = self._manifest(old_v)["files"]
             keep_rels, boundary = [], []
             for rel, zm in sorted(stats.items()):
@@ -2281,7 +2352,7 @@ class ParquetMergeTable:
                 scan = self._scan(old_v, relkeys=boundary)
                 out = scan.filter(keep_pred)
             return self._commit_carrying(
-                out, keep_rels, old_v, current.schema,
+                out, keep_rels, old_v, schema,
                 "delete_where_dv" if new_dv is not None else "delete_where",
                 new_dv=new_dv,
             )
@@ -2311,10 +2382,15 @@ class ParquetMergeTable:
         standard lakehouse constraint; use delete + merge for a
         partition move)."""
         def body() -> int:
-            current = self.read()
-            if current is None:
+            from pyspark.sql.types import StructType
+
+            old_v = self.current_version()
+            if old_v == 0:
                 raise ValueError("update_where on an empty table")
-            missing = [c for c in assignments if c not in current.columns]
+            schema = self._to_nullable(
+                StructType.fromJson(self._manifest(old_v)["schema"])
+            )
+            missing = [c for c in assignments if c not in schema.fieldNames()]
             if missing:
                 raise ValueError(f"UPDATE of unknown column(s): {missing}")
             assigned_parts = set(assignments) & set(self._parts)
@@ -2332,7 +2408,7 @@ class ParquetMergeTable:
 
             def _proj(df):
                 cols = []
-                for f_ in current.schema.fields:
+                for f_ in schema.fields:
                     if f_.name in assignments:
                         v = assignments[f_.name]
                         v = v if isinstance(v, Column) else F.lit(v)
@@ -2345,7 +2421,6 @@ class ParquetMergeTable:
                         cols.append(F.col(f_.name))
                 return df.select(cols)
 
-            old_v = self.current_version()
             stats = self._manifest(old_v)["files"]
             keep_rels, touched = [], []
             for rel, zm in sorted(stats.items()):
@@ -2373,7 +2448,7 @@ class ParquetMergeTable:
                 scan = self._scan(old_v, relkeys=touched)
                 out = _proj(scan)
             return self._commit_carrying(
-                out, keep_rels, old_v, current.schema,
+                out, keep_rels, old_v, schema,
                 "update_where_dv" if new_dv is not None else "update_where",
                 new_dv=new_dv,
             )
