@@ -362,3 +362,28 @@ def test_object_mode_partition_filter_pushdown(spark, tmp_path):
     assert ms and all("p" in m and "= a" in m for m in ms), plan[:800]
     got = sorted(r.id for r in t.read().filter(F.col("p") == "a").collect())
     assert got == [i for i in range(0, 40, 4)] + [41]
+
+
+def test_dv_rendering_mismatch_fails_loudly(spark, tmp_path):
+    """If the candidate URI prefixes ever missed Hadoop's actual
+    rendering, the DV anti-join would match nothing and deleted rows
+    would silently RESURRECT. The read must instead fail loudly
+    (raise_error guard on the unresolved file id) — wrong-rendering is
+    a crash, never wrong results. Simulated by breaking the candidate
+    generator."""
+    t = _table(spark, tmp_path / "tbl")
+    t.merge(spark.range(0, 100).selectExpr("id", "id * 2 as v"))
+    t.delete_where({"id": (10, 19)}, use_deletion_vectors=True)
+    assert t.read().count() == 90
+
+    orig = ParquetMergeTable.__dict__["_base_uri_candidates"]
+    ParquetMergeTable._base_uri_candidates = staticmethod(
+        lambda *a, **k: ["bogus://nowhere/"]
+    )
+    try:
+        with pytest.raises(Exception) as ei:
+            t.read().count()
+        assert "rendering unmatched" in str(ei.value)
+    finally:
+        ParquetMergeTable._base_uri_candidates = orig
+    assert t.read().count() == 90  # healthy again with real candidates

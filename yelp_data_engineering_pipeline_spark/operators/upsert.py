@@ -1122,6 +1122,22 @@ class ParquetMergeTable:
                 F.broadcast(id_df), dvp["_fp"] == id_df["_dv_path"],
                 "left",
             ).drop("_dv_path", "_fp")
+            # every row in this branch comes from a DV'd file, so the
+            # id MUST resolve; an unmatched rendering would silently
+            # skip the anti-join and RESURRECT deleted rows — fail the
+            # query loudly instead (defense against an unanticipated
+            # Hadoop URI style outside _base_uri_candidates)
+            dvp = dvp.withColumn(
+                "_dv_id",
+                F.when(
+                    F.col("_dv_id").isNull(),
+                    F.raise_error(F.lit(
+                        "deletion-vector file-path rendering unmatched "
+                        "by _base_uri_candidates — DV cannot be "
+                        "applied; refusing to return deleted rows"
+                    )).cast("long"),
+                ).otherwise(F.col("_dv_id")),
+            )
             dvp = dvp.join(
                 F.broadcast(pos_df),
                 (dvp["_dv_id"] == pos_df["_dv_id2"])
