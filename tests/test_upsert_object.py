@@ -387,3 +387,70 @@ def test_dv_rendering_mismatch_fails_loudly(spark, tmp_path):
     finally:
         ParquetMergeTable._base_uri_candidates = orig
     assert t.read().count() == 90  # healthy again with real candidates
+
+
+def test_object_mode_real_thread_writers(spark, tmp_path):
+    """Two REAL threads committing with wait=True in object mode:
+    without any lock, both land (the loser's conditional PUT fails
+    and it re-derives against the new head) and the result equals a
+    serial replay."""
+    import threading
+
+    t_root = str(tmp_path / "tbl")
+    _table(spark, t_root).merge(
+        spark.createDataFrame([(0, 0)], "id long, v long"))
+    errs = []
+
+    def writer(k):
+        try:
+            tw = ParquetMergeTable(spark, t_root, key="id",
+                                   storage="object")
+            tw.merge(spark.createDataFrame([(k, k * 10)],
+                                           "id long, v long"), wait=True)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(k,)) for k in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=120)
+    assert not errs
+    t = _table(spark, t_root)
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {0: 0, 1: 10, 2: 20}
+    assert t.current_version() == 3  # three distinct commits
+
+
+def test_object_mode_cdc_stream(spark, tmp_path):
+    """run_cdc_upsert_stream(storage='object'): the streaming CDC
+    path composes with the no-POSIX table — conditional-PUT commits
+    under foreachBatch, out-of-order safety intact."""
+    import json as _json
+
+    from yelp_data_engineering_pipeline_spark.streaming.ingest import (
+        run_cdc_upsert_stream,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    schema = "k LONG, ts LONG, v STRING"
+
+    def feed(name, rows):
+        with open(in_dir / name, "w") as f:
+            for k, ts, v in rows:
+                f.write(_json.dumps({"k": k, "ts": ts, "v": v}) + "\n")
+        stream = spark.readStream.schema(schema).json(str(in_dir))
+        return run_cdc_upsert_stream(
+            spark, stream, str(tmp_path / "tbl"), str(tmp_path / "ckpt"),
+            key="k", ts_col="ts", storage="object",
+        )
+
+    feed("b1.ndjson", [(1, 10, "a"), (2, 10, "b")])
+    feed("b2.ndjson", [(1, 5, "STALE"), (2, 20, "b2"), (3, 1, "c")])
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="k",
+                          storage="object")
+    got = {r.k: (r.ts, r.v) for r in t.read().collect()}
+    assert got == {1: (10, "a"), 2: (20, "b2"), 3: (1, "c")}
+    assert not any(e.startswith("v=") for e in
+                   __import__("os").listdir(t.root))

@@ -175,6 +175,7 @@ def run_cdc_upsert_stream(
     ts_col: str,
     partition_by: str | None = None,
     delete_col: str | None = None,
+    storage: str = "posix",
 ) -> int:
     """CDC-shaped streaming upsert: each micro-batch applies a
     CONDITIONAL merge — ``WHEN MATCHED AND s.ts >= t.ts THEN UPDATE,
@@ -209,8 +210,10 @@ def run_cdc_upsert_stream(
 
     from ..operators.upsert import ParquetMergeTable
 
+    # storage="object" streams CDC into the no-POSIX (object-store)
+    # table mode — same exactly-once argument, conditional-PUT commits
     table = ParquetMergeTable(spark, table_root, key=key,
-                              partition_by=partition_by)
+                              partition_by=partition_by, storage=storage)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
