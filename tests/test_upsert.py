@@ -1957,3 +1957,65 @@ def test_bloom_packed_encoding_parity_and_size(spark, tmp_path):
     # and the meta actually references the bin (packed layout on disk)
     with open(t._bloom_file(t.current_version())) as f:
         assert "cols" in _json.load(f)
+
+
+def test_manifest_delta_log_and_checkpoints(spark, tmp_path):
+    """Commits write DELTA manifests (added/removed vs the parent)
+    with a full checkpoint every _CHECKPOINT_EVERY commits — the
+    per-commit log write is O(changed files), not O(table files), the
+    Delta Lake log design. Pins: deltas actually small on a pruned
+    merge, chain resets at the checkpoint, every version (mid-chain
+    included) resolves identically through the walk, and vacuum
+    materializes a retained delta whose base falls outside retention."""
+    import json as _json
+    import os
+
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        ParquetMergeTable,
+    )
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id",
+                          partition_by="p")
+    t.merge(spark.createDataFrame(
+        [(i, chr(97 + i % 8), i) for i in range(80)],
+        "id long, p string, v long"))
+    snapshots = {1: {r.id: r.v for r in t.read().collect()}}
+    for n in range(2, 14):  # 12 single-partition merges
+        t.merge(spark.createDataFrame(
+            [(n % 80, chr(97 + (n % 80) % 8), n * 1000)],
+            "id long, p string, v long"))
+        snapshots[n] = {r.id: r.v for r in t.read().collect()}
+
+    def raw(v):
+        with open(t._manifest_path(v)) as f:
+            return _json.load(f)
+
+    # v1 full; v2.. deltas; a checkpoint (full, chain 0) appears
+    # within _CHECKPOINT_EVERY commits and its successor is a delta
+    kinds = {v: ("full" if "files" in raw(v) else "delta")
+             for v in range(1, 14)}
+    assert kinds[1] == "full" and kinds[2] == "delta"
+    ckpts = [v for v in range(2, 14) if kinds[v] == "full"]
+    assert ckpts, kinds
+    assert kinds[ckpts[0] + 1] == "delta"
+    # a single-partition merge's delta records one partition's churn,
+    # a small fraction of the table's file population
+    d = raw(3)
+    assert len(d["added"]) + len(d["removed"]) < len(t._files(3)) / 2
+    assert d["delta_of"] == 2
+    # every version resolves to the snapshot observed at commit time
+    for v, want in snapshots.items():
+        got = {r.id: r.v for r in t.read(version=v).collect()}
+        assert got == want, f"v{v}"
+        assert len(t._files(v)) == raw(v)["n_files"]
+
+    # vacuum with a DELTA at the floor: the floor record materializes
+    # to a full listing (content-identical) and still reads correctly
+    floor = t.current_version() - 1
+    assert kinds.get(floor) == "delta"
+    t.vacuum(keep_last_n=2)
+    assert "files" in raw(floor)
+    got = {r.id: r.v for r in t.read(version=floor).collect()}
+    assert got == snapshots[floor]
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.read(version=floor - 1)

@@ -53,9 +53,9 @@ def test_object_mode_never_hardlinks_or_copies_on_carry(spark, tmp_path):
     assert all(st.st_nlink == 1 for st in after.values())
     assert not any(e.startswith("v=") for e in os.listdir(t.root))
     # p=b files referenced unchanged across versions, same paths
-    m1, m2 = t._manifest(1), t._manifest(v2)
-    b1 = {r for r in m1["files"] if "/p=b/" in r}
-    assert b1 and b1 == {r for r in m2["files"] if "/p=b/" in r}
+    f1, f2 = t._files(1), t._files(v2)
+    b1 = {r for r in f1 if "/p=b/" in r}
+    assert b1 and b1 == {r for r in f2 if "/p=b/" in r}
     # untouched physical files identical (same inode, same mtime)
     for rel in b1:
         assert before[rel].st_ino == after[rel].st_ino
@@ -188,7 +188,7 @@ def test_object_mode_restore_is_pure_metadata(spark, tmp_path):
     files_before = set(_all_parquet(t.root))
     v = t.restore(1)
     assert set(_all_parquet(t.root)) == files_before
-    assert t._manifest(v)["files"] == t._manifest(1)["files"]
+    assert t._files(v) == t._files(1)
     assert t.read().filter("id = 3").collect()[0].v == 3
     assert t.history()[0]["operation"] == "restore(v=1)"
 
@@ -236,7 +236,7 @@ def test_object_mode_vacuum_reference_counted(spark, tmp_path):
     os.makedirs(orphan)
     open(os.path.join(orphan, "part-0.parquet"), "w").write("junk")
     head_files = {os.path.normpath(os.path.join(t.root, r))
-                  for r in t._manifest(3)["files"]}
+                  for r in t._files(3)}
     removed = t.vacuum(keep_last_n=1, stage_grace_seconds=0)
     assert removed == [1, 2]
     assert not os.path.exists(orphan)
@@ -351,8 +351,8 @@ def test_object_mode_partition_filter_pushdown(spark, tmp_path):
         "id long, p string, v long"))
     t.merge(spark.createDataFrame([(41, "a", -1)],
                                   "id long, p string, v long"))
-    man = t._manifest(t.current_version())
-    tops = {"/".join(r.split("/", 2)[:2]) for r in man["files"]}
+    tops = {"/".join(r.split("/", 2)[:2])
+            for r in t._files(t.current_version())}
     assert len(tops) == 2  # genuinely multi-group
     plan = (
         t.read().filter(F.col("p") == "a")

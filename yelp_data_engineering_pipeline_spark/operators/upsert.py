@@ -456,7 +456,8 @@ class ParquetMergeTable:
             else tuple(partition_by)
         )
         self.partition_by = partition_by
-        self._mcache: dict[int, dict] = {}  # version -> manifest (immutable)
+        self._mcache: dict[int, dict] = {}  # version -> raw record
+        self._fcache: dict[int, dict] = {}  # version -> resolved files
         os.makedirs(os.path.join(root, "_log"), exist_ok=True)
 
     # ---- commit log (the manifest plane) ----------------------------
@@ -493,8 +494,21 @@ class ParquetMergeTable:
                 best = max(best, int(m.group(1)))
         return best
 
+    # Full ("checkpoint") manifests list every file; in between,
+    # commits write DELTA records (added/removed vs the parent) so the
+    # per-commit log write is O(changed files), not O(table files) —
+    # at 100 TB (~800k files) a full listing per commit would be a
+    # ~GB JSON rewrite every merge. This is the Delta Lake log design
+    # (per-commit JSON actions + periodic parquet checkpoints);
+    # readers resolve a version by walking back to the nearest full
+    # record (≤ _CHECKPOINT_EVERY hops) and replaying the deltas.
+    _CHECKPOINT_EVERY = 10
+
     def _manifest(self, version: int) -> dict:
-        """Load (and cache — manifests are immutable) one commit record."""
+        """Load (and cache — manifests are immutable) one RAW commit
+        record: either a full listing (``files``) or a delta
+        (``delta_of``/``added``/``removed``). Use :meth:`_files` for
+        the resolved file list."""
         man = self._mcache.get(version)
         if man is None:
             import json as _json
@@ -503,6 +517,31 @@ class ParquetMergeTable:
                 man = _json.load(f)
             self._mcache[version] = man
         return man
+
+    def _files(self, version: int) -> dict:
+        """The RESOLVED file list (manifest key → zone map) of a
+        version: the nearest full manifest at-or-below it with every
+        intervening delta replayed. Cached; treat the returned dict as
+        immutable."""
+        got = self._fcache.get(version)
+        if got is not None:
+            return got
+        chain: list[dict] = []
+        v = version
+        man = self._manifest(v)
+        while "files" not in man:
+            chain.append(man)
+            v = man["delta_of"]
+            man = self._manifest(v)
+        files = dict(man["files"])
+        for d in reversed(chain):
+            for r in d.get("removed", ()):
+                files.pop(r, None)
+            files.update(d.get("added", {}))
+        if len(self._fcache) > 8:  # bounded: resolved lists are O(files)
+            self._fcache.pop(next(iter(self._fcache)), None)
+        self._fcache[version] = files
+        return files
 
     def _publish(self, new_v: int, man: dict) -> None:
         """THE commit: make ``_log/<new_v>.json`` exist atomically,
@@ -814,17 +853,38 @@ class ParquetMergeTable:
                     dv[k] = list(ps)
         for k, ps in (new_dv or {}).items():
             dv[k] = sorted(set(dv.get(k, [])) | set(ps))
-        return {
+        rec = {
             "format": 2,
             "version": new_v,
             "operation": op,
             "committed_at_unix": round(_time.time(), 3),
             "base": "root" if self._object else "snapshot",
             "schema": schema.jsonValue(),
-            "files": files,
             "dv": dv,
             "n_files": len(files),
         }
+        # delta vs full: O(changed files) per commit, with a full
+        # checkpoint every _CHECKPOINT_EVERY commits bounding the
+        # reader's resolution walk (schema and DV stay full in every
+        # record — both are small)
+        parent_files = self._files(parent_v) if parent_v >= 1 else {}
+        parent_chain = (self._manifest(parent_v).get("chain", 0)
+                        if parent_v >= 1 else 0)
+        carried = sum(1 for k in files if k in parent_files)
+        if carried and parent_chain + 1 < self._CHECKPOINT_EVERY:
+            rec["chain"] = parent_chain + 1
+            rec["delta_of"] = parent_v
+            rec["added"] = {k: zm for k, zm in files.items()
+                            if k not in parent_files}
+            rec["removed"] = sorted(k for k in parent_files
+                                    if k not in files)
+        else:
+            rec["chain"] = 0
+            rec["files"] = files
+        # NOTE: _fcache is only populated on demand AFTER a successful
+        # publish — a writer that loses the commit race must not poison
+        # the resolver cache for a version someone else committed
+        return rec
 
     def _hardlink_rels(self, old_v: int, new_v: int, rels) -> None:
         """posix carry-forward: bring referenced files into the new
@@ -876,7 +936,7 @@ class ParquetMergeTable:
         keep_rels = list(keep_rels)
         if not self._object and keep_rels:
             self._hardlink_rels(old_v, new_v, keep_rels)
-        pfiles = self._manifest(old_v)["files"]
+        pfiles = self._files(old_v)
         files = {r: pfiles[r] for r in keep_rels}
         files.update(entries)
         man = self._assemble_manifest(new_v, op, schema, files, old_v,
@@ -1010,7 +1070,7 @@ class ParquetMergeTable:
 
         man = self._manifest(version)
         schema = self._to_nullable(StructType.fromJson(man["schema"]))
-        files = man["files"]
+        files = self._files(version)
         sel = sorted(files) if relkeys is None else sorted(relkeys)
         dv = man.get("dv") or {}
         if not sel:
@@ -1335,7 +1395,7 @@ class ParquetMergeTable:
         v = version if version is not None else self.current_version()
         if v == 0 or not os.path.exists(self._manifest_path(v)):
             return None
-        return self._manifest(v)["files"]
+        return self._files(v)
 
     @staticmethod
     def _zone_cols(zm: dict) -> dict:
@@ -1438,7 +1498,7 @@ class ParquetMergeTable:
             return None
         v = version if version is not None else self.current_version()
         residual = self._range_residual(ranges)
-        stats = self._manifest(v)["files"]
+        stats = self._files(v)
         kept = [rel for rel, zm in sorted(stats.items())
                 if self._range_keep(zm, ranges)]
         pruned = self._scan(v, relkeys=kept)
@@ -1467,7 +1527,7 @@ class ParquetMergeTable:
                  for k, ps in (man.get("dv") or {}).items()}
         meta_rows = 0
         boundary: list[str] = []
-        for rel, zm in sorted(man["files"].items()):
+        for rel, zm in sorted(self._files(v).items()):
             if not self._range_keep(zm, ranges):
                 continue
             if isinstance(zm.get("rows"), int) and \
@@ -1498,7 +1558,7 @@ class ParquetMergeTable:
         if not vals:
             return self.spark.createDataFrame([], df.schema)
         residual = F.col(col).isin(vals)
-        stats = self._manifest(v)["files"]
+        stats = self._files(v)
 
         def hit(zm: dict) -> bool:
             z = self._zone_cols(zm).get(col)
@@ -2032,7 +2092,7 @@ class ParquetMergeTable:
         # untouched rows); partition pruning on the read side
         # (filter above) means untouched data was never scanned.
         keep_rels = [
-            rel for rel in self._manifest(old_v)["files"]
+            rel for rel in self._files(old_v)
             if self._rel_partition_dir(rel) not in touched_dirs
         ]
         return self._commit_carrying(merged, keep_rels, old_v,
@@ -2143,6 +2203,29 @@ class ParquetMergeTable:
         try:
             v = self.current_version()
             floor = max(1, v - keep_last_n + 1)
+            # 0) a retained DELTA manifest must not resolve through a
+            # dropped base: materialize the floor record as a full
+            # listing first (content-identical — atomic replace; the
+            # object-store substitute is a plain PUT of the same
+            # version object). Versions above the floor chain through
+            # retained records by construction (each delta's base is
+            # its immediate parent).
+            if floor > 1 and os.path.exists(self._manifest_path(floor)):
+                fman = self._manifest(floor)
+                if "files" not in fman:
+                    import json as _json
+                    import tempfile
+
+                    full = {k: val for k, val in fman.items()
+                            if k not in ("delta_of", "added", "removed")}
+                    full["files"] = dict(self._files(floor))
+                    full["chain"] = 0
+                    fd, tmp = tempfile.mkstemp(dir=self._log_dir(),
+                                               prefix=f"_ckpt{floor}.")
+                    with os.fdopen(fd, "w") as f:
+                        _json.dump(full, f)
+                    os.replace(tmp, self._manifest_path(floor))
+                    self._mcache[floor] = full
             # 1) retire manifests (+ their bloom files) outside retention
             for e in os.listdir(self._log_dir()):
                 m = _re.fullmatch(r"(\d+)\.json", e)
@@ -2151,6 +2234,7 @@ class ParquetMergeTable:
                     os.remove(os.path.join(self._log_dir(), e))
                     removed.add(n)
                     self._mcache.pop(n, None)
+                    self._fcache.pop(n, None)
                     for p in (self._bloom_file(n), self._bloom_bin_file(n)):
                         try:
                             os.remove(p)
@@ -2178,7 +2262,7 @@ class ParquetMergeTable:
             for n in range(floor, v + 1):
                 if not os.path.exists(self._manifest_path(n)):
                     continue
-                for rel in self._manifest(n)["files"]:
+                for rel in self._files(n):
                     referenced.add(
                         os.path.normpath(os.path.join(self.root, rel))
                     )
@@ -2277,7 +2361,7 @@ class ParquetMergeTable:
                 {tup}, [current.schema[p] for p in parts]
             )
             keep_rels = [
-                rel for rel in self._manifest(old_v)["files"]
+                rel for rel in self._files(old_v)
                 if self._rel_partition_dir(rel) not in touched_dirs
             ]
             return self._commit_carrying(merged, keep_rels, old_v,
@@ -2340,7 +2424,7 @@ class ParquetMergeTable:
                 F.lit(False) if residual is None
                 else ~F.coalesce(residual, F.lit(False))
             )
-            stats = self._manifest(old_v)["files"]
+            stats = self._files(old_v)
             keep_rels, boundary = [], []
             for rel, zm in sorted(stats.items()):
                 if not self._range_keep(zm, ranges):
@@ -2437,7 +2521,7 @@ class ParquetMergeTable:
                         cols.append(F.col(f_.name))
                 return df.select(cols)
 
-            stats = self._manifest(old_v)["files"]
+            stats = self._files(old_v)
             keep_rels, touched = [], []
             for rel, zm in sorted(stats.items()):
                 if not self._range_keep(zm, ranges):
@@ -2500,7 +2584,7 @@ class ParquetMergeTable:
         rows = 0
         per_file: dict[str, float] = {}
         dv_total = 0
-        for rel, zm in man["files"].items():
+        for rel, zm in self._files(v).items():
             n = zm.get("rows")
             d = dv_fs.get(rel, 0)
             dv_total += d
@@ -2539,7 +2623,7 @@ class ParquetMergeTable:
             man = self._manifest(v)
             if man.get("base") == "root":
                 groups = len({
-                    "/".join(r.split("/", 2)[:2]) for r in man["files"]
+                    "/".join(r.split("/", 2)[:2]) for r in self._files(v)
                 })
         compact_dv = d["dv_positions"] > 0 and d["density"] >= threshold
         return {
@@ -2647,7 +2731,7 @@ class ParquetMergeTable:
                 touched, [current_df.schema[p] for p in parts]
             )
             keep_rels = [
-                rel for rel in self._manifest(old_v)["files"]
+                rel for rel in self._files(old_v)
                 if self._rel_partition_dir(rel) not in touched_dirs
             ]
             return self._commit_carrying(merged, keep_rels, old_v,
@@ -2693,6 +2777,7 @@ class ParquetMergeTable:
                         f"{sorted(cons)} added after it was written"
                     )
             src_man = self._manifest(version)
+            src_files = self._files(version)
             new_v = v_now + 1
             stage = None
             import time as _time
@@ -2700,13 +2785,21 @@ class ParquetMergeTable:
             if not self._object:
                 self._clear_orphan(new_v)
                 stage = self._snap_dir(new_v)
-                self._hardlink_rels(version, new_v, src_man["files"])
-            man = dict(
-                src_man,
-                version=new_v,
-                operation=f"restore(v={version})",
-                committed_at_unix=round(_time.time(), 3),
-            )
+                self._hardlink_rels(version, new_v, src_files)
+            # always a FULL record: the restored content must not be
+            # expressed as a delta of the abandoned head
+            man = {
+                "format": 2,
+                "version": new_v,
+                "operation": f"restore(v={version})",
+                "committed_at_unix": round(_time.time(), 3),
+                "base": src_man["base"],
+                "schema": src_man["schema"],
+                "dv": dict(src_man.get("dv") or {}),
+                "files": dict(src_files),
+                "n_files": len(src_files),
+                "chain": 0,
+            }
             self._finalize(new_v, man, stage)
             # the restored version's own bloom is authoritative —
             # the abandoned head's entries must NOT merge in
@@ -2757,15 +2850,16 @@ class ParquetMergeTable:
             if out.current_version() != 0:
                 raise ValueError(f"{target_root} already holds a table")
             src_man = self._manifest(v)
+            src_files = self._files(v)
             if not self._object:
                 out._clear_orphan(1)
                 src_dir, dst_dir = self._snap_dir(v), out._snap_dir(1)
-                for rel in src_man["files"]:
+                for rel in src_files:
                     dst = os.path.join(dst_dir, rel)
                     os.makedirs(os.path.dirname(dst) or dst_dir,
                                 exist_ok=True)
                     os.link(os.path.join(src_dir, rel), dst)
-                files = dict(src_man["files"])
+                files = dict(src_files)
                 dv = dict(src_man.get("dv") or {})
                 bloom = self.file_index(v)
             else:
@@ -2774,7 +2868,7 @@ class ParquetMergeTable:
                 # one fresh tx dir per source read group; keys (and DV/
                 # bloom keys, same plane) remap by prefix
                 tops = {"/".join(r.split("/", 2)[:2])
-                        for r in src_man["files"]}
+                        for r in src_files}
                 remap = {top: f"_data/tx-{uuid.uuid4().hex[:12]}"
                          for top in sorted(tops)}
 
@@ -2784,7 +2878,7 @@ class ParquetMergeTable:
                     return remap[top] + "/" + rest
 
                 files = {}
-                for rel, zm in src_man["files"].items():
+                for rel, zm in src_files.items():
                     src = os.path.join(self.root, rel)
                     dst = os.path.join(target_root, rk(rel))
                     os.makedirs(os.path.dirname(dst), exist_ok=True)
