@@ -370,14 +370,17 @@ class ParquetMergeTable:
 
     **Version identity is a MANIFEST, not a directory tree** (VERDICT
     r7 next-1). Every commit writes ``<root>/_log/<n>.json`` — the
-    explicit list of the snapshot's data files with their per-file
-    zone maps, the schema, and the deletion vectors — and the ATOMIC
-    CREATION of that file IS the commit (create-if-absent; the loser
-    of a racing version number fails cleanly). Readers resolve the
-    file list from the manifest, never from directory listing, so a
-    version can reference files written by ANY earlier commit. This
-    is the Delta/Iceberg log model; see LAKEHOUSE.md for the design
-    note mapping each primitive to its object-store substitute.
+    snapshot's data-file listing with per-file zone maps, the schema,
+    and the deletion vectors — and the ATOMIC CREATION of that file
+    IS the commit (create-if-absent; the loser of a racing version
+    number fails cleanly). Readers resolve the file list from the
+    log, never from directory listing, so a version can reference
+    files written by ANY earlier commit. Between full checkpoints
+    (every ``_CHECKPOINT_EVERY`` commits) records are DELTAS
+    (added/removed vs the parent), so the per-commit log write is
+    O(changed files), not O(table files). This is the Delta/Iceberg
+    log model; see LAKEHOUSE.md for the design note mapping each
+    primitive to its object-store substitute.
 
     Two storage modes (``storage=``):
 
