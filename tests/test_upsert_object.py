@@ -454,3 +454,25 @@ def test_object_mode_cdc_stream(spark, tmp_path):
     assert got == {1: (10, "a"), 2: (20, "b2"), 3: (1, "c")}
     assert not any(e.startswith("v=") for e in
                    __import__("os").listdir(t.root))
+
+
+def test_object_mode_schema_evolution_across_references(spark, tmp_path):
+    """Schema evolution composes with reference carry: after a
+    widened merge touches one partition, untouched partitions'
+    REFERENCED files (written under the old schema, never rewritten)
+    read back with the new column NULL-filled; time travel to the
+    pre-evolution version keeps the old schema."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id",
+                          partition_by="p", storage="object")
+    t.merge(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, p string, v long"))
+    t.merge(spark.createDataFrame(
+        [(1, "a", 11, "x")], "id long, p string, v long, w string"),
+        schema_evolution=True)
+    got = {r.id: (r.v, r.w) for r in t.read().collect()}
+    assert got == {1: (11, "x"), 2: (20, None)}
+    assert "w" not in t.read(version=1).columns
+    # the p=b file is the SAME physical file in both manifests
+    f1, f2 = t._files(1), t._files(2)
+    b = [r for r in f1 if "/p=b/" in r]
+    assert b and all(r in f2 for r in b)
