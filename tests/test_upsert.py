@@ -1998,6 +1998,10 @@ def test_manifest_delta_log_and_checkpoints(spark, tmp_path):
     ckpts = [v for v in range(2, 14) if kinds[v] == "full"]
     assert ckpts, kinds
     assert kinds[ckpts[0] + 1] == "delta"
+    # the resolution walk is BOUNDED: no chain ever reaches the
+    # checkpoint interval
+    assert all(raw(x).get("chain", 0) <
+               ParquetMergeTable._CHECKPOINT_EVERY for x in range(1, 14))
     # a single-partition merge's delta records one partition's churn,
     # a small fraction of the table's file population
     d = raw(3)

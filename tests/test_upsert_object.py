@@ -476,3 +476,22 @@ def test_object_mode_schema_evolution_across_references(spark, tmp_path):
     f1, f2 = t._files(1), t._files(2)
     b = [r for r in f1 if "/p=b/" in r]
     assert b and all(r in f2 for r in b)
+
+
+def test_vacuum_sweeps_crashed_writer_log_temps(spark, tmp_path):
+    """A writer that crashes mid-publish leaves _tx*/_bloom* temp
+    files in _log/; vacuum sweeps them (grace-guarded) — they are
+    never part of version identity, so current_version() and reads
+    ignore them either way."""
+    t = _table(spark, tmp_path / "tbl")
+    t.merge(spark.range(0, 10).selectExpr("id", "id as v"))
+    log = t._log_dir()
+    for name in ("_tx2.abc123", "_bloom1.def456", "_ckpt1.xyz"):
+        open(os.path.join(log, name), "w").write("{")
+    assert t.current_version() == 1          # temps invisible
+    t.merge(spark.range(0, 10).selectExpr("id", "id*2 as v"))
+    t.vacuum(keep_last_n=2, stage_grace_seconds=0)
+    left = [e for e in os.listdir(log)
+            if e.startswith(("_tx", "_bloom", "_ckpt"))]
+    assert left == []
+    assert t.read().count() == 10

@@ -2229,8 +2229,19 @@ class ParquetMergeTable:
                         _json.dump(full, f)
                     os.replace(tmp, self._manifest_path(floor))
                     self._mcache[floor] = full
-            # 1) retire manifests (+ their bloom files) outside retention
+            # 1) retire manifests (+ their bloom files) outside
+            # retention, and sweep temp files a crashed writer left
+            # in the log (they are never part of version identity)
             for e in os.listdir(self._log_dir()):
+                if e.startswith(("_tx", "_bloom", "_ckpt")):
+                    p = os.path.join(self._log_dir(), e)
+                    try:
+                        if os.path.getmtime(p) <= _time.time() - \
+                                stage_grace_seconds:
+                            os.remove(p)
+                    except OSError:
+                        pass
+                    continue
                 m = _re.fullmatch(r"(\d+)\.json", e)
                 if m and not floor <= int(m.group(1)) <= v:
                     n = int(m.group(1))
