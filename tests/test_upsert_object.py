@@ -495,3 +495,56 @@ def test_vacuum_sweeps_crashed_writer_log_temps(spark, tmp_path):
             if e.startswith(("_tx", "_bloom", "_ckpt"))]
     assert left == []
     assert t.read().count() == 10
+
+
+@pytest.mark.parametrize("direction", ["posix_to_object", "object_to_posix"])
+def test_clone_migrates_between_storage_modes(spark, tmp_path, direction):
+    """clone(storage=...) is the migration path between layouts (lift
+    a posix table into the object-store layout, or bring one back):
+    content, deletion vectors, bloom index, and CHECK constraints all
+    survive the re-keying, and the migrated table ACCEPTS WRITES in
+    its new mode."""
+    src_mode, dst_mode = (("posix", "object")
+                          if direction == "posix_to_object"
+                          else ("object", "posix"))
+    t = ParquetMergeTable(spark, str(tmp_path / "src"), key="id",
+                          partition_by="p", storage=src_mode)
+    rows = [(i, "a" if i % 2 else "b", f"u{i * 37 % 997}", i)
+            for i in range(400)]
+    t.merge(spark.createDataFrame(rows, "id long, p string, u string, v long"))
+    t.merge(spark.createDataFrame([(401, "a", "zz", -1)],
+                                  "id long, p string, u string, v long"))
+    t.delete_where({"id": (10, 19)}, use_deletion_vectors=True)
+    t.build_file_index("u")
+    t.add_constraint("v_floor", "v >= -5")
+    want = sorted((r.id, r.v) for r in t.read().collect())
+
+    c = t.clone(str(tmp_path / "dst"), storage=dst_mode)
+    assert c.storage == dst_mode
+    assert sorted((r.id, r.v) for r in c.read().collect()) == want
+    assert sum(len(p) for p in c.deletion_vectors().values()) == \
+        sum(len(p) for p in t.deletion_vectors().values()) > 0
+    assert c.constraints() == {"v_floor": "v >= -5"}
+    # bloom re-keyed onto the clone's layout and still exact
+    idx = c.file_index()
+    assert idx and all(
+        (k.startswith("_data/") if dst_mode == "object"
+         else not k.startswith("_data/"))
+        for files in idx.values() for k in files
+    )
+    probe = ["u37", "u74"]
+    assert c.read_point("u", probe).count() == \
+        c.read().filter(F.col("u").isin(probe)).count()
+    # the migrated table accepts writes in ITS mode; the source is
+    # untouched
+    c.merge(spark.createDataFrame([(900, "a", "nn", 5)],
+                                  "id long, p string, u string, v long"))
+    assert c.read().count() == len(want) + 1
+    with pytest.raises(ConstraintViolationError):
+        c.merge(spark.createDataFrame([(901, "a", "x", -99)],
+                                      "id long, p string, u string, v long"))
+    assert t.read().count() == len(want)
+    if dst_mode == "posix":
+        assert os.path.isdir(os.path.join(c.root, "v=1"))
+    else:
+        assert not any(e.startswith("v=") for e in os.listdir(c.root))

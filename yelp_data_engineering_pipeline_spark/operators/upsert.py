@@ -2825,7 +2825,8 @@ class ParquetMergeTable:
         return self._txn(wait, body)
 
     def clone(self, target_root: str,
-              version: int | None = None) -> "ParquetMergeTable":
+              version: int | None = None,
+              storage: str | None = None) -> "ParquetMergeTable":
         """Snapshot clone (the Delta ``CLONE`` shape): the chosen
         snapshot becomes a brand-new table rooted at ``target_root``
         (committed as its version 1), CHECK constraints included.
@@ -2839,7 +2840,15 @@ class ParquetMergeTable:
         the source's files by absolute path and break if the source
         vacuums them, Delta's documented shallow-clone hazard, so this
         table only offers the deep form). Stats, schema and DV come
-        along, so zone-map skipping works on the clone immediately."""
+        along, so zone-map skipping works on the clone immediately.
+
+        ``storage`` overrides the clone's mode — the MIGRATION path:
+        ``clone(dst, storage="object")`` lifts a posix table into the
+        object-store layout (byte copy = the upload), and
+        ``storage="posix"`` brings one back; every metadata plane
+        (zone maps, DVs, bloom, constraints) is re-keyed for the
+        target layout, and non-posix→posix pairs copy instead of
+        hardlinking."""
         import os
         import shutil
         import time as _time
@@ -2851,7 +2860,7 @@ class ParquetMergeTable:
             raise ValueError(f"version {v} was vacuumed")
         out = ParquetMergeTable(self.spark, target_root, self.key,
                                 partition_by=self.partition_by,
-                                storage=self.storage)
+                                storage=storage or self.storage)
         # hold the SOURCE's writer lock too (posix): a concurrent
         # vacuum could otherwise delete the snapshot's files out from
         # under the walk (files are immutable, directory entries are
@@ -2865,46 +2874,68 @@ class ParquetMergeTable:
                 raise ValueError(f"{target_root} already holds a table")
             src_man = self._manifest(v)
             src_files = self._files(v)
-            if not self._object:
-                out._clear_orphan(1)
-                src_dir, dst_dir = self._snap_dir(v), out._snap_dir(1)
-                for rel in src_files:
-                    dst = os.path.join(dst_dir, rel)
-                    os.makedirs(os.path.dirname(dst) or dst_dir,
-                                exist_ok=True)
-                    os.link(os.path.join(src_dir, rel), dst)
-                files = dict(src_files)
-                dv = dict(src_man.get("dv") or {})
-                bloom = self.file_index(v)
-            else:
+            # key remap, shared by the file/DV/bloom planes (DV and
+            # bloom keys are the URI form of the same keys — their
+            # group prefixes are plain ASCII, so the same split works)
+            def _suffix(rel: str) -> str:
+                return rel.split("/", 2)[2] if self._object else rel
+
+            if out._object:
                 import uuid
 
-                # one fresh tx dir per source read group; keys (and DV/
-                # bloom keys, same plane) remap by prefix
-                tops = {"/".join(r.split("/", 2)[:2])
-                        for r in src_files}
-                remap = {top: f"_data/tx-{uuid.uuid4().hex[:12]}"
-                         for top in sorted(tops)}
+                groups = sorted(
+                    {"/".join(r.split("/", 2)[:2]) if self._object
+                     else "" for r in src_files}
+                )
+                remap = {g: f"_data/tx-{uuid.uuid4().hex[:12]}"
+                         for g in groups}
 
                 def rk(rel: str) -> str:
-                    top, rest = rel.split("/", 1)[0] + "/" + \
-                        rel.split("/", 2)[1], rel.split("/", 2)[2]
-                    return remap[top] + "/" + rest
+                    g = ("/".join(rel.split("/", 2)[:2])
+                         if self._object else "")
+                    return remap[g] + "/" + _suffix(rel)
+            else:
+                def rk(rel: str) -> str:
+                    return _suffix(rel)
 
-                files = {}
-                for rel, zm in src_files.items():
-                    src = os.path.join(self.root, rel)
-                    dst = os.path.join(target_root, rk(rel))
-                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                # two source groups collapsing to one suffix would
+                # merge distinct files into one key — refuse loudly
+                # (part-file names carry per-write UUIDs, so this is
+                # a corrupted-table symptom, not a normal state)
+                seen: dict[str, str] = {}
+                for r in src_files:
+                    k = rk(r)
+                    if k in seen:
+                        raise ValueError(
+                            f"clone key collision: {seen[k]!r} and "
+                            f"{r!r} both map to {k!r}"
+                        )
+                    seen[k] = r
+
+            hardlink = not self._object and not out._object
+            if not out._object:
+                out._clear_orphan(1)
+            files = {}
+            for rel, zm in src_files.items():
+                src = (os.path.join(self.root, rel) if self._object
+                       else os.path.join(self._snap_dir(v), rel))
+                base_dst = (target_root if out._object
+                            else out._snap_dir(1))
+                dst = os.path.join(base_dst, rk(rel))
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                if hardlink:
+                    os.link(src, dst)
+                else:
                     shutil.copyfile(src, dst)
-                    files[rk(rel)] = zm
-                dv = {rk(k): ps for k, ps in (src_man.get("dv") or {}).items()}
-                bloom = self.file_index(v)
-                if bloom:
-                    bloom = {
-                        col: {rk(k): e for k, e in fs.items()}
-                        for col, fs in bloom.items()
-                    }
+                files[rk(rel)] = zm
+            dv = {rk(k): ps
+                  for k, ps in (src_man.get("dv") or {}).items()}
+            bloom = self.file_index(v)
+            if bloom:
+                bloom = {
+                    col: {rk(k): e for k, e in fs.items()}
+                    for col, fs in bloom.items()
+                }
             # active CHECK constraints are table metadata and come
             # along (ADVICE r7) — without this the clone would accept
             # commits the source rejects
@@ -2916,7 +2947,7 @@ class ParquetMergeTable:
                 "version": 1,
                 "operation": f"clone(v={v} of {self.root})",
                 "committed_at_unix": round(_time.time(), 3),
-                "base": "root" if self._object else "snapshot",
+                "base": "root" if out._object else "snapshot",
                 "schema": src_man["schema"],
                 "files": files,
                 "dv": dv,
