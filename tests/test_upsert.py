@@ -17,6 +17,8 @@ from yelp_data_engineering_pipeline_spark.operators.salting import (
     salted_sum,
 )
 from yelp_data_engineering_pipeline_spark.operators.upsert import (
+    ConcurrentMergeError,
+    ParquetMergeTable,
     merge_upsert,
     normalize_incremental,
     scd2_apply,
@@ -2023,3 +2025,67 @@ def test_manifest_delta_log_and_checkpoints(spark, tmp_path):
     assert got == snapshots[floor]
     with pytest.raises(ValueError, match="vacuumed"):
         t.read(version=floor - 1)
+
+
+def test_stats_returns_defensive_copy(spark, tmp_path):
+    """stats() must hand out a COPY (ADVICE r8): a caller mutating
+    the returned dict must not corrupt the cached resolved file list
+    that read_where pruning / count_where / DML classification /
+    vacuum reference counting all share."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id")
+    t.merge(spark.range(0, 100).selectExpr("id", "id * 2 as v")
+            .repartitionByRange(4, "id").sortWithinPartitions("id"))
+    s = t.stats()
+    before = t.count_where({"id": (0, 9)})
+    s.clear()                       # hostile caller
+    s["junk"] = {"rows": 0, "cols": {}}
+    assert t.count_where({"id": (0, 9)}) == before == 10
+    assert t.read().count() == 100
+    assert "junk" not in t.stats()
+
+
+def test_explicit_version_validation_on_metadata_apis(spark, tmp_path):
+    """count_where / dv_density with an explicit version follow the
+    read() contract (ADVICE r8): a never-committed or vacuumed version
+    raises the documented ValueError, never a raw FileNotFoundError."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id")
+    for k in range(3):
+        t.merge(spark.createDataFrame([(k, k)], "id long, v long"))
+    with pytest.raises(ValueError, match="not committed"):
+        t.count_where({"id": (0, 1)}, version=99)
+    with pytest.raises(ValueError, match="not committed"):
+        t.dv_density(version=99)
+    t.vacuum(keep_last_n=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.count_where({"id": (0, 1)}, version=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.dv_density(version=1)
+    assert t.count_where({"id": (0, 5)}) == 3
+
+
+def test_auto_compact_failure_never_masks_committed_dml(spark, tmp_path):
+    """_maybe_auto_compact is best-effort (ADVICE r8): the DML has
+    already committed when the hook runs, so a compaction failure —
+    e.g. a lost wait=False race — must not surface to the DML caller;
+    the committed version is returned and a later compact() still
+    repays the DVs."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id",
+                          auto_compact_dv=0.01)
+    t.merge(spark.range(0, 200).selectExpr("id", "id as v")
+            .repartitionByRange(4, "id"))
+
+    orig = ParquetMergeTable.compact
+
+    def boom(self, *a, **k):
+        raise ConcurrentMergeError("lost the compaction race")
+
+    ParquetMergeTable.compact = boom
+    try:
+        v = t.delete_where({"id": (0, 49)}, use_deletion_vectors=True)
+    finally:
+        ParquetMergeTable.compact = orig
+    assert v == 2                       # the DML's committed version
+    assert t.current_version() == 2     # compaction never landed
+    assert t.read().count() == 150
+    t.compact()                         # policy retried explicitly
+    assert t.deletion_vectors() == {}

@@ -663,17 +663,16 @@ class ParquetMergeTable:
         if os.path.exists(d):
             shutil.rmtree(d)
 
-    def _stage_dir(self, new_v: int) -> str:
-        """Where this commit's NEW data files go: posix — the ``v=<n>``
-        snapshot dir (cleared of crash orphans first); object — a
-        fresh ``_data/tx-<id>`` directory (never reused, so racing
-        writers cannot collide and a crashed attempt is inert until
-        vacuum sweeps it)."""
-        import os
-
-        v_now = new_v - 1
-        if v_now >= 1:
-            base = self._manifest(v_now).get("base", "snapshot")
+    def _check_write_mode(self, parent_v: int) -> None:
+        """Refuse a commit from a handle opened in the other storage
+        mode (the class docstring contract). Called from EVERY commit
+        tail — including metadata-only and DV-only commits that never
+        stage data files (ADVICE r8: the guard used to live only in
+        _stage_dir, so an object-mode handle could publish a
+        wrong-base manifest via delete_where on a posix table,
+        corrupting the head)."""
+        if parent_v >= 1:
+            base = self._manifest(parent_v).get("base", "snapshot")
             want = "root" if self._object else "snapshot"
             if base != want:
                 raise ValueError(
@@ -682,6 +681,16 @@ class ParquetMergeTable:
                     f"open it with that mode to write (reads work from "
                     "either)"
                 )
+
+    def _stage_dir(self, new_v: int) -> str:
+        """Where this commit's NEW data files go: posix — the ``v=<n>``
+        snapshot dir (cleared of crash orphans first); object — a
+        fresh ``_data/tx-<id>`` directory (never reused, so racing
+        writers cannot collide and a crashed attempt is inert until
+        vacuum sweeps it)."""
+        import os
+
+        self._check_write_mode(new_v - 1)
         if not self._object:
             self._clear_orphan(new_v)
             return self._snap_dir(new_v)
@@ -928,6 +937,7 @@ class ParquetMergeTable:
         import os
 
         new_v = old_v + 1
+        self._check_write_mode(old_v)
         if out_df is not None:
             stage, entries = self._write_new_files(out_df)
         else:
@@ -968,23 +978,33 @@ class ParquetMergeTable:
         they reference are immutable, so any version vacuum has not
         removed is readable forever. Raises if the requested version
         was vacuumed or never committed."""
+        v = self._resolve_version(version)
+        if v == 0:
+            return None
+        return self._scan(v)
+
+    def _resolve_version(self, version: int | None) -> int:
+        """Validate an explicit time-travel version against the
+        committed range and the retention window (the read() contract,
+        shared by count_where/dv_density — ADVICE r8: an explicit
+        version used to hit a raw FileNotFoundError there). Returns
+        the resolved version (0 = empty table, only when ``version``
+        is None)."""
         import os
 
         v = self.current_version()
-        if v == 0:
-            return None
-        if version is not None:
-            if not 1 <= version <= v:
-                raise ValueError(
-                    f"version {version} not committed (current: {v})"
-                )
-            if not os.path.exists(self._manifest_path(version)):
-                raise ValueError(
-                    f"version {version} was vacuumed (oldest retained "
-                    "version is discoverable via history())"
-                )
-            v = version
-        return self._scan(v)
+        if version is None:
+            return v
+        if not 1 <= version <= v:
+            raise ValueError(
+                f"version {version} not committed (current: {v})"
+            )
+        if not os.path.exists(self._manifest_path(version)):
+            raise ValueError(
+                f"version {version} was vacuumed (oldest retained "
+                "version is discoverable via history())"
+            )
+        return version
 
     @staticmethod
     def _base_uri_candidates(base: str) -> list[str]:
@@ -1392,13 +1412,16 @@ class ParquetMergeTable:
     def stats(self, version: int | None = None) -> dict | None:
         """The snapshot's file → zone-map index — the manifest's
         ``files`` section (None before the first commit or for a
-        vacuumed version)."""
+        vacuumed version). Returns a shallow COPY: the resolved list
+        is also the handle's pruning/DML/vacuum source of truth, so a
+        caller mutating the return value must not corrupt it (ADVICE
+        r8)."""
         import os
 
         v = version if version is not None else self.current_version()
         if v == 0 or not os.path.exists(self._manifest_path(v)):
             return None
-        return self._files(v)
+        return dict(self._files(v))
 
     @staticmethod
     def _zone_cols(zm: dict) -> dict:
@@ -1517,7 +1540,7 @@ class ParquetMergeTable:
         scanned with the residual filter. Always equals
         ``read_where(ranges).count()`` — a fully-clustered probe runs
         zero Spark jobs."""
-        v = version if version is not None else self.current_version()
+        v = self._resolve_version(version)
         if v == 0:
             return None
         residual = self._range_residual(ranges)
@@ -2242,8 +2265,17 @@ class ParquetMergeTable:
                     except OSError:
                         pass
                     continue
+                # ONLY manifests BELOW the retention floor are removed.
+                # A manifest ABOVE the sampled head is never an orphan:
+                # the atomic manifest create IS the commit, so n > v can
+                # only mean a commit that landed after current_version()
+                # was sampled — in object mode (no lock) a real,
+                # acknowledged concurrent commit whose deletion would
+                # silently roll the table back (ADVICE r8 high). Crash
+                # orphans are DATA files (staged before the create),
+                # swept below; manifests are version identity.
                 m = _re.fullmatch(r"(\d+)\.json", e)
-                if m and not floor <= int(m.group(1)) <= v:
+                if m and int(m.group(1)) < floor:
                     n = int(m.group(1))
                     os.remove(os.path.join(self._log_dir(), e))
                     removed.add(n)
@@ -2271,12 +2303,20 @@ class ParquetMergeTable:
                         removed.add(n)
                 return sorted(removed)
             # 2b) object: reference-count across retained manifests,
-            # then sweep unreferenced data files (grace-guarded)
+            # then sweep unreferenced data files (grace-guarded). The
+            # manifest set is RE-LISTED here, after the retirement pass:
+            # with no lock, a concurrent commit may have published a
+            # version above the sampled head — its manifest survived
+            # the pass above and its file references (carried + newly
+            # staged) must count (ADVICE r8; the grace window alone
+            # already protects its YOUNG files, this protects carried
+            # ones against a floor that races past the sampled head).
             referenced: set[str] = set()
-            for n in range(floor, v + 1):
-                if not os.path.exists(self._manifest_path(n)):
+            for e in os.listdir(self._log_dir()):
+                m = _re.fullmatch(r"(\d+)\.json", e)
+                if not m or int(m.group(1)) < floor:
                     continue
-                for rel in self._files(n):
+                for rel in self._files(int(m.group(1))):
                     referenced.add(
                         os.path.normpath(os.path.join(self.root, rel))
                     )
@@ -2588,7 +2628,7 @@ class ParquetMergeTable:
         densities — all from the manifest, zero Spark jobs."""
         from urllib.parse import unquote
 
-        v = version if version is not None else self.current_version()
+        v = self._resolve_version(version)
         if v == 0:
             return {"rows": 0, "dv_positions": 0, "density": 0.0,
                     "per_file": {}}
@@ -2654,10 +2694,17 @@ class ParquetMergeTable:
         purging the DVs and restoring the join-free read plan. Runs as
         its own commit AFTER the DML transaction (flock is not
         reentrant; and a failed compaction must not roll back the
-        DML)."""
+        DML). BEST-EFFORT (ADVICE r8): the DML has already committed,
+        so a lost compaction race — or any compaction failure — must
+        not make the caller believe the DML failed; the committed
+        version is always returned and the DVs stay until the next
+        DML or an explicit compact() retries the policy."""
         thr = getattr(self, "auto_compact_dv", None)
         if thr is not None and self.needs_compaction(thr):
-            self.compact(wait=wait)
+            try:
+                self.compact(wait=wait)
+            except Exception:  # noqa: BLE001 — maintenance is advisory
+                pass
 
     @staticmethod
     def _clause_cond(cond):
@@ -2768,6 +2815,7 @@ class ParquetMergeTable:
 
         def body() -> int:
             v_now = self.current_version()
+            self._check_write_mode(v_now)
             if not 1 <= version <= v_now:
                 raise ValueError(
                     f"version {version} not committed (current: {v_now})"
