@@ -1,0 +1,268 @@
+"""Object-store fault injection through the StorageBackend seam
+(VERDICT r8 next-1): the realities a real S3/GCS/ADLS deployment hits
+— a PUT that reports failure after succeeding, a LIST that lags the
+newest commit, a DELETE racing a reader's GET — exercised against
+``ParquetMergeTable`` with wrapper backends over :class:`PosixBackend`.
+No object store required; the seam is the point."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelp_data_engineering_pipeline_spark.operators.storage import PosixBackend
+from yelp_data_engineering_pipeline_spark.operators.upsert import (
+    ParquetMergeTable,
+)
+
+
+class RecordingBackend(PosixBackend):
+    """Counts every primitive call — proves the table's metadata I/O
+    actually flows through the seam."""
+
+    def __init__(self):
+        self.calls: dict[str, int] = {}
+
+    def _rec(self, name):
+        self.calls[name] = self.calls.get(name, 0) + 1
+
+    def get(self, path):
+        self._rec("get")
+        return super().get(path)
+
+    def put(self, path, data):
+        self._rec("put")
+        return super().put(path, data)
+
+    def put_if_absent(self, path, data):
+        self._rec("put_if_absent")
+        return super().put_if_absent(path, data)
+
+    def list_names(self, dirpath):
+        self._rec("list_names")
+        return super().list_names(dirpath)
+
+    def walk_files(self, root):
+        self._rec("walk_files")
+        return super().walk_files(root)
+
+    def exists(self, path):
+        self._rec("exists")
+        return super().exists(path)
+
+    def mtime(self, path):
+        self._rec("mtime")
+        return super().mtime(path)
+
+    def delete(self, path):
+        self._rec("delete")
+        return super().delete(path)
+
+    def delete_prefix(self, root):
+        self._rec("delete_prefix")
+        return super().delete_prefix(root)
+
+    def copy(self, src, dst):
+        self._rec("copy")
+        return super().copy(src, dst)
+
+
+def _t(spark, root, **kw):
+    return ParquetMergeTable(spark, str(root), key="id", storage="object",
+                             **kw)
+
+
+def test_metadata_io_flows_through_the_seam(spark, tmp_path):
+    """A full lifecycle — merge, DV delete, bloom build, constraint,
+    vacuum, clone — drives every backend primitive; nothing bypasses
+    the seam for _log/constraints metadata."""
+    b = RecordingBackend()
+    t = _t(spark, tmp_path / "tbl", backend=b)
+    t.merge(spark.range(0, 200).selectExpr("id", "id as v",
+                                           "cast(id % 7 as string) as u")
+            .repartitionByRange(4, "id").sortWithinPartitions("id"))
+    t.delete_where({"id": (10, 19)}, use_deletion_vectors=True)
+    t.build_file_index("u")
+    t.add_constraint("v_ok", "v >= 0")
+    t.merge(spark.createDataFrame([(500, 500, "x")],
+                                  "id long, v long, u string"))
+    t.vacuum(keep_last_n=2, stage_grace_seconds=0)
+    c = t.clone(str(tmp_path / "cl"))
+    assert c.read().count() == t.read().count() == 191
+    for prim in ("put_if_absent", "get", "put", "list_names",
+                 "exists", "delete", "walk_files", "mtime"):
+        assert b.calls.get(prim, 0) > 0, (prim, b.calls)
+    # clone's data bytes moved via the server-side-copy primitive
+    assert b.calls.get("copy", 0) > 0
+
+
+class PhantomPutBackend(PosixBackend):
+    """Fault: the conditional PUT SUCCEEDS but the client sees a
+    timeout (the classic S3 ambiguous-failure). Fires once."""
+
+    def __init__(self):
+        self.armed = True
+
+    def put_if_absent(self, path, data):
+        super().put_if_absent(path, data)
+        if self.armed and path.endswith(".json") and "bloom" not in path:
+            self.armed = False
+            raise TimeoutError("simulated: PUT timed out after landing")
+
+
+def test_put_succeeds_after_reported_failure_no_double_commit(
+        spark, tmp_path):
+    """The commit PUT lands but the writer sees an error. The caller
+    retries the merge: the retry re-reads the head (which now includes
+    the phantom commit) and re-derives — idempotent upsert semantics
+    mean no duplicated rows, no lost rows, and version numbers stay
+    dense. This is the 'idempotence via version re-read' answer to the
+    ambiguous PUT; a backend must never be assumed to have failed
+    atomically."""
+    b = PhantomPutBackend()
+    b.armed = False  # seed commit goes through clean
+    t = _t(spark, tmp_path / "tbl", backend=b)
+    t.merge(spark.createDataFrame([(1, 10)], "id long, v long"))
+
+    b.armed = True
+    batch = spark.createDataFrame([(1, 11), (2, 20)], "id long, v long")
+    with pytest.raises(TimeoutError):
+        t.merge(batch, wait=True)
+    # the phantom commit IS on disk — an acknowledged-after-all v2
+    assert t.current_version() == 2
+    assert {r.id: r.v for r in t.read().collect()} == {1: 11, 2: 20}
+
+    # the standard recovery: retry the same batch; re-derivation
+    # against the new head makes it a no-op content-wise
+    v = t.merge(batch, wait=True)
+    assert v == 3
+    got = sorted((r.id, r.v) for r in t.read().collect())
+    assert got == [(1, 11), (2, 20)]          # no duplicates, no loss
+    assert t.read().count() == 2
+
+
+class StaleListBackend(PosixBackend):
+    """Fault: LIST lags — it omits the newest manifest until
+    ``unstale()`` (S3's old eventual-consistency / a caching proxy)."""
+
+    def __init__(self):
+        self.lag = False
+
+    def list_names(self, dirpath):
+        names = super().list_names(dirpath)
+        if not self.lag:
+            return names
+        import re
+
+        vs = [(int(m.group(1)), n) for n in names
+              if (m := re.fullmatch(r"(\d+)\.json", n))]
+        if not vs:
+            return names
+        newest = max(vs)[1]
+        return [n for n in names if n != newest]
+
+
+def test_stale_list_never_clobbers_and_rereads_resolve(spark, tmp_path):
+    """With LIST lagging one commit, a writer samples a stale head and
+    tries to claim an already-taken version — the conditional PUT (the
+    authority, not LIST) rejects it, and wait=True re-derives until it
+    lands above the real head. A reader on the lagging backend sees
+    the OLDER committed snapshot (consistent, just stale), and sees
+    the commit as soon as LIST unstales."""
+    b = StaleListBackend()
+    t = _t(spark, tmp_path / "tbl", backend=b)
+    t.merge(spark.createDataFrame([(1, 10)], "id long, v long"))
+    t.merge(spark.createDataFrame([(2, 20)], "id long, v long"))
+    assert t.current_version() == 2
+
+    b.lag = True
+    stale = _t(spark, tmp_path / "tbl", backend=b)
+    assert stale.current_version() == 1        # lagging view
+    assert {r.id for r in stale.read().collect()} == {1}  # old snapshot,
+    # never a torn one
+
+    # a writer on the lagging backend: first claim (v2) loses to the
+    # conditional PUT; wait=True re-derives. While LIST still lags,
+    # every re-read samples the same stale head, so the writer would
+    # spin — model the lag clearing mid-retry (real stores converge).
+    calls = {"n": 0}
+    orig = StaleListBackend.list_names
+
+    def unstale_after_first(self, dirpath):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            self.lag = False
+        return orig(self, dirpath)
+
+    StaleListBackend.list_names = unstale_after_first
+    try:
+        v = stale.merge(spark.createDataFrame([(3, 30)], "id long, v long"),
+                        wait=True)
+    finally:
+        StaleListBackend.list_names = orig
+    assert v == 3                              # landed ABOVE the real head
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {1: 10, 2: 20, 3: 30}        # nothing clobbered
+
+
+class DeleteRaceBackend(PosixBackend):
+    """Fault: a reader resolved a manifest (exists() said so), then a
+    concurrent vacuum's DELETE lands before the GET. exists lies
+    'True' once after the delete — the stale-HEAD cache shape."""
+
+    def __init__(self):
+        self.lie_about: str | None = None
+
+    def exists(self, path):
+        if self.lie_about and path == self.lie_about:
+            self.lie_about = None
+            return True
+        return super().exists(path)
+
+
+def test_delete_racing_get_fails_loudly_not_wrong(spark, tmp_path):
+    """A vacuum DELETE racing a reader's manifest GET must surface as
+    a loud error on the reader, never as silent empty/wrong results —
+    the same retention-window contract as a vacuumed data file."""
+    b = DeleteRaceBackend()
+    t = _t(spark, tmp_path / "tbl", backend=b)
+    t.merge(spark.createDataFrame([(1, 10)], "id long, v long"))
+    t.merge(spark.createDataFrame([(2, 20)], "id long, v long"))
+    t.merge(spark.createDataFrame([(3, 30)], "id long, v long"))
+    t.vacuum(keep_last_n=1, stage_grace_seconds=0)   # v1, v2 manifests gone
+
+    reader = _t(spark, tmp_path / "tbl", backend=b)
+    # normally the existence check reports the vacuum cleanly
+    with pytest.raises(ValueError, match="vacuumed"):
+        reader.read(version=1)
+    # raced: exists() said True (stale), the GET then hits the DELETE
+    b.lie_about = reader._manifest_path(2)
+    with pytest.raises(FileNotFoundError):
+        reader.read(version=2).collect()
+    # the head is untouched by the race
+    assert reader.read().count() == 3
+
+
+def test_fault_wrappers_compose_with_dml_and_time_travel(spark, tmp_path):
+    """Sanity: a wrapped backend carries the full DML surface — the
+    seam does not fork behavior (same versions, same rows as the
+    default backend would produce)."""
+    b = RecordingBackend()
+    t = _t(spark, tmp_path / "tbl", backend=b)
+    t.merge(spark.range(0, 100).selectExpr("id", "id * 2 as v")
+            .repartitionByRange(4, "id").sortWithinPartitions("id"))
+    t.delete_where({"id": (90, 99)})
+    t.update_where({"id": (0, 9)}, {"v": F.lit(-1)},
+                   use_deletion_vectors=True)
+    assert t.read().count() == 90
+    assert t.read().filter("v = -1").count() == 10
+    assert t.read(version=1).count() == 100
+    assert t.current_version() == 3
+    # and vacuum leaves a consistent, still-readable table
+    t.vacuum(keep_last_n=2, stage_grace_seconds=0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.read(version=1)
+    for rel in t._files(3):
+        assert os.path.exists(os.path.join(t.root, rel))

@@ -147,8 +147,8 @@ def test_object_mode_concurrent_writers_conditional_put(spark, tmp_path):
     orig = ParquetMergeTable._write_new_files
     raced = {"done": False}
 
-    def hijack(self, df):
-        out = orig(self, df)
+    def hijack(self, df, new_v=None):
+        out = orig(self, df, new_v=new_v)
         if not raced["done"]:
             raced["done"] = True
             # a concurrent writer commits between our stage and PUT
@@ -674,3 +674,38 @@ def test_cross_mode_guard_covers_metadata_only_commits(spark, tmp_path):
     with pytest.raises(ValueError, match="storage"):
         p2.restore(1)
     assert t2.read().count() == 100
+
+
+def test_commit_landing_between_read_and_publish_is_never_lost(
+        spark, tmp_path):
+    """Lost-update window (found by the r9 stale-LIST fault
+    injection): a commit landing AFTER this writer derived its content
+    but BEFORE its publish must collide on the conditional PUT — the
+    claimed version is pinned to the head the content derived from —
+    and wait=True re-derives. Re-sampling the head at publish time
+    would instead claim the next free version and silently drop the
+    concurrent commit's rows."""
+    t = _table(spark, tmp_path / "tbl")
+    t.merge(spark.createDataFrame([(1, 10)], "id long, v long"))
+
+    orig = ParquetMergeTable._write_new_files
+    raced = {"done": False}
+
+    def hijack(self, df, new_v=None):
+        if not raced["done"]:
+            raced["done"] = True
+            # lands between the body's head sample and the publish
+            other = _table(spark, tmp_path / "tbl")
+            other.merge(spark.createDataFrame([(50, 500)],
+                                              "id long, v long"))
+        return orig(self, df, new_v=new_v)
+
+    ParquetMergeTable._write_new_files = hijack
+    try:
+        t.merge(spark.createDataFrame([(2, 20)], "id long, v long"),
+                wait=True)
+    finally:
+        ParquetMergeTable._write_new_files = orig
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {1: 10, 2: 20, 50: 500}   # the raced commit survived
+    assert t.current_version() == 3         # collision + re-derive, no gap

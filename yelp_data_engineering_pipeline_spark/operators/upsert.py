@@ -437,12 +437,22 @@ class ParquetMergeTable:
     def __init__(self, spark: SparkSession, root: str, key: str,
                  partition_by: str | list[str] | tuple[str, ...] | None = None,
                  storage: str = "posix",
-                 auto_compact_dv: float | None = None) -> None:
+                 auto_compact_dv: float | None = None,
+                 backend=None) -> None:
         import os
+
+        from .storage import PosixBackend
 
         if storage not in ("posix", "object"):
             raise ValueError(f"storage must be 'posix' or 'object', got {storage!r}")
         self.spark = spark
+        # the storage seam (VERDICT r8 next-1): every METADATA I/O —
+        # the _log manifest plane, bloom pair, constraints, vacuum's
+        # sweep, clone's copy — goes through this backend, whose seven
+        # primitives each map to one object-store call (see
+        # operators/storage.py + LAKEHOUSE.md). Parquet DATA I/O stays
+        # on Spark. Default: the local-filesystem implementation.
+        self._backend = backend if backend is not None else PosixBackend()
         self.root = root
         self.key = key
         self.storage = storage
@@ -484,12 +494,7 @@ class ParquetMergeTable:
         """Highest committed version = highest manifest in ``_log/``
         (an object-store LIST on the log prefix — the Delta protocol's
         version discovery; no pointer file to read or flip)."""
-        import os
-
-        try:
-            entries = os.listdir(self._log_dir())
-        except OSError:
-            return 0
+        entries = self._backend.list_names(self._log_dir())
         best = 0
         for e in entries:
             m = _re.fullmatch(r"(\d+)\.json", e)
@@ -516,8 +521,7 @@ class ParquetMergeTable:
         if man is None:
             import json as _json
 
-            with open(self._manifest_path(version)) as f:
-                man = _json.load(f)
+            man = _json.loads(self._backend.get(self._manifest_path(version)))
             self._mcache[version] = man
         return man
 
@@ -549,43 +553,28 @@ class ParquetMergeTable:
     def _publish(self, new_v: int, man: dict) -> None:
         """THE commit: make ``_log/<new_v>.json`` exist atomically,
         failing if the version was claimed by a concurrent writer.
-        Local emulation of object-store conditional PUT: write the
-        full manifest to a temp file, then ``os.link(tmp, final)`` —
-        link fails with EEXIST if the name exists and never exposes a
-        torn manifest. Object-store substitutes (LAKEHOUSE.md): S3
-        ``PUT If-None-Match: *``, GCS ``ifGenerationMatch=0``, ADLS
-        ``If-None-Match: *`` — all atomic full-object create-if-absent."""
+        One backend call: ``put_if_absent`` — atomic full-object
+        create-if-absent, never exposing a torn manifest (posix: tmp +
+        ``os.link``; object stores, per LAKEHOUSE.md: S3 ``PUT
+        If-None-Match: *``, GCS ``ifGenerationMatch=0``, ADLS
+        ``If-None-Match: *``)."""
         import json as _json
-        import os
-        import tempfile
 
-        fd, tmp = tempfile.mkstemp(dir=self._log_dir(),
-                                   prefix=f"_tx{new_v}.")
         try:
-            with os.fdopen(fd, "w") as f:
-                _json.dump(man, f)
-            try:
-                os.link(tmp, self._manifest_path(new_v))
-            except FileExistsError:
-                raise _CommitRace(new_v) from None
-        finally:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
+            self._backend.put_if_absent(self._manifest_path(new_v),
+                                        _json.dumps(man).encode())
+        except FileExistsError:
+            raise _CommitRace(new_v) from None
         self._mcache[new_v] = man
 
     def _finalize(self, new_v: int, man: dict, stage: str | None) -> None:
         """Publish, cleaning up this writer's staged files on a lost
         race (the table is untouched — only OUR uncommitted files go)."""
-        import os
-        import shutil
-
         try:
             self._publish(new_v, man)
         except _CommitRace:
-            if stage and os.path.isdir(stage):
-                shutil.rmtree(stage, ignore_errors=True)
+            if stage:
+                self._backend.delete_prefix(stage)
             raise
 
     class _NoLock:
@@ -717,13 +706,11 @@ class ParquetMergeTable:
     def constraints(self) -> dict[str, str]:
         """Active CHECK constraints, name → SQL expression."""
         import json as _json
-        import os
 
         p = self._constraints_file()
-        if not os.path.exists(p):
+        if not self._backend.exists(p):
             return {}
-        with open(p) as f:
-            return _json.load(f)
+        return _json.loads(self._backend.get(p))
 
     def add_constraint(self, name: str, sql_expr: str,
                        wait: bool = True) -> None:
@@ -762,17 +749,13 @@ class ParquetMergeTable:
             lock.close()
 
     def _write_constraints(self, cons: dict) -> None:
-        """Write-then-rename: constraints() callers never see partial
-        JSON (object-store substitute: a plain PUT — single-object
-        writes are atomic there)."""
+        """Atomic full-object replace through the backend:
+        constraints() callers never see partial JSON (posix:
+        write-then-rename; object store: a plain PUT)."""
         import json as _json
-        import os
-        import tempfile
 
-        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_CONSTRAINTS.")
-        with os.fdopen(fd, "w") as f:
-            _json.dump(cons, f)
-        os.replace(tmp, self._constraints_file())
+        self._backend.put(self._constraints_file(),
+                          _json.dumps(cons).encode())
 
     def _attach_constraint_obs(self, df: DataFrame):
         """Ride violation counters on the write job (no extra scan)."""
@@ -795,8 +778,6 @@ class ParquetMergeTable:
         """After the data write, before the manifest create: discard
         the staged files and raise if any constraint counted a
         violation — the commit never becomes visible."""
-        import shutil
-
         if obs is None:
             return
         got = obs.get
@@ -807,7 +788,7 @@ class ParquetMergeTable:
             if (got.get(f"viol_{i}") or 0) > 0
         ]
         if bad:
-            shutil.rmtree(stage, ignore_errors=True)
+            self._backend.delete_prefix(stage)
             raise ConstraintViolationError(
                 "commit aborted before the manifest create — written "
                 f"rows violate CHECK constraint(s): {bad}"
@@ -815,15 +796,20 @@ class ParquetMergeTable:
 
     # ---- writing + manifest assembly --------------------------------
 
-    def _write_new_files(self, df: DataFrame) -> tuple[str, dict]:
+    def _write_new_files(self, df: DataFrame,
+                         new_v: int | None = None) -> tuple[str, dict]:
         """Spark-write ``df`` into this commit's staging location and
         return ``(stage_dir, {relkey: zone map})`` for the NEW files —
         footer stats are collected for new files only (carried files
         inherit their manifest entry verbatim), so per-commit stats
-        cost is proportional to written data, not table size."""
+        cost is proportional to written data, not table size.
+        ``new_v`` is the version this commit will claim — callers pin
+        it to (version-the-content-derives-from + 1), never a fresh
+        head sample (see _commit)."""
         import os
 
-        new_v = self.current_version() + 1
+        if new_v is None:
+            new_v = self.current_version() + 1
         stage = self._stage_dir(new_v)
         df2, obs, names = self._attach_constraint_obs(df)
         writer = df2.write.mode("errorifexists")
@@ -915,12 +901,25 @@ class ParquetMergeTable:
                 os.makedirs(d, exist_ok=True)
             os.link(os.path.join(old_dir, rel), dst)
 
-    def _commit(self, df: DataFrame, op: str = "merge") -> int:
+    def _commit(self, df: DataFrame, op: str = "merge",
+                parent_v: int | None = None) -> int:
         """Full-rewrite commit: every referenced file is newly written
-        (parent DVs purge naturally — no parent file survives)."""
-        parent_v = self.current_version()
+        (parent DVs purge naturally — no parent file survives).
+
+        ``parent_v`` MUST be the version the caller's content was
+        derived from (the body's head sample). Re-sampling the head
+        here instead would open a lost-update window in object mode:
+        a commit landing between the body's read and this publish
+        would shift new_v past the collision, and the conditional PUT
+        — the only coordination point — would succeed with content
+        that silently drops the concurrent commit's rows (caught by
+        tests/test_storage_faults.py stale-LIST injection). Pinning
+        new_v = parent_v + 1 turns that interleaving into a
+        _CommitRace, which wait=True re-derives."""
+        if parent_v is None:
+            parent_v = self.current_version()
         new_v = parent_v + 1
-        stage, entries = self._write_new_files(df)
+        stage, entries = self._write_new_files(df, new_v=new_v)
         man = self._assemble_manifest(new_v, op, df.schema, entries,
                                       parent_v)
         self._finalize(new_v, man, stage)
@@ -939,7 +938,7 @@ class ParquetMergeTable:
         new_v = old_v + 1
         self._check_write_mode(old_v)
         if out_df is not None:
-            stage, entries = self._write_new_files(out_df)
+            stage, entries = self._write_new_files(out_df, new_v=new_v)
         else:
             entries = {}
             stage = None
@@ -999,7 +998,7 @@ class ParquetMergeTable:
             raise ValueError(
                 f"version {version} not committed (current: {v})"
             )
-        if not os.path.exists(self._manifest_path(version)):
+        if not self._backend.exists(self._manifest_path(version)):
             raise ValueError(
                 f"version {version} was vacuumed (oldest retained "
                 "version is discoverable via history())"
@@ -1419,7 +1418,7 @@ class ParquetMergeTable:
         import os
 
         v = version if version is not None else self.current_version()
-        if v == 0 or not os.path.exists(self._manifest_path(v)):
+        if v == 0 or not self._backend.exists(self._manifest_path(v)):
             return None
         return dict(self._files(v))
 
@@ -1501,7 +1500,7 @@ class ParquetMergeTable:
         import os
 
         v = version if version is not None else self.current_version()
-        if v == 0 or not os.path.exists(self._manifest_path(v)):
+        if v == 0 or not self._backend.exists(self._manifest_path(v)):
             return {}
         return self._manifest(v).get("dv") or {}
 
@@ -1687,10 +1686,9 @@ class ParquetMergeTable:
         import os
 
         v = version if version is not None else self.current_version()
-        if v == 0 or not os.path.exists(self._bloom_file(v)):
+        if v == 0 or not self._backend.exists(self._bloom_file(v)):
             return {}
-        with open(self._bloom_file(v)) as f:
-            data = _json.load(f)
+        data = _json.loads(self._backend.get(self._bloom_file(v)))
         if "cols" not in data:   # pre-packed legacy words layout
             return {
                 col: {
@@ -1700,8 +1698,7 @@ class ParquetMergeTable:
                 }
                 for col, files in data.items()
             }
-        with open(self._bloom_bin_file(v), "rb") as f:
-            bin_ = f.read()
+        bin_ = self._backend.get(self._bloom_bin_file(v))
         return {
             col: {
                 k: {"m": e["m"], "blob": bin_[e["off"]:e["off"] + e["len"]]}
@@ -1817,15 +1814,12 @@ class ParquetMergeTable:
 
     def _write_bloom(self, version: int, full: dict) -> None:
         """Persist the packed index pair: the raw concatenated bitsets
-        (``.bloom.bin``), then the JSON meta referencing them — each
-        write-then-rename, bin BEFORE json so a reader never resolves
-        an offset into a missing blob. Object-store substitute: plain
-        PUTs (atomic single-object replace; the index is idempotent
-        metadata, last writer wins — index builds are a single-admin
-        op, like constraints)."""
+        (``.bloom.bin``), then the JSON meta referencing them — each an
+        atomic backend ``put``, bin BEFORE json so a reader never
+        resolves an offset into a missing blob (the index is
+        idempotent metadata, last writer wins — index builds are a
+        single-admin op, like constraints)."""
         import json as _json
-        import os
-        import tempfile
 
         bin_ = bytearray()
         meta: dict = {"cols": {}}
@@ -1836,16 +1830,9 @@ class ParquetMergeTable:
                 bin_ += e["blob"]
                 centry[k] = {"m": e["m"], "off": off, "len": len(e["blob"])}
             meta["cols"][col] = centry
-        fd, tmpb = tempfile.mkstemp(dir=self._log_dir(),
-                                    prefix=f"_bloom{version}.")
-        with os.fdopen(fd, "wb") as f:
-            f.write(bytes(bin_))
-        os.replace(tmpb, self._bloom_bin_file(version))
-        fd, tmpj = tempfile.mkstemp(dir=self._log_dir(),
-                                    prefix=f"_bloom{version}.")
-        with os.fdopen(fd, "w") as f:
-            _json.dump(meta, f)
-        os.replace(tmpj, self._bloom_file(version))
+        self._backend.put(self._bloom_bin_file(version), bytes(bin_))
+        self._backend.put(self._bloom_file(version),
+                          _json.dumps(meta).encode())
 
     def _bloom_might_contain(self, entry: dict, value) -> bool:
         """Driver-side probe of one file's bloom — pure Python, no
@@ -1905,7 +1892,7 @@ class ParquetMergeTable:
 
         out: list[dict] = []
         for n in range(self.current_version(), 0, -1):
-            if not os.path.exists(self._manifest_path(n)):
+            if not self._backend.exists(self._manifest_path(n)):
                 continue  # vacuumed
             man = self._manifest(n)
             out.append({
@@ -1955,21 +1942,26 @@ class ParquetMergeTable:
 
         def body() -> int:
             # the current snapshot is resolved INSIDE the transaction —
-            # a concurrently committed merge must be visible to this one
-            current = self.read()
+            # a concurrently committed merge must be visible to this
+            # one — and the head is sampled ONCE: content derivation
+            # and the claimed version must come from the same sample
+            # (see _commit's lost-update note)
+            parent_v = self.current_version()
+            current = self._scan(parent_v) if parent_v >= 1 else None
             if current is None:
                 merged = upserts
             else:
                 if self._parts:
                     return self._merge_pruned(
-                        current, incoming, upserts, deletes, schema_evolution
+                        current, incoming, upserts, deletes, parent_v,
+                        schema_evolution
                     )
                 merged = merge_upsert(
                     current, upserts, self.key, allow_missing=schema_evolution
                 )
             if deletes is not None:
                 merged = merged.join(deletes, self.key, "left_anti")
-            return self._commit(merged)
+            return self._commit(merged, parent_v=parent_v)
 
         return self._txn(wait, body)
 
@@ -2088,7 +2080,7 @@ class ParquetMergeTable:
         return out
 
     def _merge_pruned(self, current, incoming, upserts, deletes,
-                      schema_evolution: bool = False) -> int:
+                      old_v: int, schema_evolution: bool = False) -> int:
         """Partition-pruned CoW: recompute touched partitions, carry
         the rest forward (hardlink / reference). Runs inside _txn.
 
@@ -2110,7 +2102,6 @@ class ParquetMergeTable:
         if deletes is not None:
             merged = merged.join(deletes, self.key, "left_anti")
 
-        old_v = self.current_version()
         touched_dirs = self._spark_partition_dirnames(
             touched, [incoming.schema[p] for p in parts]
         )
@@ -2236,32 +2227,31 @@ class ParquetMergeTable:
             # version object). Versions above the floor chain through
             # retained records by construction (each delta's base is
             # its immediate parent).
-            if floor > 1 and os.path.exists(self._manifest_path(floor)):
+            if floor > 1 and self._backend.exists(self._manifest_path(floor)):
                 fman = self._manifest(floor)
                 if "files" not in fman:
                     import json as _json
-                    import tempfile
 
                     full = {k: val for k, val in fman.items()
                             if k not in ("delta_of", "added", "removed")}
                     full["files"] = dict(self._files(floor))
                     full["chain"] = 0
-                    fd, tmp = tempfile.mkstemp(dir=self._log_dir(),
-                                               prefix=f"_ckpt{floor}.")
-                    with os.fdopen(fd, "w") as f:
-                        _json.dump(full, f)
-                    os.replace(tmp, self._manifest_path(floor))
+                    self._backend.put(self._manifest_path(floor),
+                                      _json.dumps(full).encode())
                     self._mcache[floor] = full
             # 1) retire manifests (+ their bloom files) outside
             # retention, and sweep temp files a crashed writer left
             # in the log (they are never part of version identity)
-            for e in os.listdir(self._log_dir()):
-                if e.startswith(("_tx", "_bloom", "_ckpt")):
+            for e in self._backend.list_names(self._log_dir()):
+                if e.startswith("_"):
+                    # crashed-writer temp (the backend names its
+                    # write-then-publish temps "_<target>.<rand>");
+                    # never part of version identity, grace-guarded
                     p = os.path.join(self._log_dir(), e)
                     try:
-                        if os.path.getmtime(p) <= _time.time() - \
+                        if self._backend.mtime(p) <= _time.time() - \
                                 stage_grace_seconds:
-                            os.remove(p)
+                            self._backend.delete(p)
                     except OSError:
                         pass
                     continue
@@ -2277,15 +2267,12 @@ class ParquetMergeTable:
                 m = _re.fullmatch(r"(\d+)\.json", e)
                 if m and int(m.group(1)) < floor:
                     n = int(m.group(1))
-                    os.remove(os.path.join(self._log_dir(), e))
+                    self._backend.delete(os.path.join(self._log_dir(), e))
                     removed.add(n)
                     self._mcache.pop(n, None)
                     self._fcache.pop(n, None)
-                    for p in (self._bloom_file(n), self._bloom_bin_file(n)):
-                        try:
-                            os.remove(p)
-                        except OSError:
-                            pass
+                    self._backend.delete(self._bloom_file(n))
+                    self._backend.delete(self._bloom_bin_file(n))
             if not self._object:
                 # 2a) posix: snapshot dirs are per-version and
                 # self-contained — drop those outside [floor, v]; a
@@ -2312,7 +2299,7 @@ class ParquetMergeTable:
             # already protects its YOUNG files, this protects carried
             # ones against a floor that races past the sampled head).
             referenced: set[str] = set()
-            for e in os.listdir(self._log_dir()):
+            for e in self._backend.list_names(self._log_dir()):
                 m = _re.fullmatch(r"(\d+)\.json", e)
                 if not m or int(m.group(1)) < floor:
                     continue
@@ -2321,33 +2308,31 @@ class ParquetMergeTable:
                         os.path.normpath(os.path.join(self.root, rel))
                     )
             data_root = os.path.join(self.root, "_data")
-            if not os.path.isdir(data_root):
-                return sorted(removed)
             cutoff = _time.time() - stage_grace_seconds
-            for tx in os.listdir(data_root):
+            for tx in self._backend.list_names(data_root):
                 txdir = os.path.join(data_root, tx)
                 # dir age SAMPLED BEFORE the sweep: removing files
                 # bumps the dir mtime, which must not re-young it
+                # (an object backend with no directory mtimes keeps
+                # the tx prefix and relies on per-file ages alone)
                 try:
-                    dir_young = os.path.getmtime(txdir) > cutoff
+                    dir_young = self._backend.mtime(txdir) > cutoff
                 except OSError:
                     continue
                 keep_any = False
-                for dirpath, _, files in os.walk(txdir):
-                    for fname in files:
-                        full = os.path.join(dirpath, fname)
-                        if os.path.normpath(full) in referenced:
-                            keep_any = True
-                        elif fname.endswith(".parquet"):
-                            try:
-                                if os.path.getmtime(full) <= cutoff:
-                                    os.remove(full)
-                                else:
-                                    keep_any = True
-                            except OSError:
+                for full in self._backend.walk_files(txdir):
+                    if os.path.normpath(full) in referenced:
+                        keep_any = True
+                    elif full.endswith(".parquet"):
+                        try:
+                            if self._backend.mtime(full) <= cutoff:
+                                self._backend.delete(full)
+                            else:
                                 keep_any = True
+                        except OSError:
+                            keep_any = True
                 if not keep_any and not dir_young:
-                    shutil.rmtree(txdir, ignore_errors=True)
+                    self._backend.delete_prefix(txdir)
         finally:
             lock.close()
         return sorted(removed)
@@ -2388,7 +2373,8 @@ class ParquetMergeTable:
             ).drop("_z")
 
         def body() -> int:
-            current = self.read()
+            old_v = self.current_version()
+            current = self._scan(old_v) if old_v >= 1 else None
             if current is None:
                 return 0
             parts = self._parts
@@ -2399,6 +2385,7 @@ class ParquetMergeTable:
                 return self._commit(
                     _layout(current),
                     op="compact_zorder" if zorder_by else "compact",
+                    parent_v=old_v,
                 )
             # one leaf partition: a scalar for 1-level tables, a tuple
             # for nested partitioning
@@ -2410,7 +2397,6 @@ class ParquetMergeTable:
                     f"({len(parts)}), got {tup!r}"
                 )
             merged = _layout(current.filter(self._touched_cond({tup})))
-            old_v = self.current_version()
             touched_dirs = self._spark_partition_dirnames(
                 {tup}, [current.schema[p] for p in parts]
             )
@@ -2751,7 +2737,8 @@ class ParquetMergeTable:
         ins = self._clause_cond(when_not_matched_insert)
 
         def body() -> int:
-            current = self.read()
+            parent_v = self.current_version()
+            current = self._scan(parent_v) if parent_v >= 1 else None
             first = current is None
             if first:
                 # empty table: every source row is unmatched; conditions
@@ -2786,8 +2773,9 @@ class ParquetMergeTable:
             ]
             merged = joined.filter(keep).select(cols)
             if not pruned:
-                return self._commit(merged, op="merge_into")
-            old_v = self.current_version()
+                return self._commit(merged, op="merge_into",
+                                    parent_v=parent_v)
+            old_v = parent_v
             touched_dirs = self._spark_partition_dirnames(
                 touched, [current_df.schema[p] for p in parts]
             )
@@ -2811,7 +2799,6 @@ class ParquetMergeTable:
         escape hatch for a bad batch: merge v5, notice, ``restore(4)``
         → v6 ≡ v4."""
         import os
-        import shutil
 
         def body() -> int:
             v_now = self.current_version()
@@ -2820,7 +2807,7 @@ class ParquetMergeTable:
                 raise ValueError(
                     f"version {version} not committed (current: {v_now})"
                 )
-            if not os.path.exists(self._manifest_path(version)):
+            if not self._backend.exists(self._manifest_path(version)):
                 raise ValueError(f"version {version} was vacuumed")
             # constraints added AFTER the restored snapshot was written
             # must still hold on it (ADVICE r7) — otherwise the new
@@ -2898,17 +2885,20 @@ class ParquetMergeTable:
         target layout, and non-posix→posix pairs copy instead of
         hardlinking."""
         import os
-        import shutil
         import time as _time
 
         v = version if version is not None else self.current_version()
         if v == 0:
             raise ValueError("clone of an empty table")
-        if not os.path.exists(self._manifest_path(v)):
+        if not self._backend.exists(self._manifest_path(v)):
             raise ValueError(f"version {v} was vacuumed")
+        # the clone lives in the same storage account: inherit the
+        # source handle's backend (callers wanting a cross-account
+        # clone open their own handle on the result)
         out = ParquetMergeTable(self.spark, target_root, self.key,
                                 partition_by=self.partition_by,
-                                storage=storage or self.storage)
+                                storage=storage or self.storage,
+                                backend=self._backend)
         # hold the SOURCE's writer lock too (posix): a concurrent
         # vacuum could otherwise delete the snapshot's files out from
         # under the walk (files are immutable, directory entries are
@@ -2974,7 +2964,8 @@ class ParquetMergeTable:
                 if hardlink:
                     os.link(src, dst)
                 else:
-                    shutil.copyfile(src, dst)
+                    # the backend's server-side copy (S3 CopyObject)
+                    out._backend.copy(src, dst)
                 files[rk(rel)] = zm
             dv = {rk(k): ps
                   for k, ps in (src_man.get("dv") or {}).items()}
@@ -2987,9 +2978,9 @@ class ParquetMergeTable:
             # active CHECK constraints are table metadata and come
             # along (ADVICE r7) — without this the clone would accept
             # commits the source rejects
-            if os.path.exists(self._constraints_file()):
-                shutil.copyfile(self._constraints_file(),
-                                out._constraints_file())
+            if self._backend.exists(self._constraints_file()):
+                out._backend.put(out._constraints_file(),
+                                 self._backend.get(self._constraints_file()))
             man = {
                 "format": 2,
                 "version": 1,
