@@ -1,0 +1,113 @@
+"""Manifest-plane scale ladder (VERDICT r8 next-2): measure the
+METADATA plane the way tools/bench_dml.py measures the data plane.
+Chains are synthesized (manifests are records; no data files), so the
+100k-file tier runs in seconds.
+
+Usage:  python tools/bench_manifest.py [sizes...]   (default 10000 100000)
+
+Prints one ledger row per tier + a JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql.types import LongType, StructField, StructType  # noqa: E402
+
+from yelp_data_engineering_pipeline_spark.operators.upsert import (  # noqa: E402
+    ParquetMergeTable,
+)
+from yelp_data_engineering_pipeline_spark.session import get_spark  # noqa: E402
+
+_SCHEMA = StructType([StructField("id", LongType()),
+                      StructField("v", LongType())]).jsonValue()
+
+
+def _entry(i: int) -> dict:
+    return {
+        "rows": 125_000,
+        "cols": {
+            "id": {"min": i * 125_000, "max": (i + 1) * 125_000 - 1,
+                   "nulls": 0},
+            "v": {"min": 857.71 + i, "max": 555_285.16 + i, "nulls": 0},
+            "d": {"min": ["d", "1992-01-01"], "max": ["d", "1998-08-02"],
+                  "nulls": 0},
+            "p": {"min": "1-URGENT", "max": "5-LOW", "nulls": 0},
+        },
+    }
+
+
+def _key(i: int) -> str:
+    return (f"_data/tx-{i // 500:08x}feed/"
+            f"part-{i:06d}-0000-c000.snappy.parquet")
+
+
+def tier(spark, n: int) -> dict:
+    root = tempfile.mkdtemp(prefix=f"manbench{n}_")
+    t = ParquetMergeTable(spark, root, key="id", storage="object")
+    files = {_key(i): _entry(i) for i in range(n)}
+
+    t0 = time.time()
+    man = {"format": 2, "version": 1, "operation": "merge",
+           "committed_at_unix": 0.0, "base": "root", "schema": _SCHEMA,
+           "dv": {}, "n_files": n, "chain": 0, "files": files}
+    t._publish(1, t._externalize_files(1, man))
+    ckpt_write_s = time.time() - t0
+    m1 = t._manifest(1)
+    ckpt_bytes = (os.path.getsize(t._ckpt_path(m1["ckpt"]))
+                  if "ckpt" in m1 else 0)
+    json_bytes = os.path.getsize(t._manifest_path(1))
+
+    # a 200-file-churn delta commit record
+    removed = [_key(i) for i in range(200)]
+    added = {f"new-{j}.parquet": _entry(j) for j in range(200)}
+    chain_man = {"format": 2, "version": 2, "operation": "merge",
+                 "committed_at_unix": 0.0, "base": "root",
+                 "schema": _SCHEMA, "dv": {}, "n_files": 0, "chain": 1,
+                 "delta_of": 1, "added": added, "removed": removed}
+    t._publish(2, chain_man)
+    delta_bytes = os.path.getsize(t._manifest_path(2))
+
+    cold = ParquetMergeTable(spark, root, key="id", storage="object")
+    t0 = time.time()
+    keys = cold._file_keys(2)
+    keys_s = time.time() - t0
+    assert len(keys) == n
+    cold2 = ParquetMergeTable(spark, root, key="id", storage="object")
+    t0 = time.time()
+    full = cold2._files(2)
+    full_s = time.time() - t0
+    assert len(full) == n
+
+    return {
+        "files": n,
+        "ckpt_write_s": round(ckpt_write_s, 3),
+        "ckpt_mb": round(ckpt_bytes / 1e6, 3),
+        "ckpt_b_per_file": round(ckpt_bytes / n, 2),
+        "json_kb": round(json_bytes / 1e3, 1),
+        "delta_kb": round(delta_bytes / 1e3, 1),
+        "cold_keys_s": round(keys_s, 3),
+        "cold_full_s": round(full_s, 3),
+    }
+
+
+def main() -> None:
+    sizes = [int(a) for a in sys.argv[1:]] or [10_000, 100_000]
+    spark = get_spark("bench_manifest")
+    rows = [tier(spark, n) for n in sizes]
+    hdr = ("files", "ckpt_write_s", "ckpt_mb", "ckpt_b_per_file",
+           "json_kb", "delta_kb", "cold_keys_s", "cold_full_s")
+    print(" | ".join(f"{h:>15}" for h in hdr))
+    for r in rows:
+        print(" | ".join(f"{r[h]:>15}" for h in hdr))
+    print(json.dumps({"metric": "manifest_plane", "tiers": rows}))
+
+
+if __name__ == "__main__":
+    main()

@@ -525,6 +525,88 @@ class ParquetMergeTable:
             self._mcache[version] = man
         return man
 
+    # Full manifests above this many files externalize their listing
+    # to a PARQUET sidecar (zstd, one row per file) instead of inline
+    # JSON — the Delta parquet-checkpoint design the log model cites
+    # (VERDICT r8 next-2). Measured at 100k files: 36.8 MB inline JSON
+    # vs 0.75 MB parquet, and a plain read() resolves KEYS ONLY from
+    # the sidecar's key column in ~0.1 s instead of parsing every zone
+    # map. Small tables keep the debuggable inline form.
+    _CKPT_INLINE_MAX = 2_000
+
+    @staticmethod
+    def _is_full(man: dict) -> bool:
+        return "files" in man or "ckpt" in man
+
+    def _ckpt_path(self, name: str) -> str:
+        import os
+
+        return os.path.join(self._log_dir(), name)
+
+    def _externalize_files(self, new_v: int, man: dict) -> dict:
+        """If the record is FULL and large, move its ``files`` section
+        to ``<n>.ckpt.<token>.parquet`` (columns: key, entry-JSON) and
+        reference it as ``man["ckpt"]``. Written BEFORE the manifest's
+        conditional PUT under a unique token, so racing writers never
+        collide on the sidecar; a loser's sidecar is an unreferenced
+        orphan vacuum sweeps past the grace window."""
+        files = man.get("files")
+        if files is None or len(files) <= self._CKPT_INLINE_MAX:
+            return man
+        import io
+        import json as _json
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        keys = sorted(files)
+        tbl = pa.table({
+            "key": keys,
+            "entry": [_json.dumps(files[k], separators=(",", ":"))
+                      for k in keys],
+        })
+        buf = io.BytesIO()
+        pq.write_table(tbl, buf, compression="zstd")
+        name = f"{new_v}.ckpt.{uuid.uuid4().hex[:10]}.parquet"
+        self._backend.put(self._ckpt_path(name), buf.getvalue())
+        out = {k: v for k, v in man.items() if k != "files"}
+        out["ckpt"] = name
+        return out
+
+    def _ckpt_table(self, man: dict, columns=None):
+        import io
+
+        import pyarrow.parquet as pq
+
+        return pq.read_table(
+            io.BytesIO(self._backend.get(self._ckpt_path(man["ckpt"]))),
+            columns=columns,
+        )
+
+    def _full_files(self, man: dict) -> dict:
+        """The files section of a FULL record — inline, or loaded from
+        its parquet checkpoint sidecar."""
+        if "files" in man:
+            return man["files"]
+        import json as _json
+
+        t = self._ckpt_table(man)
+        return {
+            k: _json.loads(e)
+            for k, e in zip(t.column("key").to_pylist(),
+                            t.column("entry").to_pylist())
+        }
+
+    def _walk_to_full(self, version: int) -> tuple[list[dict], dict]:
+        """(delta chain newest-first, nearest full record at/below)."""
+        chain: list[dict] = []
+        man = self._manifest(version)
+        while not self._is_full(man):
+            chain.append(man)
+            man = self._manifest(man["delta_of"])
+        return chain, man
+
     def _files(self, version: int) -> dict:
         """The RESOLVED file list (manifest key → zone map) of a
         version: the nearest full manifest at-or-below it with every
@@ -533,14 +615,8 @@ class ParquetMergeTable:
         got = self._fcache.get(version)
         if got is not None:
             return got
-        chain: list[dict] = []
-        v = version
-        man = self._manifest(v)
-        while "files" not in man:
-            chain.append(man)
-            v = man["delta_of"]
-            man = self._manifest(v)
-        files = dict(man["files"])
+        chain, man = self._walk_to_full(version)
+        files = dict(self._full_files(man))
         for d in reversed(chain):
             for r in d.get("removed", ()):
                 files.pop(r, None)
@@ -549,6 +625,27 @@ class ParquetMergeTable:
             self._fcache.pop(next(iter(self._fcache)), None)
         self._fcache[version] = files
         return files
+
+    def _file_keys(self, version: int) -> list[str]:
+        """JUST the manifest keys of a version — what a plain
+        ``read()`` scan needs. With a parquet checkpoint this is a
+        keys-only column read (no zone-map parse at all): the cold
+        resolve a 100 TB reader pays drops from O(parse every zone)
+        to O(read one string column) — measured 0.94 s → 0.10 s at
+        100k files (BASELINE.md manifest-plane ladder)."""
+        got = self._fcache.get(version)
+        if got is not None:
+            return sorted(got)
+        chain, man = self._walk_to_full(version)
+        if "files" in man:
+            keys = set(man["files"])
+        else:
+            keys = set(self._ckpt_table(man, columns=["key"])
+                       .column("key").to_pylist())
+        for d in reversed(chain):
+            keys.difference_update(d.get("removed", ()))
+            keys.update(d.get("added", {}))
+        return sorted(keys)
 
     def _publish(self, new_v: int, man: dict) -> None:
         """THE commit: make ``_log/<new_v>.json`` exist atomically,
@@ -920,8 +1017,9 @@ class ParquetMergeTable:
             parent_v = self.current_version()
         new_v = parent_v + 1
         stage, entries = self._write_new_files(df, new_v=new_v)
-        man = self._assemble_manifest(new_v, op, df.schema, entries,
-                                      parent_v)
+        man = self._externalize_files(
+            new_v, self._assemble_manifest(new_v, op, df.schema, entries,
+                                           parent_v))
         self._finalize(new_v, man, stage)
         self._carry_bloom(parent_v, new_v, set(entries))
         return new_v
@@ -951,8 +1049,9 @@ class ParquetMergeTable:
         pfiles = self._files(old_v)
         files = {r: pfiles[r] for r in keep_rels}
         files.update(entries)
-        man = self._assemble_manifest(new_v, op, schema, files, old_v,
-                                      new_dv=new_dv)
+        man = self._externalize_files(
+            new_v, self._assemble_manifest(new_v, op, schema, files, old_v,
+                                           new_dv=new_dv))
         self._finalize(new_v, man, stage)
         self._carry_bloom(old_v, new_v, set(files))
         return new_v
@@ -1092,8 +1191,10 @@ class ParquetMergeTable:
 
         man = self._manifest(version)
         schema = self._to_nullable(StructType.fromJson(man["schema"]))
-        files = self._files(version)
-        sel = sorted(files) if relkeys is None else sorted(relkeys)
+        # a whole-snapshot scan needs KEYS only — with a parquet
+        # checkpoint that's a single-column read, no zone-map parse
+        sel = (self._file_keys(version) if relkeys is None
+               else sorted(relkeys))
         dv = man.get("dv") or {}
         if not sel:
             df = self.spark.createDataFrame([], schema)
@@ -2229,13 +2330,14 @@ class ParquetMergeTable:
             # its immediate parent).
             if floor > 1 and self._backend.exists(self._manifest_path(floor)):
                 fman = self._manifest(floor)
-                if "files" not in fman:
+                if not self._is_full(fman):
                     import json as _json
 
                     full = {k: val for k, val in fman.items()
                             if k not in ("delta_of", "added", "removed")}
                     full["files"] = dict(self._files(floor))
                     full["chain"] = 0
+                    full = self._externalize_files(floor, full)
                     self._backend.put(self._manifest_path(floor),
                                       _json.dumps(full).encode())
                     self._mcache[floor] = full
@@ -2273,6 +2375,33 @@ class ParquetMergeTable:
                     self._fcache.pop(n, None)
                     self._backend.delete(self._bloom_file(n))
                     self._backend.delete(self._bloom_bin_file(n))
+            # parquet-checkpoint sidecar sweep: a sidecar is live iff
+            # its version's manifest exists AND references it by name.
+            # Retired versions' sidecars go with them; a racing
+            # loser's sidecar (json lost the conditional PUT, or never
+            # landed) is grace-guarded like any staged file.
+            for e in self._backend.list_names(self._log_dir()):
+                m = _re.fullmatch(r"(\d+)\.ckpt\.[0-9a-f]+\.parquet", e)
+                if not m:
+                    continue
+                n = int(m.group(1))
+                path = os.path.join(self._log_dir(), e)
+                if self._backend.exists(self._manifest_path(n)):
+                    try:
+                        live = self._manifest(n).get("ckpt") == e
+                    except Exception:  # noqa: BLE001 — torn read: keep
+                        live = True
+                    if live:
+                        continue
+                elif n < floor:
+                    self._backend.delete(path)
+                    continue
+                try:
+                    if self._backend.mtime(path) <= _time.time() - \
+                            stage_grace_seconds:
+                        self._backend.delete(path)
+                except OSError:
+                    pass
             if not self._object:
                 # 2a) posix: snapshot dirs are per-version and
                 # self-contained — drop those outside [floor, v]; a
@@ -2849,6 +2978,7 @@ class ParquetMergeTable:
                 "n_files": len(src_files),
                 "chain": 0,
             }
+            man = self._externalize_files(new_v, man)
             self._finalize(new_v, man, stage)
             # the restored version's own bloom is authoritative —
             # the abandoned head's entries must NOT merge in
@@ -2992,6 +3122,7 @@ class ParquetMergeTable:
                 "dv": dv,
                 "n_files": len(files),
             }
+            man = out._externalize_files(1, man)
             out._publish(1, man)
             if bloom:
                 out._write_bloom(1, bloom)
