@@ -59,3 +59,89 @@ def test_no_catalog_entry_plans_rowwise_python(spark, sf_dir):
         if "BatchEvalPython" in plan:
             problems.append(f"{name}: row-at-a-time Python stage in plan")
     assert not problems, "\n".join(problems)
+
+
+def _partitionless_windows(plan: str) -> int:
+    """Count Window operators planned with NO partition spec. A Window
+    plan line carries the top-level bracket groups
+    ``[exprs], [partition], [order]`` — partition and/or order may be
+    absent. Two groups where the SECOND is an ordering spec (ASC/DESC
+    sort orders) means partitionless-with-order — the single-task
+    global sort shape; two groups where the second is a partition list
+    is fine (unordered per-group frame)."""
+    n = 0
+    for line in plan.splitlines():
+        t = line.lstrip(" +-:*")
+        if not t.startswith("Window "):
+            continue
+        depth = 0
+        groups: list[str] = []
+        buf: list[str] = []
+        for ch in t:
+            if ch == "[":
+                if depth == 0:
+                    buf = []
+                else:
+                    buf.append(ch)
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(buf))
+                else:
+                    buf.append(ch)
+            elif depth > 0:
+                buf.append(ch)
+        if len(groups) == 1:
+            n += 1  # neither partition nor order: one global frame
+        elif len(groups) == 2 and (" ASC" in groups[1]
+                                   or " DESC" in groups[1]):
+            n += 1
+    return n
+
+
+# Entries allowed to plan a single-partition window — each one windows
+# over a frame ALREADY REDUCED to dimension/aggregate cardinality, so
+# the single partition holds thousands of rows at most, at ANY table
+# scale (VERDICT r8 next-4; the fact-scale ranking paths use the
+# two-phase distributed dense_ids / rank-filter plans instead):
+_ALLOWED_GLOBAL_WINDOW: frozenset[str] = frozenset({
+    # windows over DISTINCT p_type (dimension-sized; fact-scale ids
+    # go through operators/ids.py dense_ids two-phase)
+    "window_surrogate_keys",
+    # global rank over per-TERM aggregates (vocabulary cardinality)
+    "text_bm25_topk",
+    # cumulative share over SOURCE-level aggregate rows (one per source)
+    "prep_temperature_mix",
+    # id assignment over NOVEL dimension values only (batch-bounded)
+    "dim_merge_get_or_create",
+    # rank over per-KEY aggregate counts capped by group cardinality
+    "diag_key_skew",
+    # top-k over the sketch's w×d counter grid (constant-sized)
+    "agg_countmin_topk",
+    # bucket-importance normalization over the n_buckets-row frame
+    # (preptext.py:1306 — constant-sized by construction)
+    "prep_dsir_scores",
+})
+
+
+def test_no_catalog_entry_plans_a_fact_scale_global_window(spark, sf_dir):
+    """Third sweep (VERDICT r8 next-4): a Window with no PARTITION BY
+    plans every row into ONE task — correct only when the frame is
+    already dimension/aggregate-sized. The cartesian/Python bans prove
+    the pattern; this pins WHICH entries may do it, so a future edit
+    moving a global window onto a fact-scale frame fails CI instead
+    of becoming a single-executor bottleneck at 100 TB."""
+    problems: list[str] = []
+    for name, fn in entry.queries().items():
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # noqa: BLE001
+            problems.append(f"{name}: planning failed: {type(ex).__name__}: {ex}")
+            continue
+        finally:
+            release_tracked()
+        n = _partitionless_windows(plan)
+        if n and name not in _ALLOWED_GLOBAL_WINDOW:
+            problems.append(f"{name}: {n} partitionless Window node(s)")
+    assert not problems, "\n".join(problems)

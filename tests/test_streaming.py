@@ -1254,6 +1254,9 @@ def test_stream_cdc_change_feed_equals_input_batches(spark, tmp_path):
             for r in t.changes_between(v_from, v_to).collect()
         }
 
+    # the insert-only FIRST commit: v_from=0 is the empty pre-table
+    # state, so every first-batch key classifies inserted
+    assert feed(0, 1) == {1: "inserted", 2: "inserted"}
     assert feed(1, 2) == {1: "updated", 2: "unchanged", 3: "inserted"}
     assert feed(2, 3) == {1: "unchanged", 2: "deleted", 3: "unchanged",
                           4: "inserted"}

@@ -2131,3 +2131,58 @@ def test_to_view_sql_addressing_and_snapshot_pin(spark, tmp_path):
             (1, "merge"), (2, "merge"), (3, "merge")]
         with pytest.raises(ValueError, match="not committed"):
             t.to_view("nope", version=9)
+
+
+# randomized CDF-ledger property (VERDICT r8 next-5): each example is
+# a sequence of key-unique upsert/delete batches; for EVERY adjacent
+# version pair the change feed must equal the batch's effect computed
+# against a dict model — any interleaving of inserts, updates,
+# re-deletes and no-op deletes.
+_cdf_batches = st.lists(
+    st.dictionaries(
+        keys=st.integers(min_value=0, max_value=5),
+        values=st.tuples(st.integers(min_value=0, max_value=3),
+                         st.booleans()),
+        min_size=1, max_size=4,
+    ),
+    min_size=1, max_size=3,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(batches=_cdf_batches)
+def test_cdf_equals_batch_effect_property(spark, tmp_path_factory, batches):
+    root = str(tmp_path_factory.mktemp("cdfprop") / "tbl")
+    t = ParquetMergeTable(spark, root, key="id")
+    states: list[dict] = [{}]
+    for batch in batches:
+        rows = [(k, v, d) for k, (v, d) in sorted(batch.items())]
+        t.merge(
+            spark.createDataFrame(rows, "id long, v long, _del boolean"),
+            delete_col="_del",
+        )
+        nxt = dict(states[-1])
+        for k, v, d in rows:
+            if d:
+                nxt.pop(k, None)
+            else:
+                nxt[k] = v
+        states.append(nxt)
+    assert {r.id: r.v for r in t.read().collect()} == states[-1]
+    for v_from in range(len(batches)):
+        old, new = states[v_from], states[v_from + 1]
+        want = {}
+        for k in set(old) | set(new):
+            if k not in old:
+                want[k] = "inserted"
+            elif k not in new:
+                want[k] = "deleted"
+            elif old[k] != new[k]:
+                want[k] = "updated"
+            else:
+                want[k] = "unchanged"
+        got = {
+            r.id: r.change_type
+            for r in t.changes_between(v_from, v_from + 1).collect()
+        }
+        assert got == want, (v_from, batches)

@@ -2326,10 +2326,13 @@ class ParquetMergeTable:
         CDF read, derived from the immutable versions via
         :func:`snapshot_diff` (no change log needed; cost is one
         full-outer join of the two snapshots, co-partitioned by key
-        under bucketing). ``compare_cols`` defaults to all shared
-        non-key columns."""
-        old = self.read(version=v_from)
+        under bucketing). ``v_from=0`` is the empty pre-first-commit
+        state, so ``changes_between(0, 1)`` classifies the insert-only
+        first commit. ``compare_cols`` defaults to all shared non-key
+        columns."""
         new = self.read(version=v_to) if v_to is not None else self.read()
+        old = (self.spark.createDataFrame([], new.schema) if v_from == 0
+               else self.read(version=v_from))
         if compare_cols is None:
             shared = [c for c in old.columns if c in set(new.columns)]
             compare_cols = [c for c in shared if c != self.key]
