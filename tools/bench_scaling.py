@@ -79,7 +79,76 @@ def main() -> None:
             n: round(timings[i][n] / max(timings[i - 1][n], 1e-9), 2)
             for n in QUERIES
         }
+    out["yelp_star"] = yelp_star_ladder(spark)
     print(json.dumps(out))
+
+
+def yelp_star_ladder(spark) -> dict:
+    """The PRODUCT path's own ×10 ladder (VERDICT r8 next-7): bench.py
+    times ingest+normalize at 8k businesses and the incremental MERGE
+    at 2k — overhead-dominated by its own admission. Run the same two
+    stages at ×10 (80k ingest, 20k-row MERGE batch overlapping 5k
+    re-scrapes) and report the growth factors; the ≤2×-per-decade rule
+    the lineitem star meets should hold for the star maintenance path
+    too (the stages are one NDJSON scan + bounded broadcast dim merges
+    + a key-partitioned anti-join union — all linear)."""
+    import shutil
+    import tempfile
+    import time as _time
+    from pathlib import Path
+
+    from tests.yelp_fixtures import make_results, write_ndjson
+    from yelp_data_engineering_pipeline_spark.cache import release_tracked
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        normalize_incremental,
+    )
+    from yelp_data_engineering_pipeline_spark.plans.normalize import normalize
+    from yelp_data_engineering_pipeline_spark.schemas import RESULTS_SCHEMA
+
+    def tier(n_total: int, n_first: int, overlap: int, seed: int) -> dict:
+        tmp = tempfile.mkdtemp(prefix=f"yelp_star_{n_total}.")
+        try:
+            rows = make_results(n_total, seed=seed)
+            p1 = write_ndjson(rows[:n_first], Path(tmp) / "b1.ndjson")
+            p2 = write_ndjson(rows[n_first - overlap:],
+                              Path(tmp) / "b2.ndjson")
+
+            def write_star(tables, vdir):
+                for name, df in tables.items():
+                    df.write.mode("overwrite").parquet(
+                        f"{tmp}/{vdir}/{name}")
+
+            out: dict[str, float] = {}
+            t0 = _time.time()
+            first = normalize(
+                spark.read.schema(RESULTS_SCHEMA).json(str(p1)))
+            write_star(first, "v1")
+            out["ingest_normalize"] = round(_time.time() - t0, 3)
+
+            t0 = _time.time()
+            stored = {name: spark.read.parquet(f"{tmp}/v1/{name}")
+                      for name in first}
+            merged = normalize_incremental(
+                spark.read.schema(RESULTS_SCHEMA).json(str(p2)), stored)
+            write_star(merged, "v2")
+            out["incremental_merge"] = round(_time.time() - t0, 3)
+            return out
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+            spark.catalog.clearCache()
+            release_tracked()
+
+    # warmup (codegen for the normalize/merge expression trees)
+    tier(1_000, 800, 50, seed=3)
+    base = tier(10_000, 8_000, 500, seed=77)     # bench.py's fixture
+    x10 = tier(100_000, 80_000, 5_000, seed=77)  # the ×10 decade
+    return {
+        "base_8k": base,
+        "x10_80k": x10,
+        "growth": {
+            k: round(x10[k] / max(base[k], 1e-9), 2) for k in base
+        },
+    }
 
 
 if __name__ == "__main__":
