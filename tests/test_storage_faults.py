@@ -266,3 +266,88 @@ def test_fault_wrappers_compose_with_dml_and_time_travel(spark, tmp_path):
         t.read(version=1)
     for rel in t._files(3):
         assert os.path.exists(os.path.join(t.root, rel))
+
+
+def test_memory_meta_backend_proves_seam_completeness(spark, tmp_path):
+    """The strongest seam proof: run the full lifecycle with the
+    metadata plane held ONLY in memory (MemoryMetaBackend). Any table
+    code path that bypassed the backend — a stray open()/os.listdir on
+    _log or the constraints file — would fail loudly, because nothing
+    metadata ever touches the disk: the on-disk _log directory stays
+    EMPTY while the table commits, reads, time-travels, vacuums and
+    serves spark.sql."""
+    from yelp_data_engineering_pipeline_spark.operators.storage import (
+        MemoryMetaBackend,
+    )
+
+    b = MemoryMetaBackend()
+    t = _t(spark, tmp_path / "tbl", backend=b)
+    t.merge(spark.range(0, 300).selectExpr(
+        "id", "id * 2 as v", "cast(id % 5 as string) as u")
+        .repartitionByRange(4, "id").sortWithinPartitions("id"))
+    t.delete_where({"id": (10, 19)}, use_deletion_vectors=True)
+    t.add_constraint("v_ok", "v >= 0")
+    t.build_file_index("u")
+    t.merge(spark.createDataFrame([(900, 900, "x")],
+                                  "id long, v long, u string"))
+    assert t.read().count() == 291
+    assert t.read(version=1).count() == 300
+    assert t.count_where({"id": (0, 9)}) == 10
+    assert t.read_point("u", ["3"]).count() == \
+        t.read().filter("u = '3'").count()
+    t.to_view("mem_tbl")
+    assert spark.sql("SELECT COUNT(*) n FROM mem_tbl").collect()[0].n == 291
+    t.vacuum(keep_last_n=2, stage_grace_seconds=0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.read(version=1)
+
+    # THE completeness assertion: disk metadata plane is empty
+    assert os.listdir(os.path.join(t.root, "_log")) == []
+    assert not os.path.exists(os.path.join(t.root, "_CONSTRAINTS.json"))
+
+    # a second handle sharing the backend (the "same bucket") sees it
+    t2 = _t(spark, tmp_path / "tbl", backend=b)
+    assert t2.current_version() == 3
+    assert t2.read().count() == 291
+    # and a handle WITHOUT the shared backend sees no table at all —
+    # the metadata truly lives in the backend, not the filesystem
+    blind = _t(spark, tmp_path / "tbl")
+    assert blind.current_version() == 0
+
+
+def test_memory_meta_backend_real_thread_race(spark, tmp_path):
+    """Optimistic commits coordinate ONLY through the backend's
+    conditional PUT: two real threads racing wait=True merges through
+    the in-memory dict both land, serial-replay equivalent."""
+    import threading
+
+    from yelp_data_engineering_pipeline_spark.operators.storage import (
+        MemoryMetaBackend,
+    )
+
+    b = MemoryMetaBackend()
+    root = str(tmp_path / "tbl")
+    seed = ParquetMergeTable(spark, root, key="id", storage="object",
+                             backend=b)
+    seed.merge(spark.createDataFrame([(0, 0)], "id long, v long"))
+    errs = []
+
+    def writer(k):
+        try:
+            tw = ParquetMergeTable(spark, root, key="id",
+                                   storage="object", backend=b)
+            tw.merge(spark.createDataFrame([(k, k * 10)],
+                                           "id long, v long"), wait=True)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(k,)) for k in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=180)
+    assert not errs
+    t = ParquetMergeTable(spark, root, key="id", storage="object",
+                          backend=b)
+    assert {r.id: r.v for r in t.read().collect()} == {0: 0, 1: 10, 2: 20}
+    assert t.current_version() == 3

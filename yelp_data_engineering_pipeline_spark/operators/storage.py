@@ -133,3 +133,100 @@ class PosixBackend:
         if d:
             os.makedirs(d, exist_ok=True)
         shutil.copyfile(src, dst)
+
+
+class MemoryMetaBackend(PosixBackend):
+    """The METADATA plane held entirely in an in-process dict — the
+    pure model of an object store's key space, with conditional-PUT
+    semantics under a lock (S3 ``If-None-Match: *``). Objects under
+    the ``_log/`` prefix and the constraints file never touch the
+    filesystem; everything else (Spark-written parquet data, staged
+    files, vacuum's data sweep) delegates to posix, because local-mode
+    Spark reads data through the filesystem.
+
+    Exists for two reasons: (1) it PROVES the seam is complete — any
+    table code path that bypassed the backend (a stray ``open()`` /
+    ``os.listdir``) fails loudly in tests, since the metadata objects
+    don't exist on disk; (2) it is the reference shape for a real
+    object-store backend — implement these same methods over
+    boto3/gcsfs and the table runs unchanged (LAKEHOUSE.md seam
+    table). Share ONE instance across handles of the same table, as
+    you would share a bucket."""
+
+    def __init__(self) -> None:
+        import threading
+        import time
+
+        self._objects: dict[str, bytes] = {}
+        self._mtimes: dict[str, float] = {}
+        self._lock = threading.Lock()
+        self._clock = time.time
+
+    @staticmethod
+    def _is_meta(path: str) -> bool:
+        import os
+
+        norm = path.replace(os.sep, "/")
+        return "/_log/" in norm or norm.endswith("/_CONSTRAINTS.json") \
+            or norm.rstrip("/").endswith("/_log")
+
+    def get(self, path):
+        if not self._is_meta(path):
+            return super().get(path)
+        with self._lock:
+            try:
+                return self._objects[path]
+            except KeyError:
+                raise FileNotFoundError(path) from None
+
+    def put(self, path, data):
+        if not self._is_meta(path):
+            return super().put(path, data)
+        with self._lock:
+            self._objects[path] = bytes(data)
+            self._mtimes[path] = self._clock()
+
+    def put_if_absent(self, path, data):
+        if not self._is_meta(path):
+            return super().put_if_absent(path, data)
+        with self._lock:
+            if path in self._objects:
+                raise FileExistsError(path)
+            self._objects[path] = bytes(data)
+            self._mtimes[path] = self._clock()
+
+    def list_names(self, dirpath):
+        if not self._is_meta(dirpath + "/"):
+            return super().list_names(dirpath)
+        import os
+
+        prefix = dirpath.rstrip("/" + os.sep) + "/"
+        with self._lock:
+            return sorted({
+                k[len(prefix):].split("/", 1)[0]
+                for k in self._objects
+                if k.replace(os.sep, "/").startswith(
+                    prefix.replace(os.sep, "/"))
+            })
+
+    def exists(self, path):
+        if not self._is_meta(path):
+            return super().exists(path)
+        with self._lock:
+            return path in self._objects
+
+    def mtime(self, path):
+        if not self._is_meta(path):
+            return super().mtime(path)
+        with self._lock:
+            try:
+                return self._mtimes[path]
+            except KeyError:
+                raise OSError(2, "no such object", path) from None
+
+    def delete(self, path):
+        if not self._is_meta(path):
+            return super().delete(path)
+        with self._lock:
+            self._objects.pop(path, None)
+            self._mtimes.pop(path, None)
