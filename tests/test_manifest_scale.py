@@ -201,3 +201,107 @@ def test_real_table_through_externalized_checkpoints(spark, tmp_path):
         assert t.count_where({"id": (0, 9)}) == 10
     finally:
         ParquetMergeTable._CKPT_INLINE_MAX = orig
+
+
+def test_dv_sidecar_externalization_and_zero_rewrite_carry(spark, tmp_path):
+    """Deletion vectors above the inline threshold externalize to a
+    binary sidecar and CARRY BY REFERENCE: a later commit's record
+    holds ~60-byte {ref, off, n} pointers — the O(deleted rows)-per-
+    commit JSON growth is gone — while reads, metadata counts, time
+    travel, compaction purge and vacuum reference-counting all hold."""
+    import json as _json
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id",
+                          partition_by="p", storage="object")
+    rows = spark.range(0, 10_000).selectExpr(
+        "id", "case when id < 8000 then 'a' else 'b' end as p",
+        "id * 2 as v",
+    ).repartitionByRange(4, "id").sortWithinPartitions("id")
+    t.merge(rows)
+    v_dv = t.delete_where({"id": (1000, 3999)},
+                          use_deletion_vectors=True)  # 3000 positions
+
+    man = t._manifest(v_dv)
+    entries = list((man.get("dv") or {}).values())
+    assert entries and all(isinstance(e, dict) and "ref" in e
+                           for e in entries)
+    sidecars = {e["ref"] for e in entries}
+    assert len(sidecars) == 1
+    sc = next(iter(sidecars))
+    assert os.path.getsize(t._dv_sidecar_path(sc)) == 3000 * 8
+    # the record itself stays small though 3000 positions are in force
+    assert os.path.getsize(t._manifest_path(v_dv)) < 16 * 1024
+
+    # reads + metadata counts resolve through the sidecar
+    assert t.read().count() == 7000
+    assert t.count_where({"id": (0, 4999)}) == 2000
+    d = t.dv_density()
+    assert d["dv_positions"] == 3000
+    assert sum(len(p) for p in t.deletion_vectors().values()) == 3000
+
+    # a commit touching ONLY p=b carries the p=a DVs by reference:
+    # identical ref entries, no new sidecar, tiny record
+    v_carry = t.merge(spark.createDataFrame(
+        [(9999, "b", -1)], "id long, p string, v long"))
+    man2 = t._manifest(v_carry)
+    assert {e["ref"] for e in man2["dv"].values()} == {sc}
+    assert man2["dv"] == man["dv"]
+    assert len(_json.dumps(man2["dv"])) < 6000   # pointers, not rows
+    assert t.read().count() == 7000
+    assert t.read(version=v_dv).count() == 7000  # time travel
+
+    # compact purges the DVs; the sidecar dies once no retained
+    # manifest references it
+    t.compact()
+    assert t.deletion_vectors() == {}
+    t.vacuum(keep_last_n=1, stage_grace_seconds=0)
+    assert not os.path.exists(t._dv_sidecar_path(sc))
+    assert t.read().count() == 7000
+
+
+def test_dv_sidecar_survives_while_referenced_and_clone_rekeys(
+        spark, tmp_path):
+    """vacuum keeps a DV sidecar as long as ANY retained manifest
+    references it (refs outlive their writing version); clone
+    materializes positions and re-externalizes under ITS OWN sidecars,
+    so a source vacuum can't break the clone (deep-clone contract);
+    restore revives the DV state through the refs."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id",
+                          partition_by="p", storage="object")
+    t.merge(spark.range(0, 10_000).selectExpr(
+        "id", "case when id < 8000 then 'a' else 'b' end as p",
+        "id * 2 as v").repartitionByRange(4, "id")
+        .sortWithinPartitions("id"))
+    # spans two file BOUNDARIES (no fully-contained file, which would
+    # drop metadata-only): 3000 DV'd positions, above the threshold
+    v_dv = t.delete_where({"id": (1000, 3999)}, use_deletion_vectors=True)
+    sc = next(iter({e["ref"] for e in t._manifest(v_dv)["dv"].values()}))
+    # two carrying commits, then vacuum retaining only the latest two:
+    # the sidecar (written at v_dv, now below the floor) must survive
+    # because the retained heads still reference it
+    t.merge(spark.createDataFrame([(9999, "b", -1)],
+                                  "id long, p string, v long"))
+    t.merge(spark.createDataFrame([(9998, "b", -2)],
+                                  "id long, p string, v long"))
+    t.vacuum(keep_last_n=2, stage_grace_seconds=0)
+    assert os.path.exists(t._dv_sidecar_path(sc))
+    assert t.read().count() == 7000
+
+    c = t.clone(str(tmp_path / "cl"))
+    crefs = {e["ref"] for e in c._manifest(1)["dv"].values()
+             if isinstance(e, dict)}
+    assert crefs and all(r.startswith("1.dv.") for r in crefs)
+    assert c.read().count() == 7000
+    # source vacuum to one version (purging nothing the clone needs)
+    t.compact()
+    t.vacuum(keep_last_n=1, stage_grace_seconds=0)
+    assert not os.path.exists(t._dv_sidecar_path(sc))
+    assert c.read().count() == 7000              # clone independent
+
+    # restore on the clone: back to its own v1 (with DVs) after a
+    # full rewrite purged them
+    c.compact()
+    assert c.deletion_vectors() == {}
+    c.restore(1)
+    assert sum(len(p) for p in c.deletion_vectors().values()) == 3000
+    assert c.read().count() == 7000

@@ -471,6 +471,7 @@ class ParquetMergeTable:
         self.partition_by = partition_by
         self._mcache: dict[int, dict] = {}  # version -> raw record
         self._fcache: dict[int, dict] = {}  # version -> resolved files
+        self._dvcache: dict[str, bytes] = {}  # dv sidecar name -> blob
         os.makedirs(os.path.join(root, "_log"), exist_ok=True)
 
     # ---- commit log (the manifest plane) ----------------------------
@@ -597,6 +598,82 @@ class ParquetMergeTable:
             for k, e in zip(t.column("key").to_pylist(),
                             t.column("entry").to_pylist())
         }
+
+    # Deletion vectors above this many TOTAL inline positions per
+    # record externalize to a binary sidecar (<v>.dv.<token>.bin,
+    # packed little-endian int64 row positions). Without this, every
+    # commit record re-serializes every carried DV — O(deleted rows)
+    # JSON per commit, which at 100 TB (millions of DV'd positions
+    # between compactions) dwarfs the delta records the log model
+    # keeps small. With it, a commit writes positions ONCE; carried
+    # entries are ~60-byte {ref, off, n} pointers into the parent's
+    # sidecar (zero I/O carry), and sidecars are reference-counted by
+    # vacuum like data files.
+    _DV_INLINE_TOTAL_MAX = 2_048
+
+    def _dv_sidecar_path(self, name: str) -> str:
+        import os
+
+        return os.path.join(self._log_dir(), name)
+
+    @staticmethod
+    def _dv_count(entry) -> int:
+        """Position count of a dv entry without loading it."""
+        return entry["n"] if isinstance(entry, dict) else len(entry)
+
+    def _dv_blob(self, name: str) -> bytes:
+        got = self._dvcache.get(name)
+        if got is None:
+            got = self._backend.get(self._dv_sidecar_path(name))
+            if len(self._dvcache) > 4:
+                self._dvcache.pop(next(iter(self._dvcache)), None)
+            self._dvcache[name] = got
+        return got
+
+    def _dv_positions(self, entry) -> list[int]:
+        """Resolve a dv entry (inline list or sidecar ref) to its
+        sorted position list."""
+        if not isinstance(entry, dict):
+            return list(entry)
+        import numpy as np
+
+        return np.frombuffer(
+            self._dv_blob(entry["ref"]), dtype="<i8",
+            count=entry["n"], offset=entry["off"] * 8,
+        ).tolist()
+
+    def _externalize_dv(self, new_v: int, rec: dict) -> dict:
+        """Move a record's INLINE dv position lists to a binary
+        sidecar when their total crosses the threshold; entries that
+        are already refs stay untouched (the zero-I/O carry). Written
+        under a unique token BEFORE the manifest's conditional PUT —
+        same atomicity story as the parquet checkpoint."""
+        dv = rec.get("dv") or {}
+        inline_total = sum(len(e) for e in dv.values()
+                           if not isinstance(e, dict))
+        if inline_total <= self._DV_INLINE_TOTAL_MAX:
+            return rec
+        import uuid
+
+        import numpy as np
+
+        name = f"{new_v}.dv.{uuid.uuid4().hex[:10]}.bin"
+        blob = bytearray()
+        out: dict = {}
+        off = 0
+        for k in sorted(dv):
+            e = dv[k]
+            if isinstance(e, dict):
+                out[k] = e
+                continue
+            arr = np.asarray(sorted(e), dtype="<i8")
+            blob += arr.tobytes()
+            out[k] = {"ref": name, "off": off, "n": int(arr.size)}
+            off += int(arr.size)
+        self._backend.put(self._dv_sidecar_path(name), bytes(blob))
+        rec = dict(rec)
+        rec["dv"] = out
+        return rec
 
     def _walk_to_full(self, version: int) -> tuple[list[dict], dict]:
         """(delta chain newest-first, nearest full record at/below)."""
@@ -940,14 +1017,16 @@ class ParquetMergeTable:
         import time as _time
         from urllib.parse import unquote
 
-        dv: dict[str, list[int]] = {}
+        dv: dict = {}
         if parent_v >= 1:
             parent = self._manifest(parent_v)
             for k, ps in (parent.get("dv") or {}).items():
                 if unquote(k) in files:
-                    dv[k] = list(ps)
+                    # sidecar refs carry AS REFS — zero position I/O
+                    dv[k] = ps if isinstance(ps, dict) else list(ps)
         for k, ps in (new_dv or {}).items():
-            dv[k] = sorted(set(dv.get(k, [])) | set(ps))
+            cur = self._dv_positions(dv[k]) if k in dv else []
+            dv[k] = sorted(set(cur) | set(ps))
         rec = {
             "format": 2,
             "version": new_v,
@@ -979,7 +1058,7 @@ class ParquetMergeTable:
         # NOTE: _fcache is only populated on demand AFTER a successful
         # publish — a writer that loses the commit race must not poison
         # the resolver cache for a version someone else committed
-        return rec
+        return self._externalize_dv(new_v, rec)
 
     def _hardlink_rels(self, old_v: int, new_v: int, rels) -> None:
         """posix carry-forward: bring referenced files into the new
@@ -1345,11 +1424,13 @@ class ParquetMergeTable:
             id_df = self.spark.createDataFrame(
                 path_rows, "_dv_path string, _dv_id long"
             )
+            pos_lists = {k: self._dv_positions(dv[k]) for k in key_ids}
             pos_df = self.spark.createDataFrame(pd.DataFrame(
                 {
                     "_dv_id2": [i for k, i in key_ids.items()
-                                for _ in dv[k]],
-                    "_dv_pos": [int(p) for k in key_ids for p in dv[k]],
+                                for _ in pos_lists[k]],
+                    "_dv_pos": [int(p) for k in key_ids
+                                for p in pos_lists[k]],
                 }
             ))
             dvp = dvp.join(
@@ -1654,7 +1735,8 @@ class ParquetMergeTable:
         v = version if version is not None else self.current_version()
         if v == 0 or not self._backend.exists(self._manifest_path(v)):
             return {}
-        return self._manifest(v).get("dv") or {}
+        return {k: self._dv_positions(e)
+                for k, e in (self._manifest(v).get("dv") or {}).items()}
 
     def read_where(self, ranges: dict, version: int | None = None
                    ) -> DataFrame | None:
@@ -1700,7 +1782,7 @@ class ParquetMergeTable:
         man = self._manifest(v)
         # deleted-but-unpurged rows come off the footer counts (their
         # match status is irrelevant — they are deleted either way)
-        dv_fs = {unquote(k): len(ps)
+        dv_fs = {unquote(k): self._dv_count(ps)
                  for k, ps in (man.get("dv") or {}).items()}
         meta_rows = 0
         boundary: list[str] = []
@@ -2429,31 +2511,51 @@ class ParquetMergeTable:
                     self._fcache.pop(n, None)
                     self._backend.delete(self._bloom_file(n))
                     self._backend.delete(self._bloom_bin_file(n))
-            # parquet-checkpoint sidecar sweep: a sidecar is live iff
-            # its version's manifest exists AND references it by name.
-            # Retired versions' sidecars go with them; a racing
-            # loser's sidecar (json lost the conditional PUT, or never
-            # landed) is grace-guarded like any staged file.
+            # Sidecar sweep (parquet checkpoints + DV binaries). A
+            # checkpoint is live iff its OWN version's manifest
+            # references it by name; a DV sidecar is live iff ANY
+            # retained manifest's dv section references it (refs carry
+            # across commits). Retired versions' dead sidecars go now;
+            # a racing loser's sidecar (its json lost the conditional
+            # PUT, or never landed) is grace-guarded like staged files.
+            live_dv_refs: set[str] = set()
             for e in self._backend.list_names(self._log_dir()):
-                m = _re.fullmatch(r"(\d+)\.ckpt\.[0-9a-f]+\.parquet", e)
-                if not m:
+                m = _re.fullmatch(r"(\d+)\.json", e)
+                if not m or int(m.group(1)) < floor:
                     continue
-                n = int(m.group(1))
+                try:
+                    man = self._manifest(int(m.group(1)))
+                except Exception:  # noqa: BLE001 — torn read: skip
+                    continue
+                for entry in (man.get("dv") or {}).values():
+                    if isinstance(entry, dict):
+                        live_dv_refs.add(entry["ref"])
+            for e in self._backend.list_names(self._log_dir()):
+                mc = _re.fullmatch(r"(\d+)\.ckpt\.[0-9a-f]+\.parquet", e)
+                md = _re.fullmatch(r"(\d+)\.dv\.[0-9a-f]+\.bin", e)
+                if not mc and not md:
+                    continue
+                n = int((mc or md).group(1))
                 path = os.path.join(self._log_dir(), e)
-                if self._backend.exists(self._manifest_path(n)):
+                if md:
+                    if e in live_dv_refs:
+                        continue
+                elif self._backend.exists(self._manifest_path(n)):
                     try:
                         live = self._manifest(n).get("ckpt") == e
                     except Exception:  # noqa: BLE001 — torn read: keep
                         live = True
                     if live:
                         continue
-                elif n < floor:
+                if n < floor:
                     self._backend.delete(path)
+                    self._dvcache.pop(e, None)
                     continue
                 try:
                     if self._backend.mtime(path) <= _time.time() - \
                             stage_grace_seconds:
                         self._backend.delete(path)
+                        self._dvcache.pop(e, None)
                 except OSError:
                     pass
             if not self._object:
@@ -2802,7 +2904,7 @@ class ParquetMergeTable:
             return {"rows": 0, "dv_positions": 0, "density": 0.0,
                     "per_file": {}}
         man = self._manifest(v)
-        dv_fs = {unquote(k): len(ps)
+        dv_fs = {unquote(k): self._dv_count(ps)
                  for k, ps in (man.get("dv") or {}).items()}
         rows = 0
         per_file: dict[str, float] = {}
@@ -3032,7 +3134,8 @@ class ParquetMergeTable:
                 "n_files": len(src_files),
                 "chain": 0,
             }
-            man = self._externalize_files(new_v, man)
+            man = self._externalize_files(new_v, self._externalize_dv(
+                new_v, man))
             self._finalize(new_v, man, stage)
             # the restored version's own bloom is authoritative —
             # the abandoned head's entries must NOT merge in
@@ -3151,7 +3254,10 @@ class ParquetMergeTable:
                     # the backend's server-side copy (S3 CopyObject)
                     out._backend.copy(src, dst)
                 files[rk(rel)] = zm
-            dv = {rk(k): ps
+            # refs resolve against the SOURCE's sidecars, which the
+            # clone must not depend on (deep-clone contract): positions
+            # materialize here and re-externalize under the clone
+            dv = {rk(k): self._dv_positions(ps)
                   for k, ps in (src_man.get("dv") or {}).items()}
             bloom = self.file_index(v)
             if bloom:
@@ -3176,7 +3282,7 @@ class ParquetMergeTable:
                 "dv": dv,
                 "n_files": len(files),
             }
-            man = out._externalize_files(1, man)
+            man = out._externalize_files(1, out._externalize_dv(1, man))
             out._publish(1, man)
             if bloom:
                 out._write_bloom(1, bloom)
