@@ -472,6 +472,7 @@ class ParquetMergeTable:
         self._mcache: dict[int, dict] = {}  # version -> raw record
         self._fcache: dict[int, dict] = {}  # version -> resolved files
         self._dvcache: dict[str, bytes] = {}  # dv sidecar name -> blob
+        self._kcache: dict[int, list] = {}  # version -> sorted keys
         os.makedirs(os.path.join(root, "_log"), exist_ok=True)
 
     # ---- commit log (the manifest plane) ----------------------------
@@ -713,6 +714,9 @@ class ParquetMergeTable:
         got = self._fcache.get(version)
         if got is not None:
             return sorted(got)
+        cached = self._kcache.get(version)
+        if cached is not None:
+            return cached
         chain, man = self._walk_to_full(version)
         if "files" in man:
             keys = set(man["files"])
@@ -722,7 +726,11 @@ class ParquetMergeTable:
         for d in reversed(chain):
             keys.difference_update(d.get("removed", ()))
             keys.update(d.get("added", {}))
-        return sorted(keys)
+        out = sorted(keys)
+        if len(self._kcache) > 8:  # bounded, like _fcache
+            self._kcache.pop(next(iter(self._kcache)), None)
+        self._kcache[version] = out
+        return out
 
     def _publish(self, new_v: int, man: dict) -> None:
         """THE commit: make ``_log/<new_v>.json`` exist atomically,
@@ -2509,6 +2517,7 @@ class ParquetMergeTable:
                     removed.add(n)
                     self._mcache.pop(n, None)
                     self._fcache.pop(n, None)
+                    self._kcache.pop(n, None)
                     self._backend.delete(self._bloom_file(n))
                     self._backend.delete(self._bloom_bin_file(n))
             # Sidecar sweep (parquet checkpoints + DV binaries). A
