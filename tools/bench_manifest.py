@@ -97,6 +97,46 @@ def tier(spark, n: int) -> dict:
     }
 
 
+def dv_tier(spark, n_positions: int = 600_000, n_files: int = 50) -> dict:
+    """The DV-plane measurement behind the BASELINE.md r9 ledger row:
+    per-record cost of CARRYING n_positions deleted rows, inline JSON
+    vs the sidecar's {ref, off, n} pointers."""
+    root = tempfile.mkdtemp(prefix="dvbench_")
+    t = ParquetMergeTable(spark, root, key="id", storage="object")
+    step = max(1, n_positions // (n_positions // n_files))
+    positions = {
+        f"_data/tx-{i:08x}/part-0.parquet":
+            list(range(i, n_positions, n_files))
+        for i in range(n_files)
+    }
+    total = sum(len(v) for v in positions.values())
+    inline_bytes = len(json.dumps(positions))
+    man = {"format": 2, "version": 1, "operation": "m",
+           "committed_at_unix": 0.0, "base": "root", "schema": _SCHEMA,
+           "dv": positions, "n_files": n_files, "chain": 0,
+           "files": {k: {"rows": 1, "cols": {}} for k in positions}}
+    t0 = time.time()
+    man2 = t._externalize_dv(1, man)
+    write_s = time.time() - t0
+    ref_bytes = len(json.dumps(man2["dv"]))
+    name = next(iter(man2["dv"].values()))["ref"]
+    sidecar = os.path.getsize(t._dv_sidecar_path(name))
+    t._publish(1, t._externalize_files(1, man2))
+    t0 = time.time()
+    resolved = {k: t._dv_positions(e) for k, e in
+                t._manifest(1)["dv"].items()}
+    resolve_s = time.time() - t0
+    assert resolved == positions and step
+    return {
+        "dv_positions": total,
+        "inline_record_mb": round(inline_bytes / 1e6, 3),
+        "ref_record_kb": round(ref_bytes / 1e3, 2),
+        "sidecar_mb": round(sidecar / 1e6, 3),
+        "sidecar_write_s": round(write_s, 3),
+        "cold_resolve_s": round(resolve_s, 3),
+    }
+
+
 def main() -> None:
     sizes = [int(a) for a in sys.argv[1:]] or [10_000, 100_000]
     spark = get_spark("bench_manifest")
@@ -106,7 +146,10 @@ def main() -> None:
     print(" | ".join(f"{h:>15}" for h in hdr))
     for r in rows:
         print(" | ".join(f"{r[h]:>15}" for h in hdr))
-    print(json.dumps({"metric": "manifest_plane", "tiers": rows}))
+    dv = dv_tier(spark)
+    print("dv-plane:", dv)
+    print(json.dumps({"metric": "manifest_plane", "tiers": rows,
+                      "dv": dv}))
 
 
 if __name__ == "__main__":
