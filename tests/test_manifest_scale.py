@@ -167,12 +167,16 @@ def test_manifest_plane_budgets_at_20k_files(spark, tmp_path):
 
 
 def test_real_table_through_externalized_checkpoints(spark, tmp_path):
-    """Integration: with the inline threshold forced low, a REAL
+    """Integration: with BOTH inline thresholds forced low, a REAL
     Spark-backed table runs its whole lifecycle — merge, pruned merge,
     DV delete, time travel, restore, vacuum, clone — with every full
-    record externalized; results identical to the inline path."""
+    record externalized to a parquet checkpoint AND every deletion
+    vector externalized to a binary sidecar; results identical to the
+    inline path."""
     orig = ParquetMergeTable._CKPT_INLINE_MAX
+    orig_dv = ParquetMergeTable._DV_INLINE_TOTAL_MAX
     ParquetMergeTable._CKPT_INLINE_MAX = 3
+    ParquetMergeTable._DV_INLINE_TOTAL_MAX = 0
     try:
         t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id",
                               partition_by="p", storage="object")
@@ -183,6 +187,9 @@ def test_real_table_through_externalized_checkpoints(spark, tmp_path):
         t.merge(spark.createDataFrame([(1, "b", -1)],
                                       "id long, p string, v long"))
         t.delete_where({"id": (8, 11)}, use_deletion_vectors=True)
+        dv_entries = list(t._manifest(3)["dv"].values())
+        assert dv_entries and all(isinstance(e, dict) and "ref" in e
+                                  for e in dv_entries)
         got = {r.id: r.v for r in t.read().collect()}
         want = {i: i for i in range(40) if i not in (8, 9, 10, 11)}
         want[1] = -1
@@ -201,6 +208,7 @@ def test_real_table_through_externalized_checkpoints(spark, tmp_path):
         assert t.count_where({"id": (0, 9)}) == 10
     finally:
         ParquetMergeTable._CKPT_INLINE_MAX = orig
+        ParquetMergeTable._DV_INLINE_TOTAL_MAX = orig_dv
 
 
 def test_dv_sidecar_externalization_and_zero_rewrite_carry(spark, tmp_path):
