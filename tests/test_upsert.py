@@ -402,7 +402,8 @@ def test_merge_pruned_read_pushes_partition_filter(spark, tmp_path):
     assert m and "p" in m.group(1) and "= a" in m.group(1), plan[:500]
 
 
-@pytest.mark.parametrize("storage", ["posix", "object"])
+@pytest.mark.parametrize("storage", ["posix", "object",
+                                     "object-sidecar"])
 @settings(max_examples=5, deadline=None)
 @given(
     st.lists(
@@ -439,6 +440,16 @@ def test_merge_table_matches_dict_replay_model(spark, tmp_path_factory,
     from yelp_data_engineering_pipeline_spark.operators.upsert import ParquetMergeTable
 
     root = str(tmp_path_factory.mktemp("mbt") / "tbl")
+    # the third flavor fuzzes the EXTERNALIZED metadata paths (r9):
+    # every full record goes to a parquet checkpoint sidecar, every
+    # DV to a binary sidecar — same model, same invariants
+    forced = storage == "object-sidecar"
+    orig_ckpt = ParquetMergeTable._CKPT_INLINE_MAX
+    orig_dv = ParquetMergeTable._DV_INLINE_TOTAL_MAX
+    if forced:
+        storage = "object"
+        ParquetMergeTable._CKPT_INLINE_MAX = 0
+        ParquetMergeTable._DV_INLINE_TOTAL_MAX = 0
     t = ParquetMergeTable(spark, root, key="k", partition_by="p",
                           storage=storage)
     model: dict[int, tuple[str, str]] = {}
@@ -489,8 +500,17 @@ def test_merge_table_matches_dict_replay_model(spark, tmp_path_factory,
             for k in list(model):
                 if 4 <= k <= 6:
                     model[k] = (model[k][0], "D" + model[k][1])
-    got = {r.k: (r.p, r.v) for r in t.read().collect()} if t.read() is not None else {}
+    try:
+        got = ({r.k: (r.p, r.v) for r in t.read().collect()}
+               if t.read() is not None else {})
+    finally:
+        ParquetMergeTable._CKPT_INLINE_MAX = orig_ckpt
+        ParquetMergeTable._DV_INLINE_TOTAL_MAX = orig_dv
     assert got == model
+    if forced and t.current_version() > 0:
+        full = t._walk_to_full(t.current_version())[1]
+        # every non-empty full record went to a sidecar
+        assert "ckpt" in full or not full.get("files")
 
 
 # ---------------------------------------------------------------------------
