@@ -2206,3 +2206,46 @@ def test_cdf_equals_batch_effect_property(spark, tmp_path_factory, batches):
             for r in t.changes_between(v_from, v_from + 1).collect()
         }
         assert got == want, (v_from, batches)
+
+
+def test_compact_bin_packs_by_target_size(spark, tmp_path):
+    """compact(target_mb=) sizes the output from the manifest's
+    per-file bytes (recorded at write time — no filesystem listing):
+    a generous target collapses to one file, a tiny target fans out to
+    ceil(total/target) files, rows are byte-identical, and entries
+    without a bytes field (pre-r9 manifests) fall back to
+    target_files."""
+    import math
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id")
+    t.merge(spark.range(0, 50_000).selectExpr(
+        "id", "cast(id as string) as pad1", "md5(cast(id as string)) "
+        "as pad2").repartition(8))
+    stats = t.stats()
+    assert all(isinstance(zm.get("bytes"), int) and zm["bytes"] > 0
+               for zm in stats.values())
+    total = sum(zm["bytes"] for zm in stats.values())
+
+    v = t.compact(target_mb=total / 1e6 * 10)      # generous: one file
+    assert len(t._files(v)) == 1
+    assert t.read().count() == 50_000
+
+    small = total / 1e6 / 4                        # ~4 output files
+    v2 = t.compact(target_mb=small)
+    n2 = len(t._files(v2))
+    want = math.ceil(sum(zm["bytes"] for zm in
+                         t._files(v).values()) / (small * 1e6))
+    assert n2 == want >= 2
+    assert t.read().count() == 50_000
+
+    # pre-r9 manifest entries (no bytes): falls back to target_files
+    man = dict(t._manifest(v2))
+    stripped = {k: {kk: vv for kk, vv in zm.items() if kk != "bytes"}
+                for k, zm in t._files(v2).items()}
+    man["files"] = stripped
+    man.pop("ckpt", None)
+    t._mcache[v2] = man
+    t._fcache.pop(v2, None)
+    v3 = t.compact(target_mb=0.001, target_files=2)
+    assert len(t._files(v3)) == 2                  # fallback honored
+    assert t.read().count() == 50_000
