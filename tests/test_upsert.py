@@ -2249,3 +2249,24 @@ def test_compact_bin_packs_by_target_size(spark, tmp_path):
     v3 = t.compact(target_mb=0.001, target_files=2)
     assert len(t._files(v3)) == 2                  # fallback honored
     assert t.read().count() == 50_000
+
+
+def test_maintenance_plan_reports_small_files(spark, tmp_path):
+    """The small-file leg of maintenance_plan: many tiny files (the
+    many-small-merges symptom) trip compact_for_small_files with a
+    size-targeted recommendation; after compact(target_mb=) the signal
+    clears — all from manifest metadata, zero Spark jobs."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id")
+    t.merge(spark.range(0, 4000).selectExpr("id", "id as v")
+            .repartition(16))               # 16 tiny files
+    plan = t.maintenance_plan(small_file_mb=1.0)
+    assert plan["n_files"] == 16
+    assert plan["small_files"] == 16
+    assert plan["compact_for_small_files"]
+    assert plan["actions"] == ["compact(target_mb=8)"]
+    t.compact(target_mb=64)
+    plan2 = t.maintenance_plan(small_file_mb=0.0001)
+    assert plan2["n_files"] == 1
+    assert not plan2["compact_for_small_files"]
+    assert plan2["actions"] == []
+    assert t.read().count() == 4000

@@ -2972,30 +2972,54 @@ class ParquetMergeTable:
         d = self.dv_density(version)
         return d["dv_positions"] > 0 and d["density"] >= threshold
 
-    def maintenance_plan(self, threshold: float = 0.02) -> dict:
+    def maintenance_plan(self, threshold: float = 0.02,
+                         small_file_mb: float = 16.0) -> dict:
         """What upkeep the CURRENT snapshot needs, from metadata alone:
-        DV density vs the compaction threshold, and (object mode) how
-        many tx-dir read groups a scan unions — both repaid by
-        ``compact()``. The acting form of the documented policy;
-        ``auto_compact_dv`` applies it automatically after DV-writing
-        DML."""
+        DV density vs the compaction threshold, (object mode) how many
+        tx-dir read groups a scan unions, and the SMALL-FILE load —
+        files under ``small_file_mb`` (from the manifest's per-file
+        bytes; entries without bytes don't count), the classic
+        many-small-merges symptom — all repaid by ``compact()`` /
+        ``compact(target_mb=...)``. The acting form of the documented
+        policy; ``auto_compact_dv`` applies the DV leg automatically
+        after DV-writing DML."""
         d = self.dv_density()
-        man = None
         v = self.current_version()
         groups = 0
+        n_files = 0
+        small = 0
+        total_b = 0
         if v:
             man = self._manifest(v)
+            files = self._files(v)
+            n_files = len(files)
             if man.get("base") == "root":
                 groups = len({
-                    "/".join(r.split("/", 2)[:2]) for r in self._files(v)
+                    "/".join(r.split("/", 2)[:2]) for r in files
                 })
+            for zm in files.values():
+                b = zm.get("bytes")
+                if isinstance(b, int):
+                    total_b += b
+                    if b < small_file_mb * 1e6:
+                        small += 1
         compact_dv = d["dv_positions"] > 0 and d["density"] >= threshold
+        compact_small = n_files > 1 and small > n_files / 2
+        actions = []
+        if compact_dv:
+            actions.append("compact()")
+        elif compact_small:
+            actions.append(f"compact(target_mb={small_file_mb * 8:g})")
         return {
             "dv": d,
             "dv_threshold": threshold,
             "compact_for_dv": compact_dv,
             "read_groups": groups,
-            "actions": (["compact()"] if compact_dv else []),
+            "n_files": n_files,
+            "small_files": small,
+            "total_mb": round(total_b / 1e6, 3),
+            "compact_for_small_files": compact_small,
+            "actions": actions,
         }
 
     def _maybe_auto_compact(self, wait: bool) -> None:
