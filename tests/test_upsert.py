@@ -2270,3 +2270,67 @@ def test_maintenance_plan_reports_small_files(spark, tmp_path):
     assert not plan2["compact_for_small_files"]
     assert plan2["actions"] == []
     assert t.read().count() == 4000
+
+
+def test_delete_keys_bloom_pruned_gdpr_shape(spark, tmp_path):
+    """delete_keys: an IN-list delete pruned by the read_point stack.
+    With a bloom index on an UNCLUSTERED key, only bloom-hit files are
+    touched (the rest carry byte-identically); CoW and DV flavors both
+    equal read().filter(NOT IN); NULL-keyed rows survive; the empty
+    list is a committed no-op; time travel sees the pre-delete rows."""
+    import os
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id")
+    rows = spark.range(0, 4000).selectExpr(
+        "id", "concat('u', cast(id * 37 % 4001 as string)) as u",
+        "case when id % 31 = 0 then null else 'keep' end as flag",
+    ).repartitionByRange(8, "id").sortWithinPartitions("id")
+    # u is unclustered (id*37 % 4001 scatters); make some u NULL
+    rows = rows.withColumn(
+        "u", F.when(F.col("id") % 29 == 0, None).otherwise(F.col("u")))
+    t.merge(rows)
+    t.build_file_index("u")
+
+    victims = [f"u{(7 * 37) % 4001}", f"u{(1234 * 37) % 4001}", "u-nope"]
+    want = sorted(
+        r.id for r in t.read().filter(
+            ~F.coalesce(F.col("u").isin(victims), F.lit(False))
+        ).collect()
+    )
+    # the bloom must prune most of the 8 files for 2 real + 1 absent key
+    kept = t._point_prune("u", victims, 1)
+    assert len(kept) < 8
+
+    v = t.delete_keys("u", victims)
+    assert sorted(r.id for r in t.read().collect()) == want
+    assert t.history()[0]["operation"] == "delete_keys"
+    # untouched files carried: same physical manifest keys as v1
+    carried = set(t._files(1)) & set(t._files(v))
+    assert len(carried) == 8 - len(kept)
+    assert t.read(version=1).count() == 4000     # time travel
+
+    # DV flavor on a fresh OBJECT-mode table (no hardlink carry):
+    # zero data files written
+    t2 = ParquetMergeTable(spark, str(tmp_path / "tbl2"), key="id",
+                           storage="object")
+    t2.merge(rows)
+    files_before = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(t2.root) for f in fs
+        if f.endswith(".parquet")
+    }
+    t2.delete_keys("u", victims, use_deletion_vectors=True)
+    files_after = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(t2.root) for f in fs
+        if f.endswith(".parquet")
+    }
+    assert files_after == files_before
+    assert sorted(r.id for r in t2.read().collect()) == want
+    assert t2.history()[0]["operation"] == "delete_keys_dv"
+
+    # empty list: no-op, version unchanged
+    assert t2.delete_keys("u", [None]) == t2.current_version()
+    # NULL keys survived both flavors
+    assert t.read().filter(F.col("u").isNull()).count() == \
+        t2.read().filter(F.col("u").isNull()).count() > 0

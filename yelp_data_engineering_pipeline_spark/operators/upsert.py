@@ -1827,7 +1827,14 @@ class ParquetMergeTable:
         vals = [x for x in values if x is not None]
         if not vals:
             return self.spark.createDataFrame([], df.schema)
-        residual = F.col(col).isin(vals)
+        kept = self._point_prune(col, vals, v)
+        return self._scan(v, relkeys=kept).filter(F.col(col).isin(vals))
+
+    def _point_prune(self, col: str, vals: list, v: int) -> list[str]:
+        """Driver-side file pruning for an IN-list probe: zone maps
+        first, then the per-file Bloom index when one exists for the
+        column (shared by read_point and delete_keys — zero Spark
+        jobs)."""
         stats = self._files(v)
 
         def hit(zm: dict) -> bool:
@@ -1870,7 +1877,7 @@ class ParquetMergeTable:
                 if rel not in by_fs  # unindexed file: keep (new since build)
                 or any(self._bloom_might_contain(by_fs[rel], x) for x in vals)
             ]
-        return self._scan(v, relkeys=kept).filter(residual)
+        return kept
 
     # ---- per-file Bloom index (point lookups on UNCLUSTERED cols) ---
     #
@@ -2825,6 +2832,63 @@ class ParquetMergeTable:
         self._maybe_auto_compact(wait)
         return v
 
+    def delete_keys(self, col: str, values, wait: bool = True,
+                    use_deletion_vectors: bool = False) -> int:
+        """``DELETE FROM t WHERE col IN (<values>)`` — the GDPR /
+        right-to-be-forgotten shape: a bounded id list against a huge
+        table. File pruning is the read_point() stack (zone maps, then
+        the per-file Bloom index when one is built for ``col``), so on
+        a clustered or bloom-indexed key the delete touches a handful
+        of files regardless of table size; each touched file is either
+        rewritten with the keep-filter (CoW) or — with
+        ``use_deletion_vectors`` — carried forward with the matching
+        positions recorded (no data rewrite at all; the compact()
+        lifecycle repays the read tax as usual). NULL probe values are
+        dropped (SQL IN never matches NULL) and NULL-keyed rows always
+        survive. An empty value list is a no-op returning the current
+        version. Returns the committed version."""
+        vals = [x for x in values if x is not None]
+
+        def body() -> int:
+            from pyspark.sql.types import StructType
+
+            old_v = self.current_version()
+            if old_v == 0:
+                raise ValueError("delete_keys on an empty table")
+            self._check_write_mode(old_v)
+            if not vals:
+                return old_v
+            schema = self._to_nullable(
+                StructType.fromJson(self._manifest(old_v)["schema"])
+            )
+            touched = self._point_prune(col, vals, old_v)
+            tset = set(touched)
+            keep_rels = [r for r in self._files(old_v) if r not in tset]
+            match = F.col(col).isin(vals)
+            out = None
+            new_dv: dict | None = None
+            if touched and use_deletion_vectors:
+                scan = self._scan(old_v, relkeys=touched, keep_pos=True)
+                hits = scan.filter(match).select("_file_rel",
+                                                 "_row_pos").collect()
+                new_dv = {}
+                for r in hits:
+                    new_dv.setdefault(r._file_rel, []).append(
+                        int(r._row_pos))
+                keep_rels = keep_rels + touched
+            elif touched:
+                scan = self._scan(old_v, relkeys=touched)
+                out = scan.filter(~F.coalesce(match, F.lit(False)))
+            return self._commit_carrying(
+                out, keep_rels, old_v, schema,
+                "delete_keys_dv" if new_dv is not None else "delete_keys",
+                new_dv=new_dv,
+            )
+
+        v = self._txn(wait, body)
+        self._maybe_auto_compact(wait)
+        return v
+
     def update_where(self, ranges: dict, assignments: dict,
                      wait: bool = True,
                      use_deletion_vectors: bool = False) -> int:
@@ -3384,8 +3448,9 @@ def merge_upsert_idempotent(spark: SparkSession, sf_dir: str):
 def merge_dml_where(spark: SparkSession, sf_dir: str):
     """Evidence query for the predicate-DML tier: build a REAL
     ParquetMergeTable from orders (range-clustered on o_totalprice so
-    the zone maps have traction), run a file-pruned DELETE and a
-    conditional UPDATE through the committed-snapshot machinery, and
+    the zone maps have traction), run a file-pruned DELETE, a
+    conditional UPDATE, and a keyed delete_keys (r9: the explicit
+    IN-list GDPR shape) through the committed-snapshot machinery, and
     aggregate what survived. The oracle computes the same DELETE +
     UPDATE semantics in SQL over the raw parquet — a wrong keep-filter,
     a mis-pruned file (rows silently surviving/vanishing), or an
@@ -3407,6 +3472,15 @@ def merge_dml_where(spark: SparkSession, sf_dir: str):
         {"o_totalprice": (None, 50_000.0)},
         {"o_orderpriority": F.concat(F.lit("U-"), F.col("o_orderpriority"))},
     )
+    # the keyed GDPR-shape delete (r9): a bounded explicit id list,
+    # zone/bloom-pruned — keys ≡ 7 mod 1000, collected driver-side as
+    # a real deletion request would arrive
+    victims = [
+        r.o_orderkey
+        for r in orders.filter(F.col("o_orderkey") % 1000 == 7)
+        .select("o_orderkey").collect()
+    ]
+    t.delete_keys("o_orderkey", victims)
     return t.read().groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum(F.when(F.col("o_orderpriority").startswith("U-"), 1).otherwise(0))
@@ -3542,8 +3616,9 @@ def _register_merge() -> None:
                CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                  AS total_cents
         FROM orders
-        WHERE o_totalprice IS NULL
-           OR NOT (o_totalprice BETWEEN 150000 AND 300000)
+        WHERE (o_totalprice IS NULL
+           OR NOT (o_totalprice BETWEEN 150000 AND 300000))
+          AND o_orderkey % 1000 <> 7
         GROUP BY o_orderstatus
         """,
     )
