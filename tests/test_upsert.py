@@ -2334,3 +2334,47 @@ def test_delete_keys_bloom_pruned_gdpr_shape(spark, tmp_path):
     # NULL keys survived both flavors
     assert t.read().filter(F.col("u").isNull()).count() == \
         t2.read().filter(F.col("u").isNull()).count() > 0
+
+
+def test_update_keys_rectification_shape(spark, tmp_path):
+    """update_keys: keyed UPDATE pruned by the read_point stack — CoW
+    and DV flavors both equal the conditional-projection ground truth;
+    untouched files carry; the DV flavor appends only matched rows."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id",
+                          storage="object")
+    t.merge(spark.range(0, 4000).selectExpr(
+        "id", "concat('u', cast(id as string)) as u", "id * 2 as v")
+        .repartitionByRange(8, "id").sortWithinPartitions("id"))
+    victims = ["u7", "u1234", "u-none"]
+    want = {r.id: r.v for r in t.read().collect()}
+    want[7] = -1
+    want[1234] = -1
+
+    kept = t._point_prune("u", victims, 1)
+    assert 0 < len(kept) < 8                     # zones prune (u tracks id)
+    t.update_keys("u", victims, {"v": F.lit(-1)})
+    assert {r.id: r.v for r in t.read().collect()} == want
+    assert t.history()[0]["operation"] == "update_keys"
+    carried = set(t._files(1)) & set(t._files(2))
+    assert len(carried) == 8 - len(kept)
+
+    # DV flavor: every v1 file still referenced + one appended file
+    # holding ONLY the rewritten rows
+    t2 = ParquetMergeTable(spark, str(tmp_path / "tbl2"), key="id",
+                           storage="object")
+    t2.merge(spark.range(0, 4000).selectExpr(
+        "id", "concat('u', cast(id as string)) as u", "id * 2 as v")
+        .repartitionByRange(8, "id").sortWithinPartitions("id"))
+    t2.update_keys("u", victims, {"v": F.lit(-1)},
+                   use_deletion_vectors=True)
+    assert {r.id: r.v for r in t2.read().collect()} == want
+    assert set(t2._files(1)) <= set(t2._files(2))
+    appended = set(t2._files(2)) - set(t2._files(1))
+    assert appended
+    new_rows = sum(t2._files(2)[r].get("rows", 0) for r in appended)
+    assert new_rows == 2                          # only the matched rows
+    assert t2.history()[0]["operation"] == "update_keys_dv"
+    # no-op + guards
+    assert t2.update_keys("u", [], {"v": F.lit(0)}) == 2
+    with pytest.raises(ValueError, match="unknown column"):
+        t2.update_keys("u", ["u7"], {"nope": F.lit(1)})

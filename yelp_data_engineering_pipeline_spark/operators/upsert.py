@@ -2985,6 +2985,88 @@ class ParquetMergeTable:
         self._maybe_auto_compact(wait)
         return v
 
+    def update_keys(self, col: str, values, assignments: dict,
+                    wait: bool = True,
+                    use_deletion_vectors: bool = False) -> int:
+        """``UPDATE t SET ... WHERE col IN (<values>)`` — the keyed
+        rectification twin of :meth:`delete_keys` (same read_point
+        pruning stack; zone maps + Bloom index). ``assignments`` as in
+        :meth:`update_where` (Column expressions or literals, cast
+        back to the table type; partition columns unassignable). CoW
+        rewrites each touched file with the conditional projection;
+        ``use_deletion_vectors`` carries every touched file, DV-deletes
+        the old versions of matching rows and appends the updated
+        copies — write cost ∝ matched rows. NULL probes dropped;
+        empty list is a no-op."""
+        vals = [x for x in values if x is not None]
+
+        def body() -> int:
+            from pyspark.sql.types import StructType
+
+            old_v = self.current_version()
+            if old_v == 0:
+                raise ValueError("update_keys on an empty table")
+            self._check_write_mode(old_v)
+            if not vals:
+                return old_v
+            schema = self._to_nullable(
+                StructType.fromJson(self._manifest(old_v)["schema"])
+            )
+            missing = [c for c in assignments
+                       if c not in schema.fieldNames()]
+            if missing:
+                raise ValueError(f"UPDATE of unknown column(s): {missing}")
+            assigned_parts = set(assignments) & set(self._parts)
+            if assigned_parts:
+                raise ValueError(
+                    "UPDATE may not assign the partition column(s) "
+                    f"{sorted(assigned_parts)!r} (rows cannot change "
+                    "partitions; delete + merge instead)"
+                )
+            match = F.coalesce(F.col(col).isin(vals), F.lit(False))
+
+            def _proj(df):
+                cols = []
+                for f_ in schema.fields:
+                    if f_.name in assignments:
+                        v = assignments[f_.name]
+                        v = v if isinstance(v, Column) else F.lit(v)
+                        cols.append(
+                            F.when(match, v.cast(f_.dataType))
+                            .otherwise(F.col(f_.name))
+                            .cast(f_.dataType).alias(f_.name)
+                        )
+                    else:
+                        cols.append(F.col(f_.name))
+                return df.select(cols)
+
+            touched = self._point_prune(col, vals, old_v)
+            tset = set(touched)
+            keep_rels = [r for r in self._files(old_v) if r not in tset]
+            out = None
+            new_dv: dict | None = None
+            if touched and use_deletion_vectors:
+                scan = self._scan(old_v, relkeys=touched, keep_pos=True)
+                matched = scan.filter(match)
+                hits = matched.select("_file_rel", "_row_pos").collect()
+                new_dv = {}
+                for r in hits:
+                    new_dv.setdefault(r._file_rel, []).append(
+                        int(r._row_pos))
+                out = _proj(matched.drop("_file_rel", "_row_pos"))
+                keep_rels = keep_rels + touched
+            elif touched:
+                out = _proj(self._scan(old_v, relkeys=touched))
+            return self._commit_carrying(
+                out, keep_rels, old_v, schema,
+                "update_keys_dv" if new_dv is not None else "update_keys",
+                new_dv=new_dv,
+            )
+
+        v = self._txn(wait, body)
+        self._maybe_auto_compact(wait)
+        return v
+
     # ---- DV maintenance policy (VERDICT r7 next-4) ------------------
     #
     # Merge-on-read is a loan: every DV'd position taxes EVERY
