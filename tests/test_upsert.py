@@ -417,8 +417,9 @@ def test_merge_pruned_read_pushes_partition_filter(spark, tmp_path):
                 min_size=1,
                 max_size=4,
             ),
-            st.integers(0, 6),  # after the merge: none/vacuum/compact/
-            # delete_where/update_where/DV-delete/DV-update
+            st.integers(0, 8),  # after the merge: none/vacuum/compact/
+            # delete_where/update_where/DV-delete/DV-update/
+            # delete_keys/update_keys (r9 keyed DML)
         ),
         min_size=1,
         max_size=3,
@@ -500,6 +501,19 @@ def test_merge_table_matches_dict_replay_model(spark, tmp_path_factory,
             for k in list(model):
                 if 4 <= k <= 6:
                     model[k] = (model[k][0], "D" + model[k][1])
+        # r9 keyed DML: the IN-list twins must match the same keyed
+        # mutation on the model (DV flavor for the delete — both
+        # pruning stacks and both write paths get fuzzed)
+        elif maint == 7 and t.current_version() > 0:
+            t.delete_keys("k", [0, 5, 99], use_deletion_vectors=True)
+            for k in (0, 5, 99):
+                model.pop(k, None)
+        elif maint == 8 and t.current_version() > 0:
+            t.update_keys("k", [1, 6],
+                          {"v": F.concat(F.lit("K"), F.col("v"))})
+            for k in (1, 6):
+                if k in model:
+                    model[k] = (model[k][0], "K" + model[k][1])
     try:
         got = ({r.k: (r.p, r.v) for r in t.read().collect()}
                if t.read() is not None else {})
