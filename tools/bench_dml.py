@@ -164,6 +164,35 @@ def main() -> None:
     }
     rows = t.read().count()
 
+    # -- keyed DELETE (r9): an explicit IN-list on an UNCLUSTERED
+    # column — the GDPR id-list shape. Zone maps can't prune
+    # l_partkey (scattered), so the per-file Bloom index is what
+    # bounds the touch set; merge-on-read records the positions.
+    t0 = time.perf_counter()
+    t.build_file_index("l_partkey")
+    s_bloom = time.perf_counter() - t0
+    probes = [
+        r.l_partkey
+        for r in t.read().select("l_partkey").distinct().limit(5).collect()
+    ]
+    cur_v = t.current_version()
+    kept = t._point_prune("l_partkey", probes, cur_v)
+    rows_now = t.read().count()
+    n_match = t.read().filter(F.col("l_partkey").isin(probes)).count()
+    t0 = time.perf_counter()
+    t.delete_keys("l_partkey", probes, use_deletion_vectors=True)
+    s_keys = time.perf_counter() - t0
+    assert t.read().count() == rows_now - n_match
+    out["ops"]["delete_keys_bloom_dv"] = {
+        "probe_keys": len(probes),
+        "rows_deleted": n_match,
+        "files_touched": len(kept),
+        "files_total": len(t.stats()),
+        "bloom_build_sec": round(s_bloom, 3),
+        "sec": round(s_keys, 3),
+    }
+    rows = t.read().count()
+
     # -- full-rewrite baseline LAST (it destroys the clustering) -------
     lo = dlo + (dhi - dlo) // 5
     hi = lo + width
