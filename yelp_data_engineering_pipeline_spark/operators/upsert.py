@@ -3531,8 +3531,9 @@ def merge_dml_where(spark: SparkSession, sf_dir: str):
     """Evidence query for the predicate-DML tier: build a REAL
     ParquetMergeTable from orders (range-clustered on o_totalprice so
     the zone maps have traction), run a file-pruned DELETE, a
-    conditional UPDATE, and a keyed delete_keys (r9: the explicit
-    IN-list GDPR shape) through the committed-snapshot machinery, and
+    conditional UPDATE, and BOTH keyed twins (r9: delete_keys, the
+    explicit IN-list GDPR shape, and update_keys, the rectification
+    price bump) through the committed-snapshot machinery, and
     aggregate what survived. The oracle computes the same DELETE +
     UPDATE semantics in SQL over the raw parquet — a wrong keep-filter,
     a mis-pruned file (rows silently surviving/vanishing), or an
@@ -3563,6 +3564,16 @@ def merge_dml_where(spark: SparkSession, sf_dir: str):
         .select("o_orderkey").collect()
     ]
     t.delete_keys("o_orderkey", victims)
+    # ... and its rectification twin: keys ≡ 13 mod 1000 get a price
+    # bump (disjoint from the deleted set; composes with the U- update
+    # on a different column)
+    fixups = [
+        r.o_orderkey
+        for r in orders.filter(F.col("o_orderkey") % 1000 == 13)
+        .select("o_orderkey").collect()
+    ]
+    t.update_keys("o_orderkey", fixups,
+                  {"o_totalprice": F.col("o_totalprice") + 11.0})
     return t.read().groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum(F.when(F.col("o_orderpriority").startswith("U-"), 1).otherwise(0))
@@ -3691,16 +3702,24 @@ def _register_merge() -> None:
         "merge_dml_where",
         merge_dml_where,
         """
+        WITH survivors AS (
+          SELECT o_orderstatus, o_orderkey,
+                 o_totalprice AS price0,
+                 CASE WHEN o_orderkey % 1000 = 13
+                      THEN o_totalprice + 11.0 ELSE o_totalprice
+                 END AS o_totalprice
+          FROM orders
+          WHERE (o_totalprice IS NULL
+             OR NOT (o_totalprice BETWEEN 150000 AND 300000))
+            AND o_orderkey % 1000 <> 7
+        )
         SELECT o_orderstatus,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
-               CAST(SUM(CASE WHEN o_totalprice <= 50000 THEN 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN price0 <= 50000 THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_updated,
                CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                  AS total_cents
-        FROM orders
-        WHERE (o_totalprice IS NULL
-           OR NOT (o_totalprice BETWEEN 150000 AND 300000))
-          AND o_orderkey % 1000 <> 7
+        FROM survivors
         GROUP BY o_orderstatus
         """,
     )
