@@ -2392,3 +2392,33 @@ def test_update_keys_rectification_shape(spark, tmp_path):
     assert t2.update_keys("u", [], {"v": F.lit(0)}) == 2
     with pytest.raises(ValueError, match="unknown column"):
         t2.update_keys("u", ["u7"], {"nope": F.lit(1)})
+
+
+def test_keyed_dml_on_partitioned_table(spark, tmp_path):
+    """delete_keys/update_keys compose with hive partitioning: the
+    partition-directory zone maps prune by the partition column, so a
+    keyed op on it touches only the named partitions' files; results
+    match the predicate algebra and untouched partitions carry."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id",
+                          partition_by="p", storage="object")
+    t.merge(spark.createDataFrame(
+        [(i, chr(97 + i % 4), i) for i in range(400)],
+        "id long, p string, v long"))
+    all_files = set(t._files(1))
+    kept = t._point_prune("p", ["b"], 1)
+    assert set(kept) == {r for r in all_files if "p=b/" in r}
+
+    t.delete_keys("p", ["b"], use_deletion_vectors=True)
+    assert t.read().filter("p = 'b'").count() == 0
+    assert t.read().count() == 300
+    # only p=b files carry DVs
+    assert all("p=b/" in k for k in t.deletion_vectors())
+
+    t.update_keys("p", ["c"], {"v": F.lit(-5)})
+    got = {r.id: r.v for r in t.read().collect()}
+    want = {i: (-5 if i % 4 == 2 else i)
+            for i in range(400) if i % 4 != 1}
+    assert got == want
+    # p=a and p=d files untouched since v1 (same manifest keys)
+    untouched = {r for r in all_files if "p=a/" in r or "p=d/" in r}
+    assert untouched <= set(t._files(t.current_version()))
