@@ -709,3 +709,37 @@ def test_commit_landing_between_read_and_publish_is_never_lost(
     got = {r.id: r.v for r in t.read().collect()}
     assert got == {1: 10, 2: 20, 50: 500}   # the raced commit survived
     assert t.current_version() == 3         # collision + re-derive, no gap
+
+
+def test_keyed_dml_races_concurrent_commit(spark, tmp_path):
+    """delete_keys under optimistic concurrency: a commit landing
+    between the keyed body's derivation and its publish collides on
+    the conditional PUT (pinned parent version) and wait=True
+    re-derives against the new head — the result equals the serial
+    replay, including the concurrent merge's rows."""
+    t = _table(spark, tmp_path / "tbl")
+    t.merge(spark.createDataFrame(
+        [(i, f"u{i}", i) for i in range(20)], "id long, u string, v long"))
+
+    orig = ParquetMergeTable._point_prune
+    raced = {"done": False}
+
+    def hijack(self, col, vals, v):
+        if not raced["done"]:
+            raced["done"] = True
+            other = _table(spark, tmp_path / "tbl")
+            other.merge(spark.createDataFrame(
+                [(50, "u50", 500)], "id long, u string, v long"))
+        return orig(self, col, vals, v)
+
+    ParquetMergeTable._point_prune = hijack
+    try:
+        t.delete_keys("u", ["u3", "u7"], wait=True,
+                      use_deletion_vectors=True)
+    finally:
+        ParquetMergeTable._point_prune = orig
+    got = {r.id: r.v for r in t.read().collect()}
+    want = {i: i for i in range(20) if i not in (3, 7)}
+    want[50] = 500                      # the raced commit survived
+    assert got == want
+    assert t.current_version() == 3     # collide + re-derive, no gap
