@@ -351,3 +351,41 @@ def test_memory_meta_backend_real_thread_race(spark, tmp_path):
                           backend=b)
     assert {r.id: r.v for r in t.read().collect()} == {0: 0, 1: 10, 2: 20}
     assert t.current_version() == 3
+
+
+def test_memory_meta_backend_walk_and_delete_cover_meta_plane(tmp_path):
+    """ADVICE r9: walk_files/delete_prefix used to fall through to the
+    (empty) posix tree for meta prefixes, silently missing in-memory
+    objects. Both must see BOTH planes — in-memory meta keys and
+    posix data files — so a future table code path calling them on a
+    _log prefix operates on the real key space."""
+    from yelp_data_engineering_pipeline_spark.operators.storage import (
+        MemoryMetaBackend,
+    )
+
+    b = MemoryMetaBackend()
+    root = str(tmp_path / "tbl")
+    log = os.path.join(root, "_log")
+    b.put(os.path.join(log, "1.json"), b"{}")
+    b.put(os.path.join(log, "1.bloom.json"), b"{}")
+    # a posix data file under the same table root
+    data = os.path.join(root, "_data", "tx-abc")
+    os.makedirs(data)
+    with open(os.path.join(data, "p.parquet"), "wb") as f:
+        f.write(b"PAR1")
+
+    got_log = set(b.walk_files(log))
+    assert got_log == {os.path.join(log, "1.json"),
+                       os.path.join(log, "1.bloom.json")}
+    # a root walk unions the meta keys and the posix tree
+    got_root = set(b.walk_files(root))
+    assert os.path.join(data, "p.parquet") in got_root
+    assert os.path.join(log, "1.json") in got_root
+
+    b.delete_prefix(log)
+    assert b.walk_files(log) == []
+    assert not b.exists(os.path.join(log, "1.json"))
+    # posix plane untouched by the meta-prefix delete
+    assert os.path.exists(os.path.join(data, "p.parquet"))
+    b.delete_prefix(root)
+    assert not os.path.exists(os.path.join(data, "p.parquet"))

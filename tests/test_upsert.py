@@ -2422,3 +2422,71 @@ def test_keyed_dml_on_partitioned_table(spark, tmp_path):
     # p=a and p=d files untouched since v1 (same manifest keys)
     untouched = {r for r in all_files if "p=a/" in r or "p=d/" in r}
     assert untouched <= set(t._files(t.current_version()))
+
+
+def test_stats_copy_is_deep(spark, tmp_path):
+    """ADVICE r9: the shallow copy still aliased the nested per-file
+    zone-map dicts — a caller mutating stats()[rel]['cols'] corrupted
+    the handle's pruning source of truth. The copy must be deep."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id")
+    t.merge(spark.range(0, 100).selectExpr("id", "id * 2 as v")
+            .repartitionByRange(4, "id").sortWithinPartitions("id"))
+    before = t.count_where({"id": (0, 9)})
+    s = t.stats()
+    for zm in s.values():           # hostile caller, nested mutation
+        zm["cols"]["id"] = {"min": 10**9, "max": 10**9 + 1, "nulls": 0}
+        zm["rows"] = 0
+        zm["bytes"] = 0
+    assert t.count_where({"id": (0, 9)}) == before == 10
+    assert t.read_where({"id": (0, 9)}).count() == 10
+
+
+def test_changes_between_empty_table_raises(spark, tmp_path):
+    """ADVICE r9: changes_between on a never-committed table must
+    raise the documented ValueError, not AttributeError on None."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id")
+    with pytest.raises(ValueError, match="empty table"):
+        t.changes_between(0)
+
+
+def test_keyed_dml_fully_pruned_probe_is_noop(spark, tmp_path):
+    """ADVICE r9: delete_keys/update_keys whose every probe is pruned
+    (no touched file) must return the CURRENT version — no
+    metadata-only commit churning history for a miss."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id")
+    t.merge(spark.range(0, 100).selectExpr("id", "id as v")
+            .repartitionByRange(4, "id").sortWithinPartitions("id"))
+    v = t.current_version()
+    assert t.delete_keys("id", [10**6, 10**6 + 1]) == v
+    assert t.update_keys("id", [10**6], {"v": F.lit(0)}) == v
+    assert t.current_version() == v          # no new commit exists
+    assert t.read().count() == 100
+    # ... while a touching probe still commits normally
+    assert t.delete_keys("id", [5]) == v + 1
+    assert t.read().count() == 99
+
+
+def test_vacuum_sweeps_root_constraint_temps(spark, tmp_path):
+    """ADVICE r9: a crash mid _write_constraints leaves a
+    '__CONSTRAINTS.json.<rand>' temp at the TABLE ROOT (outside _log);
+    vacuum must sweep it past the grace window like any staged temp."""
+    import os
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id")
+    t.merge(spark.createDataFrame([(1, 1)], "id long, v long"))
+    orphan = os.path.join(t.root, "__CONSTRAINTS.json.deadbeef")
+    with open(orphan, "w") as f:
+        f.write("{torn")
+    young = os.path.join(t.root, "__CONSTRAINTS.json.young1234")
+    with open(young, "w") as f:
+        f.write("{torn")
+    os.utime(orphan, (0, 0))                 # aged past any grace
+    t.vacuum(keep_last_n=2, stage_grace_seconds=3600)
+    assert not os.path.exists(orphan)        # aged temp swept
+    assert os.path.exists(young)             # grace-guarded temp kept
+    t.vacuum(keep_last_n=2, stage_grace_seconds=0)
+    assert not os.path.exists(young)
+    # the real constraints file itself is never touched
+    t.add_constraint("v_nonneg", "v >= 0")
+    t.vacuum(keep_last_n=2, stage_grace_seconds=0)
+    assert t.constraints() == {"v_nonneg": "v >= 0"}

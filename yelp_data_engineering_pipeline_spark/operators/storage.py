@@ -230,3 +230,29 @@ class MemoryMetaBackend(PosixBackend):
         with self._lock:
             self._objects.pop(path, None)
             self._mtimes.pop(path, None)
+
+    # walk_files/delete_prefix are today invoked only on _data paths,
+    # but the seam-completeness guarantee says a future meta-prefix
+    # caller must not silently operate on the (empty) posix tree
+    # (ADVICE r9). Both scan BOTH planes: the in-memory key space for
+    # meta objects, posix for everything else — a prefix like the
+    # table root that spans the two planes gets the union.
+
+    def _meta_under(self, root: str) -> list[str]:
+        import os
+
+        prefix = root.rstrip("/" + os.sep)
+        norm = (prefix + "/").replace(os.sep, "/")
+        with self._lock:
+            return [k for k in self._objects
+                    if k.replace(os.sep, "/").startswith(norm)]
+
+    def walk_files(self, root):
+        return super().walk_files(root) + self._meta_under(root)
+
+    def delete_prefix(self, root):
+        super().delete_prefix(root)
+        for k in self._meta_under(root):
+            with self._lock:
+                self._objects.pop(k, None)
+                self._mtimes.pop(k, None)

@@ -1655,16 +1655,19 @@ class ParquetMergeTable:
     def stats(self, version: int | None = None) -> dict | None:
         """The snapshot's file → zone-map index — the manifest's
         ``files`` section (None before the first commit or for a
-        vacuumed version). Returns a shallow COPY: the resolved list
-        is also the handle's pruning/DML/vacuum source of truth, so a
-        caller mutating the return value must not corrupt it (ADVICE
-        r8)."""
-        import os
+        vacuumed version). Returns a DEEP copy: the resolved list is
+        also the handle's pruning/DML/vacuum source of truth, and the
+        nested per-file zone-map dicts would otherwise alias the
+        resolver cache — a caller mutating ``stats()[rel]['cols']``
+        must not corrupt the handle (ADVICE r8 asked for mutation
+        safety; ADVICE r9 found the shallow copy still aliased the
+        nested dicts)."""
+        import copy
 
         v = version if version is not None else self.current_version()
         if v == 0 or not self._backend.exists(self._manifest_path(v)):
             return None
-        return dict(self._files(v))
+        return copy.deepcopy(self._files(v))
 
     @staticmethod
     def _zone_cols(zm: dict) -> dict:
@@ -2431,6 +2434,14 @@ class ParquetMergeTable:
         first commit. ``compare_cols`` defaults to all shared non-key
         columns."""
         new = self.read(version=v_to) if v_to is not None else self.read()
+        if new is None:
+            # v_to=None on a never-committed table: there is no schema
+            # to build even the empty v_from=0 frame from (ADVICE r9 —
+            # this used to escape as AttributeError on new.schema)
+            raise ValueError(
+                f"changes_between on an empty table at {self.root} "
+                "(no committed version)"
+            )
         old = (self.spark.createDataFrame([], new.schema) if v_from == 0
                else self.read(version=v_from))
         if compare_cols is None:
@@ -2575,6 +2586,23 @@ class ParquetMergeTable:
                             stage_grace_seconds:
                         self._backend.delete(path)
                         self._dvcache.pop(e, None)
+                except OSError:
+                    pass
+            # crash-orphaned constraint temps live at the TABLE ROOT
+            # (the backend stages its write-then-publish temp next to
+            # the target, and _CONSTRAINTS.json is a root file), so the
+            # _log sweep above never sees them — sweep them here, same
+            # grace window (ADVICE r9: unbounded litter across crashes)
+            cons_tmp_prefix = "_" + os.path.basename(
+                self._constraints_file()) + "."
+            for e in self._backend.list_names(self.root):
+                if not e.startswith(cons_tmp_prefix):
+                    continue
+                p = os.path.join(self.root, e)
+                try:
+                    if self._backend.mtime(p) <= _time.time() - \
+                            stage_grace_seconds:
+                        self._backend.delete(p)
                 except OSError:
                     pass
             if not self._object:
@@ -2845,8 +2873,10 @@ class ParquetMergeTable:
         positions recorded (no data rewrite at all; the compact()
         lifecycle repays the read tax as usual). NULL probe values are
         dropped (SQL IN never matches NULL) and NULL-keyed rows always
-        survive. An empty value list is a no-op returning the current
-        version. Returns the committed version."""
+        survive. An empty value list — or a probe set the zone/Bloom
+        pruning proves touches NO file — is a no-op returning the
+        CURRENT version (no metadata-only commit for a miss; ADVICE
+        r9). Returns the committed version."""
         vals = [x for x in values if x is not None]
 
         def body() -> int:
@@ -2862,12 +2892,18 @@ class ParquetMergeTable:
                 StructType.fromJson(self._manifest(old_v)["schema"])
             )
             touched = self._point_prune(col, vals, old_v)
+            if not touched:
+                # every probe pruned: nothing to delete — return the
+                # CURRENT version (matching the empty-values no-op)
+                # instead of publishing a metadata-only commit that
+                # churns history/retention for a miss (ADVICE r9)
+                return old_v
             tset = set(touched)
             keep_rels = [r for r in self._files(old_v) if r not in tset]
             match = F.col(col).isin(vals)
             out = None
             new_dv: dict | None = None
-            if touched and use_deletion_vectors:
+            if use_deletion_vectors:
                 scan = self._scan(old_v, relkeys=touched, keep_pos=True)
                 hits = scan.filter(match).select("_file_rel",
                                                  "_row_pos").collect()
@@ -2876,7 +2912,7 @@ class ParquetMergeTable:
                     new_dv.setdefault(r._file_rel, []).append(
                         int(r._row_pos))
                 keep_rels = keep_rels + touched
-            elif touched:
+            else:
                 scan = self._scan(old_v, relkeys=touched)
                 out = scan.filter(~F.coalesce(match, F.lit(False)))
             return self._commit_carrying(
@@ -2996,8 +3032,9 @@ class ParquetMergeTable:
         rewrites each touched file with the conditional projection;
         ``use_deletion_vectors`` carries every touched file, DV-deletes
         the old versions of matching rows and appends the updated
-        copies — write cost ∝ matched rows. NULL probes dropped;
-        empty list is a no-op."""
+        copies — write cost ∝ matched rows. NULL probes dropped; an
+        empty list or a fully-pruned probe set is a no-op returning
+        the current version (ADVICE r9)."""
         vals = [x for x in values if x is not None]
 
         def body() -> int:
@@ -3041,11 +3078,15 @@ class ParquetMergeTable:
                 return df.select(cols)
 
             touched = self._point_prune(col, vals, old_v)
+            if not touched:
+                # all probes pruned: no row can match — no-op, current
+                # version (matches the empty-values contract; ADVICE r9)
+                return old_v
             tset = set(touched)
             keep_rels = [r for r in self._files(old_v) if r not in tset]
             out = None
             new_dv: dict | None = None
-            if touched and use_deletion_vectors:
+            if use_deletion_vectors:
                 scan = self._scan(old_v, relkeys=touched, keep_pos=True)
                 matched = scan.filter(match)
                 hits = matched.select("_file_rel", "_row_pos").collect()
@@ -3055,7 +3096,7 @@ class ParquetMergeTable:
                         int(r._row_pos))
                 out = _proj(matched.drop("_file_rel", "_row_pos"))
                 keep_rels = keep_rels + touched
-            elif touched:
+            else:
                 out = _proj(self._scan(old_v, relkeys=touched))
             return self._commit_carrying(
                 out, keep_rels, old_v, schema,
