@@ -93,3 +93,39 @@ def test_offset_and_keyset_pagination_agree(spark, sf_dir):
         for r in paginate_keyset(orders, "o_orderkey", 10, after_key=boundary).collect()
     )
     assert off_page == key_page and len(off_page) == 10
+
+
+def test_json_descend_pandas_udf_parity_and_arrow_plan(spark):
+    """VERDICT r9 next-6: the $.. descent is now an Arrow-batched
+    pandas_udf. Parity: the new path must return exactly what the old
+    row-at-a-time F.udf returned over an apollo-state-shaped fixture
+    (nested dicts, lists, nulls, malformed JSON); plan: the UDF stage
+    must be ArrowEvalPython, never BatchEvalPython."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    apollo = {
+        "business": {
+            "name": "Restaurant biz-x",
+            "openHours": [
+                {"weekday": "Mon", "hours": "11:00 AM - 3:00 PM"},
+                {"weekday": "Sat", "hours": "5:00 PM - 1:00 AM (Next day)"},
+            ],
+            "sections": [{"openHours": "closed"}, {"deep": {"openHours": 7}}],
+        }
+    }
+    rows = [(json.dumps(apollo),), (json.dumps(NESTED),),
+            ("not json",), (None,), (json.dumps({"a": 1}),)]
+    df = spark.createDataFrame(rows, ["blob"])
+
+    old_udf = F.udf(json_descend_py, ArrayType(StringType()))
+    for key in ("openHours", "businessHighlights", "missing"):
+        got = [r["h"] for r in
+               df.select(json_descend(F.col("blob"), key).alias("h")).collect()]
+        want = [r["h"] for r in
+                df.select(old_udf(F.col("blob"), F.lit(key)).alias("h")).collect()]
+        assert got == want, key
+
+    plan = df.select(json_descend(F.col("blob"), "openHours"))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan

@@ -3,8 +3,11 @@
 The reference queries apollo-state blobs with ``$..["key"]`` deep-scan
 paths (web_scraping.py:309,318,328-329). Spark's ``get_json_object``
 does not support ``$..``, so this is the engine's one deliberate
-Python-UDF scalar: a stdlib recursive-descent collector, registered as
-an Arrow-friendly UDF. Everything downstream of the one-time
+Python scalar: a stdlib recursive-descent collector, shipped as an
+ARROW-BATCHED ``pandas_udf`` (VERDICT r9 next-6 retired the last
+row-at-a-time ``F.udf`` here — same per-value stdlib descent, but the
+blobs cross the JVM↔Python boundary in Arrow record batches instead
+of one pickled row at a time). Everything downstream of the one-time
 apollo-state parse uses fixed schemas + ``from_json`` (the fast path);
 this UDF exists for the schema-unknown first touch only — keep it OFF
 fact-scale hot paths.
@@ -15,8 +18,11 @@ from __future__ import annotations
 import json
 from typing import Any
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
 
@@ -46,10 +52,20 @@ def json_descend_py(blob: str | None, key: str | None) -> list[str] | None:
     return [v if isinstance(v, str) else json.dumps(v) for v in out]
 
 
-_json_descend_udf = F.udf(json_descend_py, ArrayType(StringType()))
+@pandas_udf(ArrayType(StringType()))
+def _json_descend_pudf(blob: pd.Series, key: pd.Series) -> pd.Series:
+    """Arrow-batched transport around the same stdlib descent: one
+    Python invocation per RECORD BATCH (vs one per row for F.udf), the
+    10-100x UDF-boundary win the pyspark guide measures. pandas NaN
+    (Arrow null) normalizes to None before the scalar twin runs."""
+    return pd.Series([
+        json_descend_py(None if not isinstance(b, str) else b,
+                        None if not isinstance(k, str) else k)
+        for b, k in zip(blob, key)
+    ])
 
 
 def json_descend(blob: Column, key: str) -> Column:
     """`$..["key"]` over a JSON string column → array<string> of every
     match (objects/arrays re-serialized as JSON text)."""
-    return _json_descend_udf(blob, F.lit(key))
+    return _json_descend_pudf(blob, F.lit(key))
