@@ -40,92 +40,95 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # only after r3). Entries already driver-green with unchanged code
 # keep that evidence and move to the tail.
 #
-# Round-9 window (exactly 50) — the storage-seam round.
-# Composition (evidence ages recomputed from CORRECTNESS_r01–r08
-# this round: 19 entries on r4 evidence, 47 on r5, rest r6+):
+# Round-10 window (exactly 50) — the distributed-skipping round.
+# Composition (evidence ages recomputed from CORRECTNESS_r01–r09
+# this round: 23 entries on r5 evidence, 43 on r6, rest r7+):
 # - flagship (always first: the driver's smoke query);
-# - the 19 r4-evidence TPC-H entries named in r8's
-#   r9-window-first comment (they hit the 5-round age ceiling when
-#   the r10 artifact lands; tpch_full.py is code-unchanged — pure
-#   re-certifications);
-# - the 6 entries registered by operators/upsert.py, which r9
-#   changes again (StorageBackend seam, pinned commit versions,
-#   parquet checkpoint sidecars, SQL addressing): the 5 r8 merge
-#   entries plus the NEW merge_sql_time_travel (to_view /
-#   VERSION AS OF through spark.sql — VERDICT r8 next-3's required
-#   green row);
-# - remaining 24 slots: the oldest-r5 refreshes, alphabetical head
-#   of the 47-entry r5 cohort. The 23 remaining r5 entries
-#   (func_hash_md5 .. window_running_distinct) head the r10 window
-#   and reach the age ceiling only at r11.
+# - the 23 r5-evidence entries named in r9's r10-window-first
+#   comment (they hit the 5-round age ceiling when the r11 artifact
+#   lands — mandatory refreshes; code unchanged for all of them);
+# - the 6 entries registered by operators/upsert.py, which r10
+#   changes again (lazy columnar skipping plane, incremental Bloom
+#   maintenance, rebase-on-disjoint conflict detection — VERDICT r9
+#   next-1/2/3);
+# - the 10 entries registered by operators/similarity.py, which r10
+#   changes for the parameterized-nprobe IVF (VERDICT r9 next-7;
+#   similarity_topk_sq8 is already in the r5 cohort above);
+# - remaining 10 slots: the oldest-r6 refreshes, alphabetical head
+#   of the 43-entry r6 cohort (agg_approx_percentile_gate ..
+#   agg_pivot). The 33 remaining r6 entries head the r11 window and
+#   reach the age ceiling only at r12.
 _PRIORITY: tuple[str, ...] = (
     "flagship_revenue_by_nation",
-    # -- the 19 r4-evidence TPC-H refreshes (mandatory: max-age) --
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_nation_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_types",
-    "tpch_q12_late_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_part_supplier_relation",
-    "tpch_q17_small_quantity",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_dominant_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_customers",
-    # -- upsert.py changed in r9 (seam + checkpoints + SQL views) --
+    # -- the 23 r5-evidence refreshes (mandatory: max-age) --
+    "func_hash_md5",
+    "funnel_conversion",
+    "graph_pagerank",
+    "graph_triangles",
+    "join_bloom_prefilter",
+    "join_fuzzy_blocked",
+    "join_interval_overlap",
+    "join_left_anti",
+    "join_skew_hybrid",
+    "layout_zorder",
+    "mm_decode_stub",
+    "prep_rule_filter",
+    "prep_weighted_sample",
+    "rollup_time_cascade",
+    "setop_except",
+    "similarity_topk_sq8",
+    "text_bm25_topk",
+    "text_boolean_search",
+    "text_lang_confusion",
+    "text_lm_coverage",
+    "text_pmi_bigrams",
+    "text_token_count",
+    "window_running_distinct",
+    # -- upsert.py changed in r10 (skipping plane, bloom, rebase) --
     "agg_incremental_merge",
     "cdc_snapshot_diff",
     "merge_upsert_idempotent",
     "merge_dml_where",
     "merge_into_conditional",
     "merge_sql_time_travel",
-    # -- oldest r5-evidence refreshes (code unchanged) --
-    "agg_conditional",
-    "agg_countmin_topk",
-    "agg_grouping_sets",
-    "agg_groupwise_ols",
-    "agg_mad_robust",
-    "agg_mode_argmax",
-    "agg_string_listagg",
-    "agg_winsorized_stats",
-    "cohort_retention",
-    "dedup_canonical",
-    "dedup_clusters",
-    "dedup_containment",
-    "dedup_exact_keep_first",
-    "dedup_incremental_pairs",
-    "dedup_jaccard_prefix",
-    "dedup_minhash_accuracy",
-    "dedup_minhash_lsh",
-    "dedup_ngram_novelty",
-    "dedup_source_matrix",
-    "dedup_threshold_sweep",
-    "diag_key_skew",
+    # -- similarity.py changed in r10 (IVF nprobe) --
+    "emb_dominant_direction",
     "emb_label_centroid",
     "emb_nearest_centroid",
-    "func_casts",
+    "emb_random_projection",
+    "similarity_recall_at_k",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "similarity_topk_lsh",
+    "similarity_topk_multiprobe",
+    "similarity_topk_rph",
+    # -- oldest r6-evidence refreshes (code unchanged) --
+    "agg_approx_percentile_gate",
+    "agg_count_distinct",
+    "agg_count_join",
+    "agg_cube",
+    "agg_distinct",
+    "agg_groupby_stats",
+    "agg_hll_distinct_rollup",
+    "agg_kmv_distinct",
+    "agg_percentile",
+    "agg_pivot",
 )
-# r10-window-first candidates (non-debt, informational): the 23
-# remaining r5-evidence entries — func_hash_md5, funnel_conversion,
-# graph_pagerank, graph_triangles, join_bloom_prefilter,
-# join_fuzzy_blocked, join_interval_overlap, join_left_anti,
-# join_skew_hybrid, layout_zorder, mm_decode_stub, prep_rule_filter,
-# prep_weighted_sample, rollup_time_cascade, setop_except,
-# similarity_topk_sq8, text_bm25_topk, text_boolean_search,
-# text_lang_confusion, text_lm_coverage, text_pmi_bigrams,
-# text_token_count, window_running_distinct. They hit the max-age
-# ceiling when the r11 artifact lands, so the r10 window must lead
-# with them. The max-age debt guard
-# (tests/test_plans.py::test_evidence_max_age) enforces this
-# mechanically.
+# r11-window-first candidates (non-debt, informational): the 33
+# remaining r6-evidence entries — agg_rollup, dedup_cascade,
+# dedup_clusters_incremental, dedup_semdedup, diag_expectations,
+# diag_source_drift, dim_merge_get_or_create, join_broadcast_dim,
+# join_cross_small, join_full_outer, join_inner_agg,
+# join_left_outer_agg, join_left_semi, join_theta_residual,
+# mm_frame_dedup, prep_bpe_encode, prep_bpe_merges, prep_dsir_scores,
+# prep_global_shuffle, prep_reservoir_per_group, prep_temperature_mix,
+# stream_watermark_late_drop, text_char_entropy,
+# text_duplicate_ngram_spans, ts_anomaly_zscore, ts_ema_user,
+# ts_ohlc_hourly, window_longest_streak (plus the five similarity/emb
+# r6 entries refreshed in THIS window). They hit the max-age ceiling
+# when the r12 artifact lands, so the r11 window must lead with them.
+# The max-age debt guard (tests/test_plans.py::test_evidence_max_age)
+# enforces this mechanically.
 
 
 def _ordered(entries: dict) -> dict:
