@@ -313,3 +313,116 @@ def test_dv_sidecar_survives_while_referenced_and_clone_rekeys(
     c.restore(1)
     assert sum(len(p) for p in c.deletion_vectors().values()) == 3000
     assert c.read().count() == 7000
+
+
+def test_cold_skipping_resolve_budget_100k_files(spark, tmp_path):
+    """VERDICT r9 next-1 CI budget: the SKIPPING resolve (predicate →
+    surviving file list), not just keys-only, must stay ≤2 µs/file
+    cold at 100k files — the per-file quantity that keeps a 100 TB
+    table's (~800k files) predicate planning around a second. The
+    lazy path reads ONLY the probed column's arrays out of the
+    columnar checkpoint; correctness of the surviving set is asserted
+    against the synthetic zone layout."""
+    t = _fresh(spark, tmp_path / "tbl")
+    n = 100_000
+    files = {_key(i): _entry(i) for i in range(n)}
+    _publish_full(t, 1, files)
+    assert "ckpt" in t._manifest(1)
+
+    cold = _fresh(spark, tmp_path / "tbl")
+    lo, hi = 50 * 125_000, 60 * 125_000 - 1      # files 50..59 by zone
+    t0 = time.time()
+    keys, rows, _, za = cold._zone_arrays(1, ["id"])
+    keep, cont = cold._mask_range(za, len(keys), {"id": (lo, hi)}, True)
+    kept = cold._keys_where(keys, keep)
+    skip_s = time.time() - t0
+    assert kept == sorted(_key(i) for i in range(50, 60))
+    assert all(cont[i] for i, k in enumerate(keys) if keep[i])
+    assert skip_s / n <= 2e-6, f"skipping resolve {skip_s:.3f}s at {n}"
+
+    # the point-probe twin shares the budget class
+    cold2 = _fresh(spark, tmp_path / "tbl")
+    t0 = time.time()
+    kept_pt = cold2._point_prune("id", [50 * 125_000 + 7], 1)
+    point_s = time.time() - t0
+    assert kept_pt == [_key(50)]
+    assert point_s / n <= 2e-6, f"point resolve {point_s:.3f}s at {n}"
+
+
+def test_delta_commit_never_materializes_parent_zone_maps(spark, tmp_path):
+    """VERDICT r9 next-1: a NON-checkpoint commit assembles its delta
+    record from parent KEYS only — _files() (the full zone-map
+    materialization) must not run; the every-Nth checkpoint commit is
+    the only full materialization point."""
+    from pyspark.sql.types import StructType
+
+    t = _fresh(spark, tmp_path / "tbl")
+    n = ParquetMergeTable._CKPT_INLINE_MAX + 100
+    files = {_key(i): _entry(i) for i in range(n)}
+    _publish_full(t, 1, files)
+
+    calls = {"files": 0}
+    orig_files = t._files
+
+    def counting(v):
+        calls["files"] += 1
+        return orig_files(v)
+
+    t._files = counting
+    schema = StructType.fromJson(_SCHEMA)
+    # a metadata-only carrying commit (drop 3 files): delta record
+    keep = sorted(files)[3:]
+    v2 = t._commit_carrying(None, keep, 1, schema, "delete_where")
+    assert v2 == 2
+    assert calls["files"] == 0, "delta commit materialized zone maps"
+    man2 = t._manifest(2)
+    assert "delta_of" in man2 and man2["removed"] == sorted(files)[:3]
+
+    # force the chain ceiling: the NEXT commit checkpoints, and THAT
+    # one is allowed (and required) to materialize
+    orig_every = ParquetMergeTable._CHECKPOINT_EVERY
+    ParquetMergeTable._CHECKPOINT_EVERY = 2
+    try:
+        v3 = t._commit_carrying(None, keep[1:], 2, schema, "delete_where")
+    finally:
+        ParquetMergeTable._CHECKPOINT_EVERY = orig_every
+    assert v3 == 3
+    assert calls["files"] >= 1
+    man3 = t._manifest(3)
+    assert "delta_of" not in man3 and "ckpt" in man3
+    cold = _fresh(spark, tmp_path / "tbl")
+    assert cold._file_keys(3) == keep[1:]
+
+
+def test_checkpoint_xjson_fallback_roundtrips_noncanonical(spark, tmp_path):
+    """Entries outside the canonical zone-map shape (legacy bare
+    dicts, unknown keys, bool-typed stats) ride the checkpoint's
+    xjson column VERBATIM: full resolve reproduces them bit-for-bit
+    and the lazy classification still matches the dict twins."""
+    t = _fresh(spark, tmp_path / "tbl")
+    n = ParquetMergeTable._CKPT_INLINE_MAX + 50
+    files = {_key(i): _entry(i) for i in range(n)}
+    weird = {
+        "w0.parquet": {"id": {"min": 5, "max": 9}},       # legacy bare
+        "w1.parquet": {"rows": 7, "cols": {"id": {"min": 1, "max": 2}},
+                       "custom": ["x"]},                  # unknown key
+        "w2.parquet": {"rows": 3, "cols": {"id": {"min": True,
+                                                  "max": False}}},
+        "w3.parquet": {"rows": 2, "cols": {"v": {"min": 0.1,
+                                                 "max": float("inf")}}},
+    }
+    files.update(weird)
+    _publish_full(t, 1, files)
+    man = t._manifest(1)
+    assert "ckpt" in man
+
+    cold = _fresh(spark, tmp_path / "tbl")
+    assert cold._files(1) == files                 # bit-exact resolve
+
+    cold2 = _fresh(spark, tmp_path / "tbl")
+    ranges = {"id": (3, 7)}
+    keys, _, _, za = cold2._zone_arrays(1, ["id"])
+    keep, cont = cold2._mask_range(za, len(keys), ranges, True)
+    for i, k in enumerate(keys):
+        assert keep[i] == t._range_keep(files[k], ranges), k
+        assert cont[i] == t._range_contained(files[k], ranges), k

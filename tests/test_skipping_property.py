@@ -21,23 +21,34 @@ from yelp_data_engineering_pipeline_spark.operators.upsert import (
 )
 
 
-@pytest.fixture(scope="module")
-def skip_table(spark, tmp_path_factory):
+@pytest.fixture(scope="module", params=["inline", "ckpt"])
+def skip_table(spark, tmp_path_factory, request):
+    """Both manifest layouts: inline full records, and (r10) every
+    full record forced out to a COLUMNAR parquet checkpoint so the
+    lazy _zone_arrays read path carries the whole property suite."""
     root = str(tmp_path_factory.mktemp("skipprop") / "tbl")
-    t = ParquetMergeTable(spark, root, key="id")
-    df = spark.range(0, 3000).selectExpr(
-        "id",
-        # doubles with NULLs every 17th row
-        "case when id % 17 = 0 then null else cast(id as double) * 1.5 "
-        "end as f",
-        # strings with NULLs every 23rd row
-        "case when id % 23 = 0 then null else concat('s', lpad(cast(id "
-        "as string), 5, '0')) end as s",
-    ).repartitionByRange(6, "id").sortWithinPartitions("id")
-    t.merge(df)
-    # a DV in force (boundary-only range) and a metadata-only drop
-    t.delete_where({"id": (700, 820)}, use_deletion_vectors=True)
-    t.delete_where({"id": (2995, None)})
+    orig = ParquetMergeTable._CKPT_INLINE_MAX
+    if request.param == "ckpt":
+        ParquetMergeTable._CKPT_INLINE_MAX = 2
+    try:
+        t = ParquetMergeTable(spark, root, key="id")
+        df = spark.range(0, 3000).selectExpr(
+            "id",
+            # doubles with NULLs every 17th row
+            "case when id % 17 = 0 then null else cast(id as double) * 1.5 "
+            "end as f",
+            # strings with NULLs every 23rd row
+            "case when id % 23 = 0 then null else concat('s', lpad(cast(id "
+            "as string), 5, '0')) end as s",
+        ).repartitionByRange(6, "id").sortWithinPartitions("id")
+        t.merge(df)
+        # a DV in force (boundary-only range) and a metadata-only drop
+        t.delete_where({"id": (700, 820)}, use_deletion_vectors=True)
+        t.delete_where({"id": (2995, None)})
+        if request.param == "ckpt":
+            assert "ckpt" in t._manifest(1)      # layout really forced
+    finally:
+        ParquetMergeTable._CKPT_INLINE_MAX = orig
     return t
 
 
@@ -90,3 +101,158 @@ def test_read_point_equals_isin_filter(skip_table, vals):
     ) if nn else []
     got = sorted(r.id for r in t.read_point("id", vals).collect())
     assert got == want, vals
+
+
+# ---- r10: lazy columnar plane parity (VERDICT r9 next-1) ------------
+#
+# The skipping consumers now classify files from COLUMN ARRAYS read
+# lazily out of the checkpoint (_zone_arrays + _mask_*), no longer
+# from per-file dicts. These fuzzes pin the array twins to the
+# dict-based per-file functions they replaced — semantic parity is
+# the whole correctness argument for the rewiring.
+
+def _bare() -> ParquetMergeTable:
+    """An uninitialized instance: the codec/mask helpers touch no
+    constructor state."""
+    return ParquetMergeTable.__new__(ParquetMergeTable)
+
+
+_scalar = st.one_of(
+    st.integers(-10**18, 10**18),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=6),
+    st.tuples(st.sampled_from(["tsu", "tsn", "d"]),
+              st.text("0123456789-T:.", min_size=1, max_size=10))
+    .map(list),
+)
+
+
+@st.composite
+def _zone(draw):
+    kind = draw(st.integers(0, 3))
+    if kind == 0:
+        return {}
+    if kind == 1:
+        return {"all_null": True}
+    a, b = draw(_scalar), draw(_scalar)
+    z = {"min": a, "max": b}
+    if draw(st.booleans()):
+        z["nulls"] = draw(st.integers(0, 100))
+    return z
+
+
+@st.composite
+def _files_dict(draw):
+    n = draw(st.integers(1, 8))
+    cols = ["c0", "c1"]
+    out = {}
+    for i in range(n):
+        e = {"rows": draw(st.integers(0, 1000)), "cols": {}}
+        for c in cols:
+            if draw(st.booleans()):
+                e["cols"][c] = draw(_zone())
+        if draw(st.booleans()):
+            e["bytes"] = draw(st.integers(0, 10**9))
+        out[f"f{i:02d}.parquet"] = e
+    return out
+
+
+@st.composite
+def _probe_ranges(draw):
+    out = {}
+    for c in ("c0", "c1"):
+        if draw(st.booleans()):
+            lo = draw(st.one_of(st.none(), _scalar))
+            hi = draw(st.one_of(st.none(), _scalar))
+            out[c] = (None if isinstance(lo, list) else lo,
+                      None if isinstance(hi, list) else hi)
+    if not out:
+        out["c0"] = (draw(st.integers(-100, 100)), None)
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(files=_files_dict(), ranges=_probe_ranges())
+def test_mask_range_matches_dict_twins(files, ranges):
+    t = _bare()
+    keys, rows, _, za = t._arrays_from_dict(files, list(ranges), False)
+    keep, cont = t._mask_range(za, len(keys), ranges, True)
+    for i, k in enumerate(keys):
+        assert keep[i] == t._range_keep(files[k], ranges), (k, ranges)
+        assert cont[i] == t._range_contained(files[k], ranges), (k, ranges)
+
+
+@settings(max_examples=200, deadline=None)
+@given(files=_files_dict(),
+       vals=st.lists(st.one_of(st.integers(-1000, 1000),
+                                st.text(max_size=4)),
+                     min_size=1, max_size=4))
+def test_mask_point_matches_dict_twin(files, vals):
+    t = _bare()
+    col = "c0"
+    keys, _, _, za = t._arrays_from_dict(files, [col], False)
+    norm = [t._stat_norm(x) for x in vals]
+    if any(x is None for x in norm):
+        return  # caller-level fallback path, covered below
+    hit = t._mask_point(za, len(keys), col, norm)
+
+    def dict_hit(zm):
+        z = t._zone_cols(zm).get(col)
+        if not z:
+            return True
+        if z.get("all_null"):
+            return False
+        for x in vals:
+            nx = t._stat_norm(x)
+            if nx is None:
+                return True
+            below = t._stat_lt(nx, z["min"])
+            above = t._stat_lt(z["max"], nx)
+            if below is None or above is None:
+                return True
+            if not below and not above:
+                return True
+        return False
+
+    for i, k in enumerate(keys):
+        assert hit[i] == dict_hit(files[k]), (k, vals)
+
+
+@settings(max_examples=150, deadline=None)
+@given(files=_files_dict())
+def test_checkpoint_entry_codec_roundtrip(files):
+    """Canonical entries survive encode→decode IDENTICALLY (the
+    checkpoint's columnar layout is lossless by construction)."""
+    t = _bare()
+    for e in files.values():
+        enc = t._encode_entry(e)
+        assert enc is not None, e
+        rows, byts, colz = enc
+        back = {"rows": rows, "cols": {}}
+        if byts is not None:
+            back["bytes"] = byts
+        for c, (mn, mx, nl, an) in colz.items():
+            z = t._decode_zone(mn, mx, nl, an)
+            assert z is not None
+            back["cols"][c] = z
+        assert back == e
+
+
+def test_checkpoint_entry_codec_rejects_noncanonical():
+    """Entries outside the canonical shape must take the xjson
+    fallback (encode → None), never a lossy columnar encoding."""
+    t = _bare()
+    bad = [
+        {"cols": {}},                                  # no rows
+        {"rows": True, "cols": {}},                    # bool rows
+        {"rows": 1, "cols": {}, "extra": 2},           # unknown key
+        {"rows": 1, "cols": {"c": {"min": 1}}},        # min w/o max
+        {"rows": 1, "cols": {"c": {"all_null": False}}},
+        {"rows": 1, "cols": {"c": {"min": True, "max": 2}}},
+        {"rows": 1, "cols": {"c": {"min": 1, "max": 2, "nulls": True}}},
+        {"rows": 1, "cols": {"c": {"min": float("nan"), "max": 1.0}}},
+        {"rows": 1, "cols": {"c": {"min": 1, "max": 2, "x": 3}}},
+        {"id": {"min": 1, "max": 2}},                  # legacy bare
+    ]
+    for e in bad:
+        assert t._encode_entry(e) is None, e
