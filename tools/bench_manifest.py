@@ -85,6 +85,24 @@ def tier(spark, n: int) -> dict:
     full_s = time.time() - t0
     assert len(full) == n
 
+    # cold SKIPPING resolve (r10, VERDICT r9 next-1): predicate →
+    # surviving file list through the lazy columnar plane, including
+    # the delta-chain replay (v2). This is the path a 100 TB WHERE
+    # query actually takes; before r10 it materialized every zone map.
+    lo, hi = 500 * 125_000, 510 * 125_000 - 1
+    cold3 = ParquetMergeTable(spark, root, key="id", storage="object")
+    t0 = time.time()
+    ks, _, _, za = cold3._zone_arrays(2, ["id"], with_rows=False)
+    keep, _ = cold3._mask_range(za, len(ks), {"id": (lo, hi)}, False)
+    kept = cold3._keys_where(ks, keep)
+    skip_s = time.time() - t0
+    assert kept == sorted(_key(i) for i in range(500, 510))
+    cold4 = ParquetMergeTable(spark, root, key="id", storage="object")
+    t0 = time.time()
+    kept_pt = cold4._point_prune("id", [500 * 125_000 + 7], 2)
+    point_s = time.time() - t0
+    assert kept_pt == [_key(500)]
+
     return {
         "files": n,
         "ckpt_write_s": round(ckpt_write_s, 3),
@@ -94,6 +112,9 @@ def tier(spark, n: int) -> dict:
         "delta_kb": round(delta_bytes / 1e3, 1),
         "cold_keys_s": round(keys_s, 3),
         "cold_full_s": round(full_s, 3),
+        "cold_skip_s": round(skip_s, 3),
+        "skip_us_per_file": round(skip_s / n * 1e6, 3),
+        "cold_point_s": round(point_s, 3),
     }
 
 
@@ -138,11 +159,12 @@ def dv_tier(spark, n_positions: int = 600_000, n_files: int = 50) -> dict:
 
 
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [10_000, 100_000]
+    sizes = [int(a) for a in sys.argv[1:]] or [10_000, 100_000, 1_000_000]
     spark = get_spark("bench_manifest")
     rows = [tier(spark, n) for n in sizes]
     hdr = ("files", "ckpt_write_s", "ckpt_mb", "ckpt_b_per_file",
-           "json_kb", "delta_kb", "cold_keys_s", "cold_full_s")
+           "json_kb", "delta_kb", "cold_keys_s", "cold_full_s",
+           "cold_skip_s", "skip_us_per_file", "cold_point_s")
     print(" | ".join(f"{h:>15}" for h in hdr))
     for r in rows:
         print(" | ".join(f"{r[h]:>15}" for h in hdr))
