@@ -1753,14 +1753,19 @@ def test_merge_table_bloom_file_index(spark, tmp_path):
     p = t.read_point("u", vals)
     assert p.count() == t.read().filter(F.col("u").isin(vals)).count()
 
-    # a full rewrite drops the stale index; lookups stay exact
+    # a full rewrite drops the stale bits and (r10) re-indexes the
+    # rewritten files in the same commit: coverage stays 1.0 on the
+    # compacted layout and lookups stay exact AND pruned
+    old_idx = t.file_index()["u"]
     t.compact(target_files=4)
-    assert t.file_index() == {}
+    idx = t.file_index()["u"]
+    assert idx and not (set(idx) & set(old_idx))   # all-fresh entries
+    assert t.maintenance_plan()["bloom"]["u"]["coverage"] == 1.0
     p2 = t.read_point("u", vals)
     assert p2.count() == t.read().filter(F.col("u").isin(vals)).count()
+    assert len(t.read_point("u", [99_999_999]).inputFiles()) == 0
 
-    # rebuild on the compacted layout; clone carries the index file
-    t.build_file_index("u")
+    # clone carries the index file
     c = t.clone(str(tmp_path / "dev"))
     assert c.file_index()
     assert c.read_point("u", [99_999_999]).count() == 0
@@ -1792,14 +1797,26 @@ def test_merge_table_bloom_index_partitioned_escaped(spark, tmp_path):
     assert 0 < len(p.inputFiles()) < len(t.read().inputFiles())
     assert t.read_point("u", [2**40]).count() == 0
 
-    # pruned merge rewrites ONE partition: its bloom entries drop,
-    # the hardlinked partitions keep theirs; lookups stay exact
+    # pruned merge rewrites ONE partition: its stale bloom entries
+    # drop and (r10, VERDICT r9 next-2) the rewritten partition's NEW
+    # files are re-indexed incrementally — the hardlinked partitions
+    # keep their original bits; lookups stay exact and fully pruned
+    old_idx = t.file_index()["u"]
     t.merge(spark.createDataFrame([(0, "plain", 55555)],
                                   "id long, q string, u long"))
     idx = t.file_index()["u"]
-    assert idx and all("q=plain" not in k for k in idx)
+    new_plain = {k for k in idx if "q=plain" in k}
+    assert new_plain and not (new_plain & set(old_idx))  # fresh entries
+    assert t.maintenance_plan()["bloom"]["u"]["coverage"] == 1.0
     p2 = t.read_point("u", probe)
     assert p2.count() == t.read().filter(F.col("u").isin(probe)).count()
+    # the refreshed index really prunes: the new 55555 value lives in
+    # a q=plain file; bloom false positives may admit a few extras
+    # (~1% FPR per file) but never a broad scan, and never miss
+    kept = t._point_prune("u", [55555], t.current_version())
+    n_files = len(t._file_keys(t.current_version()))
+    assert any("q=plain" in k for k in kept)
+    assert len(kept) <= max(2, n_files // 4), (len(kept), n_files)
 
 
 def test_merge_table_restore(spark, tmp_path):
@@ -2490,3 +2507,126 @@ def test_vacuum_sweeps_root_constraint_temps(spark, tmp_path):
     t.add_constraint("v_nonneg", "v >= 0")
     t.vacuum(keep_last_n=2, stage_grace_seconds=0)
     assert t.constraints() == {"v_nonneg": "v >= 0"}
+
+
+def test_bloom_index_survives_churn_without_rebuild(spark, tmp_path):
+    """VERDICT r9 next-2: the per-file Bloom index must not decay
+    under churn. After build_file_index, 20 churn commits (pruned
+    merges adding files, keyed DML, a DV delete) maintain the index
+    INCREMENTALLY — every maintenance job is scoped to the commit's
+    added files (never a full rebuild), coverage stays 1.0, keyed
+    pruning stays bounded, and read_point never drops a row."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id",
+                          partition_by="p")
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, i % 8, (i * 7919) % 997) for i in ids],
+            "id long, p long, u long")
+
+    t.merge(batch(range(4000)))
+    t.build_file_index("u")
+
+    # record every incremental maintenance job's scope
+    scopes = []
+    orig = ParquetMergeTable._bloom_build_entries
+
+    def recording(self, version, col, relkeys=None, bits_per_row=10):
+        scopes.append(None if relkeys is None else len(list(relkeys)))
+        return orig(self, version, col, relkeys=relkeys,
+                    bits_per_row=bits_per_row)
+
+    ParquetMergeTable._bloom_build_entries = recording
+    try:
+        for b in range(18):           # pruned merges: new + updated keys
+            ids = [4000 + 8 * (100 * b + j) + b % 8 for j in range(20)]
+            ids += [8 * (50 * b + j) + b % 8 for j in range(10)]
+            t.merge(batch(ids))
+        t.delete_keys("id", [0, 8, 16])            # CoW keyed delete
+        t.delete_where({"id": (24, 24)}, use_deletion_vectors=True)
+    finally:
+        ParquetMergeTable._bloom_build_entries = orig
+
+    assert scopes and all(s is not None for s in scopes), \
+        "a churn commit triggered a FULL index rebuild"
+    v = t.current_version()
+    assert v >= 21
+
+    plan = t.maintenance_plan()
+    assert plan["bloom"]["u"]["coverage"] == 1.0
+    assert not any(a.startswith("build_file_index") for a in plan["actions"])
+
+    # pruning intact: a one-value probe touches a bounded file subset
+    probe = [(4000 + 8 * 100 + 0) * 7919 % 997]
+    kept = t._point_prune("u", probe, v)
+    n_files = len(t._file_keys(v))
+    assert 0 < len(kept) < n_files / 2, (len(kept), n_files)
+
+    # correctness: bloom pruning must never drop matching rows
+    want = sorted(r.id for r in
+                  t.read().filter(F.col("u").isin(probe)).collect())
+    got = sorted(r.id for r in t.read_point("u", probe).collect())
+    assert got == want and got
+
+
+def test_bloom_coverage_reporting_matches_ground_truth(spark, tmp_path):
+    """The coverage leg must report indexed∩live / live exactly, and
+    recommend a rebuild below the floor. auto_bloom=False restores the
+    r9 carry-only behavior, so churn visibly decays coverage."""
+    from urllib.parse import unquote
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id",
+                          partition_by="p", auto_bloom=False)
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, i % 4, (i * 31) % 101) for i in ids],
+            "id long, p long, u long")
+
+    t.merge(batch(range(800)))
+    t.build_file_index("u")
+    assert t.maintenance_plan()["bloom"]["u"]["coverage"] == 1.0
+
+    for b in range(8):     # churn partitions 0/1 only, no rebuild —
+        # partitions 2/3 keep their carried entries
+        t.merge(batch([800 + 4 * (10 * b + j) + b % 2 for j in range(10)]))
+    v = t.current_version()
+    live = set(t._file_keys(v))
+    idx = t.file_index(v)["u"]
+    want_cov = sum(1 for k in idx if unquote(k) in live) / len(live)
+    plan = t.maintenance_plan()
+    assert plan["bloom"]["u"]["coverage"] == round(want_cov, 4)
+    assert want_cov < 1.0             # carry-only really decayed
+    if want_cov < t._BLOOM_COVERAGE_FLOOR:
+        assert "build_file_index('u')" in plan["actions"]
+    # unindexed files stay candidates: correctness holds under decay
+    probe = [(803 * 31) % 101]
+    want = sorted(r.id for r in
+                  t.read().filter(F.col("u").isin(probe)).collect())
+    got = sorted(r.id for r in t.read_point("u", probe).collect())
+    assert got == want
+    # an explicit rebuild restores full coverage
+    t.build_file_index("u")
+    assert t.maintenance_plan()["bloom"]["u"]["coverage"] == 1.0
+
+
+def test_bloom_index_dies_with_schema_change_of_column(spark, tmp_path):
+    """A column dropped from the table schema (an overwrite-style
+    commit) loses its index — its rendering contract no longer holds;
+    other columns' indexes keep maintaining through the rewrite."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id")
+    t.merge(spark.createDataFrame(
+        [(i, i * 3 % 17, f"s{i}") for i in range(200)],
+        "id long, u long, s string"))
+    t.build_file_index("u")
+    t.build_file_index("s")
+    # an overwrite commit whose schema no longer carries u
+    t._commit(t.read().drop("u"), op="overwrite")
+    idx = t.file_index(t.current_version())
+    assert "u" not in idx             # dropped column's index died
+    assert "s" in idx                 # the surviving column maintained
+    plan = t.maintenance_plan()
+    assert plan["bloom"]["s"]["coverage"] == 1.0
+    probe = ["s7", "s150"]
+    got = sorted(r.id for r in t.read_point("s", probe).collect())
+    assert got == [7, 150]

@@ -193,7 +193,47 @@ def main() -> None:
     }
     rows = t.read().count()
 
+    # -- keyed DELETE after CHURN (r10, VERDICT r9 next-2): 20 keyed
+    # CoW updates rewrite files; each commit's _carry_bloom indexes
+    # the ADDED files incrementally, so the follow-up delete_keys must
+    # prune like the pre-churn row (ledger bound: ≤2×) with NO
+    # full-table rebuild in between.
+    import random as _random
+
+    rng = _random.Random(7)
+    all_parts = [r.l_partkey for r in
+                 t.read().select("l_partkey").distinct().limit(500).collect()]
+    t0 = time.perf_counter()
+    for i in range(20):
+        t.update_keys("l_partkey", rng.sample(all_parts, 3),
+                      {"l_quantity": F.col("l_quantity") + 1})
+    s_churn = time.perf_counter() - t0
+    probes2 = rng.sample(all_parts, 5)
+    cur_v = t.current_version()
+    kept2 = t._point_prune("l_partkey", probes2, cur_v)
+    plan = t.maintenance_plan()
+    rows_now = t.read().count()
+    n_match = t.read().filter(F.col("l_partkey").isin(probes2)).count()
+    t0 = time.perf_counter()
+    t.delete_keys("l_partkey", probes2, use_deletion_vectors=True)
+    s_keys2 = time.perf_counter() - t0
+    assert t.read().count() == rows_now - n_match
+    out["ops"]["delete_keys_after_20_churn_commits"] = {
+        "churn_commits": 20,
+        "churn_total_sec": round(s_churn, 3),
+        "bloom_coverage": plan["bloom"]["l_partkey"]["coverage"],
+        "probe_keys": len(probes2),
+        "rows_deleted": n_match,
+        "files_touched": len(kept2),
+        "files_total": len(t._file_keys(cur_v)),
+        "sec": round(s_keys2, 3),
+    }
+    rows = t.read().count()
+
     # -- full-rewrite baseline LAST (it destroys the clustering) -------
+    # auto_bloom off for this op: the baseline engine being modeled has
+    # no index to maintain, so its cost must not ride the measurement
+    t.auto_bloom = False
     lo = dlo + (dhi - dlo) // 5
     hi = lo + width
     expect = t.read().filter(not_between(lo, hi)).count()
