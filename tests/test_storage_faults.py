@@ -389,3 +389,191 @@ def test_memory_meta_backend_walk_and_delete_cover_meta_plane(tmp_path):
     assert os.path.exists(os.path.join(data, "p.parquet"))
     b.delete_prefix(root)
     assert not os.path.exists(os.path.join(data, "p.parquet"))
+
+
+class InterleaveOnce(PosixBackend):
+    """Fires ``action`` immediately BEFORE the first conditional PUT
+    that matches ``trigger`` — the deterministic interleaving: another
+    writer's commit lands in the victim's publish window, so the
+    victim's PUT loses and its conflict/rebase path runs."""
+
+    def __init__(self, trigger: str):
+        self.trigger = trigger
+        self.action = None
+
+    def put_if_absent(self, path, data):
+        if self.action is not None and self.trigger in path:
+            act, self.action = self.action, None
+            act()
+        return super().put_if_absent(path, data)
+
+
+def _race_fixture(spark, tmp_path):
+    """An object-mode table whose files carry DISJOINT id zones, two
+    handles (victim behind the interleaving backend, racer plain),
+    and per-handle compute counters."""
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        ParquetMergeTable as PMT,
+    )
+
+    root = str(tmp_path / "tbl")
+    seed = PMT(spark, root, key="id", storage="object")
+    seed.merge(spark.range(0, 4000).selectExpr("id", "id * 2 as v")
+               .repartitionByRange(4, "id").sortWithinPartitions("id"))
+    wrapper = InterleaveOnce(os.path.join("_log", "2.json"))
+    victim = PMT(spark, root, key="id", storage="object",
+                 backend=wrapper)
+    racer = PMT(spark, root, key="id", storage="object")
+
+    counts = {id(victim): 0, id(racer): 0}
+    orig = PMT._write_new_files
+
+    def counting(self, df, new_v=None):
+        counts[id(self)] = counts.get(id(self), 0) + 1
+        return orig(self, df, new_v=new_v)
+
+    return victim, racer, wrapper, counts, counting, orig
+
+
+def test_disjoint_dml_race_rebases_with_one_compute_each(spark, tmp_path):
+    """VERDICT r9 next-3: two keyed DMLs touching DISJOINT files race;
+    the loser REBASES its already-computed result onto the new head —
+    exactly one compute per writer — and the final table equals the
+    serial replay."""
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        ParquetMergeTable as PMT,
+    )
+
+    victim, racer, wrapper, counts, counting, orig = _race_fixture(
+        spark, tmp_path)
+    wrapper.action = lambda: racer.delete_keys("id", [3005], wait=False)
+    PMT._write_new_files = counting
+    try:
+        v = victim.delete_keys("id", [5], wait=True)
+    finally:
+        PMT._write_new_files = orig
+    assert v == 3                         # rebased past the racer's v2
+    assert counts[id(victim)] == 1, "rebase must not recompute"
+    assert counts[id(racer)] == 1
+    got = {r.id for r in victim.read().select("id").collect()}
+    assert 5 not in got and 3005 not in got
+    assert len(got) == 3998
+    assert victim._manifest(3)["operation"] == "delete_keys"
+
+
+def test_overlapping_dml_race_rederives(spark, tmp_path):
+    """The conflicting pair: the racer rewrites the very file the
+    victim read, so the rebase guard refuses and wait=True re-derives
+    the whole body — two computes, serial-replay result."""
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        ParquetMergeTable as PMT,
+    )
+
+    victim, racer, wrapper, counts, counting, orig = _race_fixture(
+        spark, tmp_path)
+    # same zone file as the victim's probe (ids 0..~999)
+    wrapper.action = lambda: racer.delete_keys("id", [7], wait=False)
+    PMT._write_new_files = counting
+    try:
+        v = victim.delete_keys("id", [5], wait=True)
+    finally:
+        PMT._write_new_files = orig
+    assert v == 3
+    assert counts[id(victim)] == 2, "overlap must re-derive"
+    got = {r.id for r in victim.read().select("id").collect()}
+    assert 5 not in got and 7 not in got
+    assert len(got) == 3998
+
+
+def test_race_with_pure_add_commit_zone_gated(spark, tmp_path):
+    """A concurrent commit that only ADDS a file (a DV-mode keyed
+    update appends the updated copies) rebases when the added file's
+    zones prove it cannot match the victim's predicate — and the
+    direct _rebase_safe matrix shows a MATCHING added file is a
+    conflict (a rebase would resurrect rows serial replay deletes)."""
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        ParquetMergeTable as PMT,
+    )
+
+    victim, racer, wrapper, counts, counting, orig = _race_fixture(
+        spark, tmp_path)
+    # racer's commit: DVs a file the victim never read (ids 3000+) and
+    # ADDS a one-row file with id 3200 — outside the victim's probe
+    wrapper.action = lambda: racer.update_keys(
+        "id", [3200], {"v": F.lit(-2)}, wait=False,
+        use_deletion_vectors=True)
+    PMT._write_new_files = counting
+    try:
+        v = victim.delete_keys("id", [10], wait=True)
+    finally:
+        PMT._write_new_files = orig
+    assert v == 3
+    assert counts[id(victim)] == 1            # one compute: rebased
+    got = {r.id: r.v for r in victim.read().collect()}
+    assert 10 not in got
+    assert got[3200] == -2                    # racer's update survived
+    assert len(got) == 3999
+
+    # the direct verdict matrix on the same table: an interleaved
+    # delta that ADDS a file whose zones OVERLAP the predicate is
+    # never rebase-safe; a provably-missing add is
+    man3 = victim._manifest(3)
+    read = victim._point_prune("id", [10], 3)
+    fake_added_hit = {"rows": 1,
+                      "cols": {"id": {"min": 8, "max": 12, "nulls": 0}}}
+    fake_added_miss = {"rows": 1,
+                       "cols": {"id": {"min": 9000, "max": 9001,
+                                       "nulls": 0}}}
+    import json as _json
+    for zm, want in ((fake_added_hit, False), (fake_added_miss, True)):
+        man4 = {"format": 2, "version": 4, "operation": "merge",
+                "committed_at_unix": 0.0, "base": "root",
+                "schema": man3["schema"], "dv": man3.get("dv") or {},
+                "n_files": man3["n_files"] + 1, "chain": 1,
+                "delta_of": 3, "added": {"fake.parquet": zm},
+                "removed": []}
+        victim._backend.put(victim._manifest_path(4),
+                            _json.dumps(man4).encode())
+        victim._mcache.pop(4, None)
+        victim._fcache.pop(4, None)
+        victim._kcache.pop(4, None)
+        assert victim._rebase_safe(3, 4, read,
+                                   point=("id", [10])) is want, zm
+        assert victim._rebase_safe(3, 4, read,
+                                   ranges={"id": (8, 12)}) is want, zm
+        victim._backend.delete(victim._manifest_path(4))
+        victim._mcache.pop(4, None)
+
+
+def test_dv_race_on_read_files_rederives_disjoint_dv_rebases(spark, tmp_path):
+    """Deletion-vector interleavings: a racer DV-deleting rows in a
+    file the victim READ is a conflict (the victim's positions were
+    computed against stale liveness); a racer DV on a DIFFERENT file
+    rebases, and both DVs survive in the final manifest."""
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        ParquetMergeTable as PMT,
+    )
+
+    victim, racer, wrapper, counts, counting, orig = _race_fixture(
+        spark, tmp_path)
+    # disjoint: victim DV-deletes in the low file, racer in the high
+    wrapper.action = lambda: racer.delete_keys(
+        "id", [3200], wait=False, use_deletion_vectors=True)
+    v = victim.delete_keys("id", [20], wait=True,
+                           use_deletion_vectors=True)
+    assert v == 3
+    got = {r.id for r in victim.read().select("id").collect()}
+    assert 20 not in got and 3200 not in got
+    assert len(got) == 3998
+    assert sum(len(p) for p in victim.deletion_vectors().values()) == 2
+
+    # overlapping: racer DVs the same file the victim is reading
+    wrapper.trigger = os.path.join("_log", "4.json")
+    wrapper.action = lambda: racer.delete_keys(
+        "id", [30], wait=False, use_deletion_vectors=True)
+    v2 = victim.delete_keys("id", [40], wait=True,
+                            use_deletion_vectors=True)
+    assert v2 == 5
+    got = {r.id for r in victim.read().select("id").collect()}
+    assert 30 not in got and 40 not in got
+    assert len(got) == 3996
