@@ -1,0 +1,163 @@
+"""Lakehouse aging soak (VERDICT r9 next-4): the table lifecycle the
+suite never had end-to-end — ~50 STREAMED CDC micro-batches into one
+object-mode table with DV-writing keyed deletes (auto_compact_dv),
+periodic ``compact(target_mb=)`` and ``vacuum`` interleaved — then
+assert the invariants that keep a continuously-ingesting 100 TB table
+healthy: bounded live metadata (manifests + sidecars), DV density
+below the compaction threshold, bounded small-file count and read
+groups, and FLAT per-batch commit latency (last-5 average within 2× of
+first-5 — the degradation bound; JVM warmup only makes the first
+batches slower, so the check is one-sided).
+
+The ledger twin (tools/bench_soak.py) runs the same loop at 10x the
+row volume and records the BASELINE.md row.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from yelp_data_engineering_pipeline_spark.operators.upsert import (
+    ParquetMergeTable,
+)
+from yelp_data_engineering_pipeline_spark.streaming.ingest import (
+    run_cdc_upsert_stream,
+)
+
+CDC_SCHEMA = "id long, p long, ts long, v double, deleted boolean"
+
+
+def _write_batch_file(path: str, batch: int, rows_per_batch: int) -> None:
+    """One micro-batch = one NDJSON file: mostly upserts into a
+    rotating partition (new keys + updates of old ones), a few
+    deletes — the Debezium-ish CDC mix."""
+    recs = []
+    p = batch % 8
+    for j in range(rows_per_batch):
+        new_id = 10_000 * (batch + 1) + 8 * j + p
+        recs.append({"id": new_id, "p": p, "ts": batch, "v": float(j),
+                     "deleted": False})
+    if batch > 0:
+        upd_p = (batch - 1) % 8
+        for j in range(rows_per_batch // 4):     # out-of-order updates
+            recs.append({"id": 10_000 * batch + 8 * j + upd_p,
+                         "p": upd_p, "ts": batch, "v": -1.0,
+                         "deleted": False})
+        recs.append({"id": 10_000 * batch + upd_p, "p": upd_p,
+                     "ts": batch, "v": 0.0, "deleted": True})
+    with open(path, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+
+
+def run_soak(spark, base: str, n_chunks: int = 5,
+             batches_per_chunk: int = 10, rows_per_batch: int = 40,
+             keep_last_n: int = 3) -> dict:
+    """The shared soak loop (test + ledger tool): returns the aging
+    report. Each chunk streams ``batches_per_chunk`` micro-batches
+    (maxFilesPerTrigger=1) through run_cdc_upsert_stream, then ages
+    the table: a DV keyed delete (auto-compacted past the density
+    threshold), compact(target_mb=), vacuum."""
+    in_dir = os.path.join(base, "in")
+    ckpt = os.path.join(base, "ckpt")
+    root = os.path.join(base, "tbl")
+    os.makedirs(in_dir, exist_ok=True)
+
+    latencies: list[float] = []
+    orig_mi = ParquetMergeTable.merge_into
+    orig_m = ParquetMergeTable.merge
+
+    def _timed(fn):
+        def run(self, *a, **k):
+            t0 = time.perf_counter()
+            out = fn(self, *a, **k)
+            latencies.append(time.perf_counter() - t0)
+            return out
+        return run
+
+    stream_schema = CDC_SCHEMA
+    batch_no = 0
+    maint = ParquetMergeTable(spark, root, key="id", partition_by="p",
+                              storage="object", auto_compact_dv=0.05)
+    # time BOTH commit shapes: the first micro-batch seeds via merge,
+    # the rest apply via the conditional merge_into
+    ParquetMergeTable.merge_into = _timed(orig_mi)
+    ParquetMergeTable.merge = _timed(orig_m)
+    try:
+        for chunk in range(n_chunks):
+            for _ in range(batches_per_chunk):
+                _write_batch_file(
+                    os.path.join(in_dir, f"b{batch_no:04d}.ndjson"),
+                    batch_no, rows_per_batch)
+                batch_no += 1
+            stream = (spark.readStream.schema(stream_schema)
+                      .option("maxFilesPerTrigger", "1").json(in_dir))
+            run_cdc_upsert_stream(
+                spark, stream, root, ckpt, key="id", ts_col="ts",
+                partition_by="p", delete_col="deleted",
+                storage="object")
+            # aging between chunks: a GDPR-ish DV delete (auto-compact
+            # fires past the density threshold), size-targeted compact,
+            # retention vacuum
+            victims = [r.id for r in maint.read().select("id")
+                       .orderBy("id").limit(3).collect()]
+            maint.delete_keys("id", victims, use_deletion_vectors=True)
+            if chunk % 2 == 1:
+                maint.compact(target_mb=8.0)
+            maint.vacuum(keep_last_n=keep_last_n,
+                         stage_grace_seconds=0)
+    finally:
+        ParquetMergeTable.merge_into = orig_mi
+        ParquetMergeTable.merge = orig_m
+
+    plan = maint.maintenance_plan(threshold=0.05)
+    log_objects = [e for e in maint._backend.list_names(maint._log_dir())
+                   if not e.startswith("_")]
+    first5 = sum(latencies[:5]) / 5
+    last5 = sum(latencies[-5:]) / 5
+    return {
+        "micro_batches": len(latencies),
+        "rows": maint.read().count(),
+        "versions_live": len(maint.history()),
+        "log_objects": len(log_objects),
+        "n_files": plan["n_files"],
+        "small_files": plan["small_files"],
+        "read_groups": plan["read_groups"],
+        "dv_density": plan["dv"]["density"],
+        "dv_positions": plan["dv"]["dv_positions"],
+        "first5_avg_s": round(first5, 3),
+        "last5_avg_s": round(last5, 3),
+        "latency_ratio": round(last5 / first5, 3),
+        "batch_latencies_s": [round(x, 3) for x in latencies],
+    }
+
+
+def test_cdc_soak_bounded_metadata_and_flat_latency(spark, tmp_path):
+    rep = run_soak(spark, str(tmp_path))
+    assert rep["micro_batches"] >= 50
+
+    # correctness spine: the final state equals the CDC event algebra
+    # (last-ts wins; deletes drop): spot-check one partition's rows
+    maint = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id",
+                              partition_by="p", storage="object")
+    got = {r.id: r.v for r in maint.read().filter("p = 0").collect()}
+    assert got, "partition 0 must have rows"
+    assert all(v in (-1.0, 0.0) or v >= 0.0 for v in got.values())
+
+    # bounded metadata: retention caps live manifests; sidecars
+    # (bloom/dv/ckpt) are reference-counted down with them
+    assert rep["versions_live"] <= 4
+    assert rep["log_objects"] <= 16, rep
+    # DV load stays below the auto-compact threshold's neighborhood
+    assert rep["dv_density"] <= 0.05, rep
+    # small files bounded by the periodic size-targeted compaction
+    assert rep["n_files"] <= 80, rep
+    assert rep["read_groups"] <= rep["n_files"]
+    # flat commit latency: the last five micro-batches must not run
+    # slower than 2x the first five (degradation bound — warmup only
+    # helps)
+    assert rep["latency_ratio"] <= 2.0, rep["batch_latencies_s"]

@@ -1,0 +1,42 @@
+"""Lakehouse aging ledger (VERDICT r9 next-4): the CDC soak from
+tests/test_soak.py at 10x the row volume — ~50 streamed micro-batches
+into one object-mode table with DV keyed deletes (auto_compact_dv),
+periodic compact(target_mb=) and vacuum interleaved. Prints one JSON
+line with the bounded-metadata and latency-flatness quantities the
+BASELINE.md ledger records.
+
+    python tools/bench_soak.py [rows_per_batch] [chunks]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+
+    from tests.test_soak import run_soak
+    from yelp_data_engineering_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench-soak")
+    base = tempfile.mkdtemp(prefix="soak_")
+    try:
+        rep = run_soak(spark, base, n_chunks=chunks,
+                       batches_per_chunk=10, rows_per_batch=rows)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    rep["metric"] = "cdc_soak"
+    rep["rows_per_batch"] = rows
+    print(json.dumps(rep))
+
+
+if __name__ == "__main__":
+    main()
