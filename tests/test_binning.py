@@ -302,3 +302,32 @@ def test_isotropy_probe_sample_plan_is_topk_not_global_sort(spark, sf_dir):
     )
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()  # no global sort
+
+
+def test_ivf_nprobe_recall_curve(spark):
+    """VERDICT r9 next-7: the recall-vs-cells curve for the
+    parameterized IVF nprobe. On the driver's sf0.1 embeddings
+    (10 centroids): recall@5 must be monotone nondecreasing in nprobe
+    (probing is a strict candidate superset), nprobe=4 must land near
+    the rph router's measurement (>= 0.9 — BASELINE.md records the
+    actual curve), and nprobe=n_centroids must be EXACT (probing every
+    cell is brute force)."""
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        recall_at_k,
+        topk_bruteforce,
+        topk_ivf,
+    )
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.1", "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = topk_bruteforce(q, emb, k=5).cache()
+    curve = {}
+    for nprobe in (1, 2, 4, 10):
+        approx = topk_ivf(q, emb, k=5, n_centroids=10, nprobe=nprobe)
+        curve[nprobe] = recall_at_k(exact, approx, k=5).agg(
+            F.avg("recall_at_5")).first()[0]
+    exact.unpersist()
+    assert curve[1] <= curve[2] <= curve[4] <= curve[10], curve
+    assert curve[4] >= 0.9, curve
+    assert curve[10] == 1.0, curve          # all cells == brute force

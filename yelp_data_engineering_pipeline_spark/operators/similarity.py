@@ -261,25 +261,35 @@ def topk_lsh_multitable(
 
 
 def topk_ivf(
-    queries: DataFrame, corpus: DataFrame, k: int, n_centroids: int
+    queries: DataFrame, corpus: DataFrame, k: int, n_centroids: int,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-style ANN (nprobe=1): assign every vector to its nearest
-    centroid (broadcast join against the tiny centroid set — map-side,
-    no shuffle of the corpus), then search only the query's cell.
+    """IVF ANN with a REAL nprobe (VERDICT r9 next-7): every corpus
+    vector is assigned to its nearest centroid (broadcast join against
+    the tiny centroid set — map-side, no shuffle of the corpus); each
+    QUERY probes the UNION of its ``nprobe`` nearest centroids' cells.
+    The probe fan-out is one per-query top-nprobe over the C-row
+    scored centroids (bounded window) — no crossJoin, no extra corpus
+    pass; a corpus vector lives in exactly one cell, so the candidate
+    pairs need no dedup. Recall climbs with nprobe (cells visited)
+    while verify cost stays ≈ nprobe/C of brute force — the standard
+    IVF recall/cost dial (tests pin the measured curve; BASELINE.md
+    records it).
 
     Centroids here are the first ``n_centroids`` vectors by id — a
     deterministic, engine-portable stand-in for a k-means codebook (a
     production deployment trains centroids offline and broadcasts them
     identically). The plan shape IS the IVF shape: cell assignment cost
-    |corpus|×C map-side, search cost bounded by cell sizes, never
-    all-pairs."""
+    |corpus|×C map-side, search cost bounded by probed cell sizes,
+    never all-pairs."""
     from pyspark.sql import Window
 
     cents = corpus.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
     )
 
-    def assign(df: DataFrame, id_alias: str, emb_alias: str) -> DataFrame:
+    def assign(df: DataFrame, id_alias: str, emb_alias: str,
+               n_cells: int = 1) -> DataFrame:
         scored = (
             df.select(F.col("vec_id").alias(id_alias), F.col("embedding").alias(emb_alias))
             .join(F.broadcast(cents))
@@ -293,11 +303,11 @@ def topk_ivf(
         w = Window.partitionBy(id_alias).orderBy(F.col("cent_sim").desc(), F.col("cent_id"))
         return (
             scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
+            .filter(F.col("_rn") <= n_cells)
             .select(id_alias, emb_alias, F.col("cent_id").alias("cell"))
         )
 
-    q = assign(queries, "query_id", "q_emb")
+    q = assign(queries, "query_id", "q_emb", n_cells=max(1, nprobe))
     c = assign(widen_for_compute(corpus), "neighbor_id", "c_emb")
     pairs = (
         q.join(c, "cell")
@@ -535,8 +545,12 @@ register(
 
 
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=4 (VERDICT r9 next-7): queries probe their 4
+    nearest cells' union — the recall-vs-cells dial at a real setting
+    (tests/test_binning.py pins the measured curve)."""
     emb = load(spark, sf_dir, "embeddings")
-    return topk_ivf(emb.filter(F.col("vec_id") < 10), emb, k=5, n_centroids=10)
+    return topk_ivf(emb.filter(F.col("vec_id") < 10), emb, k=5,
+                    n_centroids=10, nprobe=4)
 
 
 register(
@@ -555,7 +569,12 @@ register(
         FROM scored
       ) WHERE rn = 1
     ),
-    q AS (SELECT vec_id AS query_id, embedding AS q_emb, cell FROM assigned WHERE vec_id < 10),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, cent_id AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rn
+        FROM scored WHERE vec_id < 10
+      ) WHERE rn <= 4
+    ),
     pairs AS (
       SELECT query_id, c.vec_id AS neighbor_id,
              {_COS_SQL.format(a='q_emb', b='c.embedding')} AS cos_sim
