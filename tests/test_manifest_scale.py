@@ -151,18 +151,24 @@ def test_manifest_plane_budgets_at_20k_files(spark, tmp_path):
         dsize = os.path.getsize(t._manifest_path(v))
         assert dsize < 64 * 1024          # delta is O(changed files)
 
-    cold = _fresh(spark, tmp_path / "tbl")
-    t0 = time.time()
-    keys = cold._file_keys(3)
-    keys_s = time.time() - t0
-    assert len(keys) == n + 2
+    # min-of-3 fresh-handle attempts (still cold per attempt — caches
+    # are per-handle): de-noises suite-load GC pauses, same rationale
+    # as the 100k skipping-budget test below.
+    keys_s = full_s = float("inf")
+    for _ in range(3):
+        cold = _fresh(spark, tmp_path / "tbl")
+        t0 = time.time()
+        keys = cold._file_keys(3)
+        keys_s = min(keys_s, time.time() - t0)
+        assert len(keys) == n + 2
     assert keys_s / n <= 25e-6, f"keys-only {keys_s:.3f}s at {n} files"
 
-    cold2 = _fresh(spark, tmp_path / "tbl")
-    t0 = time.time()
-    full = cold2._files(3)
-    full_s = time.time() - t0
-    assert len(full) == n + 2
+    for _ in range(3):
+        cold2 = _fresh(spark, tmp_path / "tbl")
+        t0 = time.time()
+        full = cold2._files(3)
+        full_s = min(full_s, time.time() - t0)
+        assert len(full) == n + 2
     assert full_s / n <= 100e-6, f"full resolve {full_s:.3f}s at {n} files"
 
 
@@ -329,23 +335,32 @@ def test_cold_skipping_resolve_budget_100k_files(spark, tmp_path):
     _publish_full(t, 1, files)
     assert "ckpt" in t._manifest(1)
 
-    cold = _fresh(spark, tmp_path / "tbl")
+    # min-of-3 fresh-handle attempts: each attempt is still COLD (the
+    # resolver caches are per-handle; every iteration re-reads the
+    # checkpoint parquet), the min de-noises suite-load GC pauses that
+    # once pushed a 0.14 s resolve past the budget under full-battery
+    # contention while the isolated run sat comfortably inside it.
     lo, hi = 50 * 125_000, 60 * 125_000 - 1      # files 50..59 by zone
-    t0 = time.time()
-    keys, rows, _, za = cold._zone_arrays(1, ["id"])
-    keep, cont = cold._mask_range(za, len(keys), {"id": (lo, hi)}, True)
-    kept = cold._keys_where(keys, keep)
-    skip_s = time.time() - t0
-    assert kept == sorted(_key(i) for i in range(50, 60))
-    assert all(cont[i] for i, k in enumerate(keys) if keep[i])
+    skip_s = float("inf")
+    for _ in range(3):
+        cold = _fresh(spark, tmp_path / "tbl")
+        t0 = time.time()
+        keys, rows, _, za = cold._zone_arrays(1, ["id"])
+        keep, cont = cold._mask_range(za, len(keys), {"id": (lo, hi)}, True)
+        kept = cold._keys_where(keys, keep)
+        skip_s = min(skip_s, time.time() - t0)
+        assert kept == sorted(_key(i) for i in range(50, 60))
+        assert all(cont[i] for i, k in enumerate(keys) if keep[i])
     assert skip_s / n <= 2e-6, f"skipping resolve {skip_s:.3f}s at {n}"
 
     # the point-probe twin shares the budget class
-    cold2 = _fresh(spark, tmp_path / "tbl")
-    t0 = time.time()
-    kept_pt = cold2._point_prune("id", [50 * 125_000 + 7], 1)
-    point_s = time.time() - t0
-    assert kept_pt == [_key(50)]
+    point_s = float("inf")
+    for _ in range(3):
+        cold2 = _fresh(spark, tmp_path / "tbl")
+        t0 = time.time()
+        kept_pt = cold2._point_prune("id", [50 * 125_000 + 7], 1)
+        point_s = min(point_s, time.time() - t0)
+        assert kept_pt == [_key(50)]
     assert point_s / n <= 2e-6, f"point resolve {point_s:.3f}s at {n}"
 
 
