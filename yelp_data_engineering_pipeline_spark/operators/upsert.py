@@ -1841,18 +1841,85 @@ class ParquetMergeTable:
 
     # ---- reading through the manifest -------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame | None:
+    def read(self, version: int | None = None,
+             timestamp=None) -> DataFrame | None:
         """The committed snapshot, or None before the first commit.
 
         ``version`` time-travels to an older retained snapshot (the
         lakehouse ``VERSION AS OF`` read): manifests and the files
         they reference are immutable, so any version vacuum has not
         removed is readable forever. Raises if the requested version
-        was vacuumed or never committed."""
+        was vacuumed or never committed.
+
+        ``timestamp`` is the ``TIMESTAMP AS OF`` twin (mutually
+        exclusive with ``version``): the snapshot in force at that
+        wall-clock instant, resolved via :meth:`version_at_timestamp`
+        (Delta semantics — latest commit at-or-before the instant;
+        raises before the earliest retained commit)."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at_timestamp(timestamp)
         v = self._resolve_version(version)
         if v == 0:
             return None
         return self._scan(v)
+
+    @staticmethod
+    def _ts_to_unix(ts) -> float:
+        """Normalize a TIMESTAMP AS OF argument to unix seconds:
+        int/float pass through; datetimes use ``.timestamp()`` (a
+        NAIVE datetime is interpreted as UTC — deterministic across
+        driver timezones, unlike the local-time default); ISO-8601
+        strings parse via ``fromisoformat`` then follow the datetime
+        rule."""
+        import datetime as _dt
+
+        if isinstance(ts, bool):
+            raise TypeError(f"unsupported timestamp type: {type(ts)}")
+        if isinstance(ts, (int, float)):
+            return float(ts)
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts)
+        if isinstance(ts, _dt.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            return ts.timestamp()
+        raise TypeError(f"unsupported timestamp type: {type(ts)}")
+
+    def version_at_timestamp(self, ts) -> int:
+        """The ``TIMESTAMP AS OF`` resolution (Delta semantics): the
+        LATEST retained version whose commit wall time is at or before
+        ``ts``. An instant at/after the head's commit resolves to the
+        head (the table as it stands); an instant before the earliest
+        retained commit raises — the snapshot in force then is
+        unknowable once vacuum removed it, and silently clamping
+        forward would hand back rows that did not exist at ``ts``.
+        Accepts unix seconds, ``datetime`` (naive = UTC), or an
+        ISO-8601 string. Driver-side cost: one small manifest read per
+        retained version (the :meth:`history` walk), never data."""
+        unix = self._ts_to_unix(ts)
+        best = None
+        earliest = None
+        for h in self.history():           # newest first
+            at = h.get("committed_at_unix")
+            if at is None:
+                continue                    # pre-wall-time manifest
+            earliest = (h["version"], at)
+            if at <= unix and best is None:
+                best = h["version"]
+        if best is not None:
+            return best
+        if earliest is None:
+            raise ValueError(
+                f"version_at_timestamp: table at {self.root} has no "
+                "committed version yet"
+            )
+        raise ValueError(
+            f"timestamp {unix} precedes the earliest retained commit "
+            f"(version {earliest[0]} at {earliest[1]}); older "
+            "snapshots were vacuumed or never existed"
+        )
 
     def _resolve_version(self, version: int | None) -> int:
         """Validate an explicit time-travel version against the
@@ -1886,18 +1953,21 @@ class ParquetMergeTable:
     # planes into the session catalog so `spark.sql` reaches the
     # lakehouse — current head, VERSION AS OF, and DESCRIBE HISTORY.
 
-    def to_view(self, name: str, version: int | None = None):
+    def to_view(self, name: str, version: int | None = None,
+                timestamp=None):
         """Register the snapshot as a temp view and return its
         DataFrame — ``spark.sql(f"SELECT ... FROM {name}")`` then
         queries the manifest-resolved file list (zone maps, DV
         anti-join and all). ``version`` pins a retained older
-        snapshot: the ``VERSION AS OF`` read. The view is a SNAPSHOT
-        PIN — the file list froze at registration (manifests are
-        immutable), so later commits don't leak in; re-register to
-        follow the head. Raises on an empty table (no schema to
-        expose) and on a vacuumed/uncommitted version, same contract
-        as :meth:`read`."""
-        df = self.read(version=version)
+        snapshot: the ``VERSION AS OF`` read; ``timestamp`` is the
+        ``TIMESTAMP AS OF`` twin (see :meth:`version_at_timestamp`).
+        The view is a SNAPSHOT PIN — the file list froze at
+        registration (manifests are immutable), so later commits
+        don't leak in; re-register to follow the head. Raises on an
+        empty table (no schema to expose) and on a
+        vacuumed/uncommitted version, same contract as
+        :meth:`read`."""
+        df = self.read(version=version, timestamp=timestamp)
         if df is None:
             raise ValueError(
                 f"to_view({name!r}): table at {self.root} has no "
