@@ -1,0 +1,186 @@
+"""The merge table's change feed as a stream (r10): changes_at (one
+commit's CDF from the manifest delta, churn-bounded), export_changes
+(the Delta _change_data materialization), stream_changes (a standard
+Structured Streaming file source over it — exactly-once per file).
+
+Reference parity note: the reference pipeline re-scrapes and re-loads
+whole extracts (parse_and_upload_to_db.py); downstream consumers there
+re-read the table. The feed is the 100 TB substitute — consumers tail
+commits instead of rescanning the table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelp_data_engineering_pipeline_spark.operators.upsert import (
+    ParquetMergeTable,
+)
+
+
+def _rows(df):
+    return {(r.id, r.p, r.v, r._change_type, r._commit_version)
+            for r in df.collect()}
+
+
+def _mk_table(spark, root):
+    """4 commits over a hive-partitioned table: insert, partition-
+    pruned update+insert, a DV keyed delete, and a pure compact."""
+    t = ParquetMergeTable(spark, str(root), key="id",
+                          partition_by="p")
+    t.merge(spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+        "id long, p string, v long"))                       # v1
+    t.merge(spark.createDataFrame(
+        [(2, "a", 99), (4, "b", 40)],
+        "id long, p string, v long"))                       # v2
+    t.delete_keys("id", [3], use_deletion_vectors=True)     # v3 (DV)
+    t.compact()                                             # v4
+    return t
+
+
+def test_changes_at_equals_changes_between_minus_unchanged(spark,
+                                                           tmp_path):
+    t = _mk_table(spark, tmp_path / "cf")
+    assert t.current_version() == 4
+
+    def between(v):
+        return {(r[t.key], r.change_type)
+                for r in t.changes_between(v - 1, v)
+                .filter(F.col("change_type") != "unchanged").collect()}
+
+    for v in (1, 2, 3, 4):
+        got = {(r.id, r._change_type) for r in t.changes_at(v).collect()}
+        assert got == between(v), f"version {v}"
+
+    # payloads: post-image for inserts/updates, old image for deletes
+    v2 = {(r.id, r._change_type): r.v for r in t.changes_at(2).collect()}
+    assert v2 == {(2, "updated"): 99, (4, "inserted"): 40}
+    v3 = {(r.id, r._change_type): r.v for r in t.changes_at(3).collect()}
+    assert v3 == {(3, "deleted"): 30}
+    assert t.changes_at(4).count() == 0        # compact: pure layout
+    assert t.changes_at(1).count() == 3        # vs the empty state
+
+    with pytest.raises(ValueError, match="not committed"):
+        t.changes_at(9)
+    empty = ParquetMergeTable(spark, str(tmp_path / "cf0"), key="id")
+    with pytest.raises(ValueError, match="not committed"):
+        empty.changes_at(1)
+
+
+def test_changes_at_reads_only_churned_files(spark, tmp_path):
+    """The 100 TB property: a DV-only commit's CDF scans the ONE file
+    whose DV moved on each side, not the table — asserted by recording
+    every relkeys subset changes_at hands to _scan."""
+    t = _mk_table(spark, tmp_path / "cb")
+    all_files = set(t._file_keys(3))
+    assert len(all_files) >= 2              # p=a and p=b at least
+
+    seen: list[set] = []
+    orig = t._scan
+
+    def recording(version, relkeys=None, **kw):
+        if relkeys is not None:
+            seen.append(set(relkeys))
+        return orig(version, relkeys=relkeys, **kw)
+
+    t._scan = recording
+    assert {r.id for r in t.changes_at(3).collect()} == {3}
+    t._scan = orig
+    assert seen, "changes_at never passed a relkeys subset"
+    for s in seen:
+        assert len(s) <= 1, f"DV-only commit scanned {len(s)} files"
+
+
+def test_export_and_stream_changes_exactly_once(spark, tmp_path):
+    t = _mk_table(spark, tmp_path / "ex")
+    assert t.export_changes() == [1, 2, 3, 4]
+    assert t.export_changes() == []         # idempotent: all marked
+
+    # markers are finalized with the moved file list; the stage dir
+    # left nothing behind
+    rec = json.loads(t._backend.get(t._cdf_marker(2)))
+    assert rec["files"] is not None
+    assert all(f.startswith("v00000002-") for f in rec["files"])
+    assert t._backend.list_names(
+        os.path.join(t._cdf_dir(), "_stage")) == []
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "feed_out")
+    q = (t.stream_changes(max_files_per_trigger=2)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    want = set()
+    for v in (1, 2, 3, 4):
+        want |= _rows(t.changes_at(v))
+    assert _rows(spark.read.parquet(out)) == want
+
+    # a new commit exported later arrives INCREMENTALLY: the same
+    # checkpoint replays nothing, appends only v5
+    t.merge(spark.createDataFrame([(5, "a", 50)],
+                                  "id long, p string, v long"))
+    assert t.export_changes() == [5]
+    q2 = (t.stream_changes()
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination()
+    total = _rows(spark.read.parquet(out))
+    assert total == want | _rows(t.changes_at(5))
+    assert len(total) == len(want) + 1      # exactly-once: no replays
+
+    with pytest.raises(ValueError, match="no committed version"):
+        ParquetMergeTable(spark, str(tmp_path / "ex0"),
+                          key="id").stream_changes()
+
+
+def test_export_claim_crash_repair_and_concurrent_claim(spark,
+                                                        tmp_path):
+    """A claim without a finalize is a crashed exporter: the next
+    export_changes sweeps its partial files and re-exports under a
+    fresh token. A FINALIZED marker, conversely, is never re-exported
+    (the concurrent-exporter claim contract)."""
+    t = _mk_table(spark, tmp_path / "cr")
+    # fake a crash on v2: claim marker + one stale partial data file
+    claim = {"version": 2, "token": "deadbeef00", "files": None,
+             "claimed_at_unix": 0.0}
+    t._backend.put(t._cdf_marker(2), json.dumps(claim).encode())
+    stale = os.path.join(t._cdf_dir(), "v00000002-deadbeef00-0.parquet")
+    t._backend.put(stale, b"not parquet")
+
+    done = t.export_changes()
+    assert done == [1, 2, 3, 4]
+    assert not os.path.exists(stale)        # partial swept
+    rec = json.loads(t._backend.get(t._cdf_marker(2)))
+    assert rec["files"] and rec["token"] != "deadbeef00"
+    # every visible data file is referenced by exactly one marker
+    visible = {f for f in t._backend.list_names(t._cdf_dir())
+               if f.endswith(".parquet")}
+    referenced = set()
+    for v in (1, 2, 3, 4):
+        referenced |= set(json.loads(
+            t._backend.get(t._cdf_marker(v)))["files"])
+    assert visible == referenced
+
+    # finalized markers stay claimed forever
+    assert t.export_changes() == []
+
+
+def test_export_skips_vacuumed_parents(spark, tmp_path):
+    """Versions whose parent fell out of retention are underivable —
+    export skips them instead of fabricating a diff; the discipline is
+    to export BEFORE vacuum (same ordering every CDC retention has)."""
+    t = _mk_table(spark, tmp_path / "vp")
+    t.vacuum(keep_last_n=2)                 # retains v3, v4
+    # v3's parent (v2) is gone: only nothing is exportable until a new
+    # commit arrives whose parent (v4) is retained
+    assert t.export_changes() == [4]
+    t.merge(spark.createDataFrame([(6, "b", 60)],
+                                  "id long, p string, v long"))
+    assert t.export_changes() == [5]

@@ -3249,6 +3249,224 @@ class ParquetMergeTable:
             compare_cols = [c for c in shared if c != self.key]
         return snapshot_diff(old, new, self.key, compare_cols)
 
+    # ---- change feed as a STREAM (r10) -------------------------------
+    #
+    # changes_between diffs two whole snapshots — right for ad-hoc
+    # "what moved this week", wrong as a per-commit feed at 100 TB
+    # (every call is a full-outer join of two full tables). The feed
+    # path is three pieces, each with public precedent:
+    #   changes_at(v)     one commit's CDF derived from the MANIFEST
+    #                     DELTA — only files whose (presence, DV state)
+    #                     differs between v-1 and v are read, so cost
+    #                     is O(commit churn), Delta's CDF economics;
+    #   export_changes()  materializes unexported versions' change
+    #                     rows to parquet under _cdf/ (Delta's
+    #                     _change_data directory);
+    #   stream_changes()  a STANDARD Structured Streaming file source
+    #                     over _cdf/ — checkpointed, exactly-once per
+    #                     file, no custom source needed.
+
+    def _cdf_dir(self) -> str:
+        import os
+
+        return os.path.join(self.root, "_cdf")
+
+    def _cdf_marker(self, version: int) -> str:
+        import os
+
+        return os.path.join(self._cdf_dir(), "_exported",
+                            f"{version}.json")
+
+    def changes_at(self, version: int,
+                   compare_cols: list[str] | None = None) -> DataFrame:
+        """One commit's change data feed: every row inserted, deleted
+        or updated (post-image) by ``version``, with ``_change_type``
+        and ``_commit_version`` columns. Equals
+        ``changes_between(version-1, version)`` minus the unchanged
+        class — asserted by tests — but reads ONLY the files the
+        commit churned: a file carried forward with an identical
+        deletion-vector state holds byte-identical rows on both sides,
+        so only added/removed/rewritten files and files whose DV moved
+        enter the diff. Cost is one full-outer join over the commit's
+        churn, never the table. A pure-maintenance commit (compact,
+        checkpoint rewrite) therefore diffs its rewritten files and
+        yields zero rows. Both ``version`` and its parent must be
+        retained (``version=1`` diffs against the empty state)."""
+        from pyspark.sql.types import StructType
+
+        v = self._resolve_version(version)
+        if v == 0:
+            raise ValueError(
+                f"changes_at on an empty table at {self.root} "
+                "(no committed version)"
+            )
+        man = self._manifest(v)
+        if v == 1:
+            schema = self._to_nullable(StructType.fromJson(man["schema"]))
+            old = self.spark.createDataFrame([], schema)
+            new = self._scan(v)
+        else:
+            self._resolve_version(v - 1)   # raises if parent vacuumed
+            dv_old = self._manifest(v - 1).get("dv") or {}
+            dv_new = man.get("dv") or {}
+            keys_old = set(self._file_keys(v - 1))
+            keys_new = set(self._file_keys(v))
+            same = {k for k in keys_old & keys_new
+                    if dv_old.get(k) == dv_new.get(k)}
+            old = self._scan(v - 1, relkeys=keys_old - same)
+            new = self._scan(v, relkeys=keys_new - same)
+        shared = [c for c in old.columns if c in set(new.columns)]
+        if compare_cols is None:
+            compare_cols = [c for c in shared if c != self.key]
+
+        def side(df: DataFrame, tag: str):
+            sig = (F.md5(F.concat_ws("\x1f", *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in compare_cols])) if compare_cols else F.lit(""))
+            return df.select(
+                F.col(self.key).alias("_k"),
+                F.struct(*[F.col(c) for c in shared]).alias(tag),
+                sig.alias(tag + "_sig"),
+                F.lit(True).alias(tag + "_p"),
+            )
+
+        j = side(old, "_old").join(side(new, "_new"), "_k", "full_outer")
+        ct = (F.when(F.col("_old_p").isNull(), F.lit("inserted"))
+              .when(F.col("_new_p").isNull(), F.lit("deleted"))
+              .when(F.col("_old_sig") != F.col("_new_sig"),
+                    F.lit("updated")))
+        j = (j.select(ct.alias("_change_type"),
+                      F.coalesce(F.col("_new"), F.col("_old"))
+                      .alias("_row"))
+             .filter(F.col("_change_type").isNotNull()))
+        return j.select(
+            *[F.col(f"_row.{c}").alias(c) for c in shared],
+            "_change_type",
+            F.lit(v).cast("long").alias("_commit_version"),
+        )
+
+    def export_changes(self, upto: int | None = None,
+                       wait: bool = True) -> list[int]:
+        """Materialize the change feed: for every retained, not-yet-
+        exported version ≤ ``upto`` (default head) whose parent is
+        derivable, write :meth:`changes_at` as parquet files under
+        ``_cdf/`` and finalize a per-version marker. Returns the newly
+        exported versions. A maintenance operation, same cadence as
+        compact/vacuum (or called right after each commit for a
+        low-latency feed).
+
+        Concurrency and delivery contract: a version is CLAIMED via
+        conditional PUT of its marker before any data file moves in —
+        at most one exporter ever works a version, in both storage
+        modes. Files then appear one atomic rename at a time and the
+        marker is finalized with the file list. Normal operation is
+        exactly-once end-to-end (the file-stream consumer checkpoints
+        per file); an exporter CRASH between claim and finalize leaves
+        a partial export that ``export_changes`` repairs on the next
+        call by re-exporting under a fresh token — a consumer may then
+        see a crash-window row twice, the documented at-least-once
+        corner every file-based CDC has. Downstream MERGE consumers
+        are idempotent by ``(key, _commit_version)`` — the
+        run_cdc_upsert_stream dedup pattern."""
+        import json as _json
+        import os
+        import shutil
+        import time as _time
+        import uuid
+
+        head = (self.current_version() if upto is None
+                else self._resolve_version(upto))
+        if head == 0:
+            return []
+        retained = {h["version"] for h in self.history()}
+        done: list[int] = []
+        for v in sorted(retained):
+            if v > head:
+                continue
+            if v != 1 and (v - 1) not in retained:
+                continue               # parent vacuumed: underivable
+            marker = self._cdf_marker(v)
+            token = uuid.uuid4().hex[:10]
+            claim = {"version": v, "token": token, "files": None,
+                     "claimed_at_unix": round(_time.time(), 3)}
+            if self._backend.exists(marker):
+                try:
+                    rec = _json.loads(self._backend.get(marker))
+                except (OSError, ValueError):
+                    continue
+                if rec.get("files") is not None:
+                    continue           # finalized
+                # crashed claim: sweep its partial files, re-claim by
+                # full-object replace (single maintenance actor — the
+                # compact/vacuum discipline)
+                stale = rec.get("token", "")
+                for fn in self._backend.list_names(self._cdf_dir()):
+                    if fn.startswith(f"v{v:08d}-{stale}"):
+                        self._backend.delete(
+                            os.path.join(self._cdf_dir(), fn))
+                self._backend.put(marker, _json.dumps(claim).encode())
+            else:
+                try:
+                    self._backend.put_if_absent(
+                        marker, _json.dumps(claim).encode())
+                except FileExistsError:
+                    continue           # another exporter claimed it
+            stage = os.path.join(self._cdf_dir(), "_stage", token)
+            self.changes_at(v).write.mode("overwrite").parquet(stage)
+            moved: list[str] = []
+            for i, fn in enumerate(sorted(
+                    f for f in os.listdir(stage)
+                    if f.endswith(".parquet"))):
+                dest = os.path.join(self._cdf_dir(),
+                                    f"v{v:08d}-{token}-{i}.parquet")
+                os.replace(os.path.join(stage, fn), dest)
+                moved.append(os.path.basename(dest))
+            shutil.rmtree(stage, ignore_errors=True)
+            fin = dict(claim)
+            fin["files"] = moved
+            fin["exported_at_unix"] = round(_time.time(), 3)
+            self._backend.put(marker, _json.dumps(fin).encode())
+            done.append(v)
+        return done
+
+    def stream_changes(self, max_files_per_trigger: int | None = None
+                       ) -> DataFrame:
+        """The exported change feed as a STREAMING DataFrame — a plain
+        Structured Streaming file source over ``_cdf/`` (schema = the
+        head snapshot's columns + ``_change_type`` string +
+        ``_commit_version`` long), so every file-source guarantee
+        applies unchanged: checkpointed exactly-once per file,
+        ``maxFilesPerTrigger`` back-pressure, availableNow catch-up
+        batches. Files exported before a schema evolution read their
+        missing columns as NULL (parquet fills declared-but-absent
+        columns). A trigger may span several commits;
+        ``_commit_version`` keeps per-key total order recoverable —
+        downstream mergers take the max-version row per key per batch
+        (the run_cdc_upsert_stream dedup). Raises before the first
+        commit (no schema to declare)."""
+        import os
+
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        v = self.current_version()
+        if v == 0:
+            raise ValueError(
+                f"stream_changes: table at {self.root} has no "
+                "committed version yet"
+            )
+        os.makedirs(self._cdf_dir(), exist_ok=True)
+        base = self._to_nullable(
+            StructType.fromJson(self._manifest(v)["schema"]))
+        schema = StructType(list(base.fields) + [
+            StructField("_change_type", StringType(), True),
+            StructField("_commit_version", LongType(), True),
+        ])
+        reader = self.spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger",
+                                   int(max_files_per_trigger))
+        return reader.parquet(self._cdf_dir())
+
     def vacuum(self, keep_last_n: int = 2, wait: bool = True,
                stage_grace_seconds: float = 3600.0) -> list[int]:
         """Drop snapshots older than the last ``keep_last_n`` committed
@@ -4548,6 +4766,56 @@ def merge_sql_time_travel(spark: SparkSession, sf_dir: str):
     """)
 
 
+def merge_change_feed_stream(spark: SparkSession, sf_dir: str):
+    """Evidence query for the change-feed stream (r10): a REAL
+    ParquetMergeTable gets three commits (initial load, a price-bump
+    merge, a DV keyed delete), the feed is EXPORTED and then consumed
+    by an actual Structured Streaming file source (availableNow →
+    parquet sink), and the result aggregates the CONSUMED rows per
+    (commit, change type). The oracle replays all three commits'
+    change sets relationally — a feed that drops, duplicates, or
+    misclassifies any row (or leaks an 'unchanged' compaction row)
+    hash-mismatches. The reference's consumers re-read the whole
+    store after every load (parse_and_upload_to_db.py); this is the
+    100 TB substitute — commit-bounded increments, exactly-once per
+    file."""
+    import os
+    import tempfile
+
+    from ..tables import load
+
+    orders = load(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="merge_cdf_stream_")
+    t = ParquetMergeTable(spark, os.path.join(root, "t"), "o_orderkey")
+    t.merge(orders.filter(F.col("o_orderkey") % 3 != 0))
+    t.merge(
+        orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+        )
+    )
+    probes = [r.o_orderkey for r in orders
+              .filter(F.col("o_orderkey") % 97 == 0)
+              .select("o_orderkey").collect()]
+    t.delete_keys("o_orderkey", probes, use_deletion_vectors=True)
+    t.export_changes()
+    out = os.path.join(root, "feed_out")
+    q = (t.stream_changes()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", os.path.join(root, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    fed = spark.read.parquet(out)
+    return (
+        fed.groupBy("_commit_version", "_change_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+             F.sum(F.floor(F.col("o_totalprice") * 100)
+                   .cast("long")).cast("long").alias("total_cents"))
+        .select(F.col("_commit_version").alias("commit_version"),
+                F.col("_change_type").alias("change_type"),
+                "n_rows", "total_cents")
+    )
+
+
 def _register_merge() -> None:
     from ..plans.catalog import register
 
@@ -4637,6 +4905,52 @@ def _register_merge() -> None:
           SELECT 'head' AS src, o_orderstatus, o_totalprice FROM head
         )
         GROUP BY src, o_orderstatus
+        """,
+    )
+    # The change feed replayed relationally: v1 is all inserts; v2's
+    # batch rows split inserted/updated by prior presence (the bumped
+    # price always differs, so no matched row is 'unchanged'); v3
+    # deletes carry the OLD image of keys present in the v2 state.
+    # Identical double arithmetic (+1000.0, FLOOR(x*100)) on both
+    # engines.
+    register(
+        "merge_change_feed_stream",
+        merge_change_feed_stream,
+        """
+        WITH v1 AS (
+          SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+        ),
+        batch AS (
+          SELECT * REPLACE (o_totalprice + 1000.0 AS o_totalprice)
+          FROM orders WHERE o_orderkey % 2 = 0
+        ),
+        v2 AS (
+          SELECT * FROM v1
+          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+          UNION ALL
+          SELECT * FROM batch
+        ),
+        feed AS (
+          SELECT 1 AS commit_version, 'inserted' AS change_type,
+                 o_totalprice
+          FROM v1
+          UNION ALL
+          SELECT 2,
+                 CASE WHEN o_orderkey % 3 = 0 THEN 'inserted'
+                      ELSE 'updated' END,
+                 o_totalprice
+          FROM batch
+          UNION ALL
+          SELECT 3, 'deleted', o_totalprice
+          FROM v2 WHERE o_orderkey % 97 = 0
+        )
+        SELECT CAST(commit_version AS BIGINT) AS commit_version,
+               change_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS total_cents
+        FROM feed
+        GROUP BY commit_version, change_type
         """,
     )
     # Clause algebra replay: matched = key in BOTH existing and src

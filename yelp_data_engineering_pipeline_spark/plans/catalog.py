@@ -91,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "merge_dml_where",
     "merge_into_conditional",
     "merge_sql_time_travel",
+    "merge_change_feed_stream",
     # -- similarity.py changed in r10 (IVF nprobe) --
     "emb_dominant_direction",
     "emb_label_centroid",
@@ -112,10 +113,9 @@ _PRIORITY: tuple[str, ...] = (
     "agg_hll_distinct_rollup",
     "agg_kmv_distinct",
     "agg_percentile",
-    "agg_pivot",
 )
-# r11-window-first candidates (non-debt, informational): the 33
-# remaining r6-evidence entries — agg_rollup, dedup_cascade,
+# r11-window-first candidates (non-debt, informational): the 34
+# remaining r6-evidence entries — agg_pivot, agg_rollup, dedup_cascade,
 # dedup_clusters_incremental, dedup_semdedup, diag_expectations,
 # diag_source_drift, dim_merge_get_or_create, join_broadcast_dim,
 # join_cross_small, join_full_outer, join_inner_agg,
