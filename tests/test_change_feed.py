@@ -172,6 +172,22 @@ def test_export_claim_crash_repair_and_concurrent_claim(spark,
     assert t.export_changes() == []
 
 
+def test_maintenance_plan_change_feed_leg(spark, tmp_path):
+    """The plan reports the unexported backlog once a feed exists —
+    and stays silent (leg None) on tables that never exported."""
+    t = _mk_table(spark, tmp_path / "mp")
+    assert t.maintenance_plan()["change_feed"] is None  # no feed yet
+    assert t.export_changes() == [1, 2, 3, 4]
+    plan = t.maintenance_plan()
+    assert plan["change_feed"] == {"exported_up_to": 4, "backlog": 0}
+    assert "export_changes()" not in plan["actions"]
+    t.merge(spark.createDataFrame([(7, "a", 70)],
+                                  "id long, p string, v long"))
+    plan = t.maintenance_plan()
+    assert plan["change_feed"] == {"exported_up_to": 4, "backlog": 1}
+    assert "export_changes()" in plan["actions"]
+
+
 def test_export_skips_vacuumed_parents(spark, tmp_path):
     """Versions whose parent fell out of retention are underivable —
     export skips them instead of fabricating a diff; the discipline is

@@ -4252,6 +4252,34 @@ class ParquetMergeTable:
                 }
                 if frac < self._BLOOM_COVERAGE_FLOOR:
                     actions.append(f"build_file_index({col!r})")
+        # Change-feed leg (r10): when the table HAS a feed (any export
+        # marker exists), report the unexported backlog — versions a
+        # consumer cannot see yet — and warn when retention is about
+        # to outrun it (a vacuumed parent makes a version forever
+        # unexportable; the discipline is export-before-vacuum).
+        # Metadata-only: one marker existence check per retained
+        # version.
+        feed: dict | None = None
+        import os as _os
+
+        if v and self._backend.list_names(
+                _os.path.join(self._cdf_dir(), "_exported")):
+            retained = sorted(h["version"] for h in self.history())
+            rset = set(retained)
+            backlog = [
+                n for n in retained
+                if (n == 1 or (n - 1) in rset)
+                and not self._backend.exists(self._cdf_marker(n))
+            ]
+            feed = {
+                "exported_up_to": max(
+                    (n for n in retained
+                     if self._backend.exists(self._cdf_marker(n))),
+                    default=0),
+                "backlog": len(backlog),
+            }
+            if backlog:
+                actions.append("export_changes()")
         return {
             "dv": d,
             "dv_threshold": threshold,
@@ -4262,6 +4290,7 @@ class ParquetMergeTable:
             "total_mb": round(total_b / 1e6, 3),
             "compact_for_small_files": compact_small,
             "bloom": bloom,
+            "change_feed": feed,
             "actions": actions,
         }
 
