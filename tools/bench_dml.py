@@ -230,6 +230,36 @@ def main() -> None:
     }
     rows = t.read().count()
 
+    # -- change feed: commit-bounded CDF vs the whole-snapshot diff ----
+    # (r10) the delete_keys commit above touched 7 files via a DV;
+    # changes_at derives its feed from just the churned files, while
+    # changes_between full-outer-joins both 6M-row snapshots.
+    head = t.current_version()
+    t0 = time.perf_counter()
+    n_feed = t.changes_at(head).count()
+    s_at = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_between = (t.changes_between(head - 1, head)
+                 .filter("change_type <> 'unchanged'").count())
+    s_between = time.perf_counter() - t0
+    assert n_feed == n_between == n_match
+    # export just the head commit's feed (retention 2: the older
+    # churn versions fall away; head-1 has no retained parent and is
+    # skipped — the export-before-vacuum discipline, inverted here on
+    # purpose to isolate one commit's export cost)
+    t.vacuum(keep_last_n=2, stage_grace_seconds=0)
+    t0 = time.perf_counter()
+    exported = t.export_changes()
+    s_export = time.perf_counter() - t0
+    assert exported == [head]
+    out["ops"]["change_feed"] = {
+        "feed_rows": n_feed,
+        "changes_at_sec": round(s_at, 3),
+        "changes_between_sec": round(s_between, 3),
+        "export_versions": len(exported),
+        "export_sec": round(s_export, 3),
+    }
+
     # -- full-rewrite baseline LAST (it destroys the clustering) -------
     # auto_bloom off for this op: the baseline engine being modeled has
     # no index to maintain, so its cost must not ride the measurement
