@@ -188,6 +188,57 @@ def test_maintenance_plan_change_feed_leg(spark, tmp_path):
     assert "export_changes()" in plan["actions"]
 
 
+def test_replication_stream_mirrors_source(spark, tmp_path):
+    """The feed drives a REPLICA table (run_replication_stream =
+    stream_changes → the CDC conditional merge with _commit_version
+    as the monotone): after each export+drain the replica's row set
+    equals the source snapshot at the highest exported version —
+    across updates, DV deletes, compaction no-ops and a catch-up
+    batch spanning several commits; a re-drain with nothing new is a
+    no-op."""
+    from yelp_data_engineering_pipeline_spark.streaming.ingest import (
+        run_replication_stream,
+    )
+
+    t = _mk_table(spark, tmp_path / "src")
+    t.export_changes()
+    rep_root = str(tmp_path / "replica")
+    ckpt = str(tmp_path / "rep_ckpt")
+
+    def src_rows(version=None):
+        return {(r.id, r.p, r.v)
+                for r in t.read(version=version).collect()}
+
+    def rep_rows():
+        rep = ParquetMergeTable(spark, rep_root, key="id")
+        return {(r.id, r.p, r.v)
+                for r in rep.read().drop("_commit_version").collect()}
+
+    run_replication_stream(spark, t, rep_root, ckpt)
+    assert rep_rows() == src_rows()
+    rep = ParquetMergeTable(spark, rep_root, key="id")
+    caught_up = rep.read().agg(
+        F.max("_commit_version")).collect()[0][0]
+    # v3 only DELETED (no surviving row carries it), v4 was a pure
+    # compact (zero feed rows): the newest surviving write is v2
+    assert caught_up == 2
+
+    # nothing new exported: a re-drain commits nothing
+    v_before = rep.current_version()
+    run_replication_stream(spark, t, rep_root, ckpt)
+    assert ParquetMergeTable(spark, rep_root,
+                             key="id").current_version() == v_before
+
+    # two more commits drain in ONE catch-up batch, deletes included
+    t.merge(spark.createDataFrame([(1, "a", 11), (9, "b", 90)],
+                                  "id long, p string, v long"))
+    t.delete_keys("id", [4], use_deletion_vectors=True)
+    t.export_changes()
+    run_replication_stream(spark, t, rep_root, ckpt)
+    assert rep_rows() == src_rows()
+    assert 4 not in {r[0] for r in rep_rows()}
+
+
 def test_export_skips_vacuumed_parents(spark, tmp_path):
     """Versions whose parent fell out of retention are underivable —
     export skips them instead of fabricating a diff; the discipline is

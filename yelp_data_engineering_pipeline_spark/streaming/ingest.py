@@ -265,3 +265,43 @@ def run_cdc_upsert_stream(
     )
     q.awaitTermination()
     return table.current_version()
+
+
+def run_replication_stream(
+    spark: SparkSession,
+    src_table,
+    replica_root: str,
+    checkpoint_dir: str,
+    partition_by: str | None = None,
+    storage: str = "posix",
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """Replicate a merge table through its EXPORTED change feed (r10):
+    ``src.stream_changes()`` → the CDC conditional-merge machinery →
+    an independent replica table — the cross-region mirror a 100 TB
+    deployment runs, with the source's commit version as the monotone.
+
+    Pure composition, no new moving parts: the feed's
+    ``_commit_version`` is the CDC ``ts_col`` (a replayed or
+    crash-repair-duplicated change row merges as a no-op under
+    ``s._commit_version >= t._commit_version`` with identical
+    content), ``_change_type == 'deleted'`` is the delete marker, and
+    within a batch spanning several commits the max-version row per
+    key wins — exactly serial apply. The replica carries
+    ``_commit_version`` as provenance (how far it has caught up =
+    ``MAX(_commit_version)``); its row set equals the source snapshot
+    at the highest exported version, asserted by
+    tests/test_change_feed.py. Run after ``export_changes()`` on the
+    source; each call drains everything new (availableNow) and
+    returns the replica's committed version."""
+    feed = src_table.stream_changes(
+        max_files_per_trigger=max_files_per_trigger)
+    feed = (feed.withColumn("_is_delete",
+                            F.col("_change_type") == "deleted")
+            .drop("_change_type"))
+    return run_cdc_upsert_stream(
+        spark, feed, replica_root, checkpoint_dir,
+        key=src_table.key, ts_col="_commit_version",
+        partition_by=partition_by, delete_col="_is_delete",
+        storage=storage,
+    )
