@@ -239,6 +239,55 @@ def test_replication_stream_mirrors_source(spark, tmp_path):
     assert 4 not in {r[0] for r in rep_rows()}
 
 
+def test_feed_survives_churn_vacuum_and_compaction(spark, tmp_path):
+    """The feed under aging: 12 mixed commits (merges, DV keyed
+    deletes, compactions) with export every 3 commits and vacuum
+    AFTER export (the export-before-vacuum discipline) — every
+    version stays exportable, no gaps, and one catch-up replication
+    at the end reproduces the source exactly. Also pins that vacuum
+    never deletes _cdf files (feed retention is independent of
+    snapshot retention)."""
+    from yelp_data_engineering_pipeline_spark.streaming.ingest import (
+        run_replication_stream,
+    )
+
+    t = ParquetMergeTable(spark, str(tmp_path / "ch"), key="id",
+                          partition_by="p")
+    exported: list[int] = []
+    rng_rows = [(i, "ab"[i % 2], i * 10) for i in range(40)]
+    for step in range(1, 13):
+        if step % 5 == 0:
+            t.compact()
+        elif step % 4 == 0:
+            t.delete_keys("id", [step, step + 20],
+                          use_deletion_vectors=True)
+        else:
+            batch = rng_rows[3 * step:3 * step + 3] + [(step, "a",
+                                                        step * 1000)]
+            t.merge(spark.createDataFrame(
+                batch, "id long, p string, v long"))
+        if step % 3 == 0:
+            exported += t.export_changes()
+            t.vacuum(keep_last_n=4)
+    exported += t.export_changes()
+    assert exported == list(range(1, t.current_version() + 1))  # no gaps
+    n_cdf = len([f for f in os.listdir(t._cdf_dir())
+                 if f.endswith(".parquet")])
+    assert n_cdf > 0
+
+    run_replication_stream(spark, t, str(tmp_path / "ch_rep"),
+                           str(tmp_path / "ch_ckpt"))
+    src = {(r.id, r.p, r.v) for r in t.read().collect()}
+    rep = {(r.id, r.p, r.v)
+           for r in ParquetMergeTable(spark, str(tmp_path / "ch_rep"),
+                                      key="id").read()
+           .drop("_commit_version").collect()}
+    assert rep == src
+    # vacuum left the feed alone
+    assert len([f for f in os.listdir(t._cdf_dir())
+                if f.endswith(".parquet")]) == n_cdf
+
+
 def test_export_skips_vacuumed_parents(spark, tmp_path):
     """Versions whose parent fell out of retention are underivable —
     export skips them instead of fabricating a diff; the discipline is
