@@ -154,6 +154,12 @@ def test_export_claim_crash_repair_and_concurrent_claim(spark,
     stale = os.path.join(t._cdf_dir(), "v00000002-deadbeef00-0.parquet")
     t._backend.put(stale, b"not parquet")
 
+    # the crashed claim is BACKLOG, not exported (its rows were never
+    # published) — a bare marker-existence check would report a green
+    # feed here
+    plan = t.maintenance_plan()["change_feed"]
+    assert plan == {"exported_up_to": 0, "backlog": 4}
+
     done = t.export_changes()
     assert done == [1, 2, 3, 4]
     assert not os.path.exists(stale)        # partial swept
@@ -170,6 +176,24 @@ def test_export_claim_crash_repair_and_concurrent_claim(spark,
 
     # finalized markers stay claimed forever
     assert t.export_changes() == []
+
+
+def test_changes_at_sees_dv_on_escaped_partition(spark, tmp_path):
+    """Regression (r10 review): the manifest's dv section keys files
+    in URI form (p=a%20b/...), _file_keys in fs form (p=a b/...) —
+    changes_at must bridge with unquote like every other DV consumer,
+    else a DV delete on an escaped partition reads as 'unchanged' and
+    silently vanishes from the feed (and from any replica)."""
+    t = ParquetMergeTable(spark, str(tmp_path / "esc"), key="id",
+                          partition_by="p")
+    t.merge(spark.createDataFrame(
+        [(1, "a b", 10), (2, "a b", 20), (3, "c", 30)],
+        "id long, p string, v long"))
+    t.delete_keys("id", [1], use_deletion_vectors=True)
+    assert any("%20" in k for k in
+               (t._manifest(2).get("dv") or {}))     # fixture honest
+    got = {(r.id, r._change_type) for r in t.changes_at(2).collect()}
+    assert got == {(1, "deleted")}
 
 
 def test_maintenance_plan_change_feed_leg(spark, tmp_path):

@@ -1713,6 +1713,49 @@ def test_merge_table_update_where_deletion_vectors(spark, tmp_path):
     assert sorted((r.id, r.val) for r in t.read().collect()) == expected
 
 
+def test_bloom_sentinel_for_all_null_files(spark, tmp_path):
+    """Regression (r10 review): a file whose indexed column is all
+    NULL never produces a bloom entry, so the incremental maintainer
+    used to re-diff it into 'added' and re-scan it on EVERY commit
+    forever (and coverage could never reach 1.0). The build now
+    records an m=0 sentinel for zero-non-null files: provably
+    unmatchable (files are immutable, IN never matches NULL), pruned
+    outright by read_point, counted as covered, and never re-scanned."""
+    t = ParquetMergeTable(spark, str(tmp_path / "bn"), key="id",
+                          partition_by="p")
+    t.merge(spark.createDataFrame([(1, "a", "x"), (2, "a", "y")],
+                                  "id long, p string, u string"))
+    t.build_file_index("u")
+    # an all-NULL-u partition arrives: its files get sentinels
+    t.merge(spark.createDataFrame([(3, "z", None), (4, "z", None)],
+                                  "id long, p string, u string"))
+    idx = t.file_index()["u"]
+    sentinels = {k for k, e in idx.items() if e["m"] == 0}
+    assert any(k.startswith("p=z/") for k in sentinels)
+    assert t.maintenance_plan()["bloom"]["u"]["coverage"] == 1.0
+
+    # pruning: the sentinel file is dropped for any probe, results
+    # stay exact
+    got = t.read_point("u", ["x"])
+    assert [r.id for r in got.collect()] == [1]
+    assert not any("p=z/" in f for f in got.inputFiles())
+
+    # the next commit's incremental build scans ONLY its own added
+    # files — the carried all-NULL files never re-enter the diff
+    seen: list[list] = []
+    orig = t._bloom_build_entries
+    t._bloom_build_entries = lambda v, col, relkeys=None, **kw: (
+        seen.append(sorted(relkeys or [])) or
+        orig(v, col, relkeys=relkeys, **kw))
+    t.merge(spark.createDataFrame([(5, "w", "q")],
+                                  "id long, p string, u string"))
+    t._bloom_build_entries = orig
+    assert seen and all(
+        all(rel.startswith("p=w/") for rel in call) for call in seen
+    ), f"re-scanned carried files: {seen}"
+    assert t.maintenance_plan()["bloom"]["u"]["coverage"] == 1.0
+
+
 def test_merge_table_bloom_file_index(spark, tmp_path):
     """Per-file Bloom index: point lookups on an UNCLUSTERED column
     (zone maps span everything) drop bloom-miss files driver-side with

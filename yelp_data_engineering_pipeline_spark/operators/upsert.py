@@ -941,7 +941,15 @@ class ParquetMergeTable:
     def _seq_list(seq) -> list:
         if isinstance(seq, list):
             return seq
-        return seq.combine_chunks().to_pandas().tolist()
+        arr = seq.combine_chunks()
+        if arr.null_count:
+            # to_pandas() coerces a nullable int64 column to float64
+            # (null → NaN, 100 → 100.0) — which would break every
+            # isinstance(n, int) consumer (dv_density, count_where)
+            # the moment a checkpoint carries one xjson-fallback row.
+            # to_pylist preserves int/None exactly.
+            return arr.to_pylist()
+        return arr.to_pandas().tolist()
 
     @staticmethod
     def _keys_where(keys, mask) -> list[str]:
@@ -1076,8 +1084,16 @@ class ParquetMergeTable:
         t = self._ckpt_table(man, columns=want)
         names = set(t.schema.names)
         if "entry" in names:                      # legacy layout
+            # decode from the table already in hand — 'key'/'entry'
+            # were in the requested subset, so a second _full_files
+            # fetch would double the GET + parse (r10 review)
+            files = {
+                k: _json.loads(e)
+                for k, e in zip(t.column("key").to_pylist(),
+                                t.column("entry").to_pylist())
+            }
             return self._arrays_from_dict(
-                self._full_files(man), cols, with_bytes, with_rows)
+                files, cols, with_bytes, with_rows)
         keys = t.column("key")
         n = len(keys)
         rows = t.column("rows") if with_rows else None
@@ -1881,6 +1897,10 @@ class ParquetMergeTable:
             return float(ts)
         if isinstance(ts, str):
             ts = _dt.datetime.fromisoformat(ts)
+        if isinstance(ts, _dt.date) and not isinstance(ts, _dt.datetime):
+            # a bare date is midnight UTC — symmetric with the
+            # ISO-date string form ('2026-08-16')
+            ts = _dt.datetime(ts.year, ts.month, ts.day)
         if isinstance(ts, _dt.datetime):
             if ts.tzinfo is None:
                 ts = ts.replace(tzinfo=_dt.timezone.utc)
@@ -2444,10 +2464,12 @@ class ParquetMergeTable:
             if z.get("all_null"):
                 return False
             nlo, nhi = self._stat_norm(lo), self._stat_norm(hi)
-            if lo is not None and nlo is None:
-                continue  # probe value outside the stats plane
-            if hi is not None and nhi is None:
-                continue
+            # a bound outside the stats plane (nlo/nhi None) simply
+            # can't participate; the OTHER bound still prunes — the
+            # per-bound handling _mask_range uses (r10 review: the two
+            # twins used to disagree here, a whole-column skip vs
+            # per-bound, giving rebase different verdicts for the same
+            # interleave depending on commit shape)
             if nlo is not None and self._stat_lt(z["max"], nlo):
                 return False
             if nhi is not None and self._stat_lt(nhi, z["min"]):
@@ -2750,7 +2772,7 @@ class ParquetMergeTable:
         # URI form (no re-derivation of Spark's path escaping)
         counts = df.groupBy("_file_rel").count().collect()
         if not counts:
-            return {}
+            return self._bloom_sentinels({}, relkeys)
         m_by_file = {
             r._file_rel: self._bloom_m(int(r["count"]), bits_per_row)
             for r in counts
@@ -2795,11 +2817,35 @@ class ParquetMergeTable:
         for r in words:
             e = sparse.setdefault(r._file_rel, {})
             e[int(r._w)] = int(r._bits) & mask
-        return {
+        out = {
             k: {"m": m_by_file[k],
                 "blob": self._words_to_blob(m_by_file[k], ws)}
             for k, ws in sparse.items()
         }
+        return self._bloom_sentinels(out, relkeys)
+
+    @staticmethod
+    def _bloom_sentinels(out: dict, relkeys) -> dict:
+        """For an incremental build (``relkeys`` given), record an
+        ``m=0`` sentinel for every requested file that yielded ZERO
+        non-null values (all-NULL column, or fully DV'd): files are
+        immutable, so no IN probe can ever match such a file —
+        `_bloom_might_contain` prunes it outright — and without the
+        sentinel `_carry_bloom`'s added-files diff would re-launch a
+        scan over it on EVERY subsequent commit, forever. Sentinels
+        are keyed in fs form (unquote is the identity there); the
+        corner where a raw path itself contains '%' makes the carry
+        drop the sentinel and re-scan once more — unpruned, never
+        wrong."""
+        if relkeys is None:
+            return out
+        from urllib.parse import unquote
+
+        covered = {unquote(k) for k in out}
+        for rel in relkeys:
+            if rel not in covered:
+                out[rel] = {"m": 0, "blob": b""}
+        return out
 
     def build_file_index(self, col: str, bits_per_row: int = 10,
                          wait: bool = True) -> None:
@@ -2868,6 +2914,10 @@ class ParquetMergeTable:
         packed blob form and the pre-packing sparse-words form (the
         parity test probes both)."""
         m = entry.get("m")
+        if m == 0:
+            # build-time sentinel: the file held zero non-null values
+            # in the column (files are immutable) — no probe matches
+            return False
         if not m:
             return True
         h1, h2 = self._bloom_h12(str(value))
@@ -3307,8 +3357,17 @@ class ParquetMergeTable:
             new = self._scan(v)
         else:
             self._resolve_version(v - 1)   # raises if parent vacuumed
-            dv_old = self._manifest(v - 1).get("dv") or {}
-            dv_new = man.get("dv") or {}
+            from urllib.parse import unquote
+
+            # the dv section keys files in URI form; _file_keys is
+            # fs-form — bridge with unquote like every other DV
+            # consumer (_scan, _assemble_manifest), else a DV change
+            # on a Hive-escaped partition file reads as 'unchanged'
+            # and its deletes silently vanish from the feed
+            dv_old = {unquote(k): e for k, e in
+                      (self._manifest(v - 1).get("dv") or {}).items()}
+            dv_new = {unquote(k): e for k, e in
+                      (man.get("dv") or {}).items()}
             keys_old = set(self._file_keys(v - 1))
             keys_new = set(self._file_keys(v))
             same = {k for k in keys_old & keys_new
@@ -3345,8 +3404,7 @@ class ParquetMergeTable:
             F.lit(v).cast("long").alias("_commit_version"),
         )
 
-    def export_changes(self, upto: int | None = None,
-                       wait: bool = True) -> list[int]:
+    def export_changes(self, upto: int | None = None) -> list[int]:
         """Materialize the change feed: for every retained, not-yet-
         exported version ≤ ``upto`` (default head) whose parent is
         derivable, write :meth:`changes_at` as parquet files under
@@ -4264,18 +4322,30 @@ class ParquetMergeTable:
 
         if v and self._backend.list_names(
                 _os.path.join(self._cdf_dir(), "_exported")):
+            import json as _json
+
+            def _finalized(n: int) -> bool:
+                # a claim whose export crashed has files=None — its
+                # rows were never published, so it counts as BACKLOG
+                # (export_changes' repair path re-exports it), not as
+                # exported; bare existence would report a green feed
+                # while consumers are missing a version
+                try:
+                    rec = _json.loads(
+                        self._backend.get(self._cdf_marker(n)))
+                except (OSError, ValueError):
+                    return False
+                return rec.get("files") is not None
+
             retained = sorted(h["version"] for h in self.history())
             rset = set(retained)
             backlog = [
                 n for n in retained
-                if (n == 1 or (n - 1) in rset)
-                and not self._backend.exists(self._cdf_marker(n))
+                if (n == 1 or (n - 1) in rset) and not _finalized(n)
             ]
             feed = {
                 "exported_up_to": max(
-                    (n for n in retained
-                     if self._backend.exists(self._cdf_marker(n))),
-                    default=0),
+                    (n for n in retained if _finalized(n)), default=0),
                 "backlog": len(backlog),
             }
             if backlog:
