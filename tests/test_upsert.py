@@ -2263,12 +2263,16 @@ def test_timestamp_as_of_resolution_and_read(spark, tmp_path):
             for r in spark.sql("SELECT id, v FROM tt_asof").collect()}
     assert got2 == {1: 10, 2: 20}
 
-    # datetime (aware + naive-as-UTC) and ISO-string forms agree
+    # datetime (aware + naive-as-UTC), ISO-string and date forms agree
     aware = datetime.fromtimestamp(mid_12, tz=timezone.utc)
     naive = aware.replace(tzinfo=None)
     assert t.version_at_timestamp(aware) == 1
     assert t.version_at_timestamp(naive) == 1
     assert t.version_at_timestamp(naive.isoformat()) == 1
+    # a bare date = midnight UTC, symmetric with its ISO string
+    tomorrow = (naive.date() + __import__("datetime").timedelta(days=1))
+    assert t.version_at_timestamp(tomorrow) == \
+        t.version_at_timestamp(tomorrow.isoformat())
 
     # vacuum moves the earliest-retained boundary: v1's instant is now
     # unanswerable even though it was once resolvable
