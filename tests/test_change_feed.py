@@ -312,6 +312,73 @@ def test_feed_survives_churn_vacuum_and_compaction(spark, tmp_path):
                 if f.endswith(".parquet")]) == n_cdf
 
 
+def test_export_claim_phantom_put_recovers_complete_and_unduplicated(
+        spark, tmp_path):
+    """The storage-fault model applied to the export claim: the
+    conditional PUT of a version's marker LANDS but the exporter sees
+    a timeout (the ambiguous S3 failure). The failed call must not
+    have published any data file for that version; the next
+    export_changes treats the landed claim as crashed (files=None),
+    re-claims, and completes — the finalized feed has every version
+    exactly once and every visible data file referenced by exactly
+    one marker."""
+    from yelp_data_engineering_pipeline_spark.operators.storage import (
+        PosixBackend,
+    )
+
+    class PhantomClaimBackend(PosixBackend):
+        def __init__(self):
+            self.armed = False
+
+        def put_if_absent(self, path, data):
+            super().put_if_absent(path, data)
+            if self.armed and "_exported" in path:
+                self.armed = False
+                raise TimeoutError("simulated: claim PUT timed out "
+                                   "after landing")
+
+    b = PhantomClaimBackend()
+    t = ParquetMergeTable(spark, str(tmp_path / "ph"), key="id",
+                          backend=b)
+    t.merge(spark.createDataFrame([(1, 10), (2, 20)],
+                                  "id long, v long"))
+    t.merge(spark.createDataFrame([(2, 99), (3, 30)],
+                                  "id long, v long"))
+
+    b.armed = True
+    with pytest.raises(TimeoutError):
+        t.export_changes()
+    # the claim landed (ambiguous failure) but NO data file of any
+    # unfinalized version is visible
+    rec = json.loads(t._backend.get(t._cdf_marker(1)))
+    assert rec["files"] is None
+    visible = [f for f in t._backend.list_names(t._cdf_dir())
+               if f.endswith(".parquet")]
+    assert not any(f.startswith("v00000001-") for f in visible)
+
+    # recovery: the crashed claim is repaired, everything exports once
+    assert t.export_changes() == [1, 2]
+    referenced = []
+    for v in (1, 2):
+        rec = json.loads(t._backend.get(t._cdf_marker(v)))
+        assert rec["files"]
+        referenced += rec["files"]
+    visible = {f for f in t._backend.list_names(t._cdf_dir())
+               if f.endswith(".parquet")}
+    assert visible == set(referenced)
+    assert len(referenced) == len(set(referenced))
+    # the feed content is exactly the two commits' CDF — no dupes
+    feed = spark.read.parquet(str(tmp_path / "ph" / "_cdf"))
+    got = {(r.id, r._change_type, r._commit_version)
+           for r in feed.collect()}
+    want = set()
+    for v in (1, 2):
+        want |= {(r.id, r._change_type, r._commit_version)
+                 for r in t.changes_at(v).collect()}
+    assert got == want
+    assert feed.count() == len(want)
+
+
 def test_export_skips_vacuumed_parents(spark, tmp_path):
     """Versions whose parent fell out of retention are underivable —
     export skips them instead of fabricating a diff; the discipline is
