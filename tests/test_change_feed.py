@@ -356,8 +356,12 @@ def test_export_claim_phantom_put_recovers_complete_and_unduplicated(
                if f.endswith(".parquet")]
     assert not any(f.startswith("v00000001-") for f in visible)
 
-    # recovery: the crashed claim is repaired, everything exports once
-    assert t.export_changes() == [1, 2]
+    # recovery: under the default grace the young claim is NOT
+    # hijacked (it could be an export in flight) — v2 still exports;
+    # the version-conditional replica merge tolerates the temporary
+    # gap. With grace 0 (no other exporter live) v1 repairs.
+    assert t.export_changes() == [2]
+    assert t.export_changes(claim_grace_seconds=0) == [1]
     referenced = []
     for v in (1, 2):
         rec = json.loads(t._backend.get(t._cdf_marker(v)))
@@ -377,6 +381,56 @@ def test_export_claim_phantom_put_recovers_complete_and_unduplicated(
                  for r in t.changes_at(v).collect()}
     assert got == want
     assert feed.count() == len(want)
+
+
+def test_concurrent_exporters_race_real_threads(spark, tmp_path):
+    """Two exporters race the same table for real: the conditional-PUT
+    claim hands each version to exactly one of them (disjoint return
+    sets, union complete), young in-flight claims are never hijacked
+    (default grace), and the finalized feed holds every commit's rows
+    exactly once."""
+    import threading
+
+    t = _mk_table(spark, tmp_path / "race")
+    results: dict[str, list] = {}
+    errs: list = []
+    barrier = threading.Barrier(2)
+
+    def worker(name):
+        h = ParquetMergeTable(spark, str(tmp_path / "race"), key="id")
+        try:
+            barrier.wait(timeout=30)
+            results[name] = h.export_changes()
+        except Exception as e:  # noqa: BLE001 — surfaced below
+            errs.append((name, e))
+
+    th = [threading.Thread(target=worker, args=(n,))
+          for n in ("a", "b")]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join(timeout=300)
+    assert not errs, errs
+    a, b = results["a"], results["b"]
+    assert set(a) & set(b) == set()            # no version twice
+    assert sorted(a + b) == [1, 2, 3, 4]        # union complete
+    # feed content: every commit exactly once, no duplicate rows
+    feed = spark.read.parquet(str(tmp_path / "race" / "_cdf"))
+    want = set()
+    for v in (1, 2, 3, 4):
+        want |= _rows(t.changes_at(v))
+    assert _rows(feed) == want
+    assert feed.count() == len(want)
+    # every visible file referenced by exactly one finalized marker
+    referenced = []
+    for v in (1, 2, 3, 4):
+        rec = json.loads(t._backend.get(t._cdf_marker(v)))
+        assert rec["files"] is not None
+        referenced += rec["files"]
+    visible = {f for f in t._backend.list_names(t._cdf_dir())
+               if f.endswith(".parquet")}
+    assert visible == set(referenced)
+    assert len(referenced) == len(set(referenced))
 
 
 def test_export_skips_vacuumed_parents(spark, tmp_path):

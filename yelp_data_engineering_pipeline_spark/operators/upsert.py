@@ -3404,7 +3404,9 @@ class ParquetMergeTable:
             F.lit(v).cast("long").alias("_commit_version"),
         )
 
-    def export_changes(self, upto: int | None = None) -> list[int]:
+    def export_changes(self, upto: int | None = None,
+                       claim_grace_seconds: float = 3600.0
+                       ) -> list[int]:
         """Materialize the change feed: for every retained, not-yet-
         exported version ≤ ``upto`` (default head) whose parent is
         derivable, write :meth:`changes_at` as parquet files under
@@ -3416,16 +3418,21 @@ class ParquetMergeTable:
         Concurrency and delivery contract: a version is CLAIMED via
         conditional PUT of its marker before any data file moves in —
         at most one exporter ever works a version, in both storage
-        modes. Files then appear one atomic rename at a time and the
-        marker is finalized with the file list. Normal operation is
+        modes; a concurrent exporter skips claimed versions, and an
+        UNFINALIZED claim younger than ``claim_grace_seconds`` is an
+        export in flight, never hijacked (vacuum's grace idiom —
+        repairing a live claim would publish duplicate token sets).
+        Files then appear one atomic rename at a time and the marker
+        is finalized with the file list. Normal operation is
         exactly-once end-to-end (the file-stream consumer checkpoints
         per file); an exporter CRASH between claim and finalize leaves
-        a partial export that ``export_changes`` repairs on the next
-        call by re-exporting under a fresh token — a consumer may then
-        see a crash-window row twice, the documented at-least-once
-        corner every file-based CDC has. Downstream MERGE consumers
-        are idempotent by ``(key, _commit_version)`` — the
-        run_cdc_upsert_stream dedup pattern."""
+        a partial export that ``export_changes`` repairs once the
+        claim ages past the grace, re-exporting under a fresh token —
+        a consumer may then see a crash-window row twice, the
+        documented at-least-once corner every file-based CDC has.
+        Downstream MERGE consumers are idempotent by
+        ``(key, _commit_version)`` — the run_cdc_upsert_stream dedup
+        pattern."""
         import json as _json
         import os
         import shutil
@@ -3454,9 +3461,17 @@ class ParquetMergeTable:
                     continue
                 if rec.get("files") is not None:
                     continue           # finalized
-                # crashed claim: sweep its partial files, re-claim by
-                # full-object replace (single maintenance actor — the
-                # compact/vacuum discipline)
+                if _time.time() - rec.get("claimed_at_unix", 0) < \
+                        claim_grace_seconds:
+                    # a YOUNG unfinalized claim is an export in
+                    # flight, not a crash — hijacking it would
+                    # publish two token sets of the same version
+                    # (duplicate feed rows). Same grace idiom as
+                    # vacuum's stage_grace_seconds; pass 0 only when
+                    # no other exporter can be live.
+                    continue
+                # crashed claim (grace-aged): sweep its partial files,
+                # re-claim by full-object replace
                 stale = rec.get("token", "")
                 for fn in self._backend.list_names(self._cdf_dir()):
                     if fn.startswith(f"v{v:08d}-{stale}"):
