@@ -383,6 +383,52 @@ def test_export_claim_phantom_put_recovers_complete_and_unduplicated(
     assert feed.count() == len(want)
 
 
+def test_vacuum_change_feed_retention(spark, tmp_path):
+    """Feed retention: vacuum_change_feed drops old versions' change
+    FILES but keeps their markers finalized (empty list + stamp) —
+    never re-exported, never reported as backlog; an already-caught-up
+    consumer checkpoint is unaffected; a NEW consumer sees the feed
+    begin at the retention boundary."""
+    from yelp_data_engineering_pipeline_spark.streaming.ingest import (
+        run_replication_stream,
+    )
+
+    t = _mk_table(spark, tmp_path / "fr")
+    assert t.export_changes() == [1, 2, 3, 4]
+    # a consumer catches up BEFORE retention
+    run_replication_stream(spark, t, str(tmp_path / "fr_rep"),
+                           str(tmp_path / "fr_ckpt"))
+
+    assert t.vacuum_change_feed(3) == [1, 2]
+    assert t.vacuum_change_feed(3) == []        # idempotent
+    vis = {f for f in t._backend.list_names(t._cdf_dir())
+           if f.endswith(".parquet")}
+    assert vis and not any(f.startswith(("v00000001", "v00000002"))
+                           for f in vis)
+    rec = json.loads(t._backend.get(t._cdf_marker(1)))
+    assert rec["files"] == [] and "vacuumed_at_unix" in rec
+    # still counts as exported: no re-export, no backlog
+    assert t.export_changes() == []
+    assert t.maintenance_plan()["change_feed"] == {
+        "exported_up_to": 4, "backlog": 0}
+
+    # the caught-up consumer keeps working across retention: a new
+    # commit exports and drains through the SAME checkpoint
+    t.merge(spark.createDataFrame([(8, "a", 80)],
+                                  "id long, p string, v long"))
+    assert t.export_changes() == [5]
+    run_replication_stream(spark, t, str(tmp_path / "fr_rep"),
+                           str(tmp_path / "fr_ckpt"))
+    rep = ParquetMergeTable(spark, str(tmp_path / "fr_rep"), key="id")
+    assert {(r.id, r.p, r.v) for r in
+            rep.read().drop("_commit_version").collect()} == \
+        {(r.id, r.p, r.v) for r in t.read().collect()}
+
+    # a NEW consumer sees only the retained tail of the feed
+    feed = spark.read.parquet(str(tmp_path / "fr" / "_cdf"))
+    assert set(r._commit_version for r in feed.collect()) <= {3, 4, 5}
+
+
 def test_concurrent_exporters_race_real_threads(spark, tmp_path):
     """Two exporters race the same table for real: the conditional-PUT
     claim hands each version to exactly one of them (disjoint return

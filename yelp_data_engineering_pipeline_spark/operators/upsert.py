@@ -3502,6 +3502,48 @@ class ParquetMergeTable:
             done.append(v)
         return done
 
+    def vacuum_change_feed(self, before_version: int) -> list[int]:
+        """Feed retention: drop the exported change FILES of versions
+        below ``before_version`` (they grow forever otherwise — one
+        parquet set per commit). The marker stays, finalized with an
+        empty file list and a ``vacuumed_at_unix`` stamp, so the
+        version still counts as exported — ``export_changes`` never
+        re-exports it and ``maintenance_plan`` never reports it as
+        backlog. Only vacuum below every consumer's watermark: a
+        file-stream checkpoint that already consumed the files never
+        re-reads them, but a NEW consumer starting from scratch sees
+        the feed begin at ``before_version`` (the same
+        retention-vs-new-reader trade snapshot vacuum has). Returns
+        the versions whose files were removed."""
+        import json as _json
+        import os
+        import time as _time
+
+        removed: list[int] = []
+        exp_dir = os.path.join(self._cdf_dir(), "_exported")
+        for name in self._backend.list_names(exp_dir):
+            try:
+                n = int(name.split(".", 1)[0])
+            except ValueError:
+                continue
+            if n >= before_version:
+                continue
+            marker = self._cdf_marker(n)
+            try:
+                rec = _json.loads(self._backend.get(marker))
+            except (OSError, ValueError):
+                continue
+            files = rec.get("files")
+            if not files:           # unfinalized crash or already swept
+                continue
+            for f in files:
+                self._backend.delete(os.path.join(self._cdf_dir(), f))
+            rec["files"] = []
+            rec["vacuumed_at_unix"] = round(_time.time(), 3)
+            self._backend.put(marker, _json.dumps(rec).encode())
+            removed.append(n)
+        return sorted(removed)
+
     def stream_changes(self, max_files_per_trigger: int | None = None
                        ) -> DataFrame:
         """The exported change feed as a STREAMING DataFrame — a plain
