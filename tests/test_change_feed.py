@@ -491,3 +491,109 @@ def test_export_skips_vacuumed_parents(spark, tmp_path):
     t.merge(spark.createDataFrame([(6, "b", 60)],
                                   "id long, p string, v long"))
     assert t.export_changes() == [5]
+
+
+def test_export_finalize_race_loser_aborts_and_sweeps(spark, tmp_path):
+    """ADVICE r10: an exporter that loses its claim mid-export (a
+    repairer past the grace window re-claimed the version) must NOT
+    finalize — it deletes its own published files and walks away, so
+    no version ever has feed files that its finalized marker does not
+    list. Simulated by flipping the marker's token while the exporter
+    is computing the change set."""
+    t = _mk_table(spark, tmp_path / "race")
+    orig = ParquetMergeTable.changes_at
+    hijacked = {}
+
+    def hijack(self, v, *a, **k):
+        if v == 1 and not hijacked:
+            rec = json.loads(self._backend.get(self._cdf_marker(1)))
+            hijacked["stolen"] = rec["token"]
+            rec["token"] = "feedfacece"
+            self._backend.put(self._cdf_marker(1),
+                              json.dumps(rec).encode())
+        return orig(self, v, *a, **k)
+
+    ParquetMergeTable.changes_at = hijack
+    try:
+        done = t.export_changes()
+    finally:
+        ParquetMergeTable.changes_at = orig
+    assert 1 not in done and done == [2, 3, 4]
+    stolen = hijacked["stolen"]
+    leftovers = [f for f in t._backend.list_names(t._cdf_dir())
+                 if f.startswith(f"v00000001-{stolen}")]
+    assert leftovers == []                     # loser's files deleted
+    rec = json.loads(t._backend.get(t._cdf_marker(1)))
+    assert rec["token"] == "feedfacece" and rec["files"] is None
+    # the surviving claim ages out and repairs normally
+    rec["claimed_at_unix"] = 0.0
+    t._backend.put(t._cdf_marker(1), json.dumps(rec).encode())
+    assert t.export_changes() == [1]
+    # invariant: every visible feed file is marker-listed
+    visible = {f for f in t._backend.list_names(t._cdf_dir())
+               if f.endswith(".parquet")}
+    referenced = set()
+    for v in (1, 2, 3, 4):
+        referenced |= set(json.loads(
+            t._backend.get(t._cdf_marker(v)))["files"])
+    assert visible == referenced
+
+
+def test_cdf_orphan_sweep_grace_guarded(spark, tmp_path):
+    """Feed files no finalized marker lists (finalize-race residue)
+    are swept by export_changes/vacuum_change_feed once past the
+    grace window — and never while young (they might belong to an
+    in-flight exporter)."""
+    t = _mk_table(spark, tmp_path / "orph")
+    t.export_changes()
+    stray = os.path.join(t._cdf_dir(), "v00000002-0ddba11000-9.parquet")
+    t._backend.put(stray, b"residue")
+    # young: protected
+    t.export_changes(claim_grace_seconds=3600)
+    assert os.path.exists(stray)
+    # aged: swept (grace 0)
+    swept = t._sweep_cdf_orphans(0)
+    assert swept == ["v00000002-0ddba11000-9.parquet"]
+    assert not os.path.exists(stray)
+    # marker-listed files untouched
+    rec = json.loads(t._backend.get(t._cdf_marker(2)))
+    for f in rec["files"]:
+        assert os.path.exists(os.path.join(t._cdf_dir(), f))
+
+
+def test_stream_changes_detects_dropped_or_retyped_columns(
+        spark, tmp_path):
+    """ADVICE r10: the feed's single-schema stream is only sound for
+    ADDITIVE evolution. A marker whose recorded export-time schema
+    carries a column the head dropped (or retyped) must fail loudly
+    with the boundary version; vacuuming the feed past it restores
+    readability."""
+    t = _mk_table(spark, tmp_path / "schema")
+    t.export_changes()
+    # head is fine today
+    t.stream_changes()
+    # fabricate: v1 was exported when a now-dropped column existed
+    rec = json.loads(t._backend.get(t._cdf_marker(1)))
+    from pyspark.sql.types import LongType, StructField, StructType
+    sch = StructType.fromJson(rec["schema"])
+    sch = StructType(list(sch.fields) +
+                     [StructField("ghost", LongType(), True)])
+    rec["schema"] = sch.jsonValue()
+    t._backend.put(t._cdf_marker(1), json.dumps(rec).encode())
+    with pytest.raises(ValueError, match="ghost.*dropped.*version 1"):
+        t.stream_changes()
+    # retype detection
+    rec = json.loads(t._backend.get(t._cdf_marker(1)))
+    sch = StructType.fromJson(rec["schema"])
+    fields = [StructField("v", __import__("pyspark.sql.types",
+                                          fromlist=["StringType"]
+                                          ).StringType(), True)
+              if f.name == "v" else f
+              for f in sch.fields if f.name != "ghost"]
+    rec["schema"] = StructType(fields).jsonValue()
+    t._backend.put(t._cdf_marker(1), json.dumps(rec).encode())
+    with pytest.raises(ValueError, match="'v' was retyped"):
+        t.stream_changes()
+    # vacuum past the boundary: feed is readable again
+    t.vacuum_change_feed(2)
+    t.stream_changes()

@@ -393,8 +393,10 @@ def test_delta_commit_never_materializes_parent_zone_maps(spark, tmp_path):
     man2 = t._manifest(2)
     assert "delta_of" in man2 and man2["removed"] == sorted(files)[:3]
 
-    # force the chain ceiling: the NEXT commit checkpoints, and THAT
-    # one is allowed (and required) to materialize
+    # force the chain ceiling: the NEXT commit checkpoints — and since
+    # r11 even THAT one never materializes per-file dicts: the sidecar
+    # is built by columnar carry from the parent checkpoint (VERDICT
+    # r10 next-1), so _files() stays uncalled on the whole write path
     orig_every = ParquetMergeTable._CHECKPOINT_EVERY
     ParquetMergeTable._CHECKPOINT_EVERY = 2
     try:
@@ -402,11 +404,108 @@ def test_delta_commit_never_materializes_parent_zone_maps(spark, tmp_path):
     finally:
         ParquetMergeTable._CHECKPOINT_EVERY = orig_every
     assert v3 == 3
-    assert calls["files"] >= 1
+    assert calls["files"] == 0, "checkpoint build materialized zone maps"
     man3 = t._manifest(3)
     assert "delta_of" not in man3 and "ckpt" in man3
     cold = _fresh(spark, tmp_path / "tbl")
     assert cold._file_keys(3) == keep[1:]
+    # and the carried checkpoint resolves bit-identically to the
+    # dict-built equivalent
+    cold2 = _fresh(spark, tmp_path / "tbl")
+    assert cold2._files(3) == {k: files[k] for k in keep[1:]}
+
+
+def test_checkpoint_carry_equals_dict_build(spark, tmp_path):
+    """VERDICT r10 next-1: the columnar checkpoint CARRY (filter the
+    parent sidecar + encode only the O(changed) overrides) resolves
+    bit-identically to the dict-built checkpoint — through churn that
+    removes files, re-adds a removed key with a DIFFERENT entry,
+    introduces a NEW zone column (schema evolution → null-promoted),
+    and carries non-canonical xjson entries verbatim."""
+    from pyspark.sql.types import StructType
+
+    t = _fresh(spark, tmp_path / "tbl")
+    n = ParquetMergeTable._CKPT_INLINE_MAX + 200
+    files = {_key(i): _entry(i) for i in range(n)}
+    files["weird.parquet"] = {"rows": 7, "cols": {}, "custom": [1]}
+    _publish_full(t, 1, files)
+
+    # churn: remove 10; re-add one removed key with a different entry
+    # and a NEW zone column "q" absent from the v1 sidecar
+    readd = {_key(3): {"rows": 1,
+                       "cols": {"id": {"min": 0, "max": 0, "nulls": 0},
+                                "q": {"min": "a", "max": "m",
+                                      "nulls": 2}}}}
+    _publish_delta(t, 2, 1, readd, [_key(i) for i in range(10)])
+    expected = {k: v for k, v in files.items()
+                if k not in {_key(i) for i in range(10)}}
+    expected.update(readd)
+
+    schema = StructType.fromJson(_SCHEMA)
+    new_files = {"fresh.parquet": {"rows": 5,
+                 "cols": {"q": {"all_null": True}}}}
+    keep = sorted(expected)
+    orig = ParquetMergeTable._CHECKPOINT_EVERY
+    ParquetMergeTable._CHECKPOINT_EVERY = 2
+    try:
+        # _assemble_manifest checkpoint branch with explicit entries
+        man = t._externalize_files(3, t._assemble_manifest(
+            3, "merge", schema, 2, keep, new_files))
+        t._publish(3, man)
+    finally:
+        ParquetMergeTable._CHECKPOINT_EVERY = orig
+    expected.update(new_files)
+    assert "ckpt" in t._manifest(3)
+
+    cold = _fresh(spark, tmp_path / "tbl")
+    assert cold._files(3) == expected
+    # the new column is a first-class zone column for skipping
+    cold2 = _fresh(spark, tmp_path / "tbl")
+    keys, _, _, za = cold2._zone_arrays(3, ["q"], with_rows=False)
+    assert "q" in za
+    i = _seq_index(cold2, keys, _key(3))
+    assert za["q"][0][i] == "a" and za["q"][1][i] == "m"
+
+
+def _seq_index(t, keys, k):
+    return t._seq_list(keys).index(k)
+
+
+def test_checkpoint_carry_spark_tier(spark, tmp_path):
+    """Above _CKPT_SPARK_MIN resolved files the carry runs as a Spark
+    job over the parent sidecar (driver holds only the O(changed)
+    override set + compressed sidecar bytes); lowered threshold here
+    to exercise the tier — resolve must be identical and _files()
+    must never run."""
+    from pyspark.sql.types import StructType
+
+    t = _fresh(spark, tmp_path / "tbl")
+    n = ParquetMergeTable._CKPT_INLINE_MAX + 300
+    files = {_key(i): _entry(i) for i in range(n)}
+    _publish_full(t, 1, files)
+    calls = {"files": 0}
+    orig_files = t._files
+    t._files = lambda v: (calls.__setitem__("files", calls["files"] + 1)
+                          or orig_files(v))
+    keep = sorted(files)[:-7]
+    schema = StructType.fromJson(_SCHEMA)
+    added = {"jobnew.parquet": _entry(0)}
+    orig_every = ParquetMergeTable._CHECKPOINT_EVERY
+    ParquetMergeTable._CHECKPOINT_EVERY = 1
+    ParquetMergeTable._CKPT_SPARK_MIN = 100
+    try:
+        man = t._externalize_files(2, t._assemble_manifest(
+            2, "merge", schema, 1, keep, added))
+        t._publish(2, man)
+    finally:
+        ParquetMergeTable._CHECKPOINT_EVERY = orig_every
+        ParquetMergeTable._CKPT_SPARK_MIN = 4_000_000
+    assert calls["files"] == 0
+    assert "ckpt" in t._manifest(2)
+    expected = {k: files[k] for k in keep}
+    expected.update(added)
+    cold = _fresh(spark, tmp_path / "tbl")
+    assert cold._files(2) == expected
 
 
 def test_checkpoint_xjson_fallback_roundtrips_noncanonical(spark, tmp_path):

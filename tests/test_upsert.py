@@ -225,6 +225,28 @@ def test_snapshot_diff_classification(spark):
     assert got == {1: "deleted", 2: "unchanged", 3: "updated", 4: "inserted"}
 
 
+def test_snapshot_diff_signature_is_injective(spark):
+    """ADVICE r10: values embedding the old separator/sentinel bytes
+    must never collide — ('a\\x1fb','c') vs ('a','b\\x1fc') is a REAL
+    update, as is a literal '\\x00' vs NULL, and '' vs NULL."""
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a\x1fb", "c"), (2, "\x00", "z"), (3, "", "z"),
+         (4, "v1:", "x")],
+        "k long, a string, b string")
+    new = spark.createDataFrame(
+        [(1, "a", "b\x1fc"), (2, None, "z"), (3, None, "z"),
+         (4, "v", "1:x")],
+        "k long, a string, b string")
+    got = {r["k"]: r["change_type"]
+           for r in snapshot_diff(old, new, "k", ["a", "b"]).collect()}
+    assert got == {1: "updated", 2: "updated", 3: "updated",
+                   4: "updated"}
+
+
 def test_profile_columns_stats(spark):
     from yelp_data_engineering_pipeline_spark.operators.profiling import profile_columns
 

@@ -743,3 +743,103 @@ def test_keyed_dml_races_concurrent_commit(spark, tmp_path):
     want[50] = 500                      # the raced commit survived
     assert got == want
     assert t.current_version() == 3     # collide + re-derive, no gap
+
+
+class _ChunkRecorder:
+    """PosixBackend wrapper recording how the DV sidecar bytes
+    arrived: streamed (and with what max single chunk) or as one
+    whole-object put."""
+
+    def __init__(self):
+        from yelp_data_engineering_pipeline_spark.operators.storage import (
+            PosixBackend,
+        )
+
+        self._inner = PosixBackend()
+        self.stream_paths = []
+        self.max_chunk = 0
+        self.whole_puts = []
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def put(self, path, data):
+        self.whole_puts.append((path, len(data)))
+        return self._inner.put(path, data)
+
+    def put_stream(self, path, chunks):
+        self.stream_paths.append(path)
+
+        def rec():
+            for c in chunks:
+                self.max_chunk = max(self.max_chunk, len(c))
+                yield c
+
+        return self._inner.put_stream(path, rec())
+
+
+def test_dv_build_streams_executor_packed_positions(spark, tmp_path):
+    """VERDICT r10 next-2: a broad DV delete (~4.5M matched rows here)
+    never materializes the matched (file, pos) pairs on the driver —
+    executors pack per-file position blobs (mapInPandas), the driver
+    STREAMS them through backend.put_stream (the multipart-upload
+    shape) and keeps only {ref, off, n} pointers. The recorder proves
+    the sidecar arrived chunked (max single chunk ≈ one file's
+    positions, a fraction of the sidecar) and never as one
+    whole-object put; the result matches SQL delete semantics."""
+    be = _ChunkRecorder()
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="id",
+                          storage="object", backend=be)
+    n = 5_000_000
+    # v is scattered so every file is a BOUNDARY file for the
+    # predicate (partial match -> DV path, not metadata-only drop)
+    df = (spark.range(n)
+          .withColumn("v", (F.col("id") * 2654435761) % 10_000_000)
+          .repartition(8))
+    t.merge(df)
+    bound = 9_000_000
+    v2 = t.delete_where({"v": (None, bound - 1)},
+                        use_deletion_vectors=True)
+    matched = n - spark.read.parquet(
+        *[os.path.join(t.root, r) for r in t._file_keys(1)]
+    ).filter(F.col("v") >= bound).count()
+    man = t._manifest(v2)
+    entries = man["dv"]
+    assert entries and all(isinstance(e, dict) for e in entries.values())
+    assert sum(e["n"] for e in entries.values()) == matched
+    # streamed, never a whole-object put of the DV sidecar
+    assert len(be.stream_paths) == 1
+    assert not any(".dv." in p for p, _ in be.whole_puts)
+    total_bytes = matched * 8
+    assert 0 < be.max_chunk <= total_bytes * 0.2 + 4096, \
+        f"chunk {be.max_chunk} vs sidecar {total_bytes}"
+    # SQL semantics
+    assert t.read().count() == n - matched
+    assert t.read().filter(F.col("v") < bound).count() == 0
+
+
+def test_dv_stream_premerges_carried_positions(spark, tmp_path):
+    """Successive streamed DV deletes on the same files: the second
+    commit's {ref,off,n} entry must contain the UNION of carried and
+    new positions (pre-merged executor blobs), so reads after both
+    deletes exclude both generations of rows."""
+    t = _table(spark, tmp_path / "tbl")
+    df = (spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+          .repartitionByRange(4, "id").sortWithinPartitions("id"))
+    t.merge(df)
+    orig = ParquetMergeTable._DV_INLINE_TOTAL_MAX
+    ParquetMergeTable._DV_INLINE_TOTAL_MAX = 4   # force streaming tier
+    try:
+        t.delete_where({"id": (10, 39)}, use_deletion_vectors=True)
+        v3 = t.delete_where({"id": (20, 59)}, use_deletion_vectors=True)
+    finally:
+        ParquetMergeTable._DV_INLINE_TOTAL_MAX = orig
+    man = t._manifest(v3)
+    assert all(isinstance(e, dict) for e in man["dv"].values())
+    assert sum(e["n"] for e in man["dv"].values()) == 50   # 10..59
+    assert t.read().count() == 950
+    assert t.read().filter("id between 10 and 59").count() == 0
+    # positions resolve sorted and unique per file
+    for e in man["dv"].values():
+        ps = t._dv_positions(e)
+        assert ps == sorted(set(ps))

@@ -74,6 +74,37 @@ def tier(spark, n: int) -> dict:
     t._publish(2, chain_man)
     delta_bytes = os.path.getsize(t._manifest_path(2))
 
+    # checkpoint BUILD by columnar carry (VERDICT r10 next-1): v3
+    # checkpoints from v1's sidecar + v2's 200-churn delta without
+    # materializing per-file dicts. The dict-build foil (the r10 path:
+    # _files() decode + re-encode, ~34 µs/file linear) is measured at
+    # the small tiers only — BASELINE.md records 33.9 s at 1M.
+    from pyspark.sql.types import StructType
+    schema = StructType.fromJson(_SCHEMA)
+    keep = sorted(set(files) - set(removed) | set(added))
+    carry = ParquetMergeTable(spark, root, key="id", storage="object")
+    orig_every = ParquetMergeTable._CHECKPOINT_EVERY
+    ParquetMergeTable._CHECKPOINT_EVERY = 1
+    try:
+        t0 = time.time()
+        man3 = carry._externalize_files(3, carry._assemble_manifest(
+            3, "merge", schema, 2, keep, {}))
+        carry_s = time.time() - t0
+        assert "ckpt" in man3
+        carry_dict_s = None
+        if n <= 200_000:
+            cold0 = ParquetMergeTable(spark, root, key="id",
+                                      storage="object")
+            t0 = time.time()
+            pfiles = cold0._files(2)
+            fullmap = {r: pfiles[r] for r in keep}
+            mand = cold0._write_ckpt_sidecar(
+                3, cold0._entries_to_arrow(fullmap))
+            carry_dict_s = time.time() - t0
+            del mand
+    finally:
+        ParquetMergeTable._CHECKPOINT_EVERY = orig_every
+
     cold = ParquetMergeTable(spark, root, key="id", storage="object")
     t0 = time.time()
     keys = cold._file_keys(2)
@@ -110,6 +141,10 @@ def tier(spark, n: int) -> dict:
         "ckpt_b_per_file": round(ckpt_bytes / n, 2),
         "json_kb": round(json_bytes / 1e3, 1),
         "delta_kb": round(delta_bytes / 1e3, 1),
+        "ckpt_carry_s": round(carry_s, 3),
+        "ckpt_carry_us_per_file": round(carry_s / n * 1e6, 3),
+        "ckpt_carry_dict_s": (round(carry_dict_s, 3)
+                              if carry_dict_s is not None else None),
         "cold_keys_s": round(keys_s, 3),
         "cold_full_s": round(full_s, 3),
         "cold_skip_s": round(skip_s, 3),
@@ -158,20 +193,69 @@ def dv_tier(spark, n_positions: int = 600_000, n_files: int = 50) -> dict:
     }
 
 
+def dv_build_tier(spark, n_rows: int = 5_000_000,
+                  n_files: int = 8) -> dict:
+    """VERDICT r10 next-2 ladder row: an end-to-end DV delete matching
+    ~90% of n_rows through the EXECUTOR-SIDE build (mapInPandas pack →
+    put_stream). Records wall time, matched positions, and the
+    largest single chunk the driver ever held — the flat-memory
+    evidence beside the 600k-position carry row above."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from yelp_data_engineering_pipeline_spark.operators.storage import (
+        PosixBackend,
+    )
+
+    class Rec(PosixBackend):
+        max_chunk = 0
+
+        def put_stream(self, path, chunks):
+            def it():
+                for c in chunks:
+                    Rec.max_chunk = max(Rec.max_chunk, len(c))
+                    yield c
+            return super().put_stream(path, it())
+
+    root = _tf.mkdtemp(prefix="dvbuild_")
+    t = ParquetMergeTable(spark, root, key="id", storage="object",
+                          backend=Rec())
+    df = (spark.range(n_rows)
+          .withColumn("v", (F.col("id") * 2654435761) % 10_000_000)
+          .repartition(n_files))
+    t.merge(df)
+    t0 = time.time()
+    v2 = t.delete_where({"v": (None, 8_999_999)},
+                        use_deletion_vectors=True)
+    build_s = time.time() - t0
+    matched = sum(e["n"] for e in t._manifest(v2)["dv"].values())
+    return {
+        "rows": n_rows,
+        "dv_matched": matched,
+        "delete_dv_s": round(build_s, 3),
+        "sidecar_mb": round(matched * 8 / 1e6, 3),
+        "driver_max_chunk_mb": round(Rec.max_chunk / 1e6, 3),
+    }
+
+
 def main() -> None:
     sizes = [int(a) for a in sys.argv[1:]] or [10_000, 100_000, 1_000_000]
     spark = get_spark("bench_manifest")
     rows = [tier(spark, n) for n in sizes]
-    hdr = ("files", "ckpt_write_s", "ckpt_mb", "ckpt_b_per_file",
-           "json_kb", "delta_kb", "cold_keys_s", "cold_full_s",
-           "cold_skip_s", "skip_us_per_file", "cold_point_s")
+    hdr = ("files", "ckpt_write_s", "ckpt_carry_s", "ckpt_mb",
+           "ckpt_b_per_file", "json_kb", "delta_kb", "cold_keys_s",
+           "cold_full_s", "cold_skip_s", "skip_us_per_file",
+           "cold_point_s")
     print(" | ".join(f"{h:>15}" for h in hdr))
     for r in rows:
-        print(" | ".join(f"{r[h]:>15}" for h in hdr))
+        print(" | ".join(f"{str(r[h]):>15}" for h in hdr))
     dv = dv_tier(spark)
     print("dv-plane:", dv)
+    dvb = dv_build_tier(spark)
+    print("dv-build:", dvb)
     print(json.dumps({"metric": "manifest_plane", "tiers": rows,
-                      "dv": dv}))
+                      "dv": dv, "dv_build": dvb}))
 
 
 if __name__ == "__main__":

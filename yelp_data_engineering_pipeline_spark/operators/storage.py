@@ -134,6 +134,34 @@ class PosixBackend:
             os.makedirs(d, exist_ok=True)
         shutil.copyfile(src, dst)
 
+    def put_stream(self, path: str, chunks) -> int:
+        """Streamed full-object write: ``chunks`` (an iterable of
+        bytes) are appended to a staging object, then published
+        atomically — the S3 multipart-upload shape
+        (CreateMultipartUpload / UploadPart / CompleteMultipartUpload;
+        GCS resumable upload / compose). Lets the DV build keep driver
+        memory at O(one chunk) instead of O(whole sidecar). Returns
+        total bytes written."""
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d or None,
+                                   prefix="_" + os.path.basename(path) + ".")
+        total = 0
+        try:
+            with os.fdopen(fd, "wb") as f:
+                for c in chunks:
+                    f.write(c)
+                    total += len(c)
+            os.replace(tmp, path)
+            return total
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+
 
 class MemoryMetaBackend(PosixBackend):
     """The METADATA plane held entirely in an in-process dict — the
@@ -194,6 +222,16 @@ class MemoryMetaBackend(PosixBackend):
                 raise FileExistsError(path)
             self._objects[path] = bytes(data)
             self._mtimes[path] = self._clock()
+
+    def put_stream(self, path, chunks):
+        """The in-memory model of a multipart upload: parts accumulate
+        in the (simulated) store's staging area and publish as one
+        object on complete — memory-resident by the model's nature."""
+        if not self._is_meta(path):
+            return super().put_stream(path, chunks)
+        blob = b"".join(chunks)
+        self.put(path, blob)
+        return len(blob)
 
     def list_names(self, dirpath):
         if not self._is_meta(dirpath + "/"):
