@@ -1,0 +1,184 @@
+"""IvfIndex: the persistent, change-feed-maintained IVF ANN index
+(VERDICT r10 next-4).
+
+Invariants pinned here:
+- nprobe = n_cells search is EXACT (probing every cell degenerates to
+  verified brute force — same guarantee the per-query topk_ivf tests
+  pin);
+- an incremental refresh() leaves the assignment table EQUAL to
+  assigning the corpus head from scratch against the same codebook
+  (incremental ≡ full, per churned commit);
+- deletes leave the index; updates re-assign;
+- the feed-gap fallback (retention outran the sync cursor) restores
+  the same equality without touching the codebook;
+- split_cell() clears the skew recommendation, moves only the hot
+  cell's members, and preserves search exactness at full probe.
+
+The ≥20-batch recall soak lives with the other aging runs in
+tests/test_soak.py.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from yelp_data_engineering_pipeline_spark.operators.ann_index import (
+    IvfIndex,
+)
+from yelp_data_engineering_pipeline_spark.operators.similarity import (
+    topk_bruteforce,
+)
+from yelp_data_engineering_pipeline_spark.operators.upsert import (
+    ParquetMergeTable,
+)
+
+D = 8
+SCHEMA = "vec_id long, embedding array<double>"
+
+
+def _vec(rng: random.Random, cluster: int, noise: float = 0.2) -> list:
+    return [(1.0 if i == cluster % D else 0.0)
+            + rng.uniform(-noise, noise) for i in range(D)]
+
+
+def _rows(rng: random.Random, ids: list[int]) -> list[tuple]:
+    return [(i, _vec(rng, i % D)) for i in ids]
+
+
+def _corpus(spark, root: str, n: int = 64) -> ParquetMergeTable:
+    rng = random.Random(7)
+    t = ParquetMergeTable(spark, root, key="vec_id")
+    t.merge(spark.createDataFrame(_rows(rng, list(range(n))), SCHEMA))
+    return t
+
+
+def _assign_sets(index: IvfIndex) -> dict[int, int]:
+    return {r.vec_id: r.cell
+            for r in index.assign.read().select("vec_id", "cell")
+            .collect()}
+
+
+def _fresh_assign(spark, index: IvfIndex,
+                  corpus: ParquetMergeTable) -> dict[int, int]:
+    cents = index._cents_from_meta(index.meta())
+    df = index._assigned(corpus.read(), cents)
+    return {r.vec_id: r.cell
+            for r in df.select("vec_id", "cell").collect()}
+
+
+def test_build_and_full_probe_is_exact(spark, tmp_path):
+    corpus = _corpus(spark, str(tmp_path / "corp"))
+    ix = IvfIndex(spark, str(tmp_path / "ix"))
+    ix.build(corpus, n_centroids=8)
+    q = corpus.read().filter(F.col("vec_id") < 6)
+    exact = {(r.query_id, r.rk): r.neighbor_id
+             for r in topk_bruteforce(q, corpus.read(), 5).collect()}
+    got = {(r.query_id, r.rk): r.neighbor_id
+           for r in ix.search(q, 5, nprobe=8).collect()}
+    assert got == exact
+
+
+def test_refresh_incremental_equals_full_reassign(spark, tmp_path):
+    corpus = _corpus(spark, str(tmp_path / "corp"))
+    ix = IvfIndex(spark, str(tmp_path / "ix"))
+    ix.build(corpus, n_centroids=8)
+    rng = random.Random(11)
+    # churn commit: 8 inserts, 4 updates (perturbed in-cluster), 3
+    # deletes via the merge delete flag
+    ins = [(100 + i, _vec(rng, i % D), False) for i in range(8)]
+    upd = [(i, _vec(rng, i % D), False) for i in (1, 2, 3, 4)]
+    dele = [(i, None, True) for i in (10, 11, 12)]
+    corpus.merge(
+        spark.createDataFrame(ins + upd + dele, SCHEMA + ", _del boolean"),
+        delete_col="_del")
+    rep = ix.refresh(corpus)
+    assert rep["versions"] == 1 and rep["rows"] == 15
+    assert _assign_sets(ix) == _fresh_assign(spark, ix, corpus)
+    assert 10 not in _assign_sets(ix)
+    # idempotent: nothing new to sync
+    rep2 = ix.refresh(corpus)
+    assert rep2["versions"] == 0
+    assert ix.meta()["full_builds"] == 1
+
+
+def test_refresh_multi_version_latest_change_wins(spark, tmp_path):
+    corpus = _corpus(spark, str(tmp_path / "corp"), n=32)
+    ix = IvfIndex(spark, str(tmp_path / "ix"))
+    ix.build(corpus, n_centroids=4)
+    rng = random.Random(13)
+    # three commits before one refresh: key 5 is updated then deleted;
+    # key 200 inserted then updated — latest change per key must win
+    corpus.merge(spark.createDataFrame(
+        [(5, _vec(rng, 1)), (200, _vec(rng, 2))], SCHEMA))
+    corpus.merge(spark.createDataFrame(
+        [(200, _vec(rng, 3))], SCHEMA))
+    corpus.merge(spark.createDataFrame(
+        [(5, None, True)], SCHEMA + ", _del boolean"), delete_col="_del")
+    rep = ix.refresh(corpus)
+    assert rep["versions"] == 3
+    state = _assign_sets(ix)
+    assert 5 not in state and 200 in state
+    assert state == _fresh_assign(spark, ix, corpus)
+
+
+def test_refresh_feed_gap_falls_back_to_reassign(spark, tmp_path):
+    corpus = _corpus(spark, str(tmp_path / "corp"))
+    ix = IvfIndex(spark, str(tmp_path / "ix"))
+    ix.build(corpus, n_centroids=8)
+    rng = random.Random(17)
+    for b in range(3):
+        corpus.merge(spark.createDataFrame(
+            _rows(rng, [300 + 10 * b + j for j in range(5)]), SCHEMA))
+    corpus.vacuum(keep_last_n=1, stage_grace_seconds=0)
+    rep = ix.refresh(corpus)
+    assert rep.get("reassigned_all") is True
+    m = ix.meta()
+    assert m["full_builds"] == 1 and m["full_reassigns"] == 1
+    assert _assign_sets(ix) == _fresh_assign(spark, ix, corpus)
+
+
+def _mix_vec(rng: random.Random, noise: float = 0.05) -> list:
+    """A hot-blob direction 0.8·e0 + 0.6·e4: lands in cluster 0's cell
+    (cos ≈ 0.8) yet is separable from it by cosine — the drift shape a
+    split can actually fix (a blob COLINEAR with its cell's centroid
+    cannot be split by any cosine codebook)."""
+    base = [0.0] * D
+    base[0], base[4] = 0.8, 0.6
+    return [x + rng.uniform(-noise, noise) for x in base]
+
+
+def test_skew_split_clears_recommendation_and_stays_exact(spark, tmp_path):
+    corpus = _corpus(spark, str(tmp_path / "corp"), n=32)
+    ix = IvfIndex(spark, str(tmp_path / "ix"))
+    ix.build(corpus, n_centroids=8)
+    rng = random.Random(19)
+    # pile a hot drifted blob into cluster 0's cell past the bound
+    corpus.merge(spark.createDataFrame(
+        [(500 + i, _mix_vec(rng)) for i in range(120)],
+        SCHEMA))
+    ix.refresh(corpus)
+    plan = ix.maintenance_plan(skew_bound=2.0)
+    assert plan["actions"], plan
+    hot = int(plan["actions"][0].split("(")[1].rstrip(")"))
+    before = _assign_sets(ix)
+    new_cell = ix.split_cell(hot)
+    after = _assign_sets(ix)
+    # only the hot cell's members may move, and only to {hot, new}
+    for k, c in after.items():
+        if before[k] != hot:
+            assert c == before[k]
+        else:
+            assert c in (hot, new_cell)
+    assert any(c == new_cell for c in after.values())
+    plan2 = ix.maintenance_plan(skew_bound=2.0)
+    assert f"split_cell({hot})" not in plan2["actions"]
+    assert plan2["splits"] == 1
+    # full-probe search is still exact with the grown codebook
+    q = corpus.read().filter(F.col("vec_id") < 4)
+    exact = {(r.query_id, r.rk): r.neighbor_id
+             for r in topk_bruteforce(q, corpus.read(), 5).collect()}
+    got = {(r.query_id, r.rk): r.neighbor_id
+           for r in ix.search(q, 5, nprobe=plan2["n_cells"]).collect()}
+    assert got == exact

@@ -136,6 +136,97 @@ def run_soak(spark, base: str, n_chunks: int = 5,
     }
 
 
+def run_ann_soak(spark, base: str, n_batches: int = 20,
+                 rows_per_batch: int = 40, eval_every: int = 5,
+                 n_centroids: int = 8, nprobe: int = 4,
+                 k: int = 5) -> dict:
+    """ANN-index aging loop (VERDICT r10 next-4): a clustered
+    embeddings table absorbs ``n_batches`` CDC churn batches
+    (inserts + in-cluster updates + deletes); after every batch the
+    persisted IvfIndex catches up through the change feed
+    (``refresh`` — O(commit churn), no re-cluster), and every
+    ``eval_every`` batches recall@k at the production nprobe is
+    measured against exact brute force over the CURRENT corpus.
+    Returns the recall trajectory + the index's maintenance counters.
+    The ledger twin (tools/bench_ann.py) runs the same loop at 10x
+    volume and records the incremental-vs-rebuild BASELINE.md row."""
+    import random
+
+    from yelp_data_engineering_pipeline_spark.operators.ann_index import (
+        IvfIndex,
+    )
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        recall_at_k, topk_bruteforce,
+    )
+
+    D = 8
+    schema = "vec_id long, embedding array<double>"
+
+    def vec(rng, cluster, noise=0.2):
+        return [(1.0 if i == cluster % D else 0.0)
+                + rng.uniform(-noise, noise) for i in range(D)]
+
+    rng = random.Random(42)
+    corpus = ParquetMergeTable(spark, os.path.join(base, "corp"),
+                               key="vec_id")
+    corpus.merge(spark.createDataFrame(
+        [(i, vec(rng, i % D)) for i in range(64)], schema))
+    ix = IvfIndex(spark, os.path.join(base, "ix"))
+    ix.build(corpus, n_centroids=n_centroids)
+
+    recalls: list[float] = []
+    refresh_rows = 0
+    live_ids = set(range(64))
+    for b in range(n_batches):
+        new_ids = [1000 * (b + 1) + j for j in range(rows_per_batch)]
+        ins = [(i, vec(rng, i % D), False) for i in new_ids]
+        upd_pool = sorted(live_ids)
+        upd = [(i, vec(rng, i % D), False)
+               for i in rng.sample(upd_pool, min(8, len(upd_pool)))]
+        dele = [(i, None, True)
+                for i in rng.sample(upd_pool, min(4, len(upd_pool)))]
+        corpus.merge(spark.createDataFrame(
+            ins + upd + dele, schema + ", _del boolean"),
+            delete_col="_del")
+        live_ids |= set(new_ids)
+        live_ids -= {i for i, _, _ in dele}
+        rep = ix.refresh(corpus)
+        assert rep["versions"] == 1, rep      # strictly incremental
+        refresh_rows += rep["rows"]
+        if (b + 1) % eval_every == 0:
+            q_ids = new_ids[:8]
+            snap = corpus.read()
+            q = snap.filter(F.col("vec_id").isin(q_ids))
+            exact = topk_bruteforce(q, snap, k)
+            approx = ix.search(q, k, nprobe=nprobe)
+            r = (recall_at_k(exact, approx, k)
+                 .agg(F.avg(f"recall_at_{k}").alias("m")).first().m)
+            recalls.append(round(float(r), 3))
+    m = ix.meta()
+    return {
+        "batches": n_batches,
+        "corpus_rows": corpus.read().count(),
+        "index_rows": ix.assign.read().count(),
+        "refresh_rows": refresh_rows,
+        "recalls": recalls,
+        "min_recall": min(recalls),
+        "full_builds": m["full_builds"],
+        "full_reassigns": m.get("full_reassigns", 0),
+        "synced_version": m["synced_version"],
+    }
+
+
+def test_ann_index_soak_recall_held_under_churn(spark, tmp_path):
+    rep = run_ann_soak(spark, str(tmp_path))
+    assert rep["batches"] >= 20
+    # recall at the production nprobe holds the r10 floor across the
+    # whole churn run — with NO full re-cluster and NO full re-assign
+    assert rep["min_recall"] >= 0.9, rep
+    assert rep["full_builds"] == 1 and rep["full_reassigns"] == 0, rep
+    # the index tracked the corpus exactly: same live keys
+    assert rep["index_rows"] == rep["corpus_rows"], rep
+
+
 def test_cdc_soak_bounded_metadata_and_flat_latency(spark, tmp_path):
     rep = run_soak(spark, str(tmp_path))
     assert rep["micro_batches"] >= 50

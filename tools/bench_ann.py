@@ -1,0 +1,145 @@
+"""ANN-index maintenance ledger (VERDICT r10 next-4): incremental
+change-feed refresh vs full rebuild under CDC churn.
+
+Seeds a clustered embeddings ParquetMergeTable PARTITIONED BY an
+ingest-epoch column (the date-partitioned layout a production
+embeddings corpus has — per-key-immutable, so CoW merges prune to the
+touched epochs), builds one IvfIndex whose assignment table shares the
+partitioning, then applies ``batches`` churn commits: each inserts a
+new epoch and updates/deletes keys from the last two epochs (recent
+data churns — the access pattern the partitioning is designed for).
+After every commit BOTH maintenance costs are measured on the same
+corpus state:
+
+- ``refresh_s``  — IvfIndex.refresh(): changes_at → re-assign churn →
+  one partition-pruned keyed merge (O(commit churn));
+- ``rebuild_s``  — IvfIndex.build() into a throwaway root: re-seed +
+  re-assign + rewrite the WHOLE corpus (what per-query topk_ivf
+  effectively does, and what the refresh path exists to avoid;
+  O(corpus) — grows with every epoch while refresh stays flat).
+
+Recall@5 at nprobe=4 is measured at the end on the maintained index so
+the speedup can't be bought with accuracy. Prints one JSON line for
+the BASELINE.md ledger.
+
+    python tools/bench_ann.py [rows_per_batch] [batches] [seed_rows]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    import random
+
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    batches = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    seed_rows = int(sys.argv[3]) if len(sys.argv) > 3 else 40_000
+
+    from pyspark.sql import functions as F
+
+    from yelp_data_engineering_pipeline_spark.operators.ann_index import (
+        IvfIndex,
+    )
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        recall_at_k, topk_bruteforce,
+    )
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        ParquetMergeTable,
+    )
+    from yelp_data_engineering_pipeline_spark.session import get_spark
+
+    D = 8
+    schema = "vec_id long, ep long, embedding array<double>"
+
+    def vec(rng, cluster, noise=0.2):
+        return [(1.0 if i == cluster % D else 0.0)
+                + rng.uniform(-noise, noise) for i in range(D)]
+
+    spark = get_spark("bench-ann")
+    base = tempfile.mkdtemp(prefix="ann_")
+    rng = random.Random(42)
+    try:
+        corpus = ParquetMergeTable(spark, f"{base}/corp", key="vec_id",
+                                   partition_by="ep")
+        corpus.merge(spark.createDataFrame(
+            [(i, 0, vec(rng, i % D)) for i in range(seed_rows)], schema))
+        ix = IvfIndex(spark, f"{base}/ix", partition_by="ep")
+        t0 = time.perf_counter()
+        ix.build(corpus, n_centroids=8)
+        build_s = time.perf_counter() - t0
+
+        refresh_s: list[float] = []
+        rebuild_s: list[float] = []
+        ep_of = {i: 0 for i in range(seed_rows)}   # live key -> epoch
+        for b in range(batches):
+            ep = b + 1
+            new_ids = [100_000 * ep + j for j in range(rows)]
+            recent = sorted(i for i, e in ep_of.items() if e >= ep - 2)
+            batch = (
+                [(i, ep, vec(rng, i % D), False) for i in new_ids]
+                + [(i, ep_of[i], vec(rng, i % D), False)
+                   for i in rng.sample(recent, min(rows // 4,
+                                                   len(recent)))]
+                + [(i, ep_of[i], None, True)
+                   for i in rng.sample(recent, min(rows // 10,
+                                                   len(recent)))]
+            )
+            corpus.merge(spark.createDataFrame(
+                batch, schema + ", _del boolean"), delete_col="_del")
+            for i in new_ids:
+                ep_of[i] = ep
+            for i, _, _, d in batch:
+                if d:
+                    ep_of.pop(i, None)
+
+            t0 = time.perf_counter()
+            ix.refresh(corpus)
+            refresh_s.append(time.perf_counter() - t0)
+
+            scratch = f"{base}/rb{b}"
+            t0 = time.perf_counter()
+            IvfIndex(spark, scratch, partition_by="ep").build(
+                corpus, n_centroids=8)
+            rebuild_s.append(time.perf_counter() - t0)
+            shutil.rmtree(scratch, ignore_errors=True)
+            corpus.vacuum(keep_last_n=4, stage_grace_seconds=0)
+
+        q_ids = [100_000 * batches + j for j in range(8)]
+        snap = corpus.read()
+        q = snap.filter(F.col("vec_id").isin(q_ids))
+        rec = (recall_at_k(topk_bruteforce(q, snap, 5),
+                           ix.search(q, 5, nprobe=4), 5)
+               .agg(F.avg("recall_at_5").alias("m")).first().m)
+        m = ix.meta()
+        print(json.dumps({
+            "metric": "ann_maintenance",
+            "seed_rows": seed_rows,
+            "rows_per_batch": rows,
+            "batches": batches,
+            "corpus_rows": snap.count(),
+            "build_s": round(build_s, 3),
+            "refresh_avg_s": round(sum(refresh_s) / len(refresh_s), 3),
+            "refresh_last5_s": round(sum(refresh_s[-5:]) / 5, 3),
+            "rebuild_avg_s": round(sum(rebuild_s) / len(rebuild_s), 3),
+            "rebuild_last5_s": round(sum(rebuild_s[-5:]) / 5, 3),
+            "speedup_last5": round(
+                (sum(rebuild_s[-5:]) / 5) / (sum(refresh_s[-5:]) / 5), 2),
+            "recall_at_5_nprobe4": round(float(rec), 3),
+            "full_builds": m["full_builds"],
+            "full_reassigns": m.get("full_reassigns", 0),
+        }))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

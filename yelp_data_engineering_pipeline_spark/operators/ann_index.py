@@ -1,0 +1,358 @@
+"""Persistent, incrementally-maintained IVF ANN index (VERDICT r10
+next-4).
+
+The per-query :func:`..operators.similarity.topk_ivf` re-derives the
+whole index — centroid pick + corpus-wide cell assignment — on every
+call. Fine for an ad-hoc query; wrong for a 100 TB embeddings corpus
+under CDC churn, where re-assigning ~10^9 vectors per query (or per
+ingest batch) dwarfs the search itself. :class:`IvfIndex` makes the
+index a TABLE:
+
+- the cell ASSIGNMENTS live in a :class:`ParquetMergeTable` keyed by
+  vector id — versioned, vacuumable, compactable like any other table;
+- the CENTROIDS (a k×d codebook, driver-scale by construction) live in
+  a small JSON meta record beside it, with the corpus version the
+  assignments are synced to;
+- :meth:`refresh` absorbs the corpus's change feed incrementally:
+  each unsynced commit's churn comes from
+  :meth:`ParquetMergeTable.changes_at` (O(commit churn), never the
+  corpus), inserted/updated vectors are re-assigned to their nearest
+  centroid with one broadcast join, deleted vectors leave the index —
+  one keyed merge per refresh, NO re-cluster;
+- :meth:`maintenance_plan` watches per-cell occupancy and recommends
+  :meth:`split_cell` when a cell outgrows the skew bound — the
+  split re-seeds and re-assigns ONLY that cell's members (classic
+  inverted-file list split), so the codebook adapts to drift without
+  ever re-clustering the world.
+
+This is the FAISS IVF maintenance loop (add/remove_ids + imbalance
+split) re-expressed on the repo's lakehouse substrate: the change feed
+replaces add/remove callbacks, the keyed merge replaces in-place list
+edits, and both the index and its history are plain parquet any engine
+can read.
+
+Reference parity note: the reference app (parse_and_upload_to_db.py)
+has no vector search at all — this is part of the training-data
+extension surface (SURVEY.md §6), composing the r10 change feed with
+the r9 nprobe router exactly as VERDICT r10 next-4 demanded.
+
+Scale: every driver-side structure here is k×d (centroids) or
+O(commit churn) (the refresh batch boundary); assignments and search
+candidates stay distributed. Search cost is bounded by the probed
+cells' occupancy — the same economics as ``topk_ivf`` but with the
+assignment scan amortized into the table instead of recomputed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .similarity import cosine
+from .upsert import ParquetMergeTable
+
+
+class IvfIndex:
+    """An IVF index persisted at ``root``: ``root/assign`` is the
+    assignment :class:`ParquetMergeTable` (id → cell, embedding),
+    ``root/meta.json`` the codebook + sync cursor."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 partition_by: str | None = None,
+                 storage: str = "posix", backend=None) -> None:
+        self.spark = spark
+        self.root = root
+        self.id_col = id_col
+        self.vec_col = vec_col
+        # ``partition_by``: a per-key-immutable column carried from the
+        # corpus (e.g. an ingest-epoch/date column). With it, a refresh
+        # merge rewrites only the partitions the churn touches — the
+        # same CoW pruning the corpus itself gets — instead of the
+        # whole assignment table. ``cell`` is deliberately NOT the
+        # partition key: re-assignment and split_cell MOVE rows between
+        # cells, and a partition value must be immutable per key.
+        self.assign = ParquetMergeTable(
+            spark, os.path.join(root, "assign"), key=id_col,
+            partition_by=partition_by, storage=storage, backend=backend)
+        self._backend = self.assign._backend
+
+    # ---- meta (codebook + sync cursor) ------------------------------
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "meta.json")
+
+    def meta(self) -> dict:
+        return json.loads(self._backend.get(self._meta_path()))
+
+    def _write_meta(self, m: dict) -> None:
+        self._backend.put(self._meta_path(),
+                          json.dumps(m, separators=(",", ":")).encode())
+
+    def _centroid_df(self, cents: dict[int, list[float]]) -> DataFrame:
+        rows = [(int(c), [float(x) for x in v])
+                for c, v in sorted(cents.items())]
+        return self.spark.createDataFrame(
+            rows, f"cell long, cent_{self.vec_col} array<double>")
+
+    @staticmethod
+    def _cents_from_meta(m: dict) -> dict[int, list[float]]:
+        return {int(c): v for c, v in m["centroids"].items()}
+
+    # ---- assignment kernel ------------------------------------------
+
+    def _assigned(self, df: DataFrame,
+                  cents: dict[int, list[float]]) -> DataFrame:
+        """``df`` plus a ``cell`` column holding each vector's nearest
+        centroid; every other column (id, vector, partition/passthrough
+        columns) rides along unchanged. The centroid side is a k-row
+        broadcast literal (map-side, no shuffle of ``df``); the
+        per-vector top-1 is a bounded k-row window per id — the same
+        plan shape as similarity.topk_ivf's assign, reading the
+        codebook from the meta record instead of re-deriving it."""
+        from pyspark.sql import Window
+
+        cdf = self._centroid_df(cents)
+        keep = df.columns
+        scored = (
+            df.join(F.broadcast(cdf))
+            .select(
+                *keep, "cell",
+                F.round(cosine(F.col(self.vec_col),
+                               F.col(f"cent_{self.vec_col}")), 4)
+                .alias("cent_sim"),
+            )
+        )
+        w = Window.partitionBy(self.id_col).orderBy(
+            F.col("cent_sim").desc(), F.col("cell"))
+        return (scored.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select(*keep, "cell"))
+
+    # ---- build (once) -----------------------------------------------
+
+    def build(self, corpus: ParquetMergeTable,
+              n_centroids: int = 16) -> int:
+        """Train-and-assign from the corpus HEAD — the one full pass.
+        Centroids are the ``n_centroids`` lowest-id vectors (the same
+        deterministic codebook stand-in as ``topk_ivf``; a production
+        deployment drops a k-means codebook into ``meta.json``
+        identically). Everything after this is :meth:`refresh` /
+        :meth:`split_cell` — re-running build is the full re-cluster
+        the maintenance loop exists to avoid, and ``full_builds``
+        counts it so tests can pin 'exactly one'."""
+        head = corpus.current_version()
+        snap = corpus.read(version=head)
+        seeds = (snap.select(self.id_col, self.vec_col)
+                 .orderBy(self.id_col).limit(n_centroids).collect())
+        cents = {i: [float(x) for x in r[self.vec_col]]
+                 for i, r in enumerate(seeds)}
+        self.assign.merge(self._assigned(snap, cents))
+        prev = {}
+        if self._backend.exists(self._meta_path()):
+            prev = self.meta()
+        self._write_meta({
+            "centroids": {str(c): v for c, v in cents.items()},
+            "synced_version": head,
+            "full_builds": prev.get("full_builds", 0) + 1,
+            "full_reassigns": prev.get("full_reassigns", 0),
+            "splits": prev.get("splits", 0),
+        })
+        return head
+
+    # ---- incremental maintenance ------------------------------------
+
+    def refresh(self, corpus: ParquetMergeTable) -> dict:
+        """Absorb corpus commits since the last sync through the
+        change feed: one ``changes_at`` per unsynced version (cost
+        O(that commit's churn)), latest change per key wins,
+        inserts/updates re-assign map-side, deletes drop out — all
+        applied as ONE keyed merge. Centroids are untouched (drift is
+        :meth:`maintenance_plan`'s job). If retention has vacuumed an
+        unsynced version's parent the feed is unreadable there; the
+        fallback re-ASSIGNS the head snapshot against the existing
+        codebook (counted in ``full_reassigns`` — still not a
+        re-cluster)."""
+        from pyspark.sql import Window
+
+        m = self.meta()
+        cents = self._cents_from_meta(m)
+        head = corpus.current_version()
+        synced = m["synced_version"]
+        if head <= synced:
+            return {"synced_version": synced, "versions": 0, "rows": 0}
+        try:
+            feeds = [corpus.changes_at(v)
+                     for v in range(synced + 1, head + 1)]
+        except ValueError:
+            return self._reassign_all(corpus, head, m)
+        feed = feeds[0]
+        for f in feeds[1:]:
+            feed = feed.unionByName(f)
+        w = Window.partitionBy(self.id_col).orderBy(
+            F.col("_commit_version").desc())
+        latest = (feed.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1)
+                  .drop("_rn", "_commit_version"))
+        latest = latest.persist()
+        try:
+            n = latest.count()
+            if n == 0:
+                m["synced_version"] = head
+                self._write_meta(m)
+                return {"synced_version": head,
+                        "versions": head - synced, "rows": 0}
+            # deletes keep their feed post-image (the old row), so
+            # partition/passthrough columns survive into the merge and
+            # the CoW rewrite prunes to the partitions the churn
+            # actually touches
+            live = self._assigned(
+                latest.filter(F.col("_change_type") != "deleted")
+                .drop("_change_type"),
+                cents).withColumn("_del", F.lit(False))
+            dead = (latest.filter(F.col("_change_type") == "deleted")
+                    .drop("_change_type")
+                    .withColumn("cell", F.lit(None).cast("long"))
+                    .withColumn("_del", F.lit(True)))
+            self.assign.merge(live.unionByName(dead), delete_col="_del")
+        finally:
+            latest.unpersist()
+        m["synced_version"] = head
+        self._write_meta(m)
+        return {"synced_version": head, "versions": head - synced,
+                "rows": n}
+
+    def _reassign_all(self, corpus: ParquetMergeTable, head: int,
+                      m: dict) -> dict:
+        """Feed-gap fallback: re-assign the head snapshot against the
+        EXISTING codebook (no re-train) and drop index keys absent
+        from the corpus. One corpus pass — the price of letting
+        retention outrun the sync cursor."""
+        snap = corpus.read(version=head)
+        live = (self._assigned(snap, self._cents_from_meta(m))
+                .withColumn("_del", F.lit(False)))
+        stale = (self.assign.read()
+                 .join(snap.select(self.id_col), self.id_col,
+                       "left_anti")
+                 .withColumn("_del", F.lit(True)))
+        self.assign.merge(live.unionByName(stale), delete_col="_del")
+        m["synced_version"] = head
+        m["full_reassigns"] = m.get("full_reassigns", 0) + 1
+        self._write_meta(m)
+        return {"synced_version": head, "versions": -1,
+                "rows": None, "reassigned_all": True}
+
+    # ---- search ------------------------------------------------------
+
+    def search(self, queries: DataFrame, k: int,
+               nprobe: int = 1) -> DataFrame:
+        """ANN top-k from the PERSISTED index: each query probes the
+        union of its ``nprobe`` nearest cells (bounded k-row window
+        per query), candidates come from one equi-join on ``cell``
+        against the assignment table, verify is exact cosine on the
+        candidates only. Output schema matches ``topk_ivf``
+        (query_id, neighbor_id, cos_sim, rk)."""
+        from pyspark.sql import Window
+
+        cents = self._cents_from_meta(self.meta())
+        cdf = self._centroid_df(cents)
+        q = (queries.select(F.col(self.id_col).alias("query_id"),
+                            F.col(self.vec_col).alias("q_emb"))
+             .join(F.broadcast(cdf))
+             .select("query_id", "q_emb", "cell",
+                     F.round(cosine(F.col("q_emb"),
+                                    F.col(f"cent_{self.vec_col}")), 4)
+                     .alias("cent_sim")))
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("cent_sim").desc(), F.col("cell"))
+        q = (q.withColumn("_rn", F.row_number().over(wq))
+             .filter(F.col("_rn") <= max(1, nprobe))
+             .select("query_id", "q_emb", "cell"))
+        c = self.assign.read().select(
+            F.col(self.id_col).alias("neighbor_id"),
+            F.col(self.vec_col).alias("c_emb"), "cell")
+        pairs = (q.join(c, "cell")
+                 .filter(F.col("query_id") != F.col("neighbor_id"))
+                 .select("query_id", "neighbor_id",
+                         F.round(cosine(F.col("q_emb"),
+                                        F.col("c_emb")), 4)
+                         .alias("cos_sim")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id"))
+        return (pairs.withColumn(
+            "rk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rk") <= k))
+
+    # ---- occupancy / split maintenance ------------------------------
+
+    def cell_stats(self) -> DataFrame:
+        """Per-cell occupancy (cell, n_vectors) — one map-combined
+        groupBy over the assignment table."""
+        return (self.assign.read().groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n_vectors")))
+
+    def maintenance_plan(self, skew_bound: float = 4.0) -> dict:
+        """Index upkeep from one k-bounded aggregate: per-cell
+        occupancy vs the mean, a ``split_cell(c)`` recommendation for
+        every cell holding more than ``skew_bound``× the mean (the
+        FAISS imbalance_factor trigger), plus codebook/sync counters.
+        The driver sees k rows, never vectors."""
+        m = self.meta()
+        counts = {int(r["cell"]): int(r["n_vectors"])
+                  for r in self.cell_stats().collect()}
+        n_cells = len(m["centroids"])
+        total = sum(counts.values())
+        mean = total / n_cells if n_cells else 0.0
+        hot = sorted(c for c, n in counts.items()
+                     if mean > 0 and n > skew_bound * mean)
+        mx = max(counts.values(), default=0)
+        return {
+            "n_cells": n_cells,
+            "n_vectors": total,
+            "empty_cells": n_cells - len(counts),
+            "max_cell": mx,
+            "mean_cell": round(mean, 2),
+            "skew": round(mx / mean, 3) if mean else 0.0,
+            "skew_bound": skew_bound,
+            "synced_version": m["synced_version"],
+            "full_builds": m["full_builds"],
+            "full_reassigns": m.get("full_reassigns", 0),
+            "splits": m.get("splits", 0),
+            "actions": [f"split_cell({c})" for c in hot],
+        }
+
+    def split_cell(self, cell: int) -> int:
+        """Split one hot cell in place: keep its centroid as one
+        seed, take the member FARTHEST from it (min cosine, ties by
+        id — deterministic) as the second, re-assign ONLY the cell's
+        members between the two, and append the new centroid to the
+        codebook. O(cell occupancy) work; every other cell's
+        assignments are untouched (zero-rewrite carry in the merge).
+        Returns the new cell's id."""
+        m = self.meta()
+        cents = self._cents_from_meta(m)
+        if cell not in cents:
+            raise ValueError(f"unknown cell {cell}")
+        members = self.assign.read().filter(F.col("cell") == cell)
+        far = (members.select(
+            self.id_col,
+            self.vec_col,
+            cosine(F.col(self.vec_col),
+                   F.lit(cents[cell]).cast("array<double>"))
+            .alias("_sim"))
+            .orderBy(F.col("_sim").asc(), F.col(self.id_col))
+            .limit(1).collect())
+        if not far:
+            raise ValueError(f"cell {cell} is empty")
+        new_id = max(cents) + 1
+        pair = {cell: cents[cell],
+                new_id: [float(x) for x in far[0][self.vec_col]]}
+        moved = self._assigned(members.drop("cell"), pair)
+        self.assign.merge(moved)
+        m["centroids"][str(new_id)] = pair[new_id]
+        m["splits"] = m.get("splits", 0) + 1
+        self._write_meta(m)
+        return new_id
