@@ -386,6 +386,15 @@ class ConstraintViolationError(ValueError):
     never saw them and the table is unchanged."""
 
 
+class TableFencedError(RuntimeError):
+    """The table has been sealed by :meth:`ParquetMergeTable.fence`
+    (failover promotion demoted it) — every commit path refuses.
+    Reads, time travel, and the change feed keep working; the fence
+    is the log's head, so a late writer that sampled the pre-fence
+    head loses the conditional PUT to the fence record and lands
+    here on retry."""
+
+
 class _CommitRace(Exception):
     """Internal: the version this writer tried to publish was claimed
     by a concurrent commit (conditional-PUT failure). Converted to
@@ -1715,7 +1724,21 @@ class ParquetMergeTable:
         wrong-base manifest via delete_where on a posix table,
         corrupting the head)."""
         if parent_v >= 1:
-            base = self._manifest(parent_v).get("base", "snapshot")
+            parent = self._manifest(parent_v)
+            if parent.get("operation") == "fence":
+                # the fence IS the head, and every commit resolves its
+                # parent from the head inside the transaction — so a
+                # late writer (even one that derived its batch before
+                # the fence landed) is refused here, or loses the
+                # conditional PUT to the fence record and is refused
+                # on the wait=True retry. No commit can land after a
+                # fence.
+                raise TableFencedError(
+                    f"table at {self.root} is fenced (sealed at "
+                    f"v{parent_v} by failover promotion); writes must "
+                    "go to the promoted replica"
+                )
+            base = parent.get("base", "snapshot")
             want = "root" if self._object else "snapshot"
             if base != want:
                 raise ValueError(
@@ -4985,6 +5008,96 @@ class ParquetMergeTable:
                                          current_df.schema, "merge_into")
 
         return self._txn(wait, body)
+
+    def fence(self, wait: bool = True) -> int:
+        """Seal the table: commit a metadata-only ``fence`` record as
+        the new head. Every later commit attempt — from this handle or
+        any other, including one whose batch was derived before the
+        fence landed — raises :class:`TableFencedError` (the fence is
+        the head, commits resolve their parent from the head inside
+        the transaction, and a racer that claims the fence's slot
+        first simply delays the fence by one retry). Reads, time
+        travel, ``changes_at`` and feed export keep working, so a
+        promoted replica can drain the final exported commits from a
+        sealed primary. Idempotent: fencing a fenced table returns
+        the existing fence version. This is the writer-fencing half
+        of failover promotion (see streaming.ingest.promote_replica);
+        the log-native analog of Delta's ownership transfer."""
+        from pyspark.sql.types import StructType
+
+        def body() -> int:
+            head = self.current_version()
+            if head < 1:
+                raise ValueError(
+                    f"fence on an empty table at {self.root} "
+                    "(no committed version)"
+                )
+            man = self._manifest(head)
+            if man.get("operation") == "fence":
+                return head
+            schema = StructType.fromJson(man["schema"])
+            return self._commit_carrying(
+                None, self._file_keys(head), head, schema, "fence")
+
+        return self._txn(wait, body)
+
+    def content_fingerprint(self, version: int | None = None,
+                            cols: list[str] | None = None) -> dict:
+        """Order-insensitive content checksum of a snapshot:
+        ``{rows, hash, cols}`` where ``hash`` is the sum (exact, as
+        decimal(38,0) — no overflow under ANSI) of xxhash64 over each
+        row's INJECTIVE length-prefixed signature (the same
+        ``_sig_field`` codec the diff/CDF plane uses, so embedded
+        separators can't collide). Equal row multisets ⇒ equal
+        fingerprints; a differing multiset collides only with
+        ~2^-64 probability. Cost: ONE full scan with map-side partial
+        aggregation and a single-row result — no shuffle of data, no
+        driver materialization. This is the audit primitive behind
+        replica divergence detection (streaming.ingest.verify_replica);
+        at 100 TB you run it at sync/promotion cadence, not per
+        commit."""
+        df = self.read(version=version)
+        if df is None:
+            return {"rows": 0, "hash": "0", "cols": []}
+        if cols is None:
+            cols = sorted(df.columns)
+        sig = F.xxhash64(F.concat(*[_sig_field(c) for c in cols]))
+        r = (df.select(sig.alias("h"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("h").cast("decimal(38,0)")).alias("s"))
+             .first())
+        return {"rows": int(r.n),
+                "hash": str(r.s if r.s is not None else 0),
+                "cols": list(cols)}
+
+    def exported_up_to(self) -> int:
+        """Highest change-feed version with a FINALIZED export marker
+        (files list published) — the version a fully-drained feed
+        consumer has caught up to. 0 when the table has never
+        exported. Metadata-only: one LIST of the marker prefix plus
+        one small GET per marker. ``export_changes`` publishes
+        versions in order and repairs crashed claims, so the max
+        finalized marker is the consumer-visible frontier."""
+        import json as _json
+        import os as _os
+
+        best = 0
+        names = self._backend.list_names(
+            _os.path.join(self._cdf_dir(), "_exported"))
+        for nm in names:
+            m = _re.fullmatch(r"(\d+)\.json", nm)
+            if not m:
+                continue
+            v = int(m.group(1))
+            if v <= best:
+                continue
+            try:
+                rec = _json.loads(self._backend.get(self._cdf_marker(v)))
+            except (OSError, ValueError):
+                continue
+            if rec.get("files") is not None:
+                best = v
+        return best
 
     def restore(self, version: int, wait: bool = True) -> int:
         """Delta ``RESTORE TABLE ... TO VERSION AS OF``: commit a

@@ -267,6 +267,96 @@ def run_cdc_upsert_stream(
     return table.current_version()
 
 
+class ReplicaDivergedError(RuntimeError):
+    """A replica's content fingerprint does not match the primary's
+    snapshot at the replicated version: something wrote to the replica
+    outside the replication stream (or the feed was corrupted). The
+    exception carries the mismatch report in ``args[1]``."""
+
+
+def verify_replica(src_table, replica, at_version: int | None = None
+                   ) -> dict:
+    """Divergence check: compare the replica's full content
+    fingerprint against the primary snapshot it claims to mirror.
+
+    ``at_version`` defaults to the primary's highest FINALIZED export
+    (``exported_up_to()``) — after a ``run_replication_stream`` drain
+    the replica row set equals exactly that snapshot, so any
+    fingerprint mismatch means a write landed on the replica outside
+    the stream (or feed rows were lost/duplicated beyond the no-op
+    replay class). Compares the PRIMARY's columns only (the replica
+    additionally carries ``_commit_version`` provenance). Cost: one
+    map-side-aggregated scan per side, single-row results — the audit
+    you run at every sync boundary, not per row."""
+    v = src_table.exported_up_to() if at_version is None else at_version
+    if v == 0:
+        # nothing exported yet: the replica must still be empty
+        src_fp = {"rows": 0, "hash": "0", "cols": []}
+        rep_fp = replica.content_fingerprint()
+        rep_fp["hash"] = "0" if rep_fp["rows"] == 0 else rep_fp["hash"]
+    else:
+        src_fp = src_table.content_fingerprint(version=v)
+        rep_fp = replica.content_fingerprint(cols=src_fp["cols"])
+    return {
+        "version": v,
+        "match": src_fp["rows"] == rep_fp["rows"]
+        and src_fp["hash"] == rep_fp["hash"],
+        "primary": src_fp,
+        "replica": rep_fp,
+    }
+
+
+def promote_replica(
+    spark: SparkSession,
+    src_table,
+    replica_root: str,
+    checkpoint_dir: str,
+    partition_by: str | None = None,
+    storage: str = "posix",
+) -> "object":
+    """Failover: make the replica the writable primary, with the old
+    primary fenced so a late writer cannot split-brain the pair.
+
+    Order matters and each step is idempotent, so a crashed promotion
+    re-runs safely:
+
+    1. ``fence()`` the primary — its log head becomes a metadata-only
+       fence record; every subsequent commit attempt there raises
+       :class:`TableFencedError` (reads and feed export still work).
+    2. ``export_changes()`` — publish any straggler commits that
+       landed before the fence (the fence commit itself churns no
+       rows, so its feed is empty).
+    3. One final ``run_replication_stream`` drain — the replica
+       catches up to the fence point exactly-once through its
+       existing checkpoint.
+    4. ``verify_replica`` — content-fingerprint the pair; a mismatch
+       aborts promotion with :class:`ReplicaDivergedError` BEFORE any
+       client is repointed at a diverged replica.
+
+    Returns the replica's writable handle. Its schema carries the
+    ``_commit_version`` provenance column; post-promotion writers
+    either supply it (e.g. a monotone batch counter continuing where
+    replication stopped) or merge with ``schema_evolution=True``."""
+    from ..operators.upsert import ParquetMergeTable
+
+    src_table.fence()
+    src_table.export_changes()
+    run_replication_stream(
+        spark, src_table, replica_root, checkpoint_dir,
+        partition_by=partition_by, storage=storage)
+    replica = ParquetMergeTable(
+        spark, replica_root, key=src_table.key,
+        partition_by=partition_by, storage=storage)
+    rep = verify_replica(src_table, replica)
+    if not rep["match"]:
+        raise ReplicaDivergedError(
+            f"replica at {replica_root} diverges from primary "
+            f"{src_table.root} at v{rep['version']}; promotion aborted",
+            rep,
+        )
+    return replica
+
+
 def run_replication_stream(
     spark: SparkSession,
     src_table,
@@ -275,6 +365,7 @@ def run_replication_stream(
     partition_by: str | None = None,
     storage: str = "posix",
     max_files_per_trigger: int | None = None,
+    verify: bool = False,
 ) -> int:
     """Replicate a merge table through its EXPORTED change feed (r10):
     ``src.stream_changes()`` → the CDC conditional-merge machinery →
@@ -293,15 +384,32 @@ def run_replication_stream(
     at the highest exported version, asserted by
     tests/test_change_feed.py. Run after ``export_changes()`` on the
     source; each call drains everything new (availableNow) and
-    returns the replica's committed version."""
+    returns the replica's committed version.
+
+    ``verify=True`` runs :func:`verify_replica` after the drain —
+    the per-sync divergence audit — and raises
+    :class:`ReplicaDivergedError` on mismatch (a write landed on the
+    replica outside this stream)."""
     feed = src_table.stream_changes(
         max_files_per_trigger=max_files_per_trigger)
     feed = (feed.withColumn("_is_delete",
                             F.col("_change_type") == "deleted")
             .drop("_change_type"))
-    return run_cdc_upsert_stream(
+    out = run_cdc_upsert_stream(
         spark, feed, replica_root, checkpoint_dir,
         key=src_table.key, ts_col="_commit_version",
         partition_by=partition_by, delete_col="_is_delete",
         storage=storage,
     )
+    if verify:
+        from ..operators.upsert import ParquetMergeTable
+
+        replica = ParquetMergeTable(
+            spark, replica_root, key=src_table.key,
+            partition_by=partition_by, storage=storage)
+        rep = verify_replica(src_table, replica)
+        if not rep["match"]:
+            raise ReplicaDivergedError(
+                f"replica at {replica_root} diverges from primary "
+                f"{src_table.root} at v{rep['version']}", rep)
+    return out
