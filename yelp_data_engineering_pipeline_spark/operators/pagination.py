@@ -41,18 +41,44 @@ def paginate(df: DataFrame, order_by: Sequence[str], page: int, page_size: int) 
 
 def paginate_keyset(
     df: DataFrame,
-    key: str,
+    key: str | Sequence[str],
     page_size: int,
     after_key=None,
 ) -> DataFrame:
     """Keyset (seek-method) pagination — the 100 TB-safe variant.
 
-    ``WHERE key > after_key ORDER BY key LIMIT page_size``: the range
-    predicate is pushed down to the scan (partition/row-group pruning),
-    the sort is a per-partition top-k + driver merge of page_size rows —
-    no global shuffle, no full materialization.
-    """
+    ``WHERE (keys...) > (after...) ORDER BY keys LIMIT page_size``:
+    the seek predicate is pushed down to the scan (partition /
+    row-group pruning on the leading key), the sort is a
+    per-partition top-k + driver merge of page_size rows
+    (TakeOrderedAndProject) — no global shuffle, no single-partition
+    window, no full materialization.
+
+    ``key`` may be a composite (several columns forming the page's
+    total order); ``after_key`` is then the last row of the previous
+    page as a tuple in the same column order, compared
+    LEXICOGRAPHICALLY — ``(k1 > a1) OR (k1 = a1 AND k2 > a2) OR …``.
+    A redundant ``k1 >= a1`` conjunct is added so the disjunction
+    (which columnar sources can't push) still prunes at the scan via
+    the leading key's range — the same implied-dispatch trick the
+    open-now predicate uses."""
+    keys = [key] if isinstance(key, str) else list(key)
     out = df
     if after_key is not None:
-        out = out.filter(F.col(key) > F.lit(after_key))
-    return out.orderBy(key).limit(page_size)
+        after = (list(after_key)
+                 if isinstance(after_key, (list, tuple)) else [after_key])
+        if len(after) != len(keys):
+            raise ValueError(
+                f"after_key has {len(after)} values for {len(keys)} "
+                "order keys"
+            )
+        cond = None
+        eqs = None
+        for k, a in zip(keys, after):
+            gt = F.col(k) > F.lit(a)
+            branch = gt if eqs is None else (eqs & gt)
+            cond = branch if cond is None else (cond | branch)
+            eq = F.col(k) == F.lit(a)
+            eqs = eq if eqs is None else (eqs & eq)
+        out = out.filter((F.col(keys[0]) >= F.lit(after[0])) & cond)
+    return out.orderBy(*keys).limit(page_size)
