@@ -1,0 +1,121 @@
+"""Clustering-decay maintenance (VERDICT r10 next-7): a whole-table
+``compact(zorder_by=...)`` declares the table's clustering intent in
+the manifest; DML churn then decays the LAYOUT silently (every
+partition rewrite emits a file spanning that partition's full key
+range) while the intent survives. ``clustering_overlap`` measures the
+decay from metadata alone — exact average pairwise zone-range overlap
+— ``maintenance_plan`` recommends ``rezorder()`` past the floor, and
+``rezorder()`` restores the declared layout.
+
+Reference parity note: the reference app has no clustered storage at
+all (it delegates every read to PostgreSQL —
+reference/parse_and_upload_to_db.py); this leg exists so the zone-map
+skipping economics measured in BASELINE.md survive a year of writes.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from yelp_data_engineering_pipeline_spark.operators.upsert import (
+    ParquetMergeTable,
+)
+
+
+def test_clustering_overlap_matches_hand_computed(spark, tmp_path):
+    # four files with HAND-KNOWN id ranges (one per partition):
+    # (0,10) and (5,15) overlap; (20,30) and (25,35) overlap — 4
+    # directed overlapping pairs out of 4*3 → exactly 1/3
+    t = ParquetMergeTable(spark, str(tmp_path / "t"), key="id",
+                          partition_by="p")
+    ranges = {0: (0, 10), 1: (5, 15), 2: (20, 30), 3: (25, 35)}
+    rows = [(b, p) for p, bounds in ranges.items() for b in bounds]
+    t.merge(spark.createDataFrame(rows, "id long, p int")
+            .repartition("p"))
+    assert len(t._file_keys(t.current_version())) == 4
+    ov = t.clustering_overlap(["id"])["id"]
+    assert ov == {"files": 4, "bounded": 4,
+                  "avg_overlap": round(4 / 12, 4)}
+
+    # disjoint ground truth: overlap is exactly 0
+    t2 = ParquetMergeTable(spark, str(tmp_path / "t2"), key="id",
+                           partition_by="p")
+    rows2 = [(b, p) for p, bounds in
+             {0: (0, 10), 1: (20, 30), 2: (40, 50)}.items()
+             for b in bounds]
+    t2.merge(spark.createDataFrame(rows2, "id long, p int")
+             .repartition("p"))
+    ov2 = t2.clustering_overlap(["id"])["id"]
+    assert ov2 == {"files": 3, "bounded": 3, "avg_overlap": 0.0}
+
+    # a column with NO zone stats can never be pruned → counts as
+    # overlapping everything (the conservative skipping semantics)
+    missing = t2.clustering_overlap(["no_such_col"])["no_such_col"]
+    assert missing["bounded"] == 0
+    assert missing["avg_overlap"] == 1.0
+
+
+def test_intent_recorded_and_carried_through_dml(spark, tmp_path):
+    t = ParquetMergeTable(spark, str(tmp_path / "t"), key="id")
+    t.merge(spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, v double"))
+    assert t.clustered_by() == []
+    assert t.maintenance_plan()["clustering"] == {}
+
+    t.compact(zorder_by=("id",), target_files=4)
+    assert t.clustered_by() == ["id"]
+
+    # intent survives ordinary DML commits (carried like schema)
+    t.merge(spark.createDataFrame([(5, -1.0)], "id long, v double"))
+    t.delete_keys("id", [7])
+    assert t.clustered_by() == ["id"]
+
+    # undeclared table: rezorder refuses rather than guessing keys
+    t3 = ParquetMergeTable(spark, str(tmp_path / "t3"), key="id")
+    t3.merge(spark.createDataFrame([(1, 1.0)], "id long, v double"))
+    with pytest.raises(ValueError, match="clustering"):
+        t3.rezorder()
+
+
+def test_decay_fires_recommendation_and_rezorder_clears(spark, tmp_path):
+    # partition p = id % 8: every partition spans the full id domain,
+    # so a partition REWRITE (what merge does) emits wide files — the
+    # real-world decay shape
+    t = ParquetMergeTable(spark, str(tmp_path / "t"), key="id",
+                          partition_by="p")
+    t.merge(spark.createDataFrame(
+        [(i, i % 8, 0.0) for i in range(2000)],
+        "id long, p int, v double"))
+    t.compact(zorder_by=("id",), target_files=8)
+    plan = t.maintenance_plan()
+    assert plan["clustering"]["id"]["avg_overlap"] < 0.5, plan
+    assert "rezorder()" not in plan["actions"]
+
+    # churn: merges rewrite partitions wholesale (files spanning the
+    # whole id domain), then a plain small-file compaction — exactly
+    # the soak's maintenance mix — coalesces WITHOUT the z-sort,
+    # wiping the layout while the declared intent carries forward
+    base = plan["clustering"]["id"]["avg_overlap"]
+    rng = random.Random(7)
+    for p in range(8):
+        ids = rng.sample(range(p, 2000, 8), 50)
+        t.merge(spark.createDataFrame(
+            [(i, p, -1.0) for i in ids], "id long, p int, v double"))
+    mid = t.clustering_overlap(["id"])["id"]["avg_overlap"]
+    assert mid > base, (mid, base)       # churn decays monotonically
+    t.compact(target_files=4)
+    plan = t.maintenance_plan()
+    assert t.clustered_by() == ["id"]
+    assert plan["clustering"]["id"]["avg_overlap"] >= 0.5, plan
+    assert "rezorder()" in plan["actions"], plan
+
+    before = sorted((r.id, r.v) for r in t.read().collect())
+    t.rezorder(target_files=8)
+    plan = t.maintenance_plan()
+    assert plan["clustering"]["id"]["avg_overlap"] < 0.5, plan
+    assert "rezorder()" not in plan["actions"], plan
+    # byte-identical rows: rezorder is a re-layout, never a rewrite
+    # of content
+    assert sorted((r.id, r.v) for r in t.read().collect()) == before

@@ -106,7 +106,12 @@ def run_soak(spark, base: str, n_chunks: int = 5,
             victims = [r.id for r in maint.read().select("id")
                        .orderBy("id").limit(3).collect()]
             maint.delete_keys("id", victims, use_deletion_vectors=True)
-            if chunk % 2 == 1:
+            if chunk == 0:
+                # declare clustering early so the rest of the soak
+                # measures how CDC churn + plain compaction decay it
+                # (VERDICT r10 next-7)
+                maint.compact(zorder_by=("id",), target_files=4)
+            elif chunk % 2 == 1:
                 maint.compact(target_mb=8.0)
             maint.vacuum(keep_last_n=keep_last_n,
                          stage_grace_seconds=0)
@@ -129,6 +134,9 @@ def run_soak(spark, base: str, n_chunks: int = 5,
         "read_groups": plan["read_groups"],
         "dv_density": plan["dv"]["density"],
         "dv_positions": plan["dv"]["dv_positions"],
+        "clustered_by": maint.clustered_by(),
+        "clustering": plan["clustering"],
+        "actions": plan["actions"],
         "first5_avg_s": round(first5, 3),
         "last5_avg_s": round(last5, 3),
         "latency_ratio": round(last5 / first5, 3),
@@ -252,3 +260,17 @@ def test_cdc_soak_bounded_metadata_and_flat_latency(spark, tmp_path):
     # slower than 2x the first five (degradation bound — warmup only
     # helps)
     assert rep["latency_ratio"] <= 2.0, rep["batch_latencies_s"]
+
+    # clustering decay (VERDICT r10 next-7): the zorder declared after
+    # chunk 0 has decayed under 40 more CDC batches + plain
+    # compactions — the plan must SAY so — and rezorder() must clear
+    # the recommendation without changing the row set
+    assert rep["clustered_by"] == ["id"]
+    assert rep["clustering"]["id"]["avg_overlap"] >= 0.5, rep
+    assert "rezorder()" in rep["actions"], rep
+    rows_before = maint.read().count()
+    maint.rezorder(target_files=8)
+    plan2 = maint.maintenance_plan(threshold=0.05)
+    assert plan2["clustering"]["id"]["avg_overlap"] < 0.5, plan2
+    assert "rezorder()" not in plan2["actions"], plan2
+    assert maint.read().count() == rows_before

@@ -1915,7 +1915,8 @@ class ParquetMergeTable:
 
     def _assemble_manifest(self, new_v: int, op: str, schema,
                            parent_v: int, keep_rels, entries: dict,
-                           new_dv: dict | None = None) -> dict:
+                           new_dv: dict | None = None,
+                           cluster: tuple | None = None) -> dict:
         """Build commit ``new_v``'s record from the CARRIED key list
         (``keep_rels`` — always a subset of the parent's files) plus
         the NEW file entries. Deletion vectors carry forward from the
@@ -1962,6 +1963,17 @@ class ParquetMergeTable:
             "dv": dv,
             "n_files": len(fileset),
         }
+        # clustering INTENT (VERDICT r10 next-7): set by a whole-table
+        # compact(zorder_by=...), carried forward by every later
+        # commit (like schema — small, full in every record). The
+        # maintenance plan measures the layout's ACTUAL zone overlap
+        # against this declared intent; DML churn decays the layout
+        # silently otherwise.
+        spec = (list(cluster) if cluster is not None
+                else ((self._manifest(parent_v).get("clustered_by"))
+                      if parent_v >= 1 else None))
+        if spec:
+            rec["clustered_by"] = spec
         # delta vs full: O(changed files) per commit, with a full
         # checkpoint every _CHECKPOINT_EVERY commits bounding the
         # reader's resolution walk (schema and DV stay full in every
@@ -2015,7 +2027,8 @@ class ParquetMergeTable:
             os.link(os.path.join(old_dir, rel), dst)
 
     def _commit(self, df: DataFrame, op: str = "merge",
-                parent_v: int | None = None) -> int:
+                parent_v: int | None = None,
+                cluster: tuple | None = None) -> int:
         """Full-rewrite commit: every referenced file is newly written
         (parent DVs purge naturally — no parent file survives).
 
@@ -2035,7 +2048,8 @@ class ParquetMergeTable:
         stage, entries = self._write_new_files(df, new_v=new_v)
         man = self._externalize_files(
             new_v, self._assemble_manifest(new_v, op, df.schema,
-                                           parent_v, [], entries))
+                                           parent_v, [], entries,
+                                           cluster=cluster))
         self._finalize(new_v, man, stage)
         self._carry_bloom(parent_v, new_v, set(entries))
         return new_v
@@ -4367,6 +4381,10 @@ class ParquetMergeTable:
                     _layout(current, _n_out(fkeys, sizes)),
                     op="compact_zorder" if zorder_by else "compact",
                     parent_v=old_v,
+                    # a whole-table ZORDER declares the table's
+                    # clustering intent; maintenance_plan() measures
+                    # later layout decay against it
+                    cluster=tuple(zorder_by) if zorder_by else None,
                 )
             # one leaf partition: a scalar for 1-level tables, a tuple
             # for nested partitioning
@@ -4777,6 +4795,106 @@ class ParquetMergeTable:
         d = self.dv_density(version)
         return d["dv_positions"] > 0 and d["density"] >= threshold
 
+    def clustered_by(self, version: int | None = None) -> list[str]:
+        """The table's declared clustering columns (set by a
+        whole-table ``compact(zorder_by=...)``, carried forward by
+        every later commit), or ``[]`` if the table was never
+        clustered. Metadata-only: one manifest read."""
+        v = self.current_version() if version is None else version
+        if v < 1:
+            return []
+        return list(self._manifest(v).get("clustered_by") or [])
+
+    def clustering_overlap(self, cols, version: int | None = None) -> dict:
+        """Layout-quality metric from metadata alone (VERDICT r10
+        next-7): per column, the average fraction of OTHER live files
+        whose zone range overlaps a file's zone range —
+
+        * ``0.0``  perfectly clustered: ranges disjoint, a point
+          predicate reads one file;
+        * ``~1.0`` fully decayed: every file spans the whole domain,
+          zone maps prune nothing (the silent decay DML churn causes —
+          every partition rewrite emits a file spanning that
+          partition's full key range).
+
+        A file with NO usable zone on the column (missing stats)
+        can never be pruned, so it counts as overlapping everything;
+        an ALL-NULL file is pruned by any range predicate, so it is
+        excluded entirely. Exact, O(n log n) over the lazy columnar
+        zone arrays — no Spark job, no full-entry materialization.
+        Returns ``{col: {files, bounded, avg_overlap}}``."""
+        import bisect
+
+        v = self.current_version() if version is None else version
+        cols = list(cols)
+        out: dict[str, dict] = {}
+        if v < 1:
+            return {c: {"files": 0, "bounded": 0, "avg_overlap": 0.0}
+                    for c in cols}
+        keys, _, _, za = self._zone_arrays(v, cols, with_rows=False)
+        n_all = len(self._seq_list(keys))
+        for c in cols:
+            mins, maxs, _, ans = za.get(
+                c, ([None] * n_all, [None] * n_all,
+                    [None] * n_all, [None] * n_all))
+            ivals = []
+            unbounded = 0
+            for lo, hi, an in zip(mins, maxs, ans):
+                if an is True:
+                    continue            # all-null: always prunable
+                if an is False and lo is not None:
+                    ivals.append((lo, hi))
+                else:
+                    unbounded += 1      # no stats: never prunable
+            nb = len(ivals)
+            n = nb + unbounded
+            if n <= 1:
+                out[c] = {"files": n, "bounded": nb, "avg_overlap": 0.0}
+                continue
+            los = sorted(lo for lo, _ in ivals)
+            his = sorted(hi for _, hi in ivals)
+            # per bounded file i: |{j≠i bounded: lo_j <= hi_i and
+            # hi_j >= lo_i}| via two binary searches — exact pairwise
+            # interval overlap without the n² loop
+            total = unbounded * (n - 1)
+            for lo, hi in ivals:
+                total += (bisect.bisect_right(los, hi)
+                          - bisect.bisect_left(his, lo) - 1) + unbounded
+            out[c] = {
+                "files": n,
+                "bounded": nb,
+                "avg_overlap": round(total / (n * (n - 1)), 4),
+            }
+        return out
+
+    # above this average zone-range overlap the declared clustering
+    # has decayed enough that skipping economics regress toward the
+    # full scan — maintenance recommends rezorder(). Well-clustered
+    # layouts sit near 2/(n-1) (boundary neighbors only); a churned
+    # layout where partition rewrites span the key domain sits near 1.
+    _CLUSTER_OVERLAP_FLOOR = 0.5
+
+    def rezorder(self, target_files: int | None = None,
+                 target_mb: float | None = None, wait: bool = True) -> int:
+        """Re-establish the table's DECLARED clustering (the
+        ``clustered_by`` columns a whole-table ZORDER recorded) after
+        DML churn has decayed the layout — the acting form of
+        :meth:`maintenance_plan`'s clustering leg, exactly as
+        ``compact()`` is for its DV leg. Defaults to preserving the
+        current live file count (a re-layout, not a compaction); pass
+        ``target_files`` / ``target_mb`` to also consolidate."""
+        spec = self.clustered_by()
+        if not spec:
+            raise ValueError(
+                "rezorder() needs a recorded clustering — run "
+                "compact(zorder_by=...) once to declare one")
+        if target_files is None and target_mb is None:
+            target_files = max(1, len(self._file_keys(
+                self.current_version())))
+        return self.compact(target_files=target_files or 1,
+                            target_mb=target_mb,
+                            zorder_by=tuple(spec), wait=wait)
+
     def maintenance_plan(self, threshold: float = 0.02,
                          small_file_mb: float = 16.0) -> dict:
         """What upkeep the CURRENT snapshot needs, from metadata alone:
@@ -4837,6 +4955,22 @@ class ParquetMergeTable:
                 }
                 if frac < self._BLOOM_COVERAGE_FLOOR:
                     actions.append(f"build_file_index({col!r})")
+        # Clustering-decay leg (VERDICT r10 next-7): when the table
+        # DECLARED a clustering (whole-table ZORDER), measure the
+        # layout's actual zone-range overlap per clustering column —
+        # DML churn decays it silently (every partition rewrite emits
+        # a file spanning that partition's full key range), exactly
+        # the decay Bloom coverage had pre-r10 — and recommend
+        # rezorder() past the floor. Metadata-only, O(n log n) over
+        # the lazy columnar zone arrays.
+        clustering: dict[str, dict] = {}
+        if v:
+            spec = self.clustered_by(v)
+            if spec:
+                clustering = self.clustering_overlap(spec, version=v)
+                if any(m["avg_overlap"] >= self._CLUSTER_OVERLAP_FLOOR
+                       for m in clustering.values()):
+                    actions.append("rezorder()")
         # Change-feed leg (r10): when the table HAS a feed (any export
         # marker exists), report the unexported backlog — versions a
         # consumer cannot see yet — and warn when retention is about
@@ -4887,6 +5021,7 @@ class ParquetMergeTable:
             "total_mb": round(total_b / 1e6, 3),
             "compact_for_small_files": compact_small,
             "bloom": bloom,
+            "clustering": clustering,
             "change_feed": feed,
             "actions": actions,
         }

@@ -40,51 +40,55 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # only after r3). Entries already driver-green with unchanged code
 # keep that evidence and move to the tail.
 #
-# Round-10 window (exactly 50) — the distributed-skipping round.
-# Composition (evidence ages recomputed from CORRECTNESS_r01–r09
-# this round: 23 entries on r5 evidence, 43 on r6, rest r7+):
+# Round-11 window (exactly 50) — the lakehouse-maintenance round.
+# Composition (evidence ages recomputed from CORRECTNESS_r01–r10
+# this round: 29 entries on r6 evidence, 43 on r7, rest r8+):
 # - flagship (always first: the driver's smoke query);
-# - the 23 r5-evidence entries named in r9's r10-window-first
-#   comment (they hit the 5-round age ceiling when the r11 artifact
+# - the 29 r6-evidence entries named in r10's r11-window-first
+#   comment (they hit the 5-round age ceiling when the r12 artifact
 #   lands — mandatory refreshes; code unchanged for all of them);
-# - the 6 entries registered by operators/upsert.py, which r10
-#   changes again (lazy columnar skipping plane, incremental Bloom
-#   maintenance, rebase-on-disjoint conflict detection — VERDICT r9
-#   next-1/2/3);
-# - the 10 entries registered by operators/similarity.py, which r10
-#   changes for the parameterized-nprobe IVF (VERDICT r9 next-7;
-#   similarity_topk_sq8 is already in the r5 cohort above);
-# - remaining 10 slots: the oldest-r6 refreshes, alphabetical head
-#   of the 43-entry r6 cohort (agg_approx_percentile_gate ..
-#   agg_pivot). The 33 remaining r6 entries head the r11 window and
-#   reach the age ceiling only at r12.
+# - the 7 entries registered by operators/upsert.py, which r11
+#   changes again (distributed checkpoint build, executor-side DV
+#   assembly, change-feed hardening — VERDICT r10 next-1/2 + ADVICE
+#   — and the clustering-decay maintenance leg, next-7);
+# - remaining 13 slots: the oldest-r7 refreshes, alphabetical head
+#   of the 43-entry r7 cohort (agg_bitmap_distinct ..
+#   filter_isdigit_dispatch). The 30 remaining r7 entries head the
+#   r12 window and reach the age ceiling only at r13.
 _PRIORITY: tuple[str, ...] = (
     "flagship_revenue_by_nation",
-    # -- the 23 r5-evidence refreshes (mandatory: max-age) --
-    "func_hash_md5",
-    "funnel_conversion",
-    "graph_pagerank",
-    "graph_triangles",
-    "join_bloom_prefilter",
-    "join_fuzzy_blocked",
-    "join_interval_overlap",
-    "join_left_anti",
-    "join_skew_hybrid",
-    "layout_zorder",
-    "mm_decode_stub",
-    "prep_rule_filter",
-    "prep_weighted_sample",
-    "rollup_time_cascade",
-    "setop_except",
-    "similarity_topk_sq8",
-    "text_bm25_topk",
-    "text_boolean_search",
-    "text_lang_confusion",
-    "text_lm_coverage",
-    "text_pmi_bigrams",
-    "text_token_count",
-    "window_running_distinct",
-    # -- upsert.py changed in r10 (skipping plane, bloom, rebase) --
+    # -- the 29 r6-evidence refreshes (mandatory: max-age) --
+    "agg_pivot",
+    "agg_rollup",
+    "dedup_cascade",
+    "dedup_clusters_incremental",
+    "dedup_semdedup",
+    "diag_expectations",
+    "diag_source_drift",
+    "dim_merge_get_or_create",
+    "join_broadcast_dim",
+    "join_cross_small",
+    "join_full_outer",
+    "join_inner_agg",
+    "join_left_outer_agg",
+    "join_left_semi",
+    "join_theta_residual",
+    "mm_frame_dedup",
+    "prep_bpe_encode",
+    "prep_bpe_merges",
+    "prep_dsir_scores",
+    "prep_global_shuffle",
+    "prep_reservoir_per_group",
+    "prep_temperature_mix",
+    "stream_watermark_late_drop",
+    "text_char_entropy",
+    "text_duplicate_ngram_spans",
+    "ts_anomaly_zscore",
+    "ts_ema_user",
+    "ts_ohlc_hourly",
+    "window_longest_streak",
+    # -- upsert.py changed in r11 (distributed ckpt build, executor
+    #    DV assembly, feed hardening, clustering-decay leg) --
     "agg_incremental_merge",
     "cdc_snapshot_diff",
     "merge_upsert_idempotent",
@@ -92,43 +96,31 @@ _PRIORITY: tuple[str, ...] = (
     "merge_into_conditional",
     "merge_sql_time_travel",
     "merge_change_feed_stream",
-    # -- similarity.py changed in r10 (IVF nprobe) --
-    "emb_dominant_direction",
-    "emb_label_centroid",
-    "emb_nearest_centroid",
-    "emb_random_projection",
-    "similarity_recall_at_k",
-    "similarity_topk_bruteforce",
-    "similarity_topk_ivf",
-    "similarity_topk_lsh",
-    "similarity_topk_multiprobe",
-    "similarity_topk_rph",
-    # -- oldest r6-evidence refreshes (code unchanged) --
-    "agg_approx_percentile_gate",
-    "agg_count_distinct",
-    "agg_count_join",
-    "agg_cube",
-    "agg_distinct",
-    "agg_groupby_stats",
-    "agg_hll_distinct_rollup",
-    "agg_kmv_distinct",
-    "agg_percentile",
+    # -- oldest r7-evidence refreshes (code unchanged) --
+    "agg_bitmap_distinct",
+    "agg_kmv_intersection",
+    "date_series_explode",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "emb_kmeans",
+    "filter_fk_equality",
+    "filter_ilike",
+    "filter_isdigit_dispatch",
 )
-# r11-window-first candidates (non-debt, informational): the 34
-# remaining r6-evidence entries — agg_pivot, agg_rollup, dedup_cascade,
-# dedup_clusters_incremental, dedup_semdedup, diag_expectations,
-# diag_source_drift, dim_merge_get_or_create, join_broadcast_dim,
-# join_cross_small, join_full_outer, join_inner_agg,
-# join_left_outer_agg, join_left_semi, join_theta_residual,
-# mm_frame_dedup, prep_bpe_encode, prep_bpe_merges, prep_dsir_scores,
-# prep_global_shuffle, prep_reservoir_per_group, prep_temperature_mix,
-# stream_watermark_late_drop, text_char_entropy,
-# text_duplicate_ngram_spans, ts_anomaly_zscore, ts_ema_user,
-# ts_ohlc_hourly, window_longest_streak (plus the five similarity/emb
-# r6 entries refreshed in THIS window). They hit the max-age ceiling
-# when the r12 artifact lands, so the r11 window must lead with them.
-# The max-age debt guard (tests/test_plans.py::test_evidence_max_age)
-# enforces this mechanically.
+# r12-window-first candidates (non-debt, informational): the 30
+# remaining r7-evidence entries — filter_project_pushdown,
+# func_interval_arith, func_regexp_extract_all, func_string_ops,
+# func_url_parse, func_weekday_name, join_asof and the rest of the
+# r7 cohort (recompute from CORRECTNESS_r01–r11 next round). They
+# hit the max-age ceiling when the r13 artifact lands, so the r12
+# window must lead with them, plus entries registered by any
+# r12-changed module. The max-age debt guard
+# (tests/test_plans.py::test_evidence_max_age) enforces this
+# mechanically.
 
 
 def _ordered(entries: dict) -> dict:
