@@ -115,7 +115,47 @@ def test_decay_fires_recommendation_and_rezorder_clears(spark, tmp_path):
     t.rezorder(target_files=8)
     plan = t.maintenance_plan()
     assert plan["clustering"]["id"]["avg_overlap"] < 0.5, plan
-    assert "rezorder()" not in plan["actions"], plan
+    assert not any(a.startswith("rezorder") for a in plan["actions"]), plan
     # byte-identical rows: rezorder is a re-layout, never a rewrite
     # of content
     assert sorted((r.id, r.v) for r in t.read().collect()) == before
+
+
+def test_incremental_rezorder_rewrites_only_decayed_files(spark, tmp_path):
+    """The 100 TB form: after churn widens ONE partition's files,
+    rezorder(only_decayed=True) must rewrite just those, carry every
+    still-narrow file untouched, clear the decay, and no-op when
+    nothing is decayed."""
+    t = ParquetMergeTable(spark, str(tmp_path / "t"), key="id",
+                          partition_by="p")
+    t.merge(spark.createDataFrame(
+        [(i, i % 8, 0.0) for i in range(2000)],
+        "id long, p int, v double"))
+    t.compact(zorder_by=("id",), target_files=8)
+
+    # freshly clustered: nothing decayed → metadata no-op
+    v0 = t.current_version()
+    assert t.rezorder(only_decayed=True) == v0
+    assert t.current_version() == v0
+
+    # churn one partition: its rewrite emits files spanning the whole
+    # id domain while the other 7 partitions stay narrow
+    rng = random.Random(3)
+    ids = rng.sample(range(3, 2000, 8), 120)
+    t.merge(spark.createDataFrame(
+        [(i, 3, -1.0) for i in ids], "id long, p int, v double"))
+    before_files = set(t._file_keys(t.current_version()))
+    before_rows = sorted((r.id, r.v) for r in t.read().collect())
+    prof, _ = t._overlap_profile(t.current_version(), "id")
+    n_wide = sum(1 for f in prof.values() if f >= 0.5)
+    assert 0 < n_wide < len(prof), prof   # decayed, but not everything
+
+    t.rezorder(only_decayed=True, target_files=4)
+    after_files = set(t._file_keys(t.current_version()))
+    carried = before_files & after_files
+    # every non-victim carried untouched; victims gone
+    assert len(carried) == len(before_files) - n_wide, (
+        len(carried), len(before_files), n_wide)
+    assert t.clustering_overlap(["id"])["id"]["avg_overlap"] < 0.5
+    assert sorted((r.id, r.v) for r in t.read().collect()) == before_rows
+    assert t._manifest(t.current_version())["operation"] == "rezorder"

@@ -267,10 +267,10 @@ def test_cdc_soak_bounded_metadata_and_flat_latency(spark, tmp_path):
     # the recommendation without changing the row set
     assert rep["clustered_by"] == ["id"]
     assert rep["clustering"]["id"]["avg_overlap"] >= 0.5, rep
-    assert "rezorder()" in rep["actions"], rep
+    assert any(a.startswith("rezorder") for a in rep["actions"]), rep
     rows_before = maint.read().count()
     maint.rezorder(target_files=8)
     plan2 = maint.maintenance_plan(threshold=0.05)
     assert plan2["clustering"]["id"]["avg_overlap"] < 0.5, plan2
-    assert "rezorder()" not in plan2["actions"], plan2
+    assert not any(a.startswith("rezorder") for a in plan2["actions"]), plan2
     assert maint.read().count() == rows_before

@@ -4823,49 +4823,62 @@ class ParquetMergeTable:
         excluded entirely. Exact, O(n log n) over the lazy columnar
         zone arrays — no Spark job, no full-entry materialization.
         Returns ``{col: {files, bounded, avg_overlap}}``."""
+        v = self.current_version() if version is None else version
+        out: dict[str, dict] = {}
+        for c in list(cols):
+            if v < 1:
+                out[c] = {"files": 0, "bounded": 0, "avg_overlap": 0.0}
+                continue
+            prof, nb = self._overlap_profile(v, c)
+            n = len(prof)
+            avg = (sum(prof.values()) / n) if n else 0.0
+            out[c] = {"files": n, "bounded": nb,
+                      "avg_overlap": round(avg, 4)}
+        return out
+
+    def _overlap_profile(self, version: int, col: str
+                         ) -> tuple[dict, int]:
+        """Per-FILE overlap fractions for one column:
+        ``({manifest key: fraction of other live files whose zone
+        range overlaps this file's}, bounded count)``. All-null files
+        are excluded (any range predicate prunes them); files with no
+        usable zone get fraction 1.0 (never prunable). The kernel
+        behind both :meth:`clustering_overlap` (its mean) and the
+        incremental ``rezorder(only_decayed=True)`` victim pick."""
         import bisect
 
-        v = self.current_version() if version is None else version
-        cols = list(cols)
-        out: dict[str, dict] = {}
-        if v < 1:
-            return {c: {"files": 0, "bounded": 0, "avg_overlap": 0.0}
-                    for c in cols}
-        keys, _, _, za = self._zone_arrays(v, cols, with_rows=False)
-        n_all = len(self._seq_list(keys))
-        for c in cols:
-            mins, maxs, _, ans = za.get(
-                c, ([None] * n_all, [None] * n_all,
-                    [None] * n_all, [None] * n_all))
-            ivals = []
-            unbounded = 0
-            for lo, hi, an in zip(mins, maxs, ans):
-                if an is True:
-                    continue            # all-null: always prunable
-                if an is False and lo is not None:
-                    ivals.append((lo, hi))
-                else:
-                    unbounded += 1      # no stats: never prunable
-            nb = len(ivals)
-            n = nb + unbounded
-            if n <= 1:
-                out[c] = {"files": n, "bounded": nb, "avg_overlap": 0.0}
-                continue
-            los = sorted(lo for lo, _ in ivals)
-            his = sorted(hi for _, hi in ivals)
-            # per bounded file i: |{j≠i bounded: lo_j <= hi_i and
-            # hi_j >= lo_i}| via two binary searches — exact pairwise
-            # interval overlap without the n² loop
-            total = unbounded * (n - 1)
-            for lo, hi in ivals:
-                total += (bisect.bisect_right(los, hi)
-                          - bisect.bisect_left(his, lo) - 1) + unbounded
-            out[c] = {
-                "files": n,
-                "bounded": nb,
-                "avg_overlap": round(total / (n * (n - 1)), 4),
-            }
-        return out
+        keys, _, _, za = self._zone_arrays(version, [col],
+                                           with_rows=False)
+        keys = self._seq_list(keys)
+        blank = [None] * len(keys)
+        mins, maxs, _, ans = za.get(col, (blank, blank, blank, blank))
+        ivals: list[tuple] = []         # (key, lo, hi)
+        unbounded: list[str] = []
+        for k, lo, hi, an in zip(keys, mins, maxs, ans):
+            if an is True:
+                continue                # all-null: always prunable
+            if an is False and lo is not None:
+                ivals.append((k, lo, hi))
+            else:
+                unbounded.append(k)     # no stats: never prunable
+        nb = len(ivals)
+        n = nb + len(unbounded)
+        if n <= 1:
+            return ({k: 0.0 for k, _, _ in ivals}
+                    | {k: 0.0 for k in unbounded}, nb)
+        los = sorted(lo for _, lo, _ in ivals)
+        his = sorted(hi for _, _, hi in ivals)
+        # per bounded file i: |{j≠i bounded: lo_j <= hi_i and
+        # hi_j >= lo_i}| via two binary searches — exact pairwise
+        # interval overlap without the n² loop
+        u = len(unbounded)
+        prof = {
+            k: (bisect.bisect_right(los, hi)
+                - bisect.bisect_left(his, lo) - 1 + u) / (n - 1)
+            for k, lo, hi in ivals
+        }
+        prof.update({k: 1.0 for k in unbounded})
+        return prof, nb
 
     # above this average zone-range overlap the declared clustering
     # has decayed enough that skipping economics regress toward the
@@ -4875,25 +4888,73 @@ class ParquetMergeTable:
     _CLUSTER_OVERLAP_FLOOR = 0.5
 
     def rezorder(self, target_files: int | None = None,
-                 target_mb: float | None = None, wait: bool = True) -> int:
+                 target_mb: float | None = None, wait: bool = True,
+                 only_decayed: bool = False,
+                 max_files: int | None = None) -> int:
         """Re-establish the table's DECLARED clustering (the
         ``clustered_by`` columns a whole-table ZORDER recorded) after
         DML churn has decayed the layout — the acting form of
         :meth:`maintenance_plan`'s clustering leg, exactly as
         ``compact()`` is for its DV leg. Defaults to preserving the
         current live file count (a re-layout, not a compaction); pass
-        ``target_files`` / ``target_mb`` to also consolidate."""
+        ``target_files`` / ``target_mb`` to also consolidate.
+
+        ``only_decayed=True`` is the 100 TB form (Delta's incremental
+        OPTIMIZE ZORDER shape): rewrite ONLY the files whose per-file
+        zone overlap passed the decay floor on some clustering column
+        — the wide files partition rewrites left behind — carrying
+        every still-narrow file forward untouched (posix: hardlink;
+        object: manifest reference). Cost follows the CHURN, not the
+        table: a year of writes on a 100 TB table re-layouts the few
+        percent of files DML actually widened, never the world.
+        ``max_files`` caps one pass at the worst offenders (repeated
+        passes converge); ``target_mb`` is the whole-table knob and
+        is ignored here. No decayed files → metadata no-op (current
+        version returned, nothing committed). Rewritten files purge
+        their deletion vectors exactly like any rewrite."""
         spec = self.clustered_by()
         if not spec:
             raise ValueError(
                 "rezorder() needs a recorded clustering — run "
                 "compact(zorder_by=...) once to declare one")
-        if target_files is None and target_mb is None:
-            target_files = max(1, len(self._file_keys(
-                self.current_version())))
-        return self.compact(target_files=target_files or 1,
-                            target_mb=target_mb,
-                            zorder_by=tuple(spec), wait=wait)
+        if not only_decayed:
+            if target_files is None and target_mb is None:
+                target_files = max(1, len(self._file_keys(
+                    self.current_version())))
+            return self.compact(target_files=target_files or 1,
+                                target_mb=target_mb,
+                                zorder_by=tuple(spec), wait=wait)
+
+        def body() -> int:
+            from .zorder import zorder_layout_cols
+
+            old_v = self.current_version()
+            if old_v == 0:
+                return 0
+            worst: dict[str, float] = {}
+            for c in spec:
+                prof, _ = self._overlap_profile(old_v, c)
+                for k, f in prof.items():
+                    if f > worst.get(k, -1.0):
+                        worst[k] = f
+            victims = {k for k, f in worst.items()
+                       if f >= self._CLUSTER_OVERLAP_FLOOR}
+            if max_files is not None and len(victims) > max_files:
+                victims = set(sorted(
+                    victims, key=lambda k: (-worst[k], k))[:max_files])
+            if not victims:
+                return old_v
+            keep = [k for k in self._file_keys(old_v)
+                    if k not in victims]
+            rows = self._scan(old_v, relkeys=victims)
+            merged = zorder_layout_cols(
+                rows, list(spec),
+                n_files=max(1, target_files or len(victims))
+            ).drop("_z")
+            return self._commit_carrying(merged, keep, old_v,
+                                         rows.schema, "rezorder")
+
+        return self._txn(wait, body)
 
     def maintenance_plan(self, threshold: float = 0.02,
                          small_file_mb: float = 16.0) -> dict:
@@ -4966,11 +5027,33 @@ class ParquetMergeTable:
         clustering: dict[str, dict] = {}
         if v:
             spec = self.clustered_by(v)
-            if spec:
-                clustering = self.clustering_overlap(spec, version=v)
-                if any(m["avg_overlap"] >= self._CLUSTER_OVERLAP_FLOOR
-                       for m in clustering.values()):
-                    actions.append("rezorder()")
+            decayed: set[str] = set()
+            n_prof = 0
+            for c in spec:
+                prof, nb = self._overlap_profile(v, c)
+                n_prof = max(n_prof, len(prof))
+                decayed |= {
+                    k for k, f in prof.items()
+                    if f >= self._CLUSTER_OVERLAP_FLOOR
+                }
+                avg = ((sum(prof.values()) / len(prof))
+                       if prof else 0.0)
+                clustering[c] = {
+                    "files": len(prof),
+                    "bounded": nb,
+                    "avg_overlap": round(avg, 4),
+                    "decayed_files": sum(
+                        1 for f in prof.values()
+                        if f >= self._CLUSTER_OVERLAP_FLOOR),
+                }
+            if any(m["avg_overlap"] >= self._CLUSTER_OVERLAP_FLOOR
+                   for m in clustering.values()):
+                # a minority of wide files → the incremental pass
+                # (cost follows churn); majority-wide → re-layout all
+                actions.append(
+                    "rezorder(only_decayed=True)"
+                    if decayed and len(decayed) < n_prof / 2
+                    else "rezorder()")
         # Change-feed leg (r10): when the table HAS a feed (any export
         # marker exists), report the unexported backlog — versions a
         # consumer cannot see yet — and warn when retention is about
