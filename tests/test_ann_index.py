@@ -182,3 +182,51 @@ def test_skew_split_clears_recommendation_and_stays_exact(spark, tmp_path):
     got = {(r.query_id, r.rk): r.neighbor_id
            for r in ix.search(q, 5, nprobe=plan2["n_cells"]).collect()}
     assert got == exact
+
+
+def test_optimize_prunes_probe_files_and_search_stays_identical(
+        spark, tmp_path):
+    """After optimize() cell-clusters the assignment table, a narrow
+    probe must SKIP files holding no probed cell, results identical
+    with and without pruning; churn decays the layout and the plan
+    surfaces optimize(), which restores the pruning."""
+    rng = random.Random(11)
+    corpus = _corpus(spark, str(tmp_path / "c"), n=256)
+    ix = IvfIndex(spark, str(tmp_path / "ix"))
+    ix.build(corpus, n_centroids=8)
+    rep = ix.optimize(target_files=8)
+    assert ix.assign.clustered_by() == ["cell"]
+    assert rep["files"] >= 2
+
+    v = ix.assign.current_version()
+    all_files = ix.assign._file_keys(v)
+    one_cell = ix.assign._point_prune("cell", [0], v)
+    assert len(one_cell) < len(all_files), (
+        len(one_cell), len(all_files))
+
+    q = corpus.read().filter(F.col("vec_id") < 4)
+    pruned = {(r.query_id, r.neighbor_id, r.rk)
+              for r in ix.search(q, 3, nprobe=2).collect()}
+    full = {(r.query_id, r.neighbor_id, r.rk)
+            for r in ix.search(q, 3, nprobe=2,
+                               prune_files=False).collect()}
+    assert pruned == full and pruned
+
+    # churn until the cell layout decays, then the index plan must
+    # recommend optimize(); running it clears the recommendation
+    for b in range(4):
+        ids = rng.sample(range(256), 64)
+        corpus.merge(spark.createDataFrame(
+            _rows(rng, ids), SCHEMA))
+        ix.refresh(corpus)
+    plan = ix.maintenance_plan()
+    assert "optimize()" in plan["actions"], plan
+    ix.optimize(target_files=8)
+    plan = ix.maintenance_plan()
+    assert "optimize()" not in plan["actions"], plan
+    # search exactness survives the whole cycle at full probe
+    q2 = corpus.read().filter(F.col("vec_id") < 3)
+    exact = topk_bruteforce(q2, corpus.read(), 3)
+    got = ix.search(q2, 3, nprobe=8)
+    assert ({(r.query_id, r.neighbor_id) for r in got.collect()}
+            == {(r.query_id, r.neighbor_id) for r in exact.collect()})

@@ -245,16 +245,49 @@ class IvfIndex:
         return {"synced_version": head, "versions": -1,
                 "rows": None, "reassigned_all": True}
 
+    # ---- physical layout (probe-pruned search) -----------------------
+
+    def optimize(self, target_files: int | None = None) -> dict:
+        """Cell-cluster the assignment table's FILES so a probe reads
+        only the probed cells' files — the inverted-list locality a
+        native IVF gets from contiguous posting lists, re-expressed as
+        lakehouse layout: ``compact(zorder_by=("cell",))`` (one key =
+        linear clustering; also DECLARES the clustering, so the
+        table's decay leg watches it) plus a Bloom file index on
+        ``cell`` (point-prunes even after churn mixes files). After
+        this, :meth:`search` skips every file holding none of the
+        probed cells — at a 100 TB corpus a 4-of-1024-cell probe scans
+        ~0.4% of the assignment table instead of all of it. Churn
+        decays the layout like any clustered table;
+        :meth:`maintenance_plan` surfaces the table's own
+        recommendation as ``optimize()``."""
+        n = target_files or max(
+            1, len(self._cents_from_meta(self.meta())))
+        v = self.assign.compact(zorder_by=("cell",), target_files=n)
+        self.assign.build_file_index("cell")
+        return {"version": v,
+                "files": len(self.assign._file_keys(
+                    self.assign.current_version()))}
+
     # ---- search ------------------------------------------------------
 
     def search(self, queries: DataFrame, k: int,
-               nprobe: int = 1) -> DataFrame:
+               nprobe: int = 1, prune_files: bool = True) -> DataFrame:
         """ANN top-k from the PERSISTED index: each query probes the
         union of its ``nprobe`` nearest cells (bounded k-row window
         per query), candidates come from one equi-join on ``cell``
         against the assignment table, verify is exact cosine on the
         candidates only. Output schema matches ``topk_ivf``
-        (query_id, neighbor_id, cos_sim, rk)."""
+        (query_id, neighbor_id, cos_sim, rk).
+
+        ``prune_files=True``: the probed-cell union (bounded by the
+        codebook size — driver-scale by construction) routes the
+        candidate scan through ``read_point("cell", cells)``, so zone
+        maps + the Bloom file index skip every assignment file holding
+        no probed cell (see :meth:`optimize`). Identical results
+        either way; pays when the probe set is a minority of cells —
+        the serving shape. Set False for corpus-sized query batches
+        that probe everything anyway."""
         from pyspark.sql import Window
 
         cents = self._cents_from_meta(self.meta())
@@ -271,7 +304,13 @@ class IvfIndex:
         q = (q.withColumn("_rn", F.row_number().over(wq))
              .filter(F.col("_rn") <= max(1, nprobe))
              .select("query_id", "q_emb", "cell"))
-        c = self.assign.read().select(
+        if prune_files:
+            cells = [r["cell"] for r in
+                     q.select("cell").distinct().collect()]
+            base = self.assign.read_point("cell", cells)
+        else:
+            base = self.assign.read()
+        c = base.select(
             F.col(self.id_col).alias("neighbor_id"),
             F.col(self.vec_col).alias("c_emb"), "cell")
         pairs = (q.join(c, "cell")
@@ -309,6 +348,15 @@ class IvfIndex:
         hot = sorted(c for c, n in counts.items()
                      if mean > 0 and n > skew_bound * mean)
         mx = max(counts.values(), default=0)
+        # the assignment TABLE's own layout health: once optimize()
+        # declared the cell clustering, churn decays it exactly like
+        # any clustered table — surface the table's rezorder
+        # recommendation as optimize() (metadata-only check)
+        tplan = self.assign.maintenance_plan()
+        layout = tplan.get("clustering") or {}
+        actions = [f"split_cell({c})" for c in hot]
+        if any(a.startswith("rezorder") for a in tplan["actions"]):
+            actions.append("optimize()")
         return {
             "n_cells": n_cells,
             "n_vectors": total,
@@ -321,7 +369,8 @@ class IvfIndex:
             "full_builds": m["full_builds"],
             "full_reassigns": m.get("full_reassigns", 0),
             "splits": m.get("splits", 0),
-            "actions": [f"split_cell({c})" for c in hot],
+            "layout": layout,
+            "actions": actions,
         }
 
     def split_cell(self, cell: int) -> int:
