@@ -597,3 +597,49 @@ def test_stream_changes_detects_dropped_or_retyped_columns(
     # vacuum past the boundary: feed is readable again
     t.vacuum_change_feed(2)
     t.stream_changes()
+
+
+def test_fingerprint_delta_identity_across_churny_history(spark, tmp_path):
+    """The abelian audit identity: for EVERY commit kind — insert
+    merge, update/insert mix, DV keyed delete, zorder compaction,
+    incremental rezorder — content_fingerprint(v) must equal
+    content_fingerprint(v-1) + fingerprint_delta(v) exactly, and a
+    pure-maintenance commit must delta to zero. This is what lets a
+    replica auditor fold O(churn) deltas instead of re-scanning the
+    primary at every sync."""
+    t = ParquetMergeTable(spark, str(tmp_path / "t"), key="id",
+                          partition_by="p")
+    t.merge(spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(200)],
+        "id long, p int, v double"))                       # v1 insert
+    t.merge(spark.createDataFrame(
+        [(i, i % 4, -1.0) for i in range(0, 40)]
+        + [(1000 + i, (1000 + i) % 4, 7.0) for i in range(10)],
+        "id long, p int, v double"))                       # v2 update+insert
+    t.delete_keys("id", [3, 7, 11],
+                  use_deletion_vectors=True)               # v3 DV move
+    t.compact(zorder_by=("id",), target_files=4)           # v4 maintenance
+    t.merge(spark.createDataFrame(
+        [(i, i % 4, 9.0) for i in range(50, 90)],
+        "id long, p int, v double"))                       # v5 churn
+    v6 = t.rezorder(only_decayed=True)                     # maybe no-op
+    head = t.current_version()
+    assert head >= 5
+
+    fps = {v: t.content_fingerprint(version=v)
+           for v in range(1, head + 1)}
+    for v in range(2, head + 1):
+        d = t.fingerprint_delta(v)
+        assert fps[v]["rows"] == fps[v - 1]["rows"] + d["rows_delta"], v
+        assert (int(fps[v]["hash"])
+                == int(fps[v - 1]["hash"]) + int(d["hash_delta"])), v
+    # v1 diffs against the empty state: delta IS the fingerprint
+    d1 = t.fingerprint_delta(1)
+    assert d1["rows_delta"] == fps[1]["rows"]
+    assert d1["hash_delta"] == fps[1]["hash"]
+    # maintenance commits move nothing
+    d4 = t.fingerprint_delta(4)
+    assert d4["rows_delta"] == 0 and d4["hash_delta"] == "0", d4
+    if v6 > 5:                       # the incremental rezorder ran
+        d6 = t.fingerprint_delta(v6)
+        assert d6["rows_delta"] == 0 and d6["hash_delta"] == "0", d6

@@ -3699,6 +3699,85 @@ class ParquetMergeTable:
         return os.path.join(self._cdf_dir(), "_exported",
                             f"{version}.json")
 
+    def _churn_scans(self, v: int) -> tuple[DataFrame, DataFrame]:
+        """The (old-side, new-side) scans of exactly the files commit
+        ``v`` CHURNED — added, removed, rewritten, or DV-moved; files
+        carried forward with an identical deletion-vector state hold
+        byte-identical rows on both sides and are excluded from both.
+        The shared kernel behind :meth:`changes_at` (full-outer diff)
+        and :meth:`fingerprint_delta` (abelian hash movement): both
+        cost O(commit churn), never the table. ``v`` and its parent
+        must be retained (``v=1`` diffs against the empty state)."""
+        from pyspark.sql.types import StructType
+
+        man = self._manifest(v)
+        if v == 1:
+            schema = self._to_nullable(StructType.fromJson(man["schema"]))
+            return self.spark.createDataFrame([], schema), self._scan(v)
+        self._resolve_version(v - 1)   # raises if parent vacuumed
+        from urllib.parse import unquote
+
+        # the dv section keys files in URI form; _file_keys is
+        # fs-form — bridge with unquote like every other DV
+        # consumer (_scan, _assemble_manifest), else a DV change
+        # on a Hive-escaped partition file reads as 'unchanged'
+        # and its deletes silently vanish from the feed
+        dv_old = {unquote(k): e for k, e in
+                  (self._manifest(v - 1).get("dv") or {}).items()}
+        dv_new = {unquote(k): e for k, e in
+                  (man.get("dv") or {}).items()}
+        keys_old = set(self._file_keys(v - 1))
+        keys_new = set(self._file_keys(v))
+        same = {k for k in keys_old & keys_new
+                if dv_old.get(k) == dv_new.get(k)}
+        return (self._scan(v - 1, relkeys=keys_old - same),
+                self._scan(v, relkeys=keys_new - same))
+
+    def fingerprint_delta(self, version: int,
+                          cols: list[str] | None = None) -> dict:
+        """How much one commit MOVED the table's content fingerprint:
+        ``{rows_delta, hash_delta, cols}`` such that, exactly,
+
+            content_fingerprint(v)  =  content_fingerprint(v-1)
+                                       + fingerprint_delta(v)
+
+        (integer addition on both fields — the fingerprint is an
+        ABELIAN sum of per-row xxhash64, so churned-in rows add,
+        churned-out rows subtract, and every carried file cancels
+        without being read). Cost: two map-side-aggregated scans of
+        ONLY the commit's churned files — O(commit churn), never the
+        table. This is the audit primitive that keeps continuous
+        replica verification affordable at 100 TB: full-scan
+        ``content_fingerprint`` once at a base version, then fold
+        per-commit deltas (each ~free at maintenance cadence) to know
+        the primary's expected fingerprint at any later version; a
+        pure-maintenance commit (compact, rezorder, checkpoint)
+        deltas to exactly zero, test-pinned. ``cols`` must name
+        columns present on BOTH sides (default: the shared set,
+        sorted — a schema-change commit needs a fresh full-scan
+        base)."""
+        v = self._resolve_version(version)
+        if v == 0:
+            raise ValueError(
+                f"fingerprint_delta on an empty table at {self.root}")
+        old, new = self._churn_scans(v)
+        if cols is None:
+            cols = sorted(set(old.columns) & set(new.columns))
+
+        def agg(df: DataFrame) -> tuple[int, int]:
+            sig = F.xxhash64(F.concat(*[_sig_field(c) for c in cols]))
+            r = (df.select(sig.alias("h"))
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum(F.col("h").cast("decimal(38,0)")).alias("s"))
+                 .first())
+            return int(r.n), int(r.s if r.s is not None else 0)
+
+        n_old, s_old = agg(old)
+        n_new, s_new = agg(new)
+        return {"rows_delta": n_new - n_old,
+                "hash_delta": str(s_new - s_old),
+                "cols": list(cols)}
+
     def changes_at(self, version: int,
                    compare_cols: list[str] | None = None) -> DataFrame:
         """One commit's change data feed: every row inserted, deleted
@@ -3714,38 +3793,13 @@ class ParquetMergeTable:
         checkpoint rewrite) therefore diffs its rewritten files and
         yields zero rows. Both ``version`` and its parent must be
         retained (``version=1`` diffs against the empty state)."""
-        from pyspark.sql.types import StructType
-
         v = self._resolve_version(version)
         if v == 0:
             raise ValueError(
                 f"changes_at on an empty table at {self.root} "
                 "(no committed version)"
             )
-        man = self._manifest(v)
-        if v == 1:
-            schema = self._to_nullable(StructType.fromJson(man["schema"]))
-            old = self.spark.createDataFrame([], schema)
-            new = self._scan(v)
-        else:
-            self._resolve_version(v - 1)   # raises if parent vacuumed
-            from urllib.parse import unquote
-
-            # the dv section keys files in URI form; _file_keys is
-            # fs-form — bridge with unquote like every other DV
-            # consumer (_scan, _assemble_manifest), else a DV change
-            # on a Hive-escaped partition file reads as 'unchanged'
-            # and its deletes silently vanish from the feed
-            dv_old = {unquote(k): e for k, e in
-                      (self._manifest(v - 1).get("dv") or {}).items()}
-            dv_new = {unquote(k): e for k, e in
-                      (man.get("dv") or {}).items()}
-            keys_old = set(self._file_keys(v - 1))
-            keys_new = set(self._file_keys(v))
-            same = {k for k in keys_old & keys_new
-                    if dv_old.get(k) == dv_new.get(k)}
-            old = self._scan(v - 1, relkeys=keys_old - same)
-            new = self._scan(v, relkeys=keys_new - same)
+        old, new = self._churn_scans(v)
         shared = [c for c in old.columns if c in set(new.columns)]
         if compare_cols is None:
             compare_cols = [c for c in shared if c != self.key]
