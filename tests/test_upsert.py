@@ -439,9 +439,10 @@ def test_merge_pruned_read_pushes_partition_filter(spark, tmp_path):
                 min_size=1,
                 max_size=4,
             ),
-            st.integers(0, 8),  # after the merge: none/vacuum/compact/
+            st.integers(0, 9),  # after the merge: none/vacuum/compact/
             # delete_where/update_where/DV-delete/DV-update/
-            # delete_keys/update_keys (r9 keyed DML)
+            # delete_keys/update_keys (r9 keyed DML)/
+            # zorder+incremental-rezorder (r11 layout maintenance)
         ),
         min_size=1,
         max_size=3,
@@ -536,6 +537,13 @@ def test_merge_table_matches_dict_replay_model(spark, tmp_path_factory,
             for k in (1, 6):
                 if k in model:
                     model[k] = (model[k][0], "K" + model[k][1])
+        # r11 layout maintenance: declaring clustering and running the
+        # incremental rezorder are pure re-layouts — content must be
+        # invariant under both at ANY sequence point (incl. right
+        # after DV-writing DML: a rewritten victim purges its DV)
+        elif maint == 9 and t.current_version() > 0:
+            t.compact(zorder_by=("k",), target_files=2)
+            t.rezorder(only_decayed=True, target_files=2)
     try:
         got = ({r.k: (r.p, r.v) for r in t.read().collect()}
                if t.read() is not None else {})
