@@ -159,3 +159,27 @@ def test_incremental_rezorder_rewrites_only_decayed_files(spark, tmp_path):
     assert t.clustering_overlap(["id"])["id"]["avg_overlap"] < 0.5
     assert sorted((r.id, r.v) for r in t.read().collect()) == before_rows
     assert t._manifest(t.current_version())["operation"] == "rezorder"
+
+
+def test_clustering_declaration_survives_restore_and_clone(spark, tmp_path):
+    """restore() and clone() hand-build their manifests; the
+    clustering declaration must ride along (found by the rezorder
+    ledger tool: rezorder() after restore raised 'needs a recorded
+    clustering'). Restoring to a PRE-clustering version genuinely
+    un-declares it."""
+    t = ParquetMergeTable(spark, str(tmp_path / "t"), key="id")
+    t.merge(spark.createDataFrame(
+        [(i, float(i)) for i in range(200)], "id long, v double"))  # v1
+    t.compact(zorder_by=("id",), target_files=4)                    # v2
+    t.merge(spark.createDataFrame([(5, -1.0)], "id long, v double"))  # v3
+
+    t.restore(2)                                                    # v4
+    assert t.clustered_by() == ["id"]
+    t.rezorder(target_files=4)      # must not raise
+
+    c = t.clone(str(tmp_path / "c"))
+    assert c.clustered_by() == ["id"]
+
+    t.restore(1)                    # pre-clustering snapshot
+    assert t.clustered_by() == []
+    assert t.maintenance_plan()["clustering"] == {}

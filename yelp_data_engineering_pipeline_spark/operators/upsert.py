@@ -5432,6 +5432,11 @@ class ParquetMergeTable:
                 "n_files": len(src_files),
                 "chain": 0,
             }
+            # the restored snapshot's own clustering declaration is
+            # authoritative (same rule as its bloom) — restoring to a
+            # pre-clustering version genuinely un-declares it
+            if src_man.get("clustered_by"):
+                man["clustered_by"] = list(src_man["clustered_by"])
             man = self._externalize_files(new_v, self._externalize_dv(
                 new_v, man))
             self._finalize(new_v, man, stage)
@@ -5580,6 +5585,11 @@ class ParquetMergeTable:
                 "dv": dv,
                 "n_files": len(files),
             }
+            # the clustering declaration is table metadata like the
+            # constraints — the clone's maintenance plan must watch
+            # the same layout the source declared
+            if src_man.get("clustered_by"):
+                man["clustered_by"] = list(src_man["clustered_by"])
             man = out._externalize_files(1, out._externalize_dv(1, man))
             out._publish(1, man)
             if bloom:
