@@ -184,3 +184,35 @@ def test_promote_aborts_on_diverged_replica(spark, tmp_path):
     # operator repairs the replica)
     with pytest.raises(TableFencedError):
         src.merge(spark.createDataFrame([(9, "a", 90)], SCHEMA))
+
+def test_delta_folded_audit_equals_full_scan(spark, tmp_path):
+    """The O(churn) audit path: fingerprint_fold onto a full-scan base
+    must equal content_fingerprint at every later version, and
+    verify_replica(primary_base=...) must reach the same verdict as
+    the full-scan form — on a clean replica AND on a diverged one."""
+    src = _mk(spark, tmp_path / "src")                         # v1, v2
+    base_v = src.current_version()
+    base_fp = src.content_fingerprint(version=base_v)
+    src.delete_keys("id", [1], use_deletion_vectors=True)      # v3
+    src.merge(spark.createDataFrame([(6, "b", 60)], SCHEMA))   # v4
+    head = src.current_version()
+    for v in range(base_v, head + 1):
+        assert (src.fingerprint_fold(base_v, base_fp, v)
+                == src.content_fingerprint(version=v)), v
+
+    src.export_changes()
+    rep_root = str(tmp_path / "rep")
+    run_replication_stream(spark, src, rep_root,
+                           str(tmp_path / "ckpt"))
+    replica = ParquetMergeTable(spark, rep_root, key="id")
+    full = verify_replica(src, replica)
+    folded = verify_replica(src, replica,
+                            primary_base=(base_v, base_fp))
+    assert folded["match"] and folded["primary"] == full["primary"]
+
+    # the folded audit must catch the same rogue write
+    replica.merge(spark.createDataFrame(
+        [(999, "z", 1, 1)], SCHEMA + ", _commit_version long"))
+    assert not verify_replica(
+        src, ParquetMergeTable(spark, rep_root, key="id"),
+        primary_base=(base_v, base_fp))["match"]

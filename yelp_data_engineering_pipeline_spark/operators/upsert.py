@@ -3778,6 +3778,30 @@ class ParquetMergeTable:
                 "hash_delta": str(s_new - s_old),
                 "cols": list(cols)}
 
+    def fingerprint_fold(self, base_version: int, base: dict,
+                         version: int) -> dict:
+        """The fingerprint at ``version`` WITHOUT scanning the table:
+        fold per-commit :meth:`fingerprint_delta` onto a full-scan
+        ``content_fingerprint`` taken once at ``base_version``. Exact
+        (integer arithmetic on the abelian sums, identity test-pinned
+        per commit kind); total cost is the sum of the folded commits'
+        churn — the continuous-audit path for a 100 TB primary, where
+        re-scanning at every sync is the thing this exists to avoid.
+        Every version in ``(base_version, version]`` must still be
+        retained; a vacuumed parent raises (take a fresh base then)."""
+        if version < base_version:
+            raise ValueError(
+                f"fingerprint_fold backwards: base {base_version} "
+                f"> target {version}")
+        rows = int(base["rows"])
+        h = int(base["hash"])
+        cols = list(base["cols"])
+        for v in range(base_version + 1, version + 1):
+            d = self.fingerprint_delta(v, cols=cols)
+            rows += d["rows_delta"]
+            h += int(d["hash_delta"])
+        return {"rows": rows, "hash": str(h), "cols": cols}
+
     def changes_at(self, version: int,
                    compare_cols: list[str] | None = None) -> DataFrame:
         """One commit's change data feed: every row inserted, deleted

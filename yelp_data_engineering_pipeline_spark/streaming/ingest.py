@@ -274,7 +274,8 @@ class ReplicaDivergedError(RuntimeError):
     exception carries the mismatch report in ``args[1]``."""
 
 
-def verify_replica(src_table, replica, at_version: int | None = None
+def verify_replica(src_table, replica, at_version: int | None = None,
+                   primary_base: tuple[int, dict] | None = None
                    ) -> dict:
     """Divergence check: compare the replica's full content
     fingerprint against the primary snapshot it claims to mirror.
@@ -287,7 +288,15 @@ def verify_replica(src_table, replica, at_version: int | None = None
     replay class). Compares the PRIMARY's columns only (the replica
     additionally carries ``_commit_version`` provenance). Cost: one
     map-side-aggregated scan per side, single-row results — the audit
-    you run at every sync boundary, not per row."""
+    you run at every sync boundary, not per row.
+
+    ``primary_base=(v0, fp0)`` — a full-scan fingerprint the caller
+    took once at version ``v0`` — switches the PRIMARY side to
+    ``fingerprint_fold``: per-commit O(churn) deltas instead of a
+    table scan, so continuous auditing of a 100 TB primary costs the
+    churn, not the table (pass the previous audit's
+    ``(version, primary)`` pair as the next base). The replica side
+    still scans — it is the thing under suspicion."""
     v = src_table.exported_up_to() if at_version is None else at_version
     if v == 0:
         # nothing exported yet: the replica must still be empty
@@ -295,7 +304,11 @@ def verify_replica(src_table, replica, at_version: int | None = None
         rep_fp = replica.content_fingerprint()
         rep_fp["hash"] = "0" if rep_fp["rows"] == 0 else rep_fp["hash"]
     else:
-        src_fp = src_table.content_fingerprint(version=v)
+        if primary_base is not None:
+            v0, fp0 = primary_base
+            src_fp = src_table.fingerprint_fold(v0, fp0, v)
+        else:
+            src_fp = src_table.content_fingerprint(version=v)
         rep_fp = replica.content_fingerprint(cols=src_fp["cols"])
     return {
         "version": v,
