@@ -2758,3 +2758,72 @@ def test_bloom_index_dies_with_schema_change_of_column(spark, tmp_path):
     probe = ["s7", "s150"]
     got = sorted(r.id for r in t.read_point("s", probe).collect())
     assert got == [7, 150]
+
+
+def test_minmax_where_metadata_only_and_exact(spark, tmp_path):
+    """count_where's twin: MIN/MAX answered from zone bounds for
+    contained clean files (zero scan on a clustered probe — pinned by
+    poisoning _boundary_scan), scanned only at boundaries/DVs, always
+    equal to the read_where aggregate, temporals denormalized."""
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        ParquetMergeTable,
+    )
+
+    t = ParquetMergeTable(spark, str(tmp_path / "t"), key="id")
+    n = 8000
+    t.merge(spark.createDataFrame(
+        [(i, (i * 37) % 1000, f"d2024-{1 + i % 12:02d}") for i in range(n)],
+        "id long, v long, tag string"))
+    t.compact(zorder_by=("id",), target_files=8)
+
+    def agg(ranges):
+        df = t.read_where(ranges) if ranges else t.read()
+        r = df.agg(F.min("id").alias("mn"), F.max("id").alias("mx")).first()
+        return {"min": r.mn, "max": r.mx}
+
+    # whole-table and band-aligned probes: metadata only — a scan is a bug
+    poison = t  # same handle; shadow the method
+    orig = poison._boundary_scan
+    poison._boundary_scan = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("boundary scan on a contained probe"))
+    try:
+        assert t.minmax_where("id") == {"min": 0, "max": n - 1} == agg(None)
+    finally:
+        poison._boundary_scan = orig
+
+    # misaligned range: boundary files scan, result exact
+    rg = {"id": (123, 6789)}
+    assert t.minmax_where("id", rg) == {"min": 123, "max": 6789} == agg(rg)
+    # a different column under an id filter
+    got = t.minmax_where("v", rg)
+    r = t.read_where(rg).agg(F.min("v").alias("mn"),
+                             F.max("v").alias("mx")).first()
+    assert got == {"min": r.mn, "max": r.mx}
+
+    # DV'd file: its zone max is stale for live rows — must scan, not trust
+    t.delete_keys("id", [n - 1, n - 2], use_deletion_vectors=True)
+    assert t.minmax_where("id") == {"min": 0, "max": n - 3}
+
+    # empty match
+    assert t.minmax_where("id", {"id": (n + 10, n + 20)}) == {
+        "min": None, "max": None}
+
+
+def test_minmax_where_denormalizes_temporal_bounds(spark, tmp_path):
+    """Zone bounds live in the kind-tagged normalized plane; the
+    aggregate must come back as python temporals equal to the Spark
+    aggregate (dates round-trip the ["d", iso] tag)."""
+    import datetime as dt
+
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        ParquetMergeTable,
+    )
+
+    t = ParquetMergeTable(spark, str(tmp_path / "t"), key="id")
+    base = dt.date(2024, 3, 1)
+    t.merge(spark.createDataFrame(
+        [(i, base + dt.timedelta(days=i % 90)) for i in range(500)],
+        "id long, d date"))
+    got = t.minmax_where("d")
+    assert got == {"min": base, "max": base + dt.timedelta(days=89)}
+    assert isinstance(got["min"], dt.date)

@@ -2971,6 +2971,87 @@ class ParquetMergeTable:
             scan = scan.filter(residual)
         return meta_rows + scan.count()
 
+    def minmax_where(self, col: str, ranges: dict | None = None,
+                     version: int | None = None) -> dict | None:
+        """Exact ``MIN(col)/MAX(col)`` over the (optionally filtered)
+        snapshot, answered from file statistics where the manifest
+        allows it — :meth:`count_where`'s twin for the other
+        metadata-answerable aggregate class. A file the zone maps
+        prove FULLY inside every range, carrying NO deletion vector,
+        with usable zone bounds on ``col``, contributes its zone
+        min/max with no scan (exact per file: zone bounds are the
+        file's true non-null extremes, and SQL MIN/MAX ignore NULLs);
+        an all-null-on-``col`` contained file contributes nothing;
+        everything else — boundary files, DV'd files, files without
+        ``col`` stats — is scanned with the residual filter. Always
+        equals ``read_where(ranges).agg(min(col), max(col))``; the
+        ``SELECT MAX(event_ts)`` watermark-discovery probe on a
+        time-clustered 100 TB table runs zero Spark jobs. Returns
+        ``{"min": ..., "max": ...}`` (both None on an empty match) or
+        None on an empty table."""
+        ranges = dict(ranges or {})
+        v = self._resolve_version(version)
+        if v == 0:
+            return None
+        residual = self._range_residual(ranges)
+        from urllib.parse import unquote
+
+        man = self._manifest(v)
+        dv_fs = {unquote(k) for k in (man.get("dv") or {})}
+        cols = sorted(set(ranges) | {col})
+        keys, _, _, za = self._zone_arrays(v, cols, with_rows=False)
+        keep, cont = self._mask_range(za, len(keys), ranges, True)
+        blank = [None] * len(keep)
+        mins, maxs, _, ans = za.get(col, (blank, blank, blank, blank))
+        lo = hi = None
+        boundary: list[str] = []
+        for i, kp in enumerate(keep):
+            if not kp:
+                continue
+            rel = self._seq_get(keys, i)
+            if cont[i] and rel not in dv_fs:
+                if ans[i] is True:
+                    continue            # contained but all-null: no values
+                if ans[i] is False and mins[i] is not None:
+                    m, x = mins[i], maxs[i]
+                    lo = m if lo is None or m < lo else lo
+                    hi = x if hi is None or x > hi else hi
+                    continue
+            boundary.append(rel)
+        boundary.sort()
+        if boundary:
+            scan = self._boundary_scan(v, boundary)
+            if residual is not None:
+                scan = scan.filter(residual)
+            r = scan.agg(F.min(F.col(col)).alias("mn"),
+                         F.max(F.col(col)).alias("mx")).first()
+            if r.mn is not None:
+                m = self._stat_norm(r.mn)
+                lo = m if lo is None or m < lo else lo
+            if r.mx is not None:
+                x = self._stat_norm(r.mx)
+                hi = x if hi is None or x > hi else hi
+        return {"min": self._stat_denorm(lo),
+                "max": self._stat_denorm(hi)}
+
+    @staticmethod
+    def _stat_denorm(v):
+        """Inverse of :meth:`_stat_norm` for RETURNING an aggregate to
+        the caller: kind-tagged temporal pairs become python temporals
+        again (``tsu`` → tz-aware UTC datetime, ``tsn`` → naive
+        datetime, ``d`` → date); numbers and strings pass through."""
+        import datetime as _dt
+
+        if (isinstance(v, (list, tuple)) and len(v) == 2
+                and v[0] in ("tsu", "tsn", "d")):
+            kind, iso = v
+            if kind == "d":
+                return _dt.date.fromisoformat(iso)
+            out = _dt.datetime.strptime(iso, "%Y-%m-%dT%H:%M:%S.%f")
+            return (out.replace(tzinfo=_dt.timezone.utc)
+                    if kind == "tsu" else out)
+        return v
+
     def read_point(self, col: str, values, version: int | None = None
                    ) -> DataFrame | None:
         """IN-list point lookup with file skipping: keeps a file only
