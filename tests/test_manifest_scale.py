@@ -489,7 +489,15 @@ def test_checkpoint_carry_spark_tier(spark, tmp_path):
                           or orig_files(v))
     keep = sorted(files)[:-7]
     schema = StructType.fromJson(_SCHEMA)
-    added = {"jobnew.parquet": _entry(0)}
+    # the override set mixes canonical and NON-canonical entries: the
+    # xjson rows ride pyarrow's nullable ints through the job — a
+    # pandas hop here floatifies rows/bytes (NaN ≠ null) and breaks
+    # the verbatim round-trip (regression: r11 pandas-free override)
+    added = {
+        "jobnew.parquet": _entry(0),
+        "jobbare.parquet": {"id": {"min": 5, "max": 9}},
+        "jobnorows.parquet": {"cols": {"id": {"min": 1, "max": 2}}},
+    }
     orig_every = ParquetMergeTable._CHECKPOINT_EVERY
     ParquetMergeTable._CHECKPOINT_EVERY = 1
     ParquetMergeTable._CKPT_SPARK_MIN = 100

@@ -879,8 +879,18 @@ class ParquetMergeTable:
                 kept = kept.join(F.broadcast(gone_df), "key",
                                  "left_anti")
             if override:
-                delta = self.spark.createDataFrame(
-                    self._entries_to_arrow(override).to_pandas())
+                # ship the override rows as PARQUET, never through
+                # pandas: to_pandas() floatifies nullable int64 (rows/
+                # bytes/z:nul become float64 with NaN ≠ null) whenever
+                # any override entry is non-canonical, which would
+                # write a double-typed, NaN-polluted sidecar and break
+                # the xjson verbatim contract
+                import pyarrow.parquet as pq
+
+                ov_path = os.path.join(out_dir, "override.parquet")
+                pq.write_table(self._entries_to_arrow(override),
+                               ov_path)
+                delta = self.spark.read.parquet(ov_path)
                 # unionByName null-fills zone columns new to either
                 # side — same promotion the Arrow tier applies; readers
                 # address checkpoint columns BY NAME, so the appended
