@@ -206,11 +206,14 @@ def test_optimize_prunes_probe_files_and_search_stays_identical(
 
     q = corpus.read().filter(F.col("vec_id") < 4)
     pruned = {(r.query_id, r.neighbor_id, r.rk)
-              for r in ix.search(q, 3, nprobe=2).collect()}
+              for r in ix.search(q, 3, nprobe=2,
+                                 prune_files=True).collect()}
     full = {(r.query_id, r.neighbor_id, r.rk)
             for r in ix.search(q, 3, nprobe=2,
                                prune_files=False).collect()}
-    assert pruned == full and pruned
+    auto = {(r.query_id, r.neighbor_id, r.rk)
+            for r in ix.search(q, 3, nprobe=2).collect()}
+    assert pruned == full == auto and pruned
 
     # churn until the cell layout decays, then the index plan must
     # recommend optimize(); running it clears the recommendation

@@ -271,8 +271,17 @@ class IvfIndex:
 
     # ---- search ------------------------------------------------------
 
+    # below this many assignment-table bytes the probe-prune's two
+    # extra driver jobs (distinct probed cells + point-prune planning)
+    # cost more than just scanning the table — measured locally:
+    # full-scan wins at 400k (0.72x) and 4M (0.87x) vectors, converging
+    # toward the prune as the scan grows; the skip factor itself is
+    # 4/16 files at nprobe=4 of 16 cells
+    _PRUNE_MIN_BYTES = 256 * 1024 * 1024
+
     def search(self, queries: DataFrame, k: int,
-               nprobe: int = 1, prune_files: bool = True) -> DataFrame:
+               nprobe: int = 1,
+               prune_files: bool | None = None) -> DataFrame:
         """ANN top-k from the PERSISTED index: each query probes the
         union of its ``nprobe`` nearest cells (bounded k-row window
         per query), candidates come from one equi-join on ``cell``
@@ -280,14 +289,17 @@ class IvfIndex:
         candidates only. Output schema matches ``topk_ivf``
         (query_id, neighbor_id, cos_sim, rk).
 
-        ``prune_files=True``: the probed-cell union (bounded by the
+        ``prune_files``: the probed-cell union (bounded by the
         codebook size — driver-scale by construction) routes the
         candidate scan through ``read_point("cell", cells)``, so zone
         maps + the Bloom file index skip every assignment file holding
         no probed cell (see :meth:`optimize`). Identical results
-        either way; pays when the probe set is a minority of cells —
-        the serving shape. Set False for corpus-sized query batches
-        that probe everything anyway."""
+        either way. Default ``None`` = AUTO: prune only when the
+        assignment table's manifest bytes pass
+        :attr:`_PRUNE_MIN_BYTES` — below that, the prune's two extra
+        driver jobs cost more than the scan they save (measured).
+        Force True/False to override (False also for corpus-sized
+        query batches that probe every cell anyway)."""
         from pyspark.sql import Window
 
         cents = self._cents_from_meta(self.meta())
@@ -304,6 +316,14 @@ class IvfIndex:
         q = (q.withColumn("_rn", F.row_number().over(wq))
              .filter(F.col("_rn") <= max(1, nprobe))
              .select("query_id", "q_emb", "cell"))
+        if prune_files is None:
+            # metadata-only size probe: per-file bytes off the lazy
+            # zone arrays, zero Spark jobs
+            av = self.assign.current_version()
+            _, _, bytes_a, _ = self.assign._zone_arrays(
+                av, [], with_bytes=True, with_rows=False)
+            total_b = sum(b for b in bytes_a if isinstance(b, int))
+            prune_files = total_b >= self._PRUNE_MIN_BYTES
         if prune_files:
             cells = [r["cell"] for r in
                      q.select("cell").distinct().collect()]
