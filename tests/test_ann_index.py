@@ -233,3 +233,41 @@ def test_optimize_prunes_probe_files_and_search_stays_identical(
     got = ix.search(q2, 3, nprobe=8)
     assert ({(r.query_id, r.neighbor_id) for r in got.collect()}
             == {(r.query_id, r.neighbor_id) for r in exact.collect()})
+
+
+def test_optimize_composes_with_partitioned_refresh(spark, tmp_path):
+    """The layout and partitioning planes must compose: on an
+    epoch-partitioned corpus+index, optimize() (whole-table cell
+    zorder) must not break the epoch-pruned refresh, and a refresh
+    AFTER optimize must keep the index exactly equal to a fresh
+    assignment of the corpus head."""
+    rng = random.Random(5)
+    corpus = ParquetMergeTable(spark, str(tmp_path / "c"),
+                               key="vec_id", partition_by="epoch")
+    corpus.merge(spark.createDataFrame(
+        [(i, _vec(rng, i % D), 0) for i in range(64)],
+        SCHEMA + ", epoch int"))
+    ix = IvfIndex(spark, str(tmp_path / "ix"), partition_by="epoch")
+    ix.build(corpus, n_centroids=4)
+    ix.optimize(target_files=4)
+    assert ix.assign.clustered_by() == ["cell"]
+
+    # churn a NEW epoch + updates in the old one, refresh through the
+    # feed, and verify exact equality with a from-scratch assignment
+    ins = [(100 + j, _vec(rng, j % D), 1) for j in range(16)]
+    upd = [(i, _vec(rng, (i + 1) % D), 0) for i in (3, 7)]
+    corpus.merge(spark.createDataFrame(ins + upd,
+                                       SCHEMA + ", epoch int"))
+    rep = ix.refresh(corpus)
+    assert rep["versions"] == 1
+    got = {r.vec_id: r.cell for r in
+           ix.assign.read().select("vec_id", "cell").collect()}
+    cents = ix._cents_from_meta(ix.meta())
+    want = {r.vec_id: r.cell for r in
+            ix._assigned(corpus.read(), cents)
+            .select("vec_id", "cell").collect()}
+    assert got == want
+    # the declared layout survives the refresh commit, and the plan
+    # still watches it
+    assert ix.assign.clustered_by() == ["cell"]
+    assert "layout" in ix.maintenance_plan()
