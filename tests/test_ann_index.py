@@ -68,6 +68,43 @@ def _fresh_assign(spark, index: IvfIndex,
             for r in df.select("vec_id", "cell").collect()}
 
 
+def test_assignment_matches_window_reference_bit_identical(spark, tmp_path):
+    """The r12 map-side argmax assignment must reproduce the r11
+    broadcast-join + row_number formulation EXACTLY (same sims, same
+    (cent_sim DESC, cell ASC) tiebreak) — the refactor is a plan-shape
+    change, never a semantics change. The reference implementation
+    below IS the removed r11 shape, kept here as the oracle."""
+    from pyspark.sql import Window
+
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        cosine,
+    )
+
+    corpus = _corpus(spark, str(tmp_path / "corp"), n=96)
+    ix = IvfIndex(spark, str(tmp_path / "ix"))
+    ix.build(corpus, n_centroids=8)
+    cents = ix._cents_from_meta(ix.meta())
+
+    df = corpus.read()
+    got = {(r.vec_id, r.cell)
+           for r in ix._assigned(df, cents).select("vec_id", "cell").collect()}
+
+    cdf = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in sorted(cents.items())],
+        "cell long, cent_emb array<double>")
+    scored = (df.join(F.broadcast(cdf))
+              .select("vec_id", "cell",
+                      F.round(cosine(F.col("embedding"),
+                                     F.col("cent_emb")), 4)
+                      .alias("cent_sim")))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_sim").desc(), F.col("cell"))
+    want = {(r.vec_id, r.cell)
+            for r in scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).select("vec_id", "cell").collect()}
+    assert got == want
+
+
 def test_build_and_full_probe_is_exact(spark, tmp_path):
     corpus = _corpus(spark, str(tmp_path / "corp"))
     ix = IvfIndex(spark, str(tmp_path / "ix"))

