@@ -2809,6 +2809,114 @@ def test_minmax_where_metadata_only_and_exact(spark, tmp_path):
         "min": None, "max": None}
 
 
+def test_minmax_where_timestamp_mixes_zone_and_scan_planes(spark, tmp_path):
+    """ADVICE r11 (high): TimestampType zone bounds are tz-aware
+    (``tsu``) while scan-collected extremes arrive as NAIVE driver-tz
+    datetimes; un-anchored, the raw list compare ordered by the kind
+    tag and every mixed-plane MAX silently stuck to the zone side.
+    Both the misaligned-range and the DV'd-file mixes must equal the
+    read_where aggregate, and the returned extremes must be aware-UTC
+    either way."""
+    import datetime as dt
+
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        ParquetMergeTable,
+    )
+
+    t = ParquetMergeTable(spark, str(tmp_path / "t"), key="id")
+    base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    n = 4000
+    t.merge(spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=i)) for i in range(n)],
+        "id long, ts timestamp"))
+    t.compact(zorder_by=("id",), target_files=8)
+
+    # misaligned id range: interior files contribute ts ZONE bounds,
+    # boundary files contribute SCANNED extremes — and here the true
+    # min AND max both live in boundary files, so the scan side must
+    # be able to beat the zone side on both ends
+    rg = {"id": (123, 3456)}
+    got = t.minmax_where("ts", rg)
+    r = t.read_where(rg).agg(F.min("ts").alias("mn"),
+                             F.max("ts").alias("mx")).first()
+    assert got["min"] == r.mn.astimezone(dt.timezone.utc)
+    assert got["max"] == r.mx.astimezone(dt.timezone.utc)
+    assert got["min"].tzinfo is not None and got["max"].tzinfo is not None
+    assert got == {"min": base + dt.timedelta(minutes=123),
+                   "max": base + dt.timedelta(minutes=3456)}
+
+    # DV'd tail file: scanned (its zone max is stale), every other
+    # file metadata-answered — the whole-table mixed-plane case; the
+    # buggy compare returned min from the DV'd file's scan and max
+    # from the clean files' zones, both wrong
+    t.delete_keys("id", [n - 1], use_deletion_vectors=True)
+    got2 = t.minmax_where("ts")
+    assert got2 == {"min": base,
+                    "max": base + dt.timedelta(minutes=n - 2)}
+
+
+def test_minmax_where_statless_types_answered_by_scan(spark, tmp_path):
+    """ADVICE r11 (medium): decimal/boolean/binary carry no stats
+    plane (``_stat_norm`` → None, no zone maps), so every file scans —
+    and the scanned extremes must come back RAW, not be erased by a
+    None normalization (the bug returned {"min": None, "max": None}
+    on non-empty data, violating the read_where-equality contract)."""
+    from decimal import Decimal
+
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        ParquetMergeTable,
+    )
+
+    t = ParquetMergeTable(spark, str(tmp_path / "t"), key="id")
+    rows = [(i, Decimal(i) / 100, i % 3 == 0, bytes([i % 251]))
+            for i in range(300)]
+    t.merge(spark.createDataFrame(
+        rows, "id long, dec decimal(10,2), flag boolean, blob binary"))
+    assert t.minmax_where("dec") == {"min": Decimal("0.00"),
+                                     "max": Decimal("2.99")}
+    assert t.minmax_where("flag") == {"min": False, "max": True}
+    assert t.minmax_where("blob") == {"min": bytes([0]),
+                                      "max": bytes([250])}
+    # under a range filter on a stats-carrying column, the residual
+    # applies to the scan and the contract still holds
+    got = t.minmax_where("dec", {"id": (10, 20)})
+    assert got == {"min": Decimal("0.10"), "max": Decimal("0.20")}
+
+
+def test_overlap_profile_tolerates_heterogeneous_zone_kinds(spark, tmp_path):
+    """ADVICE r11 (low): if one clustering column carries bounds of
+    different zone KINDS across files (a retype across commits),
+    sorted() over the raw bounds raised TypeError — crashing
+    maintenance_plan(), clustering_overlap() and
+    rezorder(only_decayed=True). Minority-kind files must instead
+    degrade to unbounded (overlap 1.0, never prunable), mirroring
+    _mask_range's cannot-prune conservatism."""
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        ParquetMergeTable,
+    )
+
+    t = ParquetMergeTable(spark, str(tmp_path / "t"), key="id")
+    t.merge(spark.createDataFrame([(i, i) for i in range(50)],
+                                  "id long, v long"))
+    keys = ["a", "b", "c", "d"]
+    mins = [0, 50, "x", 75]
+    maxs = [49, 99, "z", 120]
+    ans = [False] * 4
+    orig = t._zone_arrays
+    t._zone_arrays = lambda *a, **k: (
+        keys, None, None, {"v": (mins, maxs, [0] * 4, ans)})
+    try:
+        prof, nb = t._overlap_profile(t.current_version(), "v")
+    finally:
+        t._zone_arrays = orig
+    assert nb == 3                       # majority kind = num
+    assert prof["c"] == 1.0              # the string-bounded file
+    # bounded fractions stay exact against the 3-file num plane + c
+    assert prof["a"] == round(1 / 3, 10) or abs(prof["a"] - 1 / 3) < 1e-9
+    assert abs(prof["b"] - 2 / 3) < 1e-9
+    assert abs(prof["d"] - 2 / 3) < 1e-9
+
+
 def test_minmax_where_denormalizes_temporal_bounds(spark, tmp_path):
     """Zone bounds live in the kind-tagged normalized plane; the
     aggregate must come back as python temporals equal to the Spark

@@ -2737,7 +2737,17 @@ class ParquetMergeTable:
                 if st is None or not st.has_min_max:
                     cur["ok"] = False
                     continue
-                lo, hi = self._stat_norm(st.min), self._stat_norm(st.max)
+                try:
+                    raw_lo, raw_hi = st.min, st.max
+                except NotImplementedError:
+                    # pyarrow cannot CAST this type's footer stats
+                    # (decimal et al. raise ArrowNotImplementedError,
+                    # a NotImplementedError subclass) — before r12 this
+                    # crashed the whole merge commit. Such a column is
+                    # simply unbounded, exactly like missing stats.
+                    cur["ok"] = False
+                    continue
+                lo, hi = self._stat_norm(raw_lo), self._stat_norm(raw_hi)
                 if lo is None or hi is None:
                     cur["ok"] = False
                     continue
@@ -2998,7 +3008,11 @@ class ParquetMergeTable:
         ``SELECT MAX(event_ts)`` watermark-discovery probe on a
         time-clustered 100 TB table runs zero Spark jobs. Returns
         ``{"min": ..., "max": ...}`` (both None on an empty match) or
-        None on an empty table."""
+        None on an empty table. TimestampType extremes come back
+        tz-aware in UTC whether metadata- or scan-contributed (the
+        scan side is re-anchored via :meth:`_scan_stat_norm` — ADVICE
+        r11); TIMESTAMP_NTZ stays naive; decimal/boolean/binary
+        columns (no stats plane) are answered purely by scan."""
         ranges = dict(ranges or {})
         v = self._resolve_version(version)
         if v == 0:
@@ -3033,16 +3047,47 @@ class ParquetMergeTable:
             scan = self._boundary_scan(v, boundary)
             if residual is not None:
                 scan = scan.filter(residual)
+            dtype = scan.schema[col].dataType
             r = scan.agg(F.min(F.col(col)).alias("mn"),
                          F.max(F.col(col)).alias("mx")).first()
             if r.mn is not None:
-                m = self._stat_norm(r.mn)
+                m = self._scan_stat_norm(r.mn, dtype)
                 lo = m if lo is None or m < lo else lo
             if r.mx is not None:
-                x = self._stat_norm(r.mx)
+                x = self._scan_stat_norm(r.mx, dtype)
                 hi = x if hi is None or x > hi else hi
         return {"min": self._stat_denorm(lo),
                 "max": self._stat_denorm(hi)}
+
+    @staticmethod
+    def _scan_stat_norm(v, dtype):
+        """:meth:`_stat_norm` for a value COLLECTED from a Spark scan
+        (ADVICE r11). Two collection-plane mismatches corrected here:
+
+        * TimestampType collects as a NAIVE datetime in the driver's
+          system timezone (PySpark fromInternal), while that column's
+          zone-map bounds are tagged tz-aware (``tsu``) — raw
+          normalization would tag the scan side ``tsn`` and the list
+          comparison would then order by the KIND tag ("tsn" < "tsu"
+          always), silently taking every MIN from the scan and no MAX.
+          Re-attach the system zone and convert to UTC so both planes
+          carry ``tsu`` (and the returned temporal is consistently
+          aware-UTC, matching the zone-contributed case).
+        * Types outside the stats plane (decimal/boolean/binary)
+          normalize to None; such columns never carry zone bounds, so
+          EVERY file is a boundary file and the scanned extremes stand
+          alone — return them raw (they pass through
+          :meth:`_stat_denorm` unchanged) instead of erasing them.
+        """
+        import datetime as _dt
+
+        from pyspark.sql.types import TimestampType
+
+        if (isinstance(dtype, TimestampType)
+                and isinstance(v, _dt.datetime) and v.tzinfo is None):
+            v = v.astimezone(_dt.timezone.utc)
+        n = ParquetMergeTable._stat_norm(v)
+        return v if n is None else n
 
     @staticmethod
     def _stat_denorm(v):
@@ -5030,6 +5075,27 @@ class ParquetMergeTable:
                 ivals.append((k, lo, hi))
             else:
                 unbounded.append(k)     # no stats: never prunable
+        # heterogeneous zone KINDS (a column retyped int→string across
+        # commits, a case the change feed already tolerates elsewhere):
+        # bounds of different kinds are not mutually orderable and
+        # sorted() below would raise. Mirror _mask_range's cannot-prune
+        # conservatism: keep the majority kind as the bounded
+        # population and demote every other-kind file to unbounded
+        # (overlap 1.0 — never prunable against the majority plane).
+        def _kind(x):
+            if isinstance(x, (list, tuple)):
+                return x[0]
+            return "num" if isinstance(x, (int, float)) else "str"
+
+        kinds = {k: _kind(lo) for k, lo, _ in ivals}
+        if len(set(kinds.values())) > 1:
+            from collections import Counter
+
+            counts = Counter(kinds.values())
+            top = max(counts.values())
+            major = min(kd for kd, c in counts.items() if c == top)
+            unbounded.extend(k for k, _, _ in ivals if kinds[k] != major)
+            ivals = [t for t in ivals if kinds[t[0]] == major]
         nb = len(ivals)
         n = nb + len(unbounded)
         if n <= 1:
