@@ -52,7 +52,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .similarity import cosine
+from ..plans.catalog import register
+from ..tables import load
+from .similarity import _COS_SQL, cosine
 from .upsert import ParquetMergeTable
 
 
@@ -119,22 +121,82 @@ class IvfIndex:
 
     # ---- build (once) -----------------------------------------------
 
+    def _lloyd(self, vecs: DataFrame, seeds: list[list[float]],
+               rounds: int) -> dict[int, list[float]]:
+        """``rounds`` quantized Lloyd iterations over ``vecs``
+        (columns: vec_id, ``self.vec_col``), seeded with ``seeds`` —
+        the EXACT arithmetic of ``clustering.kmeans`` (floor(v·10⁴)
+        grid, bigint distance registers, ties to the lowest cluster
+        id), reusing its private kernels so the two stay in lockstep.
+        Per round: assignment is a map-side argmin over literal
+        centroids (zero shuffle), the only shuffle is the bounded
+        k×d centroid aggregate. Returns the surviving centroids as
+        float vectors (Σq / (10⁴·n) — the exact rational each cluster
+        mean represents). Empty clusters drop out, so the returned
+        codebook may be smaller than ``len(seeds)``."""
+        import math
+
+        from .clustering import _Q, _nearest, _quantize
+
+        base = vecs.select(
+            F.col(self.id_col).alias("vec_id"),
+            _quantize(self.vec_col).alias("q"))
+        flat = base.select("vec_id", F.posexplode("q").alias("dim", "qv"))
+        cents: dict[int, tuple[int, list[int]]] = {
+            i: (1, [math.floor(x * _Q) for x in s])
+            for i, s in enumerate(seeds)}
+        for _ in range(max(1, rounds)):
+            assigned = base.select(
+                "vec_id", _nearest(F.col("q"), cents).alias("cluster"))
+            agg = (assigned.join(flat, "vec_id")
+                   .groupBy("cluster", "dim")
+                   .agg(F.sum("qv").alias("sum_q"),
+                        F.count(F.lit(1)).alias("n"))
+                   .collect())  # k × d rows — bounded (the MLlib pattern)
+            n_by_c: dict[int, int] = {}
+            sums_by_c: dict[int, dict[int, int]] = {}
+            for r in agg:
+                n_by_c[r["cluster"]] = r["n"]
+                sums_by_c.setdefault(r["cluster"], {})[r["dim"]] = r["sum_q"]
+            cents = {c: (n_by_c[c], [s[d] for d in range(len(s))])
+                     for c, s in sums_by_c.items()}
+        return {c: [s / (_Q * n) for s in sums]
+                for c, (n, sums) in sorted(cents.items())}
+
     def build(self, corpus: ParquetMergeTable,
-              n_centroids: int = 16) -> int:
+              n_centroids: int = 16, codebook: str = "lowest_id",
+              rounds: int = 3) -> int:
         """Train-and-assign from the corpus HEAD — the one full pass.
-        Centroids are the ``n_centroids`` lowest-id vectors (the same
-        deterministic codebook stand-in as ``topk_ivf``; a production
-        deployment drops a k-means codebook into ``meta.json``
-        identically). Everything after this is :meth:`refresh` /
-        :meth:`split_cell` — re-running build is the full re-cluster
-        the maintenance loop exists to avoid, and ``full_builds``
-        counts it so tests can pin 'exactly one'."""
+
+        ``codebook="lowest_id"``: centroids are the ``n_centroids``
+        lowest-id vectors — the deterministic, engine-portable
+        stand-in ``topk_ivf`` uses (and the one the catalog oracle can
+        replay). ``codebook="kmeans"`` (VERDICT r11 next-4): the same
+        seeds refined by ``rounds`` quantized Lloyd iterations
+        (:meth:`_lloyd` — ``clustering.kmeans``'s exact deterministic
+        arithmetic), which on a CLUSTERED corpus moves centroids onto
+        the real density modes: tools/bench_ann.py's codebook ledger
+        measures the recall@5 gap at fixed nprobe (the uniform
+        fixture hides it; the clustered one does not). Search
+        semantics are unchanged either way — the codebook only
+        decides which cells exist; cell assignment/probing stays the
+        cosine argmax.
+
+        Everything after this is :meth:`refresh` / :meth:`split_cell`
+        — re-running build is the full re-cluster the maintenance
+        loop exists to avoid, and ``full_builds`` counts it so tests
+        can pin 'exactly one'."""
+        if codebook not in ("lowest_id", "kmeans"):
+            raise ValueError(f"unknown codebook {codebook!r}")
         head = corpus.current_version()
         snap = corpus.read(version=head)
         seeds = (snap.select(self.id_col, self.vec_col)
                  .orderBy(self.id_col).limit(n_centroids).collect())
-        cents = {i: [float(x) for x in r[self.vec_col]]
-                 for i, r in enumerate(seeds)}
+        seed_vecs = [[float(x) for x in r[self.vec_col]] for r in seeds]
+        if codebook == "kmeans":
+            cents = self._lloyd(snap, seed_vecs, rounds)
+        else:
+            cents = dict(enumerate(seed_vecs))
         self.assign.merge(self._assigned(snap, cents))
         prev = {}
         if self._backend.exists(self._meta_path()):
@@ -372,14 +434,25 @@ class IvfIndex:
             "actions": actions,
         }
 
-    def split_cell(self, cell: int) -> int:
+    def split_cell(self, cell: int, reseed: str = "farthest",
+                   rounds: int = 2) -> int:
         """Split one hot cell in place: keep its centroid as one
-        seed, take the member FARTHEST from it (min cosine, ties by
-        id — deterministic) as the second, re-assign ONLY the cell's
-        members between the two, and append the new centroid to the
-        codebook. O(cell occupancy) work; every other cell's
-        assignments are untouched (zero-rewrite carry in the merge).
-        Returns the new cell's id."""
+        seed, pick a second seed, re-assign ONLY the cell's members
+        between the two, and append the new centroid to the codebook.
+        O(cell occupancy) work; every other cell's assignments are
+        untouched (zero-rewrite carry in the merge). Returns the new
+        cell's id.
+
+        ``reseed="farthest"``: the second seed is the member FARTHEST
+        from the centroid (min cosine, ties by id — deterministic, one
+        pass). ``reseed="2means"`` (VERDICT r11 next-4): the farthest
+        pair is only the INITIALIZATION; ``rounds`` quantized Lloyd
+        iterations over the cell's members (:meth:`_lloyd` — still
+        O(cell) per round) refine both centroids before the final
+        cosine re-assignment, so one outlier cannot drag the new
+        centroid off the cell's actual second mode."""
+        if reseed not in ("farthest", "2means"):
+            raise ValueError(f"unknown reseed {reseed!r}")
         m = self.meta()
         cents = self._cents_from_meta(m)
         if cell not in cents:
@@ -396,11 +469,108 @@ class IvfIndex:
         if not far:
             raise ValueError(f"cell {cell} is empty")
         new_id = max(cents) + 1
-        pair = {cell: cents[cell],
-                new_id: [float(x) for x in far[0][self.vec_col]]}
+        seed_a = [float(x) for x in cents[cell]]
+        seed_b = [float(x) for x in far[0][self.vec_col]]
+        if reseed == "2means":
+            trained = self._lloyd(members, [seed_a, seed_b], rounds)
+            # Lloyd keys are seed indexes 0/1; a collapsed (empty)
+            # side falls back to its seed so the split still happens
+            pair = {cell: trained.get(0, seed_a),
+                    new_id: trained.get(1, seed_b)}
+        else:
+            pair = {cell: seed_a, new_id: seed_b}
         moved = self._assigned(members.drop("cell"), pair)
         self.assign.merge(moved)
+        m["centroids"][str(cell)] = pair[cell]
         m["centroids"][str(new_id)] = pair[new_id]
         m["splits"] = m.get("splits", 0) + 1
         self._write_meta(m)
         return new_id
+
+
+# ---------------------------------------------------------------------------
+# Catalog entry: the persisted-index READ path under the driver's
+# third-party differential gate (VERDICT r11 next-3 — until r12,
+# IvfIndex.search was pinned only by pytest equivalence while the
+# per-query similarity_topk_ivf carried the external CORRECTNESS row).
+# ---------------------------------------------------------------------------
+
+_DEMO_CELLS = 8
+_DEMO_NPROBE = 2
+_IX_CACHE: dict[tuple[str, str], IvfIndex] = {}
+
+
+def _demo_index(spark: SparkSession, sf_dir: str) -> IvfIndex:
+    """A deterministic IvfIndex over the embeddings table, built ONCE
+    per (session, sf_dir) into a session-scoped temp root: corpus →
+    ParquetMergeTable, lowest-id codebook (the same engine-portable
+    stand-in topk_ivf uses, so the oracle can replay it), then
+    optimize() so the entry also exercises the cell-clustered layout
+    + Bloom index exactly as a production search would."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    ix = _IX_CACHE.get(key)
+    if ix is not None:
+        return ix
+    root = tempfile.mkdtemp(prefix="ann_index_entry_")
+    corpus = ParquetMergeTable(
+        spark, os.path.join(root, "corpus"), key="vec_id")
+    corpus.merge(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    ix = IvfIndex(spark, os.path.join(root, "ix"))
+    ix.build(corpus, n_centroids=_DEMO_CELLS)
+    ix.optimize(target_files=_DEMO_CELLS)
+    _IX_CACHE[key] = ix
+    return ix
+
+
+def ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors for the first 10 vectors from the PERSISTED
+    index (build → optimize → search), nprobe=2 — the maintained-index
+    read path, differentially checked against the same window+join
+    arithmetic DuckDB replays from the raw table."""
+    ix = _demo_index(spark, sf_dir)
+    q = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return ix.search(q, k=5, nprobe=_DEMO_NPROBE)
+
+
+register(
+    "ann_index_search",
+    ann_index_search,
+    f"""
+    WITH cents AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cent_id,
+             embedding AS cent_emb
+      FROM embeddings WHERE vec_id IN (
+        SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_DEMO_CELLS})
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cent_id,
+             {_COS_SQL.format(a='e.embedding', b='c.cent_emb')} AS cent_sim
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cent_id AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, cent_id AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rn
+        FROM scored WHERE vec_id < 10
+      ) WHERE rn <= {_DEMO_NPROBE}
+    ),
+    pairs AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.format(a='q_emb', b='c.embedding')} AS cos_sim
+      FROM q JOIN assigned c USING (cell)
+      WHERE c.vec_id != query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM pairs
+    ) WHERE rk <= 5
+    """,
+)

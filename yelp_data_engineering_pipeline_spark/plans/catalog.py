@@ -40,55 +40,69 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # only after r3). Entries already driver-green with unchanged code
 # keep that evidence and move to the tail.
 #
-# Round-11 window (exactly 50) — the lakehouse-maintenance round.
-# Composition (evidence ages recomputed from CORRECTNESS_r01–r10
-# this round: 29 entries on r6 evidence, 43 on r7, rest r8+):
+# Round-12 window (exactly 50) — the IVF-assignment round.
+# Composition (evidence ages recomputed from CORRECTNESS_r01–r11
+# this round: 30 entries on r7 evidence, then r8=44/r9=41/r10=42/
+# r11=50):
 # - flagship (always first: the driver's smoke query);
-# - the 29 r6-evidence entries named in r10's r11-window-first
-#   comment (they hit the 5-round age ceiling when the r12 artifact
+# - the 30 r7-evidence entries named in r11's r12-window-first
+#   comment (they hit the 5-round age ceiling when the r13 artifact
 #   lands — mandatory refreshes; code unchanged for all of them);
-# - the 7 entries registered by operators/upsert.py, which r11
-#   changes again (distributed checkpoint build, executor-side DV
-#   assembly, change-feed hardening — VERDICT r10 next-1/2 + ADVICE
-#   — and the clustering-decay maintenance leg, next-7);
-# - remaining 13 slots: the oldest-r7 refreshes, alphabetical head
-#   of the 43-entry r7 cohort (agg_bitmap_distinct ..
-#   filter_isdigit_dispatch). The 30 remaining r7 entries head the
-#   r12 window and reach the age ceiling only at r13.
+# - the 11 entries registered by operators/similarity.py, which r12
+#   rewrites (map-side IVF assignment — VERDICT r11 next-1);
+# - ann_index_search, NEW this round (VERDICT r11 next-3: the
+#   persisted-index read path gets its first driver row);
+# - the 7 entries registered by operators/upsert.py, which r12
+#   changes again (minmax_where plane fixes + zone-kind tolerance —
+#   ADVICE r11 high/medium/low).
 _PRIORITY: tuple[str, ...] = (
     "flagship_revenue_by_nation",
-    # -- the 29 r6-evidence refreshes (mandatory: max-age) --
-    "agg_pivot",
-    "agg_rollup",
-    "dedup_cascade",
-    "dedup_clusters_incremental",
-    "dedup_semdedup",
-    "diag_expectations",
-    "diag_source_drift",
-    "dim_merge_get_or_create",
-    "join_broadcast_dim",
-    "join_cross_small",
-    "join_full_outer",
-    "join_inner_agg",
-    "join_left_outer_agg",
-    "join_left_semi",
-    "join_theta_residual",
-    "mm_frame_dedup",
-    "prep_bpe_encode",
-    "prep_bpe_merges",
-    "prep_dsir_scores",
-    "prep_global_shuffle",
-    "prep_reservoir_per_group",
-    "prep_temperature_mix",
-    "stream_watermark_late_drop",
-    "text_char_entropy",
-    "text_duplicate_ngram_spans",
-    "ts_anomaly_zscore",
-    "ts_ema_user",
-    "ts_ohlc_hourly",
-    "window_longest_streak",
-    # -- upsert.py changed in r11 (distributed ckpt build, executor
-    #    DV assembly, feed hardening, clustering-decay leg) --
+    # -- the 30 r7-evidence refreshes (mandatory: max-age at r13) --
+    "filter_project_pushdown",
+    "func_interval_arith",
+    "func_regexp_extract_all",
+    "func_string_ops",
+    "func_url_parse",
+    "func_weekday_name",
+    "join_asof",
+    "join_asof_forward_tolerance",
+    "join_asof_nearest",
+    "pipeline_quality_dedup",
+    "prep_chunk_documents",
+    "prep_decontaminate",
+    "prep_pack_bins",
+    "prep_pii_scrub",
+    "prep_train_val_split",
+    "proj_compute_url",
+    "setop_intersect",
+    "setop_union_all",
+    "stream_sessionize",
+    "stream_tumbling_window",
+    "text_fingerprint",
+    "text_quality",
+    "unpivot_stack",
+    "window_custom_sort",
+    "window_first_nth",
+    "window_pagination",
+    "window_range_frame",
+    "window_rank_distribution",
+    "window_surrogate_keys",
+    "window_topk_per_group",
+    # -- similarity.py rewritten in r12 (map-side IVF assignment) --
+    "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
+    "similarity_topk_rph",
+    "similarity_topk_ivf",
+    "emb_label_centroid",
+    "emb_nearest_centroid",
+    "similarity_recall_at_k",
+    "similarity_topk_sq8",
+    "emb_random_projection",
+    "emb_dominant_direction",
+    "similarity_topk_multiprobe",
+    # -- NEW in r12: the persisted ANN index's read path --
+    "ann_index_search",
+    # -- upsert.py changed in r12 (minmax_where plane fixes) --
     "agg_incremental_merge",
     "cdc_snapshot_diff",
     "merge_upsert_idempotent",
@@ -96,30 +110,14 @@ _PRIORITY: tuple[str, ...] = (
     "merge_into_conditional",
     "merge_sql_time_travel",
     "merge_change_feed_stream",
-    # -- oldest r7-evidence refreshes (code unchanged) --
-    "agg_bitmap_distinct",
-    "agg_kmv_intersection",
-    "date_series_explode",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "emb_kmeans",
-    "filter_fk_equality",
-    "filter_ilike",
-    "filter_isdigit_dispatch",
 )
-# r12-window-first candidates (non-debt, informational): the 30
-# remaining r7-evidence entries — filter_project_pushdown,
-# func_interval_arith, func_regexp_extract_all, func_string_ops,
-# func_url_parse, func_weekday_name, join_asof and the rest of the
-# r7 cohort (recompute from CORRECTNESS_r01–r11 next round). They
-# hit the max-age ceiling when the r13 artifact lands, so the r12
-# window must lead with them, plus entries registered by any
-# r12-changed module. The max-age debt guard
-# (tests/test_plans.py::test_evidence_max_age) enforces this
+# r13-window-first candidates (non-debt, informational): the entries
+# left on r8 evidence after this round (44 as of the r11 recompute —
+# agg_approx_distinct, diag_* and the r8 cohort; recompute from
+# CORRECTNESS_r01–r12 next round). They hit the max-age ceiling when
+# the r14 artifact lands, so the r13 window must lead with them, plus
+# entries registered by any r13-changed module. The max-age debt
+# guard (tests/test_plans.py::test_evidence_max_age) enforces this
 # mechanically.
 
 
@@ -155,6 +153,7 @@ def _ensure_loaded() -> None:
     from . import nested  # noqa: F401
     from . import tpch  # noqa: F401
     from . import tpch_full  # noqa: F401
+    from ..operators import ann_index  # noqa: F401
     from ..operators import asof  # noqa: F401
     from ..operators import bloom  # noqa: F401
     from ..operators import clustering  # noqa: F401
