@@ -221,6 +221,86 @@ def test_skew_split_clears_recommendation_and_stays_exact(spark, tmp_path):
     assert got == exact
 
 
+def test_kmeans_codebook_improves_recall_on_clustered_corpus(spark, tmp_path):
+    """VERDICT r11 next-4: on a CLUSTERED corpus whose lowest-id
+    vectors co-locate in one blob (the case that exposes the stand-in
+    codebook), build(codebook="kmeans") must (a) stay EXACT at full
+    probe (the codebook only re-draws cell boundaries), and (b) beat
+    the lowest-id codebook's recall@5 at nprobe=1 by a real margin
+    (measured 0.945 vs 0.75 on this fixture). Also pins that refresh
+    keeps working against the trained codebook."""
+    rng = random.Random(23)
+    rows = [(i, _vec(rng, 0, noise=0.15)) for i in range(8)]     # seeds: one blob
+    rows += [(i, _vec(rng, (i % 4) * 2, noise=0.15))
+             for i in range(8, 1600)]                             # 4 real blobs
+    corpus = ParquetMergeTable(spark, str(tmp_path / "c"), key="vec_id")
+    corpus.merge(spark.createDataFrame(rows, SCHEMA))
+
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        recall_at_k,
+    )
+
+    q = corpus.read().filter(F.col("vec_id").isin(list(range(100, 140))))
+    exact = topk_bruteforce(q, corpus.read(), 5).cache()
+    recall = {}
+    for cb in ("lowest_id", "kmeans"):
+        ix = IvfIndex(spark, str(tmp_path / f"ix_{cb}"))
+        ix.build(corpus, n_centroids=8, codebook=cb)
+        recall[cb] = float(
+            recall_at_k(exact, ix.search(q, 5, nprobe=1), 5)
+            .agg(F.avg("recall_at_5")).first()[0])
+        n_cells = len(ix.meta()["centroids"])
+        got = {(r.query_id, r.rk): r.neighbor_id
+               for r in ix.search(q, 5, nprobe=n_cells).collect()}
+        want = {(r.query_id, r.rk): r.neighbor_id for r in exact.collect()}
+        assert got == want, cb
+        if cb == "kmeans":
+            # the maintained loop composes with the trained codebook
+            corpus.merge(spark.createDataFrame(
+                _rows(rng, [5000, 5001, 5002]), SCHEMA))
+            rep = ix.refresh(corpus)
+            assert rep["rows"] == 3
+            assert _assign_sets(ix) == _fresh_assign(spark, ix, corpus)
+    exact.unpersist()
+    assert recall["kmeans"] >= recall["lowest_id"] + 0.1, recall
+
+
+def test_split_cell_2means_reseed_refines_both_centroids(spark, tmp_path):
+    """The 2-means re-seed (VERDICT r11 next-4: farthest-point is
+    outlier-sensitive): split moves ONLY the hot cell's members,
+    records the REFINED centroid for both halves in the codebook, and
+    full-probe search stays exact afterwards."""
+    corpus = _corpus(spark, str(tmp_path / "corp"), n=32)
+    ix = IvfIndex(spark, str(tmp_path / "ix"))
+    ix.build(corpus, n_centroids=8)
+    rng = random.Random(19)
+    corpus.merge(spark.createDataFrame(
+        [(500 + i, _mix_vec(rng)) for i in range(120)], SCHEMA))
+    ix.refresh(corpus)
+    plan = ix.maintenance_plan(skew_bound=2.0)
+    hot = int(plan["actions"][0].split("(")[1].rstrip(")"))
+    old_cent = ix.meta()["centroids"][str(hot)]
+    before = _assign_sets(ix)
+    new_cell = ix.split_cell(hot, reseed="2means")
+    after = _assign_sets(ix)
+    for k, c in after.items():
+        if before[k] != hot:
+            assert c == before[k]
+        else:
+            assert c in (hot, new_cell)
+    assert any(c == new_cell for c in after.values())
+    m = ix.meta()
+    # 2-means refined the KEPT side too (farthest-point never moves it)
+    assert m["centroids"][str(hot)] != old_cent
+    assert str(new_cell) in m["centroids"]
+    q = corpus.read().filter(F.col("vec_id") < 4)
+    exact = {(r.query_id, r.rk): r.neighbor_id
+             for r in topk_bruteforce(q, corpus.read(), 5).collect()}
+    got = {(r.query_id, r.rk): r.neighbor_id
+           for r in ix.search(q, 5, nprobe=len(m["centroids"])).collect()}
+    assert got == exact
+
+
 def test_optimize_prunes_probe_files_and_search_stays_identical(
         spark, tmp_path):
     """After optimize() cell-clusters the assignment table, a narrow

@@ -23,6 +23,18 @@ the speedup can't be bought with accuracy. Prints one JSON line for
 the BASELINE.md ledger.
 
     python tools/bench_ann.py [rows_per_batch] [batches] [seed_rows]
+
+``--codebooks [corpus_rows]`` (VERDICT r11 next-4) runs the OTHER
+ledger instead: on a clustered corpus whose lowest-id vectors
+co-locate in one blob (the adversarial-but-realistic case — ids
+arrive in ingest order, and early ingest is rarely a uniform sample),
+measure recall@5 at fixed nprobe for build(codebook="lowest_id") vs
+build(codebook="kmeans"), plus both build costs. The uniform
+maintenance fixture above hides the codebook difference by
+construction (its lowest ids already cover every blob); this fixture
+does not.
+
+    python tools/bench_ann.py --codebooks [corpus_rows]
 """
 
 from __future__ import annotations
@@ -35,6 +47,61 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def codebooks_main() -> None:
+    import random
+
+    rows = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+
+    from pyspark.sql import functions as F
+
+    from yelp_data_engineering_pipeline_spark.operators.ann_index import (
+        IvfIndex,
+    )
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        recall_at_k, topk_bruteforce,
+    )
+    from yelp_data_engineering_pipeline_spark.operators.upsert import (
+        ParquetMergeTable,
+    )
+    from yelp_data_engineering_pipeline_spark.session import get_spark
+
+    D = 8
+    N_CELLS = 8
+
+    def vec(rng, cluster, noise=0.15):
+        return [(1.0 if i == cluster else 0.0)
+                + rng.uniform(-noise, noise) for i in range(D)]
+
+    spark = get_spark("bench-ann-codebooks")
+    base = tempfile.mkdtemp(prefix="ann_cb_")
+    rng = random.Random(23)
+    try:
+        data = [(i, vec(rng, 0)) for i in range(N_CELLS)]
+        data += [(i, vec(rng, (i % 4) * 2)) for i in range(N_CELLS, rows)]
+        corpus = ParquetMergeTable(spark, f"{base}/c", key="vec_id")
+        corpus.merge(spark.createDataFrame(
+            data, "vec_id long, embedding array<double>"))
+        snap = corpus.read()
+        q = snap.filter(F.col("vec_id").isin(list(range(100, 164))))
+        exact = topk_bruteforce(q, snap, 5).cache()
+        out = {"metric": "ann_codebooks", "corpus_rows": rows,
+               "n_centroids": N_CELLS}
+        for cb in ("lowest_id", "kmeans"):
+            ix = IvfIndex(spark, f"{base}/ix_{cb}")
+            t0 = time.perf_counter()
+            ix.build(corpus, n_centroids=N_CELLS, codebook=cb)
+            out[f"build_{cb}_s"] = round(time.perf_counter() - t0, 3)
+            for np_ in (1, 2):
+                r = (recall_at_k(exact, ix.search(q, 5, nprobe=np_), 5)
+                     .agg(F.avg("recall_at_5").alias("m")).first().m)
+                out[f"recall5_np{np_}_{cb}"] = round(float(r), 3)
+            out[f"cells_{cb}"] = len(ix.meta()["centroids"])
+        exact.unpersist()
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def main() -> None:
@@ -142,4 +209,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--codebooks":
+        codebooks_main()
+    else:
+        main()
