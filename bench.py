@@ -192,6 +192,27 @@ def main() -> None:
                 if page is not None:
                     page.write.format("noop").mode("overwrite").save()
             out["api_three_endpoints"] = round(time.time() - t0, 3)
+
+            # deep page (VERDICT r11 next-7): the keyset route at an
+            # arbitrary depth must cost ≈ a page-1 fetch — the seek is
+            # a pushed-down range filter + per-partition top-k, flat
+            # at any depth, where the OFFSET window re-ranks the whole
+            # order every request. The seek key (computed UNTIMED) is
+            # the 90th-percentile business id — the position a client
+            # ~900 pages in would be holding. Both legs hit the same
+            # warm endpoint cache, so the delta is purely the paging
+            # shape.
+            deep_id = int(served["business"]
+                          .approxQuantile("id", [0.9], 0.001)[0])
+            t0 = time.time()
+            page1 = restaurants_by_category(served, "pizza", page=1)
+            page1["businesses"].write.format("noop").mode("overwrite").save()
+            out["api_page1_offset"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            deep = restaurants_by_category(
+                served, "pizza", page=900, after_key=(deep_id,))
+            deep["businesses"].write.format("noop").mode("overwrite").save()
+            out["api_deep_page_keyset"] = round(time.time() - t0, 3)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
             spark.catalog.clearCache()  # endpoints .cache() their join

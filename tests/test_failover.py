@@ -168,6 +168,80 @@ def test_promote_replica_failover(spark, tmp_path):
     assert 2 not in ids and 7 in ids
 
 
+def test_promote_carries_sidecar_planes_pruning_parity(spark, tmp_path):
+    """VERDICT r11 next-5: replication moves CONTENT through the feed,
+    so a promoted replica starts with none of the primary's physical
+    planes (declared clustering, Bloom file indexes; DVs became CoW
+    applies — content-equal by construction). promote_replica's
+    carry_layout step must re-establish them: the new primary's first
+    maintenance_plan() watches the same clustering columns, its Bloom
+    index prunes point probes immediately, and read_point/delete_keys
+    answer identically to the (fenced, still readable) old primary."""
+    src = ParquetMergeTable(spark, str(tmp_path / "src"), key="id")
+    src.merge(spark.createDataFrame(
+        [(i, f"s{i}", i % 97) for i in range(2000)],
+        "id long, s string, v long"))
+    src.compact(zorder_by=("id",), target_files=8)   # declares clustering
+    src.build_file_index("s")                        # bloom on unclustered col
+    src.delete_keys("id", [100, 200], use_deletion_vectors=True)  # DV plane
+    src.merge(spark.createDataFrame(
+        [(3000 + i, f"s{3000 + i}", i) for i in range(50)],
+        "id long, s string, v long"))
+    src.export_changes()
+
+    rep_root = str(tmp_path / "rep")
+    promoted = promote_replica(spark, src, rep_root,
+                               str(tmp_path / "ckpt"))
+
+    # (1) declared clustering carried — the decay leg watches the same
+    # columns on day one
+    assert promoted.clustered_by() == src.clustered_by() == ["id"]
+    plan = promoted.maintenance_plan()
+    assert set(plan["clustering"]) == {"id"}
+    # feed-apply layout is commit-ordered, not key-clustered: the first
+    # plan must HONESTLY surface the re-layout work, not hide it
+    assert any(a.startswith("rezorder") for a in plan["actions"]) or \
+        plan["clustering"]["id"]["decayed_files"] == 0
+
+    # (2) bloom coverage carried (every live file indexed)
+    assert "s" in promoted.file_index()
+    assert plan["bloom"]["s"]["coverage"] == 1.0
+
+    # (3) read_point parity with the fenced primary (reads still work
+    # there), on the primary's columns
+    probe = ["s7", "s150", "s3010"]
+    want = {(r.id, r.s, r.v)
+            for r in src.read_point("s", probe).collect()}
+    got = {(r.id, r.s, r.v)
+           for r in promoted.read_point("s", probe)
+           .select("id", "s", "v").collect()}
+    assert got == want and want
+
+    # (4) keyed DML works on the new primary and lands exactly
+    promoted.delete_keys("s", ["s7"])
+    assert promoted.read_point("s", ["s7"]).count() == 0
+    assert promoted.read().count() == src.read().count() - 1
+
+    # (5) the plan's recommended rezorder() is runnable on day one (it
+    # needs a declared clustering — before carry_layout it raised
+    # ValueError); the re-layout restores BOTH pruning planes: zone
+    # maps on the clustered column AND the Bloom index (carried across
+    # the rewrite by auto-maintenance) now point-prune across the
+    # re-laid files
+    promoted.rezorder(target_files=8)
+    v2 = promoted.current_version()
+    keys2 = promoted._seq_list(
+        promoted._zone_arrays(v2, ["id"], with_rows=False)[0])
+    _, _, _, za = promoted._zone_arrays(v2, ["id"], with_rows=False)
+    keep, _ = promoted._mask_range(za, len(keys2), {"id": (0, 10)}, True)
+    assert sum(keep) < len(keep)
+    kept = promoted._point_prune("s", ["s8", "s150"], v2)
+    assert len(kept) < len(promoted._file_keys(v2)), (
+        len(kept), len(promoted._file_keys(v2)))
+    plan2 = promoted.maintenance_plan()
+    assert not any(a.startswith("rezorder") for a in plan2["actions"])
+
+
 def test_promote_aborts_on_diverged_replica(spark, tmp_path):
     src = _mk(spark, tmp_path / "src")
     src.export_changes()

@@ -183,3 +183,48 @@ def test_clustering_declaration_survives_restore_and_clone(spark, tmp_path):
     t.restore(1)                    # pre-clustering snapshot
     assert t.clustered_by() == []
     assert t.maintenance_plan()["clustering"] == {}
+
+
+def test_declare_clustering_metadata_only_commit(spark, tmp_path):
+    """declare_clustering (r12, the failover layout-carry primitive):
+    sets the intent WITHOUT rewriting a byte — same manifest field a
+    whole-table zorder records, carried by later commits, validated
+    against the schema, idempotent — and makes rezorder()/the decay
+    leg available on a table that never ran compact(zorder_by=...)."""
+    t = ParquetMergeTable(spark, str(tmp_path / "t"), key="id",
+                          partition_by="p")
+    # three full-range commits: every file spans the id domain, so the
+    # declared intent is measurably decayed from day one
+    for b in range(3):
+        t.merge(spark.createDataFrame(
+            [(i, i % 2, i) for i in range(b, 2700, 3)],
+            "id long, p int, v long"))
+    with pytest.raises(ValueError):
+        t.declare_clustering([])
+    with pytest.raises(ValueError):
+        t.declare_clustering(["no_such_col"])
+    assert t.clustered_by() == []
+    with pytest.raises(ValueError):
+        t.rezorder()                      # nothing declared yet
+    v0 = t.current_version()
+    files0 = t._file_keys(v0)
+    v1 = t.declare_clustering(["id"])
+    assert v1 == v0 + 1
+    assert t.clustered_by() == ["id"]
+    assert t._file_keys(v1) == files0     # metadata-only: no rewrite
+    assert t.declare_clustering(["id"]) == v1   # idempotent
+    # carried forward by later commits, like any declared intent
+    t.merge(spark.createDataFrame([(5000, 0, 1)], "id long, p int, v long"))
+    assert t.clustered_by() == ["id"]
+    # a plain coalescing compact (no z-sort) decays the layout against
+    # the declared intent; the decay leg watches it and recommends the
+    # re-layout (the verify-skill-documented way to force decay —
+    # small CoW merges preserve narrow splits and never decay)
+    t.compact(target_files=2)
+    plan = t.maintenance_plan()
+    assert set(plan["clustering"]) == {"id"}
+    assert any(a.startswith("rezorder") for a in plan["actions"]), plan
+    # ...which is now runnable and clears the recommendation
+    t.rezorder(target_files=4)
+    plan2 = t.maintenance_plan()
+    assert not any(a.startswith("rezorder") for a in plan2["actions"])

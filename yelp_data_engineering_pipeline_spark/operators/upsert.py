@@ -2066,7 +2066,8 @@ class ParquetMergeTable:
 
     def _commit_carrying(self, out_df, keep_rels, old_v: int, schema,
                          op: str, new_dv: dict | None = None,
-                         rebase=None) -> int:
+                         rebase=None, cluster: tuple | None = None
+                         ) -> int:
         """Shared partial-rewrite tail (pruned merges, DML, compaction):
         Spark-write the rewritten rows (if any), carry ``keep_rels``
         forward — posix: hardlink; object: manifest reference, zero
@@ -2108,7 +2109,8 @@ class ParquetMergeTable:
             man = self._externalize_files(
                 new_v, self._assemble_manifest(new_v, op, schema, old_v,
                                                keep_rels, entries,
-                                               new_dv=new_dv))
+                                               new_dv=new_dv,
+                                               cluster=cluster))
             try:
                 self._publish(new_v, man)
                 break
@@ -5018,6 +5020,48 @@ class ParquetMergeTable:
         if v < 1:
             return []
         return list(self._manifest(v).get("clustered_by") or [])
+
+    def declare_clustering(self, cols, wait: bool = True) -> int:
+        """Declare clustering INTENT without rewriting anything: a
+        metadata-only commit that sets ``clustered_by`` exactly as a
+        whole-table ``compact(zorder_by=...)`` would, so
+        :meth:`maintenance_plan`'s decay leg starts watching these
+        columns and :meth:`rezorder` knows what to re-establish. The
+        physical layout is UNCHANGED — and usually decayed relative
+        to the declared intent, so the first plan after declaring
+        will typically recommend ``rezorder()``; use
+        ``compact(zorder_by=...)`` to declare AND establish in one
+        pass. Failover uses this to carry a primary's declared
+        clustering onto a promoted replica, whose feed-applied
+        layout is commit-ordered, not key-clustered (VERDICT r11
+        next-5). Idempotent when the head already declares the same
+        columns."""
+        from pyspark.sql.types import StructType
+
+        cols = [str(c) for c in cols]
+        if not cols:
+            raise ValueError(
+                "declare_clustering needs at least one column")
+
+        def body() -> int:
+            head = self.current_version()
+            if head < 1:
+                raise ValueError(
+                    f"declare_clustering on an empty table at "
+                    f"{self.root} (no committed version)")
+            man = self._manifest(head)
+            schema = StructType.fromJson(man["schema"])
+            missing = [c for c in cols if c not in schema.names]
+            if missing:
+                raise ValueError(
+                    f"unknown clustering column(s) {missing}")
+            if list(man.get("clustered_by") or []) == cols:
+                return head
+            return self._commit_carrying(
+                None, self._file_keys(head), head, schema,
+                "declare_clustering", cluster=tuple(cols))
+
+        return self._txn(wait, body)
 
     def clustering_overlap(self, cols, version: int | None = None) -> dict:
         """Layout-quality metric from metadata alone (VERDICT r10

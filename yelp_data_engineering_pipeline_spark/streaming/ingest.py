@@ -326,6 +326,7 @@ def promote_replica(
     checkpoint_dir: str,
     partition_by: str | None = None,
     storage: str = "posix",
+    carry_layout: bool = True,
 ) -> "object":
     """Failover: make the replica the writable primary, with the old
     primary fenced so a late writer cannot split-brain the pair.
@@ -345,6 +346,22 @@ def promote_replica(
     4. ``verify_replica`` — content-fingerprint the pair; a mismatch
        aborts promotion with :class:`ReplicaDivergedError` BEFORE any
        client is repointed at a diverged replica.
+    5. ``carry_layout`` (default, VERDICT r11 next-5) — re-establish
+       the primary's SIDECAR PLANES on the new primary. Replication
+       moves content through the change feed, so the replica's
+       physical planes start empty: no declared clustering (its
+       layout is feed-apply/commit order), no Bloom file indexes, no
+       deletion vectors (feed deletes applied as CoW — content-equal
+       by construction), and its own checkpoint-sidecar chain (built
+       at the replica's commit cadence, already live). This step
+       (a) ``declare_clustering(primary.clustered_by())`` — a
+       metadata-only commit, so the replica's first
+       ``maintenance_plan()`` watches the same columns and will
+       honestly recommend ``rezorder()`` until the layout is
+       re-established, and (b) ``build_file_index(col)`` for every
+       column the primary kept a Bloom index on — one distributed
+       pass per column, restoring ``read_point``/``delete_keys``
+       pruning parity immediately.
 
     Returns the replica's writable handle. Its schema carries the
     ``_commit_version`` provenance column; post-promotion writers
@@ -367,6 +384,12 @@ def promote_replica(
             f"{src_table.root} at v{rep['version']}; promotion aborted",
             rep,
         )
+    if carry_layout:
+        spec = src_table.clustered_by()
+        if spec:
+            replica.declare_clustering(spec)
+        for col in sorted(src_table.file_index()):
+            replica.build_file_index(col)
     return replica
 
 
