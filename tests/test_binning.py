@@ -214,9 +214,11 @@ def test_isotropy_probe_separates_clustered_from_uniform(spark, sf_dir):
 def test_topk_adaptive_routes_by_structure(spark, sf_dir):
     """The adaptive default must take the IVF branch on the (near-
     uniform) driver fixture and the multitable-LSH branch on a
-    clustered corpus — checked by plan shape: the IVF branch carries
-    the bounded centroid BroadcastNestedLoopJoin, the LSH branch the
-    (tid, bucket) composite-key equi-join."""
+    clustered corpus — checked by plan shape: the IVF branch joins
+    candidates on the map-side-assigned ``cell`` (since r12 the
+    centroid assignment is a literal-codebook argmax — no
+    BroadcastNestedLoopJoin left anywhere), the LSH branch on the
+    (tid, bucket) composite key."""
     from yelp_data_engineering_pipeline_spark.operators.similarity import (
         topk_adaptive,
     )
@@ -227,13 +229,15 @@ def test_topk_adaptive_routes_by_structure(spark, sf_dir):
     plan = (
         topk_adaptive(q, uniform, k=3)._jdf.queryExecution().executedPlan().toString()
     )
-    assert "BroadcastNestedLoopJoin" in plan  # IVF centroid assign
+    assert "cell#" in plan and "bucket#" not in plan  # the IVF branch
+    assert "BroadcastNestedLoopJoin" not in plan      # r12 map-side assign
 
     clustered = _blob_corpus(spark)
     qc = clustered.filter(F.col("vec_id") < 5)
     plan_c = (
         topk_adaptive(qc, clustered, k=3)._jdf.queryExecution().executedPlan().toString()
     )
+    assert "bucket#" in plan_c and "cell#" not in plan_c  # the LSH branch
     assert "BroadcastNestedLoopJoin" not in plan_c  # pure bucket equi-join
     # and the routed plan still returns sane top-k on the clustered side
     got = topk_adaptive(qc, clustered, k=3).collect()

@@ -176,6 +176,7 @@ def run_cdc_upsert_stream(
     partition_by: str | None = None,
     delete_col: str | None = None,
     storage: str = "posix",
+    ann_index=None,
 ) -> int:
     """CDC-shaped streaming upsert: each micro-batch applies a
     CONDITIONAL merge — ``WHEN MATCHED AND s.ts >= t.ts THEN UPDATE,
@@ -205,7 +206,19 @@ def run_cdc_upsert_stream(
     a fixed canonical rule — delete beats upsert, then the greatest
     JSON payload rendering (see :func:`_dedup_order`) — so the
     survivor is a deterministic function of the batch CONTENTS, and a
-    checkpoint-replayed batch picks the identical row."""
+    checkpoint-replayed batch picks the identical row.
+
+    ``ann_index``: an :class:`..operators.ann_index.IvfIndex` over
+    THIS table (r12) — after each micro-batch's merge commits, the
+    index absorbs that commit through its change-feed ``refresh()``
+    inside the same foreachBatch, so the searchable index trails the
+    table by at most one in-flight batch (the streaming form of the
+    FAISS add/remove maintenance loop). Safe under checkpoint replay:
+    a replayed batch re-merges as a bit-identical no-op commit and
+    ``refresh`` of an empty/duplicate churn is itself a no-op; a
+    crash BETWEEN merge and refresh just leaves the index one commit
+    behind, repaid by the next batch's refresh (the sync cursor walks
+    every unsynced version)."""
     from pyspark.sql import Window as W
 
     from ..operators.upsert import ParquetMergeTable
@@ -256,6 +269,14 @@ def run_cdc_upsert_stream(
                 when_matched_update=f"({newer}) AND NOT s.{delete_col}",
                 when_not_matched_insert=f"NOT s.{delete_col}",
             )
+        if ann_index is not None:
+            if ann_index._backend.exists(ann_index._meta_path()):
+                ann_index.refresh(table)
+            else:
+                # first batch of a fresh pair: the codebook trains on
+                # the seed batch (one full pass over it — tiny), every
+                # later batch is an incremental refresh
+                ann_index.build(table)
 
     q = (
         stream.writeStream.foreachBatch(_apply)
