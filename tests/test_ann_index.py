@@ -221,6 +221,42 @@ def test_skew_split_clears_recommendation_and_stays_exact(spark, tmp_path):
     assert got == exact
 
 
+def test_filtered_search_exact_among_matching_rows(spark, tmp_path):
+    """r12 filtered ANN: search(where=) must return the best k AMONG
+    MATCHING rows — not a post-filtered global top-k, which under-fills
+    whenever fewer than k of the global winners match. Oracle: brute
+    force over the pre-filtered corpus at full probe; at narrow probe
+    the filtered result must be a subset of the filtered cells'
+    matching members."""
+    rng = random.Random(31)
+    rows = [(i, _vec(rng, i % D), i % 3) for i in range(200)]
+    corpus = ParquetMergeTable(spark, str(tmp_path / "c"), key="vec_id")
+    corpus.merge(spark.createDataFrame(
+        rows, SCHEMA + ", lang long"))
+    ix = IvfIndex(spark, str(tmp_path / "ix"))
+    ix.build(corpus, n_centroids=8)
+    assert "lang" in ix.assign.read().columns   # passthrough carried
+
+    q = corpus.read().filter(F.col("vec_id") < 5)
+    got = {(r.query_id, r.rk): r.neighbor_id
+           for r in ix.search(q, 5, nprobe=8,
+                              where="lang = 1").collect()}
+    filtered = corpus.read().filter(F.col("lang") == 1)
+    want = {(r.query_id, r.rk): r.neighbor_id
+            for r in topk_bruteforce(q, filtered, 5).collect()}
+    assert got == want and got
+    # every returned neighbor satisfies the predicate — and there are
+    # a full k of them per query (no post-filter under-fill)
+    langs = {r.vec_id: r.lang for r in corpus.read().collect()}
+    assert all(langs[n] == 1 for n in got.values())
+    assert len(got) == 5 * 5
+    # Column-typed predicate routes identically
+    got2 = {(r.query_id, r.rk): r.neighbor_id
+            for r in ix.search(q, 5, nprobe=8,
+                               where=F.col("lang") == 1).collect()}
+    assert got2 == got
+
+
 def test_cdc_stream_maintains_index_in_loop(spark, tmp_path):
     """r12: run_cdc_upsert_stream(ann_index=) builds the index on the
     seed batch and refreshes it inside every later foreachBatch — the

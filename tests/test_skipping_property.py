@@ -40,6 +40,9 @@ def skip_table(spark, tmp_path_factory, request):
             # strings with NULLs every 23rd row
             "case when id % 23 = 0 then null else concat('s', lpad(cast(id "
             "as string), 5, '0')) end as s",
+            # timestamps (tz-aware zone plane) with NULLs every 29th row
+            "case when id % 29 = 0 then null else "
+            "timestamp_seconds(1704067200 + id * 60) end as ts",
         ).repartitionByRange(6, "id").sortWithinPartitions("id")
         t.merge(df)
         # a DV in force (boundary-only range) and a metadata-only drop
@@ -87,6 +90,37 @@ def test_read_where_and_count_where_equal_full_scan(skip_table, ranges):
                      t.read_where(ranges).select("id").collect())
     assert got_ids == want_ids, ranges
     assert t.count_where(ranges) == len(want_ids), ranges
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ranges=_ranges(), col=st.sampled_from(["id", "f", "s", "ts"]))
+def test_minmax_where_equals_full_scan_aggregate(skip_table, ranges, col):
+    """ADVICE r11 hardened into a property: for ANY conjunctive range
+    probe and ANY aggregated column type — including TimestampType,
+    whose metadata plane is tz-aware while scan collection is naive
+    driver-tz — minmax_where must equal the unpruned filter+aggregate.
+    The fixture forces every plane mix: contained files (zone-answered),
+    boundary files (scanned), a DV'd range, a dropped file, NULL rows,
+    and both manifest layouts."""
+    import datetime as dt
+
+    t = skip_table
+    residual = t._range_residual(ranges)
+    df = t.read()
+    if residual is not None:
+        df = df.filter(residual)
+    r = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx")).first()
+    want_mn, want_mx = r.mn, r.mx
+    if col == "ts":
+        # Spark collects TimestampType naive in the driver's zone;
+        # minmax_where returns aware-UTC consistently
+        want_mn = (want_mn.astimezone(dt.timezone.utc)
+                   if want_mn is not None else None)
+        want_mx = (want_mx.astimezone(dt.timezone.utc)
+                   if want_mx is not None else None)
+    assert t.minmax_where(col, ranges) == {
+        "min": want_mn, "max": want_mx}, (col, ranges)
 
 
 @settings(max_examples=15, deadline=None,

@@ -328,7 +328,8 @@ class IvfIndex:
 
     def search(self, queries: DataFrame, k: int,
                nprobe: int = 1,
-               prune_files: bool | None = None) -> DataFrame:
+               prune_files: bool | None = None,
+               where=None) -> DataFrame:
         """ANN top-k from the PERSISTED index: each query probes the
         union of its ``nprobe`` nearest cells (bounded k-row window
         per query), candidates come from one equi-join on ``cell``
@@ -346,7 +347,18 @@ class IvfIndex:
         :attr:`_PRUNE_MIN_BYTES` — below that, the prune's two extra
         driver jobs cost more than the scan they save (measured).
         Force True/False to override (False also for corpus-sized
-        query batches that probe every cell anyway)."""
+        query batches that probe every cell anyway).
+
+        ``where`` (r12): FILTERED ANN — a Column or SQL string over
+        the assignment table's passthrough columns (the metadata the
+        corpus carried into :meth:`build`/:meth:`refresh`), applied
+        to the candidate side BEFORE ranking, so the top-k is the
+        best-k AMONG MATCHING rows (post-filtering a plain top-k
+        under-fills whenever fewer than k of the global top-k match
+        — the classic filtered-search defect). The predicate lands on
+        the pruned candidate scan (Catalyst pushes it into the
+        parquet read), and recall semantics are unchanged: exact
+        within the probed cells, exact overall at full probe."""
         from pyspark.sql import Window
 
         from .similarity import ivf_probe_cells
@@ -371,6 +383,9 @@ class IvfIndex:
             base = self.assign.read_point("cell", cells)
         else:
             base = self.assign.read()
+        if where is not None:
+            base = base.filter(
+                F.expr(where) if isinstance(where, str) else where)
         c = base.select(
             F.col(self.id_col).alias("neighbor_id"),
             F.col(self.vec_col).alias("c_emb"), "cell")
