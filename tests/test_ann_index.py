@@ -221,6 +221,87 @@ def test_skew_split_clears_recommendation_and_stays_exact(spark, tmp_path):
     assert got == exact
 
 
+def _assign_bytes(ix: IvfIndex) -> int:
+    t = ix.assign
+    _, _, bytes_a, _ = t._zone_arrays(t.current_version(), [],
+                                      with_bytes=True, with_rows=False)
+    return sum(b for b in bytes_a if isinstance(b, int))
+
+
+def test_sq8_store_shrinks_index_and_holds_recall(spark, tmp_path):
+    """r12 store="sq8": the assignment table keeps int8 codes instead
+    of raw doubles (array<tinyint> — parquet bit-packs far below the
+    float bytes; the candidate-scan working set is what search pays
+    for at 100 TB), search scores the DEQUANTIZED cosine (approximate
+    — recall floor pinned, not bit-equality), and the whole
+    maintenance loop (refresh with deletes, split, reopened handles)
+    keeps working over the quantized storage. Cell ASSIGNMENT always
+    uses the raw vector, so sq8 and float indexes hold identical
+    cells."""
+    rng = random.Random(13)
+    corpus = _corpus(spark, str(tmp_path / "c"), n=400)
+    f_ix = IvfIndex(spark, str(tmp_path / "f"))
+    f_ix.build(corpus, n_centroids=8)
+    s_ix = IvfIndex(spark, str(tmp_path / "s"), store="sq8")
+    s_ix.build(corpus, n_centroids=8)
+
+    cols = set(s_ix.assign.read().columns)
+    assert "q8" in cols and "embedding" not in cols
+    assert s_ix.meta()["store"] == "sq8"
+    # same cells as the float index (assignment is full-precision)
+    assert _assign_sets(s_ix) == _assign_sets(f_ix)
+    # the quantized table is REALLY smaller — measured at a REAL
+    # dimensionality (the D=8 behavioral fixture is all parquet
+    # overhead; at D=64 the measured ratio is ~0.17, asserted <0.5)
+    wide = [(i, [rng.uniform(-1, 1) for _ in range(64)])
+            for i in range(2000)]
+    wc = ParquetMergeTable(spark, str(tmp_path / "wc"), key="vec_id")
+    wc.merge(spark.createDataFrame(wide, SCHEMA))
+    wf = IvfIndex(spark, str(tmp_path / "wf"))
+    wf.build(wc, n_centroids=8)
+    ws = IvfIndex(spark, str(tmp_path / "ws"), store="sq8")
+    ws.build(wc, n_centroids=8)
+    fb, sb = _assign_bytes(wf), _assign_bytes(ws)
+    assert sb < 0.5 * fb, (sb, fb)
+
+    # full-probe recall vs exact brute force (approximate scores —
+    # floor, not equality; measured 1.0 on this fixture)
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        recall_at_k,
+    )
+
+    q = corpus.read().filter(F.col("vec_id") < 6)
+    exact = topk_bruteforce(q, corpus.read(), 5)
+    rec = float(recall_at_k(exact, s_ix.search(q, 5, nprobe=8), 5)
+                .agg(F.avg("recall_at_5")).first()[0])
+    assert rec >= 0.95, rec
+
+    # the maintenance loop runs over quantized storage: churn with
+    # deletes, strictly-incremental refresh, membership still exact
+    ins = [(1000 + i, _vec(rng, i % D), False) for i in range(12)]
+    dele = [(i, None, True) for i in (3, 4)]
+    corpus.merge(spark.createDataFrame(
+        ins + dele, SCHEMA + ", _del boolean"), delete_col="_del")
+    rep = s_ix.refresh(corpus)
+    assert rep["versions"] == 1 and rep["rows"] == 14
+    state = _assign_sets(s_ix)
+    assert 3 not in state and 1005 in state
+    assert state == _fresh_assign(spark, s_ix, corpus)
+
+    # a REOPENED handle (constructor default store) follows the meta
+    # record, and split_cell works over the dequantized view
+    reopened = IvfIndex(spark, str(tmp_path / "s"))
+    plan = reopened.maintenance_plan(skew_bound=0.5)
+    if plan["actions"]:
+        hot = int(plan["actions"][0].split("(")[1].rstrip(")"))
+        before = _assign_sets(reopened)
+        new_cell = reopened.split_cell(hot, reseed="2means")
+        after = _assign_sets(reopened)
+        for kk, c in after.items():
+            assert c == before[kk] or (before[kk] == hot
+                                       and c in (hot, new_cell))
+
+
 def test_filtered_search_exact_among_matching_rows(spark, tmp_path):
     """r12 filtered ANN: search(where=) must return the best k AMONG
     MATCHING rows — not a post-filtered global top-k, which under-fills
@@ -274,6 +355,8 @@ def test_cdc_stream_maintains_index_in_loop(spark, tmp_path):
     in_dir.mkdir()
 
     def write_batch(name, ids, ts, deletes=()):
+        import os as _os
+
         with open(in_dir / name, "w") as f:
             for i in ids:
                 f.write(_json.dumps({
@@ -284,6 +367,12 @@ def test_cdc_stream_maintains_index_in_loop(spark, tmp_path):
                 f.write(_json.dumps({
                     "vec_id": i, "ts": ts, "embedding": None,
                     "deleted": True}) + "\n")
+        # the file source orders by modification time; sub-tick writes
+        # tie and the batch ORDER flips run to run — pin it (the
+        # deletes must land after their inserts for the seed-batch
+        # assertion to mean anything)
+        t = 1_700_000_000 + ts * 60
+        _os.utime(in_dir / name, (t, t))
 
     stream_schema = ("vec_id long, ts long, "
                      "embedding array<double>, deleted boolean")

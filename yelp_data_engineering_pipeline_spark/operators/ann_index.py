@@ -66,11 +66,23 @@ class IvfIndex:
     def __init__(self, spark: SparkSession, root: str,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  partition_by: str | None = None,
-                 storage: str = "posix", backend=None) -> None:
+                 storage: str = "posix", backend=None,
+                 store: str = "float") -> None:
+        if store not in ("float", "sq8"):
+            raise ValueError(f"unknown store {store!r}")
         self.spark = spark
         self.root = root
         self.id_col = id_col
         self.vec_col = vec_col
+        # ``store``: how the assignment table KEEPS vectors (used at
+        # build time and recorded in meta — reopened handles follow
+        # the meta record). "float" keeps the raw embedding column;
+        # "sq8" keeps the symmetric-int8 quantization (similarity.
+        # quantize_sq8) as array<tinyint> — the candidate-scan working
+        # set shrinks ~4-8x, search scores become the DEQUANTIZED
+        # cosine (approximate; recall floors are test-pinned), and
+        # full-probe search is no longer bit-exact vs brute force.
+        self.store = store
         # ``partition_by``: a per-key-immutable column carried from the
         # corpus (e.g. an ingest-epoch/date column). With it, a refresh
         # merge rewrites only the partitions the churn touches — the
@@ -99,25 +111,64 @@ class IvfIndex:
     def _cents_from_meta(m: dict) -> dict[int, list[float]]:
         return {int(c): v for c, v in m["centroids"].items()}
 
+    def _meta_store(self) -> str:
+        """The index's recorded vector representation ("float"/"sq8");
+        falls back to the constructor arg before the first build."""
+        if self._backend.exists(self._meta_path()):
+            return self.meta().get("store", "float")
+        return self.store
+
+    _Q8_COL = "q8"
+
+    def _stored(self, df: DataFrame) -> DataFrame:
+        """Project ``df`` (carrying the RAW vector column) into the
+        index's storage representation: identity for "float"; for
+        "sq8" the raw vector is REPLACED by its int8 quantization
+        (array<tinyint> — parquet bit-packs it far below the raw
+        doubles)."""
+        if self._meta_store() != "sq8":
+            return df
+        from .similarity import quantize_sq8
+
+        out = [c for c in df.columns if c != self.vec_col]
+        return df.select(
+            *out,
+            quantize_sq8(F.col(self.vec_col))
+            .cast("array<tinyint>").alias(self._Q8_COL))
+
+    def _stored_vec(self) -> F.Column:
+        """An array<double> view of the STORED vector — the raw column
+        for "float", the dequantized grid points (q/127) for "sq8" —
+        so search/split/Lloyd share one access path."""
+        if self._meta_store() != "sq8":
+            return F.col(self.vec_col)
+        from .similarity import SQ8_SCALE
+
+        return F.transform(
+            F.col(self._Q8_COL),
+            lambda x: x.cast("double") / F.lit(float(SQ8_SCALE)))
+
     # ---- assignment kernel ------------------------------------------
 
     def _assigned(self, df: DataFrame,
                   cents: dict[int, list[float]]) -> DataFrame:
         """``df`` plus a ``cell`` column holding each vector's nearest
-        centroid; every other column (id, vector, partition/passthrough
-        columns) rides along unchanged. The codebook is folded into ONE
-        per-row argmax expression over literal centroids
+        centroid, projected into the storage representation; every
+        other column (id, partition/passthrough columns) rides along
+        unchanged. The codebook is folded into ONE per-row argmax
+        expression over literal centroids
         (:func:`..operators.similarity.ivf_assign_cell`) — no join, no
         window, NO shuffle of ``df``. The r11 shape (broadcast-join the
         k-row codebook, then row_number per id) hash-exchanged |df|×k
         embedding-carrying rows just to pick a max — the one surviving
         scale-killer VERDICT r11 flagged; the tiebreak (cent_sim DESC,
-        cell ASC) is preserved bit-identically by the struct-min."""
+        cell ASC) is preserved bit-identically by the struct-min.
+        Assignment always uses the RAW vector (full precision), even
+        when storage is quantized."""
         from .similarity import ivf_assign_cell
 
-        keep = df.columns
-        return df.select(
-            *keep, ivf_assign_cell(F.col(self.vec_col), cents).alias("cell"))
+        cell = ivf_assign_cell(F.col(self.vec_col), cents).alias("cell")
+        return self._stored(df.select(*df.columns, cell))
 
     # ---- build (once) -----------------------------------------------
 
@@ -204,6 +255,7 @@ class IvfIndex:
         self._write_meta({
             "centroids": {str(c): v for c, v in cents.items()},
             "synced_version": head,
+            "store": self.store,
             "full_builds": prev.get("full_builds", 0) + 1,
             "full_reassigns": prev.get("full_reassigns", 0),
             "splits": prev.get("splits", 0),
@@ -260,10 +312,11 @@ class IvfIndex:
                 latest.filter(F.col("_change_type") != "deleted")
                 .drop("_change_type"),
                 cents).withColumn("_del", F.lit(False))
-            dead = (latest.filter(F.col("_change_type") == "deleted")
-                    .drop("_change_type")
-                    .withColumn("cell", F.lit(None).cast("long"))
-                    .withColumn("_del", F.lit(True)))
+            dead = (self._stored(
+                latest.filter(F.col("_change_type") == "deleted")
+                .drop("_change_type"))
+                .withColumn("cell", F.lit(None).cast("long"))
+                .withColumn("_del", F.lit(True)))
             self.assign.merge(live.unionByName(dead), delete_col="_del")
         finally:
             latest.unpersist()
@@ -388,7 +441,7 @@ class IvfIndex:
                 F.expr(where) if isinstance(where, str) else where)
         c = base.select(
             F.col(self.id_col).alias("neighbor_id"),
-            F.col(self.vec_col).alias("c_emb"), "cell")
+            self._stored_vec().alias("c_emb"), "cell")
         pairs = (q.join(c, "cell")
                  .filter(F.col("query_id") != F.col("neighbor_id"))
                  .select("query_id", "neighbor_id",
@@ -472,7 +525,15 @@ class IvfIndex:
         cents = self._cents_from_meta(m)
         if cell not in cents:
             raise ValueError(f"unknown cell {cell}")
-        members = self.assign.read().filter(F.col("cell") == cell)
+        stored = self.assign.read().filter(F.col("cell") == cell)
+        # a full-precision VIEW of the members, whatever the storage
+        # representation: raw column for "float", dequantized grid for
+        # "sq8" (re-quantizing grid points is exact, so the re-stored
+        # rows round-trip bit-identically)
+        passthru = [c for c in stored.columns
+                    if c not in ("cell", self.vec_col, self._Q8_COL)]
+        members = stored.select(
+            *passthru, self._stored_vec().alias(self.vec_col))
         far = (members.select(
             self.id_col,
             self.vec_col,
@@ -494,7 +555,7 @@ class IvfIndex:
                     new_id: trained.get(1, seed_b)}
         else:
             pair = {cell: seed_a, new_id: seed_b}
-        moved = self._assigned(members.drop("cell"), pair)
+        moved = self._assigned(members, pair)
         self.assign.merge(moved)
         m["centroids"][str(cell)] = pair[cell]
         m["centroids"][str(new_id)] = pair[new_id]
