@@ -302,6 +302,29 @@ def test_sq8_store_shrinks_index_and_holds_recall(spark, tmp_path):
                                        and c in (hot, new_cell))
 
 
+def test_sq8_rerank_restores_exact_scores(spark, tmp_path):
+    """r12 refine stage: search(rerank=corpus) re-scores the
+    quantized index's top-4k candidates against the RAW corpus
+    vectors (read_point key-lookup — the bounded candidate set prunes
+    the corpus scan), so an sq8 index returns EXACT cosine values and,
+    at full probe with headroom, the exact brute-force top-k."""
+    corpus = _corpus(spark, str(tmp_path / "c"), n=300)
+    ix = IvfIndex(spark, str(tmp_path / "ix"), store="sq8")
+    ix.build(corpus, n_centroids=8)
+    q = corpus.read().filter(F.col("vec_id") < 6)
+    want = {(r.query_id, r.rk): (r.neighbor_id, r.cos_sim)
+            for r in topk_bruteforce(q, corpus.read(), 5).collect()}
+    got = {(r.query_id, r.rk): (r.neighbor_id, r.cos_sim)
+           for r in ix.search(q, 5, nprobe=8,
+                              rerank=corpus).collect()}
+    assert got == want
+    # without rerank the sq8 scores are approximate (dequantized) —
+    # some value differs even when the ranking holds
+    approx = {(r.query_id, r.rk): r.cos_sim
+              for r in ix.search(q, 5, nprobe=8).collect()}
+    assert any(approx[kk] != want[kk][1] for kk in approx)
+
+
 def test_filtered_search_exact_among_matching_rows(spark, tmp_path):
     """r12 filtered ANN: search(where=) must return the best k AMONG
     MATCHING rows — not a post-filtered global top-k, which under-fills

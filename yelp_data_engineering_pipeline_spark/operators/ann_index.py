@@ -382,7 +382,9 @@ class IvfIndex:
     def search(self, queries: DataFrame, k: int,
                nprobe: int = 1,
                prune_files: bool | None = None,
-               where=None) -> DataFrame:
+               where=None,
+               rerank: "ParquetMergeTable | None" = None,
+               rerank_factor: int = 4) -> DataFrame:
         """ANN top-k from the PERSISTED index: each query probes the
         union of its ``nprobe`` nearest cells (bounded k-row window
         per query), candidates come from one equi-join on ``cell``
@@ -411,7 +413,19 @@ class IvfIndex:
         — the classic filtered-search defect). The predicate lands on
         the pruned candidate scan (Catalyst pushes it into the
         parquet read), and recall semantics are unchanged: exact
-        within the probed cells, exact overall at full probe."""
+        within the probed cells, exact overall at full probe.
+
+        ``rerank`` (r12, the FAISS refine stage for quantized
+        storage): the CORPUS table holding raw vectors. The index's
+        (possibly sq8-approximate) scores pick the top
+        ``rerank_factor``·k candidates per query; their RAW vectors
+        come back through ``read_point`` on the corpus — the bounded
+        candidate-id set prunes the corpus scan via zone maps/Bloom,
+        the key-lookup shape — and the FINAL top-k is exact cosine
+        over raw values. With ``store="sq8"`` this restores exact
+        scores and near-exact ranking at ~(nprobe/C + k'/corpus) of
+        brute-force cost; with float storage it is a no-op ranking
+        with extra I/O (skip it there)."""
         from pyspark.sql import Window
 
         from .similarity import ivf_probe_cells
@@ -444,13 +458,34 @@ class IvfIndex:
             self._stored_vec().alias("c_emb"), "cell")
         pairs = (q.join(c, "cell")
                  .filter(F.col("query_id") != F.col("neighbor_id"))
-                 .select("query_id", "neighbor_id",
+                 .select("query_id", "q_emb", "neighbor_id",
                          F.round(cosine(F.col("q_emb"),
                                         F.col("c_emb")), 4)
                          .alias("cos_sim")))
         w = Window.partitionBy("query_id").orderBy(
             F.col("cos_sim").desc(), F.col("neighbor_id"))
-        return (pairs.withColumn(
+        if rerank is None:
+            return (pairs.drop("q_emb").withColumn(
+                "rk", F.row_number().over(w).cast("bigint"))
+                .filter(F.col("rk") <= k))
+        kk = max(k, k * max(1, rerank_factor))
+        cand = (pairs.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= kk)
+                .select("query_id", "q_emb", "neighbor_id"))
+        # bounded by |queries|·k' (the search contract's small side):
+        # the id list routes the corpus read through read_point — zone
+        # maps + any Bloom index prune to the files holding candidates
+        ids = [r["neighbor_id"] for r in
+               cand.select("neighbor_id").distinct().collect()]
+        raw = rerank.read_point(self.id_col, ids).select(
+            F.col(self.id_col).alias("neighbor_id"),
+            F.col(self.vec_col).alias("raw_emb"))
+        exact = (cand.join(raw, "neighbor_id")
+                 .select("query_id", "neighbor_id",
+                         F.round(cosine(F.col("q_emb"),
+                                        F.col("raw_emb")), 4)
+                         .alias("cos_sim")))
+        return (exact.withColumn(
             "rk", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rk") <= k))
 
