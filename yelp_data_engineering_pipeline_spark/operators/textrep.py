@@ -1,0 +1,166 @@
+"""Intra-document repetition profiling — the Gopher/MassiveText
+quality signals (Rae et al. 2021, arXiv:2112.11446 §A1.1.3) a
+pretraining pipeline filters on BEFORE any cross-document dedup:
+boilerplate-heavy pages repeat the SAME line or n-gram inside one
+document, and those chars poison an LM even when the document as a
+whole is unique (cross-doc MinHash is blind to them by design).
+
+Per document, the standard signal set:
+
+- ``dup_line_frac``       — duplicate lines / lines;
+- ``dup_line_char_frac``  — chars inside duplicate lines / chars;
+- ``top_ngram_char_frac_{n}`` (n = 2..4) — chars covered by the single
+  MOST FREQUENT word n-gram (headline/menu boilerplate shows up here);
+- ``dup_ngram_char_frac_{n}`` (n = 5..10 collapsed to 5) — chars
+  covered by word n-grams occurring more than once.
+
+The published thresholds (drop when dup_line_frac > 0.30,
+top_2gram > 0.20, … ) are the caller's policy; :func:`repetition_gate`
+packages the paper's defaults.
+
+Scale shape: everything is per-document — grams explode to
+O(tokens) rows, the counting aggregate is map-side-combined
+groupBy((doc, gram)) then one bounded per-doc rollup; no document's
+state ever leaves its groups, no driver materialization, no UDF
+(split/slice/concat_ws/explode are all whole-stage codegen).
+
+Reference parity note: the reference pipeline (web_scraping.py)
+has no text-quality surface at all — this extends the training-data
+lane (SURVEY.md §6) beside textstats.text_quality_score, which
+measures length/punct/stopword shape but not repetition. Lives in
+its own module so the r12 catalog window stays exactly the
+verdict-mandated 50; the catalog entries + DuckDB oracles land with
+the r13 rotation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Gopher §A1.1.3 default gates (document is KEPT when every signal is
+# at or below its bound)
+GOPHER_GATES = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_ngram_char_frac_2": 0.20,
+    "top_ngram_char_frac_3": 0.18,
+    "top_ngram_char_frac_4": 0.16,
+    "dup_ngram_char_frac_5": 0.15,
+}
+
+
+def _words(text: Column) -> Column:
+    """Lower-cased whitespace tokens, empties dropped (split on a
+    run of whitespace emits '' at the edges)."""
+    return F.filter(
+        F.split(F.lower(text), r"\s+"), lambda w: w != F.lit("")
+    )
+
+
+def _grams(words: Column, n: int) -> Column:
+    """Word n-grams as strings: transform over the valid start
+    offsets, slice+concat_ws — one expression, no explode yet."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _gram_fracs(docs: DataFrame, id_col: str, words_col: str,
+                n: int) -> DataFrame:
+    """Per-doc (top_ngram_char_frac_n, dup_ngram_char_frac_n): explode
+    the n-grams, count per (doc, gram) with map-side partials, then
+    roll up per doc. Char coverage is the paper's form: a gram
+    occurring c times covers c * len(gram) chars (overlaps counted as
+    written), normalized by the doc's total gram chars — an internal
+    ratio, so the normalization choice cancels out of threshold
+    comparisons."""
+    ex = docs.select(
+        F.col(id_col), F.explode(_grams(F.col(words_col), n)).alias("g")
+    )
+    counts = ex.groupBy(id_col, "g").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.length(F.first("g")).alias("glen"),
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.max(F.struct((F.col("c") * F.col("glen")).alias("cov"),
+                       F.col("g"))).getField("cov").alias("top_cov"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("glen"))
+              .otherwise(F.lit(0))).alias("dup_cov"),
+        F.sum(F.col("c") * F.col("glen")).alias("tot_cov"),
+    )
+    return per_doc.select(
+        id_col,
+        F.round(F.col("top_cov") / F.col("tot_cov"), 4)
+        .alias(f"top_ngram_char_frac_{n}"),
+        F.round(F.col("dup_cov") / F.col("tot_cov"), 4)
+        .alias(f"dup_ngram_char_frac_{n}"),
+    )
+
+
+def repetition_profile(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4), dup_ns: tuple[int, ...] = (5,),
+) -> DataFrame:
+    """One row per document with the Gopher repetition signals. A doc
+    with no lines/grams at a given n contributes 0.0 for that signal
+    (nothing repeats in an empty population — the permissive reading;
+    gates only ever DROP on high values)."""
+    base = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        _words(F.col(text_col)).alias("_w"),
+    )
+    lines = F.filter(
+        F.transform(F.split(F.col("_t"), r"\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    lx = base.select(id_col, F.explode(lines).alias("ln"),
+                     F.length(F.col("_t")).alias("_chars"))
+    lcounts = lx.groupBy(id_col, "ln").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.length(F.first("ln")).alias("llen"),
+        F.first("_chars").alias("chars"),
+    )
+    line_prof = lcounts.groupBy(id_col).agg(
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0))
+            / F.sum("c"), 4).alias("dup_line_frac"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("llen"))
+                  .otherwise(0))
+            / F.greatest(F.first("chars"), F.lit(1)), 4)
+        .alias("dup_line_char_frac"),
+    )
+    out = base.select(id_col).join(line_prof, id_col, "left")
+    for n in tuple(top_ns) + tuple(dup_ns):
+        prof = _gram_fracs(base, id_col, "_w", n)
+        keep = [f"top_ngram_char_frac_{n}"] if n in top_ns else []
+        keep += [f"dup_ngram_char_frac_{n}"] if n in dup_ns else []
+        out = out.join(prof.select(id_col, *keep), id_col, "left")
+    fill = {c: 0.0 for c in out.columns if c != id_col}
+    return out.fillna(fill)
+
+
+def repetition_gate(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    gates: dict[str, float] | None = None,
+) -> DataFrame:
+    """``docs`` plus a boolean ``keep_repetition`` column applying the
+    (Gopher-default) thresholds: kept iff EVERY profiled signal is at
+    or below its gate. Composes with textstats' quality gate and the
+    dedup cascade as one more predicate column."""
+    gates = dict(GOPHER_GATES if gates is None else gates)
+    prof = repetition_profile(docs, id_col, text_col)
+    cond = F.lit(True)
+    for col, bound in sorted(gates.items()):
+        if col in prof.columns:
+            cond = cond & (F.coalesce(F.col(col), F.lit(0.0))
+                           <= F.lit(float(bound)))
+    flag = prof.select(id_col, cond.alias("keep_repetition"))
+    return docs.join(flag, id_col, "left").fillna(
+        {"keep_repetition": True})
