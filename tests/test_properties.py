@@ -504,13 +504,24 @@ def test_asof_nearest_matches_pandas_merge_asof(spark, lrows, rrows, tol_s):
         sl, sr, on="ts", by="k", value_col="rv",
         tolerance_us=None if tol_s is None else tol_s * 1_000_000,
     )
-    got_map = {(r.k, r.ts): r.rv_asof for r in got.collect()}
+    # key the comparison by EPOCH SECONDS, not naive datetimes: Spark
+    # collects timestamps naive in the driver's SYSTEM zone while the
+    # pandas side holds naive UTC wall times — on a non-UTC host the
+    # raw keys diverge even though the instants agree (bit the r12
+    # full-suite run under TZ=America/New_York)
+    import datetime as dt
+
+    got_map = {
+        (r.k, int(r.ts.astimezone(dt.timezone.utc).timestamp())): r.rv_asof
+        for r in got.collect()
+    }
     for _, row in want.iterrows():
-        g = got_map[(row.k, row.ts)]
+        key = (row.k, int(row.ts.timestamp()))
+        g = got_map[key]
         if pd.isna(row.rv):
-            assert g is None, (row.k, row.ts, g)
+            assert g is None, (key, g)
         else:
-            assert g == float(row.rv), (row.k, row.ts, g, row.rv)
+            assert g == float(row.rv), (key, g, row.rv)
 
 
 @settings(max_examples=10, deadline=None)

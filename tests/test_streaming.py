@@ -54,7 +54,7 @@ def test_tumbling_window_streaming_matches_batch(spark, tmp_path, sf_dir):
                 json.dumps(
                     {
                         "event_id": r["event_id"],
-                        "ts": r["ts"].isoformat(sep=" "),
+                        "ts": _iso_utc(r["ts"]),
                         "user_id": r["user_id"],
                         "event_type": r["event_type"],
                         "value": r["value"],
@@ -288,11 +288,25 @@ def test_foreachbatch_upsert_maintains_dimension(spark, tmp_path):
     }
 
 
+
+def _iso_utc(ts):
+    """Serialize a COLLECTED timestamp for a JSON stream source
+    tz-unambiguously: collect() returns naive datetimes in the
+    DRIVER'S SYSTEM zone, while the stream source re-parses bare
+    strings in the SESSION zone (UTC) — on a non-UTC host the naive
+    isoformat round-trip shifts every instant and the
+    streaming-vs-batch differentials break (bit the r12 full-suite
+    run under TZ=America/New_York). An explicit offset pins the
+    instant under any host zone."""
+    import datetime as _dt
+
+    return ts.astimezone(_dt.timezone.utc).isoformat()
+
 def _events_to_ndjson(events, path, cols=("event_id", "user_id", "event_type", "value")):
     with path.open("w") as f:
         for r in events.collect():
             rec = {c: r[c] for c in cols if c in r.asDict()}
-            rec["ts"] = r["ts"].isoformat(sep=" ")
+            rec["ts"] = _iso_utc(r["ts"])
             f.write(json.dumps(rec) + "\n")
 
 
@@ -365,7 +379,7 @@ def test_approx_distinct_window_streaming_matches_batch(spark, tmp_path, sf_dir)
                     json.dumps(
                         {
                             "event_id": r["event_id"],
-                            "ts": r["ts"].isoformat(sep=" "),
+                            "ts": _iso_utc(r["ts"]),
                             "user_id": r["user_id"],
                             "event_type": r["event_type"],
                             "value": r["value"],
@@ -420,7 +434,7 @@ def test_stream_stream_join_matches_batch(spark, tmp_path, sf_dir):
                 json.dumps(
                     {
                         "event_id": r["event_id"],
-                        "ts": r["ts"].isoformat(sep=" "),
+                        "ts": _iso_utc(r["ts"]),
                         "user_id": r["user_id"],
                         "event_type": r["event_type"],
                     }
@@ -486,7 +500,7 @@ def test_stream_stream_join_state_survives_restart(spark, tmp_path, sf_dir):
                     json.dumps(
                         {
                             "event_id": r["event_id"],
-                            "ts": r["ts"].isoformat(sep=" "),
+                            "ts": _iso_utc(r["ts"]),
                             "user_id": r["user_id"],
                             "event_type": r["event_type"],
                         }
