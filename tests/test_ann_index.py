@@ -302,6 +302,51 @@ def test_sq8_store_shrinks_index_and_holds_recall(spark, tmp_path):
                                        and c in (hot, new_cell))
 
 
+def test_replicated_index_serves_identical_searches(spark, tmp_path):
+    """r12 replicate_index: assignment table through the change feed,
+    codebook/meta copied at the sync point — the replica must answer
+    EVERY search identically to the primary after each sync, across
+    churn (incl. deletes) and an optimize() on the primary."""
+    from yelp_data_engineering_pipeline_spark.operators.ann_index import (
+        replicate_index,
+    )
+
+    rng = random.Random(41)
+    corpus = _corpus(spark, str(tmp_path / "c"), n=96)
+    primary = IvfIndex(spark, str(tmp_path / "p"))
+    primary.build(corpus, n_centroids=8)
+    rep_root = str(tmp_path / "r")
+    ckpt = str(tmp_path / "ck")
+
+    def same_answers():
+        q = corpus.read().filter(F.col("vec_id") % 17 == 0)
+        a = {(r.query_id, r.rk): (r.neighbor_id, r.cos_sim)
+             for r in primary.search(q, 5, nprobe=4).collect()}
+        b = {(r.query_id, r.rk): (r.neighbor_id, r.cos_sim)
+             for r in replica.search(q, 5, nprobe=4).collect()}
+        assert a == b and a
+
+    replica = replicate_index(spark, primary, rep_root, ckpt)
+    assert replica.meta() == primary.meta()
+    same_answers()
+
+    # churn the corpus, maintain the PRIMARY, re-sync the replica
+    corpus.merge(spark.createDataFrame(
+        [(i, v, False) for i, v in _rows(rng, [500 + j for j in range(20)])]
+        + [(5, None, True)],
+        SCHEMA + ", _del boolean"),
+        delete_col="_del")
+    primary.refresh(corpus)
+    primary.optimize(target_files=8)
+    replica = replicate_index(spark, primary, rep_root, ckpt)
+    assert replica.meta()["synced_version"] == \
+        primary.meta()["synced_version"]
+    state = {r.vec_id for r in
+             replica.assign.read().select("vec_id").collect()}
+    assert 5 not in state and 510 in state
+    same_answers()
+
+
 def test_sq8_rerank_restores_exact_scores(spark, tmp_path):
     """r12 refine stage: search(rerank=corpus) re-scores the
     quantized index's top-4k candidates against the RAW corpus

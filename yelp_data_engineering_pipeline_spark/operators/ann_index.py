@@ -599,6 +599,45 @@ class IvfIndex:
         return new_id
 
 
+def replicate_index(spark: SparkSession, primary: IvfIndex,
+                    replica_root: str, checkpoint_dir: str,
+                    storage: str = "posix", backend=None,
+                    verify: bool = True) -> IvfIndex:
+    """Cross-region READ replica of a persisted index (r12, the
+    serving topology a 100 TB deployment runs: searches go to the
+    replica near the users, maintenance stays on the primary):
+
+    - the assignment TABLE replicates through its own change feed
+      (``export_changes`` → ``run_replication_stream`` — exactly-once
+      through the stream checkpoint, divergence-audited when
+      ``verify``);
+    - the codebook/meta sidecar — k×d floats + the sync cursor, which
+      the feed does NOT carry (it moves content, not sidecars, the
+      same gap promote_replica's carry_layout closes for
+      clustering/Bloom) — is copied at the sync point, so the
+      replica's ``search`` sees the codebook THAT MATCHES the
+      replicated assignments.
+
+    Re-run after every primary sync cadence; each call drains
+    everything new. The replica is for SEARCH: its assignment table
+    carries the ``_commit_version`` provenance column, so point it at
+    queries, not at ``refresh`` (maintenance belongs on the primary;
+    a promoted replica rebuilds cleanly from the promoted corpus with
+    one ``build`` against the copied codebook's cells re-derived).
+    Returns the replica handle (same id/vec columns)."""
+    from ..streaming.ingest import run_replication_stream
+
+    primary.assign.export_changes()
+    run_replication_stream(
+        spark, primary.assign, os.path.join(replica_root, "assign"),
+        checkpoint_dir, storage=storage, verify=verify)
+    replica = IvfIndex(spark, replica_root, id_col=primary.id_col,
+                       vec_col=primary.vec_col, storage=storage,
+                       backend=backend)
+    replica._write_meta(primary.meta())
+    return replica
+
+
 # ---------------------------------------------------------------------------
 # Catalog entry: the persisted-index READ path under the driver's
 # third-party differential gate (VERDICT r11 next-3 — until r12,
