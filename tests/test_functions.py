@@ -50,9 +50,11 @@ def test_tz_conversion_matches_zoneinfo(spark, sf_dir):
     ).collect()
     la = ZoneInfo("America/Los_Angeles")
     for r in got:
-        expected = (
-            r["ts"].replace(tzinfo=timezone.utc).astimezone(la).replace(tzinfo=None)
-        )
+        # collect() returns TimestampType naive in the driver's SYSTEM
+        # zone — anchor it there (astimezone on a naive datetime), NOT
+        # as UTC wall, or the expectation shifts on a non-UTC host
+        # (bit the r12 full-suite run under TZ=America/New_York)
+        expected = r["ts"].astimezone(la).replace(tzinfo=None)
         assert r["la_ts"] == expected, r["event_id"]
 
 
