@@ -105,6 +105,69 @@ def test_assignment_matches_window_reference_bit_identical(spark, tmp_path):
     assert got == want
 
 
+def test_assignment_fuzz_matches_window_reference(spark):
+    """Hypothesis twin of the fixed-fixture equivalence: random
+    non-degenerate vectors AND a crafted tie population (duplicated
+    centroids → equal rounded sims → the (cent_sim DESC, cell ASC)
+    tiebreak decides) must assign identically under the map-side
+    argmax and the removed r11 window formulation. Zero-norm vectors
+    are excluded by construction — their NaN cosine has no meaningful
+    cell and the two shapes rank NaN differently (documented in
+    ivf_assign_cell)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        cosine, ivf_assign_cell,
+    )
+
+    unit = st.floats(min_value=-1.0, max_value=1.0,
+                     allow_nan=False, allow_infinity=False)
+
+    @st.composite
+    def corpus_and_cents(draw):
+        dim = draw(st.integers(2, 6))
+        vec = st.lists(unit, min_size=dim, max_size=dim).filter(
+            lambda v: sum(x * x for x in v) > 1e-6)
+        cents = draw(st.lists(vec, min_size=1, max_size=5))
+        if draw(st.booleans()) and cents:
+            cents.append(list(cents[0]))      # duplicated centroid: ties
+        vecs = draw(st.lists(vec, min_size=1, max_size=12))
+        vecs.extend(list(c) for c in cents[:2])   # exact-hit ties too
+        return dict(enumerate(cents)), vecs
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(cc=corpus_and_cents())
+    def run(cc):
+        cents, vecs = cc
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>")
+        got = {r.vec_id: r.cell for r in df.select(
+            "vec_id",
+            ivf_assign_cell(F.col("embedding"), cents).alias("cell")
+        ).collect()}
+        cdf = spark.createDataFrame(
+            [(int(c), [float(x) for x in v])
+             for c, v in sorted(cents.items())],
+            "cell long, cent_emb array<double>")
+        scored = (df.join(F.broadcast(cdf))
+                  .select("vec_id", "cell",
+                          F.round(cosine(F.col("embedding"),
+                                         F.col("cent_emb")), 4)
+                          .alias("s")))
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("s").desc(), F.col("cell"))
+        want = {r.vec_id: r.cell for r in
+                scored.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).collect()}
+        assert got == want, (cents, vecs)
+
+    run()
+
+
 def test_build_and_full_probe_is_exact(spark, tmp_path):
     corpus = _corpus(spark, str(tmp_path / "corp"))
     ix = IvfIndex(spark, str(tmp_path / "ix"))
