@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from yelp_data_engineering_pipeline_spark.operators.ann_index import (
@@ -363,6 +364,56 @@ def test_sq8_store_shrinks_index_and_holds_recall(spark, tmp_path):
         for kk, c in after.items():
             assert c == before[kk] or (before[kk] == hot
                                        and c in (hot, new_cell))
+
+
+def test_refresh_crash_between_merge_and_meta_repairs(spark, tmp_path):
+    """The crash-safety claim made by refresh()/the streaming hook:
+    dying AFTER the assignment merge but BEFORE the sync-cursor write
+    leaves the index one commit behind; the NEXT refresh replays that
+    commit's churn through the feed and the keyed merge converges to
+    the exact same state a clean run reaches — no drift, no double
+    apply, no full rebuild."""
+    rng = random.Random(47)
+    corpus = _corpus(spark, str(tmp_path / "c"), n=48)
+    ix = IvfIndex(spark, str(tmp_path / "ix"))
+    ix.build(corpus, n_centroids=8)
+
+    corpus.merge(spark.createDataFrame(
+        [(i, v, False) for i, v in _rows(rng, [200 + j for j in range(10)])]
+        + [(7, None, True)],
+        SCHEMA + ", _del boolean"), delete_col="_del")
+
+    orig = ix._write_meta
+    calls = {"n": 0}
+
+    def dying(m):
+        calls["n"] += 1
+        raise RuntimeError("injected crash before meta write")
+
+    ix._write_meta = dying
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            ix.refresh(corpus)
+    finally:
+        ix._write_meta = orig
+    assert calls["n"] == 1
+    # assignments landed, cursor did not: the index is 'one behind'
+    m = ix.meta()
+    assert m["synced_version"] < corpus.current_version()
+    assert 205 in _assign_sets(ix) and 7 not in _assign_sets(ix)
+
+    # the next refresh REPLAYS the same commit idempotently and
+    # advances the cursor; state equals a from-scratch assignment
+    rep = ix.refresh(corpus)
+    assert rep["versions"] == 1 and rep["rows"] == 11
+    assert ix.meta()["synced_version"] == corpus.current_version()
+    assert _assign_sets(ix) == _fresh_assign(spark, ix, corpus)
+    assert ix.meta()["full_builds"] == 1
+    # and it stays strictly incremental afterwards
+    corpus.merge(spark.createDataFrame(_rows(rng, [300]), SCHEMA))
+    rep2 = ix.refresh(corpus)
+    assert rep2["versions"] == 1 and rep2["rows"] == 1
+    assert _assign_sets(ix) == _fresh_assign(spark, ix, corpus)
 
 
 def test_replicated_index_serves_identical_searches(spark, tmp_path):
