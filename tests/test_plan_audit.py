@@ -153,6 +153,55 @@ def test_ivf_corpus_assignment_plans_no_exchange_no_window(spark, sf_dir):
     assert "Window" not in plan, plan
 
 
+def test_large_codebook_assignment_stays_shuffle_free_and_equivalent(
+        spark, sf_dir):
+    """The 100 TB codebook regime (k·d past the literal bound): the
+    codebook must ride as a ONE-ROW broadcast — no ShuffleExchange, no
+    Window, no k-row expansion — and assign identically to the literal
+    kernel (equivalence across the transport threshold). Planning must
+    stay sub-second-scale (the literal form measured ~30 s at
+    k=1024·d=64 — the codegen blowup the router exists to avoid)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        _CODEBOOK_LITERAL_MAX_VALUES, ivf_assign,
+    )
+
+    rng = random.Random(9)
+    d = 16
+    k = _CODEBOOK_LITERAL_MAX_VALUES // d + 8      # just past the bound
+    cents = {c: [rng.uniform(-1, 1) for _ in range(d)] for c in range(k)}
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(d)]) for i in range(80)],
+        "vec_id long, embedding array<double>")
+
+    big = ivf_assign(emb, cents)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan      # the 1-row attach
+    got = {r.vec_id: r.cell for r in big.collect()}
+
+    # equivalence with the literal kernel on a subset small enough to
+    # take the literal path (same arithmetic, same tiebreak)
+    sub = {c: cents[c] for c in range(_CODEBOOK_LITERAL_MAX_VALUES // d - 1)}
+    lit = {r.vec_id: r.cell
+           for r in ivf_assign(emb, sub).collect()}
+    # force the broadcast transport for the SAME small codebook by
+    # lowering the bound, then compare bit-for-bit
+    import yelp_data_engineering_pipeline_spark.operators.similarity as S
+    orig = S._CODEBOOK_LITERAL_MAX_VALUES
+    S._CODEBOOK_LITERAL_MAX_VALUES = 0
+    try:
+        forced = {r.vec_id: r.cell for r in ivf_assign(emb, sub).collect()}
+    finally:
+        S._CODEBOOK_LITERAL_MAX_VALUES = orig
+    assert forced == lit
+    assert set(got) == set(lit)                   # same population either way
+
+
 def test_topk_ivf_plans_single_window_and_no_corpus_shuffle(spark, sf_dir):
     """The full topk_ivf plan may contain exactly ONE Window — the
     per-query final rank (bounded by the query side) — and must never

@@ -212,6 +212,23 @@ def test_ann_variants_never_cross_join(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
 
 
+def test_similarity_topk_ivf_executes_not_just_plans(spark, sf_dir):
+    """Regression (r12): naming the probe-cells ARRAY in one
+    projection and exploding it in a later one mis-bound attributes
+    under the query-vs-corpus self-join — a DETERMINISTIC runtime
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND that PLANNED fine, so the
+    plan-audit sweeps never saw it. ivf_assign(explode=True) keeps
+    the generator inside its own projection; this pin EXECUTES the
+    entry end to end."""
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        similarity_topk_ivf,
+    )
+
+    rows = similarity_topk_ivf(spark, sf_dir).collect()
+    assert len(rows) == 50
+    assert all(r.rk <= 5 for r in rows)
+
+
 def test_rph_buckets_match_between_expressions(spark, sf_dir):
     """The Spark-side bucket and a DuckDB evaluation of the literal SQL
     must agree on every vector (sign bits are engine-stable because both

@@ -164,11 +164,13 @@ class IvfIndex:
         scale-killer VERDICT r11 flagged; the tiebreak (cent_sim DESC,
         cell ASC) is preserved bit-identically by the struct-min.
         Assignment always uses the RAW vector (full precision), even
-        when storage is quantized."""
-        from .similarity import ivf_assign_cell
+        when storage is quantized. Codebook transport auto-selects by
+        size (literal vs one-row broadcast — similarity.ivf_assign),
+        so a k≈2¹⁰ codebook neither blows up Catalyst nor shuffles."""
+        from .similarity import ivf_assign
 
-        cell = ivf_assign_cell(F.col(self.vec_col), cents).alias("cell")
-        return self._stored(df.select(*df.columns, cell))
+        return self._stored(
+            ivf_assign(df, cents, vec_col=self.vec_col))
 
     # ---- build (once) -----------------------------------------------
 
@@ -428,14 +430,15 @@ class IvfIndex:
         with extra I/O (skip it there)."""
         from pyspark.sql import Window
 
-        from .similarity import ivf_probe_cells
+        from .similarity import ivf_assign
 
         cents = self._cents_from_meta(self.meta())
-        q = queries.select(
-            F.col(self.id_col).alias("query_id"),
-            F.col(self.vec_col).alias("q_emb"),
-            F.explode(ivf_probe_cells(
-                F.col(self.vec_col), cents, max(1, nprobe))).alias("cell"))
+        q = ivf_assign(
+            queries.select(F.col(self.id_col).alias("query_id"),
+                           F.col(self.vec_col).alias("q_emb")),
+            cents, vec_col="q_emb", nprobe=max(1, nprobe),
+            explode=True,
+        )
         if prune_files is None:
             # metadata-only size probe: per-file bytes off the lazy
             # zone arrays, zero Spark jobs

@@ -260,17 +260,31 @@ def topk_lsh_multitable(
     return pairs.withColumn("rk", F.row_number().over(w).cast("bigint")).filter(F.col("rk") <= k)
 
 
-def _cell_structs(vec: Column, cents: dict[int, list[float]]) -> list[Column]:
-    """One ``struct(-round(cosine(vec, centroid_c), 4), c)`` per
-    centroid, over LITERAL centroid arrays. Struct ordering on
-    (neg_sim, cell) == the IVF tiebreak (cent_sim DESC, cell ASC)."""
-    return [
-        F.struct(
-            (-F.round(cosine(vec, F.lit([float(x) for x in v])), 4)).alias("neg_sim"),
-            F.lit(int(c)).cast("long").alias("cell"),
-        )
-        for c, v in sorted(cents.items())
-    ]
+def _cell_structs(vec: Column, cents: dict[int, list[float]]) -> Column:
+    """``array<struct(-round(cosine(vec, centroid_c), 4), c)>`` over
+    the whole codebook, as a transform over a LITERAL matrix. Struct
+    ordering on (neg_sim, cell) == the IVF tiebreak (cent_sim DESC,
+    cell ASC).
+
+    The literal form costs one expression node per codebook VALUE
+    (PySpark's ``lit`` unrolls nested lists into array() constructors),
+    so Catalyst analysis grows with k·d — fine for the catalog/test
+    regime (≤16 cells × 64 dims), measurably slow past ~2k values and
+    ~30 s at k=1024·d=64. :func:`ivf_assign` therefore routes LARGE
+    codebooks through the one-row-broadcast data plane
+    (:func:`_scored_cells_over`) instead; this literal kernel stays
+    the join-free small-codebook path the plan-audit tests pin."""
+    keys = sorted(cents)
+    mat = F.lit([[float(x) for x in cents[c]] for c in keys])
+    ids = F.lit([int(c) for c in keys])
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(len(keys))),
+        lambda i: F.struct(
+            (-F.round(cosine(vec, F.element_at(mat, i)), 4))
+            .alias("neg_sim"),
+            F.element_at(ids, i).cast("long").alias("cell"),
+        ),
+    )
 
 
 def ivf_assign_cell(vec: Column, cents: dict[int, list[float]]) -> Column:
@@ -293,7 +307,7 @@ def ivf_assign_cell(vec: Column, cents: dict[int, list[float]]) -> Column:
     no fixture or oracle exercises one."""
     if not cents:
         raise ValueError("empty codebook")
-    return F.array_min(F.array(*_cell_structs(vec, cents)))["cell"]
+    return F.array_min(_cell_structs(vec, cents))["cell"]
 
 
 def ivf_probe_cells(vec: Column, cents: dict[int, list[float]],
@@ -305,10 +319,94 @@ def ivf_probe_cells(vec: Column, cents: dict[int, list[float]],
     the bounded QUERY side; the corpus hot path keeps the O(k) min."""
     if not cents:
         raise ValueError("empty codebook")
-    ranked = F.array_sort(F.array(*_cell_structs(vec, cents)))
+    ranked = F.array_sort(_cell_structs(vec, cents))
     return F.transform(
         F.slice(ranked, 1, max(1, nprobe)), lambda s: s["cell"]
     )
+
+
+# Above this many codebook VALUES (k cells × d dims) the literal form
+# stops paying: a literal array-of-arrays is built from one expression
+# node per value, and Catalyst analysis grows with it — measured at
+# d=64: ~1 s of planning at k=32, ~4 s at k=128, ~30 s at k=1024 (and
+# whole-stage codegen gives up long before that). Past the bound the
+# codebook rides as DATA in a ONE-ROW broadcast instead: O(1) plan
+# size, the same map-side argmin, and (measured, k=1024 d=64) 3-5×
+# faster per corpus row than even the pre-r12 broadcast-expand +
+# window shape — while still shuffling nothing.
+_CODEBOOK_LITERAL_MAX_VALUES = 2048
+
+
+def _scored_cells_over(vec: Column, mat: Column, ids: Column) -> Column:
+    """The codebook-as-data twin of :func:`_cell_structs`: score
+    ``vec`` against every row of the matrix COLUMN (one broadcast row
+    per partition, never per record). Identical arithmetic/tiebreak."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(mat)),
+        lambda i: F.struct(
+            (-F.round(cosine(vec, F.element_at(mat, i)), 4))
+            .alias("neg_sim"),
+            F.element_at(ids, i).cast("long").alias("cell"),
+        ),
+    )
+
+
+def ivf_assign(df: DataFrame, cents: dict[int, list[float]],
+               vec_col: str = "embedding", cell_col: str = "cell",
+               nprobe: int | None = None,
+               explode: bool = False) -> DataFrame:
+    """``df`` plus the IVF cell column (or, with ``nprobe``, the
+    probed-cells array) — the ONE assignment entry point that picks
+    the codebook transport by size:
+
+    - small codebooks (k·d ≤ ``_CODEBOOK_LITERAL_MAX_VALUES``): the
+      literal kernels (:func:`ivf_assign_cell` /
+      :func:`ivf_probe_cells`) — join-free, constant-foldable, the
+      plan shape the audit tests pin for the catalog regime;
+    - large codebooks (the 100 TB regime, k≈2¹⁰): the codebook as a
+      ONE-ROW broadcast (matrix + id arrays) with the same transform
+      argmin over the matrix COLUMN. No row expansion, no shuffle —
+      the broadcast build side is a single row, not k rows, so this
+      is NOT the pre-r12 expand-and-window shape.
+
+    ``explode`` (with ``nprobe``): emit one ROW per probed cell,
+    with the generator INSIDE this call's own projection. Callers
+    must use this rather than exploding a named probe-array column in
+    a LATER select: that two-step shape mis-binds under a
+    query-vs-corpus self-join (Spark's plan dedup re-keys one side's
+    attributes; hit at r12 as a deterministic
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND in topk_ivf — the
+    plan-shape regression test pins the working form).
+
+    Either way: zero shuffle of ``df``, bit-identical results
+    (equivalence is test-pinned across the threshold)."""
+    if not cents:
+        raise ValueError("empty codebook")
+    keys = sorted(cents)
+    n_vals = sum(len(cents[c]) for c in keys)
+    vec = F.col(vec_col)
+    if n_vals <= _CODEBOOK_LITERAL_MAX_VALUES:
+        expr = (ivf_probe_cells(vec, cents, nprobe)
+                if nprobe is not None
+                else ivf_assign_cell(vec, cents))
+        if nprobe is not None and explode:
+            expr = F.explode(expr)
+        return df.select(*df.columns, expr.alias(cell_col))
+    onerow = df.sparkSession.createDataFrame(
+        [([[float(x) for x in cents[c]] for c in keys],
+          [int(c) for c in keys])],
+        "_cb_mat array<array<double>>, _cb_ids array<bigint>")
+    scored = _scored_cells_over(vec, F.col("_cb_mat"), F.col("_cb_ids"))
+    if nprobe is None:
+        expr = F.array_min(scored)["cell"]
+    else:
+        expr = F.transform(
+            F.slice(F.array_sort(scored), 1, max(1, nprobe)),
+            lambda s: s["cell"])
+        if explode:
+            expr = F.explode(expr)
+    return (df.join(F.broadcast(onerow))
+            .select(*df.columns, expr.alias(cell_col)))
 
 
 def topk_ivf(
@@ -345,17 +443,16 @@ def topk_ivf(
     cents = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
              for r in cent_rows}
 
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.explode(
-            ivf_probe_cells(F.col("embedding"), cents, max(1, nprobe))
-        ).alias("cell"),
+    q = ivf_assign(
+        queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_emb")),
+        cents, vec_col="q_emb", nprobe=max(1, nprobe), explode=True,
     )
-    c = widen_for_compute(corpus).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        ivf_assign_cell(F.col("embedding"), cents).alias("cell"),
+    c = ivf_assign(
+        widen_for_compute(corpus).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb")),
+        cents, vec_col="c_emb",
     )
     pairs = (
         q.join(c, "cell")
