@@ -762,3 +762,128 @@ def test_optimize_composes_with_partitioned_refresh(spark, tmp_path):
     # still watches it
     assert ix.assign.clustered_by() == ["cell"]
     assert "layout" in ix.maintenance_plan()
+
+
+def test_rebuild_through_default_store_handle_keeps_sq8_meta(
+        spark, tmp_path):
+    """ADVICE r12 (medium): re-running build() through a REOPENED
+    handle with the default store="float" — the promoted-replica
+    rebuild path replicate_index's docstring recommends — must keep
+    projecting AND recording the store the index was created with.
+    The broken shape merged q8-coded rows (meta wins at projection)
+    while flipping meta to "float", so every later search referenced
+    the missing raw embedding column and died."""
+    corpus = _corpus(spark, str(tmp_path / "c"), n=96)
+    ix = IvfIndex(spark, str(tmp_path / "ix"), store="sq8")
+    ix.build(corpus, n_centroids=8)
+    assert ix.meta()["store"] == "sq8"
+
+    reopened = IvfIndex(spark, str(tmp_path / "ix"))  # default float
+    reopened.build(corpus, n_centroids=8)
+    m = reopened.meta()
+    assert m["store"] == "sq8" and m["full_builds"] == 2
+    # rows are q8-coded and the search path reads them fine
+    assert IvfIndex._Q8_COL in reopened.assign.read().columns
+    q = corpus.read().filter(F.col("vec_id") < 4)
+    got = reopened.search(q, 3, nprobe=8).collect()
+    assert len(got) == 4 * 3
+
+
+def test_replicate_meta_snapshot_precedes_concurrent_maintenance(
+        spark, tmp_path):
+    """ADVICE r12: the replica's meta must be the record that MATCHES
+    the exported sync point. A split_cell landing on the primary right
+    after the export (concurrent maintenance) must NOT leak its
+    post-split codebook onto the replica — the split's re-assignments
+    were never exported, so a leaked codebook would probe cells with
+    un-replicated membership (silent recall loss)."""
+    from yelp_data_engineering_pipeline_spark.operators.ann_index import (
+        replicate_index,
+    )
+
+    corpus = _corpus(spark, str(tmp_path / "c"), n=96)
+    primary = IvfIndex(spark, str(tmp_path / "p"))
+    primary.build(corpus, n_centroids=4)
+    cents_before = primary._cents_from_meta(primary.meta())
+    hot = max(
+        ((r.cell, r.n_vectors) for r in primary.cell_stats().collect()),
+        key=lambda t: t[1])[0]
+
+    orig_export = primary.assign.export_changes
+
+    def export_then_split():
+        out = orig_export()
+        primary.split_cell(int(hot))   # lands AFTER the sync point
+        return out
+
+    primary.assign.export_changes = export_then_split
+    try:
+        replica = replicate_index(
+            spark, primary, str(tmp_path / "r"), str(tmp_path / "ck"))
+    finally:
+        primary.assign.export_changes = orig_export
+
+    # replica codebook is the PRE-split record (matches the exported
+    # assignments), not the primary's now-larger one
+    assert replica._cents_from_meta(replica.meta()) == cents_before
+    assert len(primary._cents_from_meta(primary.meta())) == \
+        len(cents_before) + 1
+    # every replicated assignment's cell exists in the replica codebook
+    rep_cells = {r.cell for r in
+                 replica.assign.read().select("cell").distinct().collect()}
+    assert rep_cells <= set(cents_before)
+    # and searches serve a full k per query at full probe
+    q = corpus.read().filter(F.col("vec_id") < 4)
+    got = replica.search(q, 5, nprobe=len(cents_before)).collect()
+    assert len(got) == 4 * 5
+
+
+def test_cdc_stream_survives_delete_only_first_batch(spark, tmp_path):
+    """ADVICE r12: a stream whose FIRST micro-batch carries only
+    delete-marked rows commits an empty table head; the index
+    bootstrap must defer its build (zero seeds would die on an empty
+    codebook) and let the first row-bearing batch train it."""
+    import json as _json
+    import os as _os
+
+    from yelp_data_engineering_pipeline_spark.streaming.ingest import (
+        run_cdc_upsert_stream,
+    )
+
+    rng = random.Random(13)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write_batch(name, ids, ts, deletes=()):
+        with open(in_dir / name, "w") as f:
+            for i in ids:
+                f.write(_json.dumps({
+                    "vec_id": i, "ts": ts,
+                    "embedding": _vec(rng, i % D),
+                    "deleted": False}) + "\n")
+            for i in deletes:
+                f.write(_json.dumps({
+                    "vec_id": i, "ts": ts, "embedding": None,
+                    "deleted": True}) + "\n")
+        t = 1_700_000_000 + ts * 60
+        _os.utime(in_dir / name, (t, t))
+
+    stream_schema = ("vec_id long, ts long, "
+                     "embedding array<double>, deleted boolean")
+    write_batch("b0.ndjson", [], 0, deletes=[1, 2])   # delete-only seed
+    write_batch("b1.ndjson", list(range(24)), 1)
+
+    ix = IvfIndex(spark, str(tmp_path / "ix"))
+    stream = (spark.readStream.schema(stream_schema)
+              .option("maxFilesPerTrigger", "1")
+              .json(str(in_dir)))
+    run_cdc_upsert_stream(
+        spark, stream, str(tmp_path / "tbl"), str(tmp_path / "ckpt"),
+        key="vec_id", ts_col="ts", delete_col="deleted", ann_index=ix)
+
+    table = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="vec_id")
+    m = ix.meta()
+    assert m["full_builds"] == 1          # built once, on the row batch
+    assert m["synced_version"] == table.current_version()
+    assert _assign_sets(ix) == _fresh_assign(spark, ix, table)
+    assert len(_assign_sets(ix)) == 24

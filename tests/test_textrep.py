@@ -43,8 +43,12 @@ def _py_profile(text: str) -> dict:
                 out["dup_ngram_char_frac_5"] = 0.0
             continue
         if n in (2, 3, 4):
+            # the single MOST FREQUENT gram (ties by gram string),
+            # coverage = that gram's c * len (Gopher §A1.1.3 — NOT the
+            # max-coverage gram; ADVICE r12)
+            top_c, top_g = max((c, g) for g, c in gc.items())
             out[f"top_ngram_char_frac_{n}"] = round(
-                max(c * len(g) for g, c in gc.items()) / tot, 4)
+                top_c * len(top_g) / tot, 4)
         if n == 5:
             out["dup_ngram_char_frac_5"] = round(
                 sum(c * len(g) for g, c in gc.items() if c > 1) / tot,

@@ -250,6 +250,12 @@ class IvfIndex:
             cents = self._lloyd(snap, seed_vecs, rounds)
         else:
             cents = dict(enumerate(seed_vecs))
+        # the store the assignment rows were ACTUALLY projected with:
+        # an existing meta record wins over the constructor arg (the
+        # reopened-handle rebuild path — e.g. a promoted replica
+        # rebuilt through a default-store handle — must not flip meta
+        # to "float" over sq8-coded rows; ADVICE r12 medium)
+        store_used = self._meta_store()
         self.assign.merge(self._assigned(snap, cents))
         prev = {}
         if self._backend.exists(self._meta_path()):
@@ -257,7 +263,7 @@ class IvfIndex:
         self._write_meta({
             "centroids": {str(c): v for c, v in cents.items()},
             "synced_version": head,
-            "store": self.store,
+            "store": store_used,
             "full_builds": prev.get("full_builds", 0) + 1,
             "full_reassigns": prev.get("full_reassigns", 0),
             "splits": prev.get("splits", 0),
@@ -630,6 +636,13 @@ def replicate_index(spark: SparkSession, primary: IvfIndex,
     Returns the replica handle (same id/vec columns)."""
     from ..streaming.ingest import run_replication_stream
 
+    # snapshot the meta BEFORE export: a concurrent primary
+    # refresh()/split_cell() between the export and a later meta read
+    # would ship a codebook/sync cursor AHEAD of the replicated
+    # assignments — the replica would probe cells whose membership was
+    # never replicated (silent recall loss; ADVICE r12). The captured
+    # record matches the exported sync point by construction.
+    meta_at_sync = primary.meta()
     primary.assign.export_changes()
     run_replication_stream(
         spark, primary.assign, os.path.join(replica_root, "assign"),
@@ -637,7 +650,7 @@ def replicate_index(spark: SparkSession, primary: IvfIndex,
     replica = IvfIndex(spark, replica_root, id_col=primary.id_col,
                        vec_col=primary.vec_col, storage=storage,
                        backend=backend)
-    replica._write_meta(primary.meta())
+    replica._write_meta(meta_at_sync)
     return replica
 
 

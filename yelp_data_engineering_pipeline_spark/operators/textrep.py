@@ -52,9 +52,12 @@ GOPHER_GATES = {
 
 def _words(text: Column) -> Column:
     """Lower-cased whitespace tokens, empties dropped (split on a
-    run of whitespace emits '' at the edges)."""
+    run of whitespace emits '' at the edges). Explicit class instead
+    of \\s for cross-engine oracle parity (Java \\s includes \\x0b,
+    RE2's excludes it — the textstats.whitespace_tokens convention)."""
     return F.filter(
-        F.split(F.lower(text), r"\s+"), lambda w: w != F.lit("")
+        F.split(F.lower(text), r"[ \t\n\x0b\f\r]+"),
+        lambda w: w != F.lit(""),
     )
 
 
@@ -70,34 +73,46 @@ def _grams(words: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _round_opt(c: Column, round_to: int | None) -> Column:
+    """ROUND(·, round_to), or the raw IEEE ratio when ``round_to`` is
+    None — the bit-parity mode the DuckDB catalog oracles need
+    (double rounding of a raw double diverges across engines at
+    decimal boundaries; division of identical exact ints does not —
+    the textstats.quality_features convention)."""
+    return c if round_to is None else F.round(c, round_to)
+
+
 def _gram_fracs(docs: DataFrame, id_col: str, words_col: str,
-                n: int) -> DataFrame:
+                n: int, round_to: int | None = 4) -> DataFrame:
     """Per-doc (top_ngram_char_frac_n, dup_ngram_char_frac_n): explode
     the n-grams, count per (doc, gram) with map-side partials, then
-    roll up per doc. Char coverage is the paper's form: a gram
-    occurring c times covers c * len(gram) chars (overlaps counted as
-    written), normalized by the doc's total gram chars — an internal
-    ratio, so the normalization choice cancels out of threshold
-    comparisons."""
+    roll up per doc. ``top`` is the single MOST FREQUENT n-gram
+    (Gopher §A1.1.3; ties break to the greatest gram string — fixed
+    and engine-portable), and its coverage is that gram's
+    c * len(gram) chars (overlaps counted as written), normalized by
+    the doc's total gram chars — an internal ratio, so the
+    normalization choice cancels out of threshold comparisons.
+    (ADVICE r12: an earlier form took the max-COVERAGE gram, letting
+    a longer-but-rarer gram inflate the signal past the paper's.)"""
     ex = docs.select(
         F.col(id_col), F.explode(_grams(F.col(words_col), n)).alias("g")
     )
     counts = ex.groupBy(id_col, "g").agg(
         F.count(F.lit(1)).alias("c"),
-        F.length(F.first("g")).alias("glen"),
     )
     per_doc = counts.groupBy(id_col).agg(
-        F.max(F.struct((F.col("c") * F.col("glen")).alias("cov"),
-                       F.col("g"))).getField("cov").alias("top_cov"),
-        F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("glen"))
+        F.max(F.struct(F.col("c"), F.col("g"))).alias("top"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("g"))
               .otherwise(F.lit(0))).alias("dup_cov"),
-        F.sum(F.col("c") * F.col("glen")).alias("tot_cov"),
+        F.sum(F.col("c") * F.length("g")).alias("tot_cov"),
     )
+    top_cov = (F.col("top").getField("c")
+               * F.length(F.col("top").getField("g")))
     return per_doc.select(
         id_col,
-        F.round(F.col("top_cov") / F.col("tot_cov"), 4)
+        _round_opt(top_cov / F.col("tot_cov"), round_to)
         .alias(f"top_ngram_char_frac_{n}"),
-        F.round(F.col("dup_cov") / F.col("tot_cov"), 4)
+        _round_opt(F.col("dup_cov") / F.col("tot_cov"), round_to)
         .alias(f"dup_ngram_char_frac_{n}"),
     )
 
@@ -105,6 +120,7 @@ def _gram_fracs(docs: DataFrame, id_col: str, words_col: str,
 def repetition_profile(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     top_ns: tuple[int, ...] = (2, 3, 4), dup_ns: tuple[int, ...] = (5,),
+    round_to: int | None = 4,
 ) -> DataFrame:
     """One row per document with the Gopher repetition signals. A doc
     with no lines/grams at a given n contributes 0.0 for that signal
@@ -127,18 +143,18 @@ def repetition_profile(
         F.first("_chars").alias("chars"),
     )
     line_prof = lcounts.groupBy(id_col).agg(
-        F.round(
+        _round_opt(
             F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0))
-            / F.sum("c"), 4).alias("dup_line_frac"),
-        F.round(
+            / F.sum("c"), round_to).alias("dup_line_frac"),
+        _round_opt(
             F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("llen"))
                   .otherwise(0))
-            / F.greatest(F.first("chars"), F.lit(1)), 4)
+            / F.greatest(F.first("chars"), F.lit(1)), round_to)
         .alias("dup_line_char_frac"),
     )
     out = base.select(id_col).join(line_prof, id_col, "left")
     for n in tuple(top_ns) + tuple(dup_ns):
-        prof = _gram_fracs(base, id_col, "_w", n)
+        prof = _gram_fracs(base, id_col, "_w", n, round_to)
         keep = [f"top_ngram_char_frac_{n}"] if n in top_ns else []
         keep += [f"dup_ngram_char_frac_{n}"] if n in dup_ns else []
         out = out.join(prof.select(id_col, *keep), id_col, "left")
@@ -149,13 +165,14 @@ def repetition_profile(
 def repetition_gate(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     gates: dict[str, float] | None = None,
+    round_to: int | None = 4,
 ) -> DataFrame:
     """``docs`` plus a boolean ``keep_repetition`` column applying the
     (Gopher-default) thresholds: kept iff EVERY profiled signal is at
     or below its gate. Composes with textstats' quality gate and the
     dedup cascade as one more predicate column."""
     gates = dict(GOPHER_GATES if gates is None else gates)
-    prof = repetition_profile(docs, id_col, text_col)
+    prof = repetition_profile(docs, id_col, text_col, round_to=round_to)
     cond = F.lit(True)
     for col, bound in sorted(gates.items()):
         if col in prof.columns:

@@ -272,11 +272,17 @@ def run_cdc_upsert_stream(
         if ann_index is not None:
             if ann_index._backend.exists(ann_index._meta_path()):
                 ann_index.refresh(table)
-            else:
-                # first batch of a fresh pair: the codebook trains on
-                # the seed batch (one full pass over it — tiny), every
-                # later batch is an incremental refresh
+            elif not table.read().isEmpty():
+                # first NON-EMPTY head of a fresh pair: the codebook
+                # trains on the seed snapshot (one full pass over it —
+                # tiny), every later batch is an incremental refresh
                 ann_index.build(table)
+            # else: the table head is still empty (e.g. the stream
+            # opened with a delete-only batch) — building now would
+            # collect zero seeds and ivf_assign would die on an empty
+            # codebook (ADVICE r12); leave the index uninitialized and
+            # let the first row-bearing batch perform the build, which
+            # trains on the full head and so covers every prior commit
 
     q = (
         stream.writeStream.foreachBatch(_apply)
