@@ -887,3 +887,56 @@ def test_cdc_stream_survives_delete_only_first_batch(spark, tmp_path):
     assert m["synced_version"] == table.current_version()
     assert _assign_sets(ix) == _fresh_assign(spark, ix, table)
     assert len(_assign_sets(ix)) == 24
+
+
+def test_kmeans_sampled_training_matches_full_within_epsilon(
+        spark, tmp_path):
+    """r13 sampled codebook training: build(codebook="kmeans",
+    sample_n=) trains Lloyd on a deterministic hash-bottom-n sample.
+    On the clustered fixture the sampled codebook must land within ε
+    of full-corpus training's recall@5 at nprobe=1, keep the trained
+    codebook's full margin over lowest_id, and stay EXACT at full
+    probe (training only draws cell boundaries). sample_n with a
+    non-training codebook is a usage error."""
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        recall_at_k,
+    )
+
+    rng = random.Random(23)
+    rows = [(i, _vec(rng, 0, noise=0.15)) for i in range(8)]
+    rows += [(i, _vec(rng, (i % 4) * 2, noise=0.15))
+             for i in range(8, 1600)]
+    corpus = ParquetMergeTable(spark, str(tmp_path / "c"), key="vec_id")
+    corpus.merge(spark.createDataFrame(rows, SCHEMA))
+
+    q = corpus.read().filter(F.col("vec_id").isin(list(range(100, 140))))
+    exact = topk_bruteforce(q, corpus.read(), 5).cache()
+
+    def build_and_recall(name, **kw):
+        ix = IvfIndex(spark, str(tmp_path / f"ix_{name}"))
+        ix.build(corpus, n_centroids=8, **kw)
+        r = float(recall_at_k(exact, ix.search(q, 5, nprobe=1), 5)
+                  .agg(F.avg("recall_at_5")).first()[0])
+        return ix, r
+
+    _, r_low = build_and_recall("low")
+    _, r_full = build_and_recall("full", codebook="kmeans")
+    ix_s, r_samp = build_and_recall("samp", codebook="kmeans",
+                                    sample_n=400)
+    exact.unpersist()
+    assert abs(r_full - r_samp) <= 0.05, (r_full, r_samp)
+    assert r_samp >= r_low + 0.1, (r_samp, r_low)
+    # full-probe exactness holds for the sampled build
+    n_cells = len(ix_s.meta()["centroids"])
+    got = {(r.query_id, r.rk): r.neighbor_id
+           for r in ix_s.search(q, 5, nprobe=n_cells).collect()}
+    want = {(r.query_id, r.rk): r.neighbor_id
+            for r in topk_bruteforce(q, corpus.read(), 5).collect()}
+    assert got == want
+    # deterministic: the same sample_n re-trains to the same codebook
+    ix2 = IvfIndex(spark, str(tmp_path / "ix_samp2"))
+    ix2.build(corpus, n_centroids=8, codebook="kmeans", sample_n=400)
+    assert ix2.meta()["centroids"] == ix_s.meta()["centroids"]
+    with pytest.raises(ValueError, match="sample_n"):
+        IvfIndex(spark, str(tmp_path / "ix_bad")).build(
+            corpus, n_centroids=8, sample_n=400)

@@ -128,3 +128,74 @@ def test_semdedup_cell_cap_splits_hot_cell_but_keeps_clones(spark):
     release_tracked()
     # clones 101/102 dropped against 100 even under the split
     assert got[0][0] == 44 and got[0][1] >= 2
+
+
+def test_kmeans_fused_rounds_match_joined_reference_bit_identical(
+        spark, sf_dir):
+    """The r13 fused Lloyd round (cluster id computed inside the
+    posexplode projection — clustering._round_agg) must reproduce the
+    removed r12 formulation EXACTLY: assign, then join the assignment
+    back to the N×d posexploded matrix. The reference implementation
+    below IS that removed shape, kept as the oracle (the integer-grid
+    arithmetic is order-free, so fusion is a plan change, never a
+    semantics change). Runs the full 3-round kmeans over the real
+    embeddings table both ways, comparing final summaries AND the
+    centroid registers after round 1."""
+    from pyspark.sql import functions as F
+
+    from yelp_data_engineering_pipeline_spark.operators.clustering import (
+        _nearest,
+        _quantize,
+        _round_agg,
+        kmeans,
+    )
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    k = 10
+    base = emb.select(
+        F.col("vec_id").alias("vec_id"), _quantize("embedding").alias("q"))
+    flat = base.select("vec_id", F.posexplode("q").alias("dim", "qv"))
+    cents = {
+        int(r["vec_id"]): (1, [int(x) for x in r["q"]])
+        for r in base.filter(F.col("vec_id") < k).collect()}
+
+    # round 1, removed shape (assign → join → agg)
+    assigned = base.select(
+        "vec_id", _nearest(F.col("q"), cents).alias("cluster"))
+    want = {(r["cluster"], r["dim"]): (r["sum_q"], r["n"])
+            for r in assigned.join(flat, "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(F.sum("qv").alias("sum_q"), F.count(F.lit(1)).alias("n"))
+            .collect()}
+    got = {(r["cluster"], r["dim"]): (r["sum_q"], r["n"])
+           for r in _round_agg(base, cents).collect()}
+    assert got == want and got
+
+    # full run: fused kmeans vs the removed-shape driver loop
+    def kmeans_joined(rounds=3):
+        cc = dict(cents)
+        assigned_df = None
+        for _ in range(rounds):
+            assigned_df = base.select(
+                "vec_id", _nearest(F.col("q"), cc).alias("cluster"))
+            agg = (assigned_df.join(flat, "vec_id")
+                   .groupBy("cluster", "dim")
+                   .agg(F.sum("qv").alias("sum_q"),
+                        F.count(F.lit(1)).alias("n")).collect())
+            n_by_c, sums_by_c = {}, {}
+            for r in agg:
+                n_by_c[r["cluster"]] = r["n"]
+                sums_by_c.setdefault(r["cluster"], {})[r["dim"]] = r["sum_q"]
+            cc = {c: (n_by_c[c], [s[d] for d in range(len(s))])
+                  for c, s in sums_by_c.items()}
+        return {(r["cluster"]): (r["n_members"], r["sum_q_total"])
+                for r in assigned_df.join(flat, "vec_id")
+                .groupBy("cluster")
+                .agg(F.countDistinct("vec_id").alias("n_members"),
+                     F.sum("qv").alias("sum_q_total")).collect()}
+
+    fused = {r["cluster"]: (r["n_members"], r["sum_q_total"])
+             for r in kmeans(emb, "vec_id", "embedding",
+                             k=k, rounds=3).collect()}
+    assert fused == kmeans_joined(3) and fused

@@ -243,3 +243,49 @@ def test_no_catalog_entry_plans_a_fact_scale_global_window(spark, sf_dir):
         if n and name not in _ALLOWED_GLOBAL_WINDOW:
             problems.append(f"{name}: {n} partitionless Window node(s)")
     assert not problems, "\n".join(problems)
+
+
+def test_kmeans_round_plans_no_join_one_bounded_exchange(spark, sf_dir):
+    """VERDICT r12 what's-wrong #1 made mechanical: a Lloyd training
+    round (clustering._round_agg, shared by kmeans and
+    IvfIndex._lloyd) must plan the cluster id inside the posexplode
+    projection — zero Join, zero Window, and exactly ONE Exchange,
+    the (cluster, dim)-keyed one sitting ABOVE a map-side partial
+    aggregate (k×d partial rows cross the wire, never N or N×d corpus
+    rows). The removed r12 shape SortMergeJoined the N-row assignment
+    to the N×d posexploded matrix every round — ~10¹¹ shuffled rows
+    per round at the 100 TB sizing. Same bans for the final
+    membership summary, whose fusion also removed the ×d explosion
+    from its shuffle."""
+    from pyspark.sql import functions as F
+
+    from yelp_data_engineering_pipeline_spark.operators.clustering import (
+        _membership_summary,
+        _quantize,
+        _round_agg,
+    )
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("vec_id"), _quantize("embedding").alias("q"))
+    cents = {
+        int(r["vec_id"]): (1, [int(x) for x in r["q"]])
+        for r in base.filter(F.col("vec_id") < 8).collect()}
+
+    for df in (_round_agg(base, cents), _membership_summary(base, cents)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, plan
+        assert "Window" not in plan, plan
+        n_exchange = sum(
+            1 for line in plan.splitlines()
+            if line.lstrip(" +-:*").startswith("Exchange "))
+        assert n_exchange == 1, plan
+        # the one exchange carries the PARTIAL aggregate's output: a
+        # partial HashAggregate must appear BELOW it (later in the
+        # top-down printout)
+        lines = plan.splitlines()
+        ex_at = next(i for i, line in enumerate(lines)
+                     if line.lstrip(" +-:*").startswith("Exchange "))
+        assert any("partial" in line.lower() and "HashAggregate" in line
+                   for line in lines[ex_at:]), plan

@@ -88,10 +88,19 @@ def codebooks_main() -> None:
         exact = topk_bruteforce(q, snap, 5).cache()
         out = {"metric": "ann_codebooks", "corpus_rows": rows,
                "n_centroids": N_CELLS}
-        for cb in ("lowest_id", "kmeans"):
+        # kmeans_sampled (r13): Lloyd on a hash-bottom-n sample —
+        # rounds scan sample_n rows instead of the corpus; the ledger
+        # pins its recall against full-corpus training
+        sample_n = max(1000, rows // 16)
+        out["sample_n"] = sample_n
+        variants = (("lowest_id", {}),
+                    ("kmeans", {"codebook": "kmeans"}),
+                    ("kmeans_sampled", {"codebook": "kmeans",
+                                        "sample_n": sample_n}))
+        for cb, kw in variants:
             ix = IvfIndex(spark, f"{base}/ix_{cb}")
             t0 = time.perf_counter()
-            ix.build(corpus, n_centroids=N_CELLS, codebook=cb)
+            ix.build(corpus, n_centroids=N_CELLS, **kw)
             out[f"build_{cb}_s"] = round(time.perf_counter() - t0, 3)
             for np_ in (1, 2):
                 r = (recall_at_k(exact, ix.search(q, 5, nprobe=np_), 5)
