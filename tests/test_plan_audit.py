@@ -289,3 +289,44 @@ def test_kmeans_round_plans_no_join_one_bounded_exchange(spark, sf_dir):
                      if line.lstrip(" +-:*").startswith("Exchange "))
         assert any("partial" in line.lower() and "HashAggregate" in line
                    for line in lines[ex_at:]), plan
+
+
+def test_ann_index_bigbook_entry_routes_broadcast_plane(spark, sf_dir):
+    """The large-codebook catalog entry must actually EXERCISE the
+    one-row-broadcast transport (the regime the 100 TB claim leans
+    on): its codebook exceeds the literal bound, the search plan
+    attaches it as a BroadcastNestedLoopJoin one-row plane with no
+    Window beyond the single per-query final rank, and the build-time
+    corpus assignment subtree stays Exchange/Window-free like the
+    literal kernel."""
+    from pyspark.sql import functions as F
+
+    from yelp_data_engineering_pipeline_spark.operators import ann_index as AI
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        _CODEBOOK_LITERAL_MAX_VALUES, ivf_assign,
+    )
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    ix = AI._demo_index(spark, sf_dir, n_cells=AI._BIG_CELLS)
+    cents = ix._cents_from_meta(ix.meta())
+    n_vals = sum(len(v) for v in cents.values())
+    assert n_vals > _CODEBOOK_LITERAL_MAX_VALUES, n_vals
+
+    # the corpus-assignment subtree under the big codebook
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, cents)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+    # the entry's own search plan: broadcast plane present, exactly
+    # one Window (the bounded per-query top-k)
+    df = AI.ann_index_search_bigbook(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    n_windows = sum(
+        1 for line in plan.splitlines()
+        if line.lstrip(" +-:*").startswith("Window "))
+    assert n_windows == 1, plan
+    assert "hashpartitioning(neighbor_id" not in plan, plan

@@ -35,8 +35,10 @@ the r13 rotation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..plans.catalog import register
 
 # Gopher §A1.1.3 default gates (document is KEPT when every signal is
 # at or below its bound)
@@ -181,3 +183,149 @@ def repetition_gate(
     flag = prof.select(id_col, cond.alias("keep_repetition"))
     return docs.join(flag, id_col, "left").fillna(
         {"keep_repetition": True})
+
+
+# ---------------------------------------------------------------------------
+# Catalog entries (r13 — deferred from r12 when the verification window
+# had no free slots): the Gopher repetition profile and gate over the
+# documents table, with full DuckDB oracles replaying the line/gram
+# arithmetic from the raw text. Emitted UNROUNDED (round_to=None):
+# every signal is a single IEEE division of identical exact-integer
+# operands on both engines — bit-identical by construction, where
+# ROUND(double, 4) is not (see _round_opt).
+# ---------------------------------------------------------------------------
+
+_SIGNALS = ("dup_line_frac", "dup_line_char_frac",
+            "top_ngram_char_frac_2", "top_ngram_char_frac_3",
+            "top_ngram_char_frac_4", "dup_ngram_char_frac_5")
+
+# the engine-portable whitespace class (textstats convention)
+_WS = r"[ \t\n\x0b\f\r]+"
+
+
+def _profile_oracle_cte() -> str:
+    """CTE chain computing the unrounded profile per doc_id: lines are
+    newline-split + trimmed + de-blanked; words are lowercased
+    whitespace tokens; grams per n are slice+join windows; `top` is
+    the most frequent gram (ties by gram string — DuckDB's binary
+    string order matches Spark's UTF8 struct-max)."""
+    parts = [f"""
+    base AS (
+      SELECT doc_id, text,
+             list_filter(
+               list_transform(regexp_split_to_array(text, '\\n'),
+                              l -> trim(l)),
+               l -> l <> '') AS lns,
+             list_filter(regexp_split_to_array(lower(text), '{_WS}'),
+                         w -> w <> '') AS ws,
+             length(text) AS chars
+      FROM documents
+    ),
+    lx AS (
+      SELECT doc_id, unnest(lns) AS ln, chars FROM base
+    ),
+    lcounts AS (
+      SELECT doc_id, ln, COUNT(*) AS c, length(ln) AS llen,
+             ANY_VALUE(chars) AS chars
+      FROM lx GROUP BY doc_id, ln
+    ),
+    line_prof AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+               / CAST(SUM(c) AS BIGINT) AS dup_line_frac,
+             CAST(SUM(CASE WHEN c > 1 THEN c * llen ELSE 0 END) AS BIGINT)
+               / CAST(GREATEST(ANY_VALUE(chars), 1) AS BIGINT)
+               AS dup_line_char_frac
+      FROM lcounts GROUP BY doc_id
+    )"""]
+    for n in (2, 3, 4, 5):
+        parts.append(f""",
+    gx{n} AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(ws) - {n} + 2),
+               i -> array_to_string(ws[i:i+{n - 1}], ' '))) AS g
+      FROM base
+    ),
+    gc{n} AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM gx{n} GROUP BY doc_id, g
+    ),
+    gr{n} AS (
+      SELECT doc_id, g, c,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY c DESC, g DESC) AS rn
+      FROM gc{n}
+    ),
+    gp{n} AS (
+      SELECT doc_id,
+             CAST(MAX(CASE WHEN rn = 1 THEN c * length(g) END) AS BIGINT)
+               AS top_cov,
+             CAST(SUM(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)
+                  AS BIGINT) AS dup_cov,
+             CAST(SUM(c * length(g)) AS BIGINT) AS tot_cov
+      FROM gr{n} GROUP BY doc_id
+    )""")
+    parts.append(""",
+    prof AS (
+      SELECT b.doc_id,
+             COALESCE(lp.dup_line_frac, 0.0) AS dup_line_frac,
+             COALESCE(lp.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+             COALESCE(gp2.top_cov / gp2.tot_cov, 0.0)
+               AS top_ngram_char_frac_2,
+             COALESCE(gp3.top_cov / gp3.tot_cov, 0.0)
+               AS top_ngram_char_frac_3,
+             COALESCE(gp4.top_cov / gp4.tot_cov, 0.0)
+               AS top_ngram_char_frac_4,
+             COALESCE(gp5.dup_cov / gp5.tot_cov, 0.0)
+               AS dup_ngram_char_frac_5
+      FROM base b
+      LEFT JOIN line_prof lp USING (doc_id)
+      LEFT JOIN gp2 USING (doc_id)
+      LEFT JOIN gp3 USING (doc_id)
+      LEFT JOIN gp4 USING (doc_id)
+      LEFT JOIN gp5 USING (doc_id)
+    )""")
+    return "".join(parts)
+
+
+def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher repetition signals over the documents table
+    (unrounded — exact-int ratios for engine parity)."""
+    from ..tables import load
+
+    return repetition_profile(load(spark, sf_dir, "documents"),
+                              round_to=None)
+
+
+def text_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paper-default keep/drop decision per document."""
+    from ..tables import load
+
+    out = repetition_gate(load(spark, sf_dir, "documents"),
+                          round_to=None)
+    return out.select("doc_id", "keep_repetition")
+
+
+def _gate_pred_sql() -> str:
+    return " AND ".join(
+        f"COALESCE({col}, 0.0) <= {bound!r}"
+        for col, bound in sorted(GOPHER_GATES.items()))
+
+
+register(
+    "text_repetition_profile",
+    text_repetition_profile,
+    f"""
+    WITH {_profile_oracle_cte()}
+    SELECT doc_id, {", ".join(_SIGNALS)} FROM prof
+    """,
+)
+
+register(
+    "text_repetition_gate",
+    text_repetition_gate,
+    f"""
+    WITH {_profile_oracle_cte()}
+    SELECT doc_id, ({_gate_pred_sql()}) AS keep_repetition FROM prof
+    """,
+)

@@ -40,85 +40,85 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # only after r3). Entries already driver-green with unchanged code
 # keep that evidence and move to the tail.
 #
-# Round-12 window (exactly 50) — the IVF-assignment round.
-# Composition (evidence ages recomputed from CORRECTNESS_r01–r11
-# this round: 30 entries on r7 evidence, then r8=44/r9=41/r10=42/
-# r11=50):
+# Round-13 window (exactly 50) — the textrep-registration round.
+# Composition (evidence ages recomputed from CORRECTNESS_r01–r12:
+# r8=44, r9=41, r10=31, r11=42, r12=50):
 # - flagship (always first: the driver's smoke query);
-# - the 30 r7-evidence entries named in r11's r12-window-first
-#   comment (they hit the 5-round age ceiling when the r13 artifact
-#   lands — mandatory refreshes; code unchanged for all of them);
-# - the 11 entries registered by operators/similarity.py, which r12
-#   rewrites (map-side IVF assignment — VERDICT r11 next-1);
-# - ann_index_search, NEW this round (VERDICT r11 next-3: the
-#   persisted-index read path gets its first driver row);
-# - the 7 entries registered by operators/upsert.py, which r12
-#   changes again (minmax_where plane fixes + zone-kind tolerance —
-#   ADVICE r11 high/medium/low).
+# - the 44 r8-evidence entries (they hit the 5-round age ceiling when
+#   the r14 artifact lands — mandatory refreshes; code unchanged);
+# - text_repetition_profile / text_repetition_gate, NEW this round
+#   (operators/textrep.py shipped r12 pytest-only; VERDICT r12
+#   next-1 — new entries must take slots in the round that adds them);
+# - ann_index_search (operators/ann_index.py changed: store-record +
+#   replica-meta advice fixes, fused _lloyd, sample_n) and
+#   ann_index_search_bigbook, NEW (VERDICT r12 next-4: the >2048-value
+#   one-row-broadcast codebook plane gets its first driver row);
+# - emb_kmeans (operators/clustering.py changed: the fused Lloyd
+#   round — VERDICT r12 next-2; bit-identical by test, re-certified
+#   by the driver here).
 _PRIORITY: tuple[str, ...] = (
     "flagship_revenue_by_nation",
-    # -- the 30 r7-evidence refreshes (mandatory: max-age at r13) --
-    "filter_project_pushdown",
-    "func_interval_arith",
-    "func_regexp_extract_all",
-    "func_string_ops",
-    "func_url_parse",
-    "func_weekday_name",
-    "join_asof",
-    "join_asof_forward_tolerance",
-    "join_asof_nearest",
-    "pipeline_quality_dedup",
-    "prep_chunk_documents",
-    "prep_decontaminate",
-    "prep_pack_bins",
-    "prep_pii_scrub",
-    "prep_train_val_split",
-    "proj_compute_url",
-    "setop_intersect",
-    "setop_union_all",
-    "stream_sessionize",
-    "stream_tumbling_window",
-    "text_fingerprint",
-    "text_quality",
-    "unpivot_stack",
-    "window_custom_sort",
-    "window_first_nth",
-    "window_pagination",
-    "window_range_frame",
-    "window_rank_distribution",
-    "window_surrogate_keys",
-    "window_topk_per_group",
-    # -- similarity.py rewritten in r12 (map-side IVF assignment) --
-    "similarity_topk_bruteforce",
-    "similarity_topk_lsh",
-    "similarity_topk_rph",
-    "similarity_topk_ivf",
-    "emb_label_centroid",
-    "emb_nearest_centroid",
-    "similarity_recall_at_k",
-    "similarity_topk_sq8",
-    "emb_random_projection",
-    "emb_dominant_direction",
-    "similarity_topk_multiprobe",
-    # -- NEW in r12: the persisted ANN index's read path --
+    # -- the 44 r8-evidence refreshes (mandatory: max-age at r14) --
+    "agg_approx_sketches",
+    "agg_salted_groupby",
+    "array_higher_order",
+    "collect_sorted_list",
+    "dedup_passage_prune",
+    "event_transitions",
+    "explode_word_counts",
+    "explode_zip_pairs",
+    "filter_disjunctive_range",
+    "filter_quarantine",
+    "func_case_mapping",
+    "func_html_unescape",
+    "func_json_extract",
+    "func_time_parse",
+    "join_range_bucketed",
+    "map_functions",
+    "mm_audio_chunks",
+    "mm_binary_meta",
+    "mm_frame_sample",
+    "pipeline_corpus_prep",
+    "prep_interleave_sources",
+    "prep_leakage_safe_split",
+    "prep_length_bins",
+    "prep_repetition_stats",
+    "prep_score_quantile_norm",
+    "prep_shard_histogram",
+    "prep_stratified_sample",
+    "prep_token_budget_mix",
+    "prep_vocab",
+    "profile_by_source",
+    "profile_table",
+    "sql_api_groupby",
+    "stream_session_window_native",
+    "stream_sliding_window",
+    "stream_stream_join",
+    "stream_window_approx_distinct",
+    "text_lang_id",
+    "text_tfidf_topk",
+    "tpch_q18_large_orders",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier_volume",
+    "ts_gapfill_locf",
+    "window_lag_lead",
+    "window_running_sum",
+    # -- NEW in r13: the Gopher repetition profile/gate (textrep.py) --
+    "text_repetition_profile",
+    "text_repetition_gate",
+    # -- ann_index.py changed in r13 (+ NEW big-codebook transport row) --
     "ann_index_search",
-    # -- upsert.py changed in r12 (minmax_where plane fixes) --
-    "agg_incremental_merge",
-    "cdc_snapshot_diff",
-    "merge_upsert_idempotent",
-    "merge_dml_where",
-    "merge_into_conditional",
-    "merge_sql_time_travel",
-    "merge_change_feed_stream",
+    "ann_index_search_bigbook",
+    # -- clustering.py changed in r13 (fused Lloyd rounds) --
+    "emb_kmeans",
 )
-# r13-window-first candidates (non-debt, informational): the entries
-# left on r8 evidence after this round (44 as of the r11 recompute —
-# agg_approx_distinct, diag_* and the r8 cohort; recompute from
-# CORRECTNESS_r01–r12 next round). They hit the max-age ceiling when
-# the r14 artifact lands, so the r13 window must lead with them, plus
-# entries registered by any r13-changed module. The max-age debt
-# guard (tests/test_plans.py::test_evidence_max_age) enforces this
-# mechanically.
+# r14-window-first candidates (non-debt, informational): the entries
+# left on r9 evidence after this round (41 as of the r12 recompute —
+# recompute from CORRECTNESS_r01–r13 next round). They hit the
+# max-age ceiling when the r15 artifact lands, so the r14 window must
+# lead with them, plus entries registered by any r14-changed module.
+# The max-age debt guard (tests/test_plans.py::test_evidence_max_age)
+# enforces this mechanically.
 
 
 def _ordered(entries: dict) -> dict:
@@ -169,6 +169,7 @@ def _ensure_loaded() -> None:
     from ..operators import sampling  # noqa: F401
     from ..operators import similarity  # noqa: F401
     from ..operators import sketches  # noqa: F401
+    from ..operators import textrep  # noqa: F401
     from ..operators import textstats  # noqa: F401
     from ..operators import timeseries  # noqa: F401
     from ..operators import upsert  # noqa: F401
