@@ -219,6 +219,38 @@ def main() -> None:
             release_tracked()
         return out
 
+    def run_ann_serving(spark) -> dict[str, float]:
+        """Index SERVING latency (VERDICT r12 next-7): the persisted
+        IVF index had build/refresh/soak ledgers (tools/bench_ann.py,
+        tools/bench_soak.py) but no per-query search leg on the bench
+        surface, so a read-path regression could hide from
+        drift_check. Times 100 queries end-to-end from the WARM
+        catalog demo index (build + optimize + one codegen pass
+        untimed — maintenance costs have their own ledgers; this is
+        the steady-state serving number) across an nprobe sweep, so
+        both the probe-pruned candidate read and its growth with
+        probe width are pinned per round."""
+        from pyspark.sql import functions as F
+
+        from yelp_data_engineering_pipeline_spark.operators.ann_index import (
+            _demo_index,
+        )
+        from yelp_data_engineering_pipeline_spark.tables import load
+
+        ix = _demo_index(spark, sf_dir)
+        q = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+        # untimed: compile the search plan shape once
+        ix.search(q, 10, nprobe=1).write.format("noop").mode(
+            "overwrite").save()
+        out: dict[str, float] = {}
+        for np_ in (1, 2, 4):
+            t0 = time.time()
+            ix.search(q, 10, nprobe=np_).write.format("noop").mode(
+                "overwrite").save()
+            out[f"search_100q_np{np_}"] = round(time.time() - t0, 3)
+        release_tracked()
+        return out
+
     def run_set(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
@@ -233,6 +265,7 @@ def main() -> None:
     tpch = run_set(TPCH)
     pipeline = run_set(PIPELINE)
     yelp = run_yelp_e2e(spark)
+    ann_serving = run_ann_serving(spark)
     # Second, steady-state pass over the headline set: the first pass
     # pays one-time whole-stage-codegen compilation per query shape
     # (measured ~5 s on the minhash expression tree alone), which a
@@ -259,6 +292,8 @@ def main() -> None:
                 "pipeline_total": round(sum(pipeline.values()), 3),
                 "yelp_e2e": yelp,
                 "yelp_e2e_total": round(sum(yelp.values()), 3),
+                "ann_serving": ann_serving,
+                "ann_serving_total": round(sum(ann_serving.values()), 3),
                 "sf": sf,
             }
         )

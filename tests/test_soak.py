@@ -148,7 +148,7 @@ def run_ann_soak(spark, base: str, n_batches: int = 50,
                  rows_per_batch: int = 40, eval_every: int = 5,
                  n_centroids: int = 8, nprobe: int = 4,
                  k: int = 5, optimize_every: int = 10,
-                 keep_last_n: int = 3) -> dict:
+                 keep_last_n: int = 3, storage: str = "posix") -> dict:
     """ANN-index aging loop (VERDICT r10 next-4, long-horizon form
     r11 next-6): a clustered embeddings table absorbs ``n_batches``
     CDC churn batches (inserts + in-cluster updates + deletes); after
@@ -186,11 +186,16 @@ def run_ann_soak(spark, base: str, n_batches: int = 50,
                 + rng.uniform(-noise, noise) for i in range(D)]
 
     rng = random.Random(42)
+    # ``storage="object"`` (VERDICT r12 next-6): both the corpus and
+    # the index's assignment table + meta sidecar age under the
+    # no-POSIX object-store commit protocol (conditional-PUT commits,
+    # staged-object vacuum grace) — the deployment a 100 TB index
+    # actually runs on
     corpus = ParquetMergeTable(spark, os.path.join(base, "corp"),
-                               key="vec_id")
+                               key="vec_id", storage=storage)
     corpus.merge(spark.createDataFrame(
         [(i, vec(rng, i % D)) for i in range(64)], schema))
-    ix = IvfIndex(spark, os.path.join(base, "ix"))
+    ix = IvfIndex(spark, os.path.join(base, "ix"), storage=storage)
     ix.build(corpus, n_centroids=n_centroids)
     ix.optimize(target_files=n_centroids)
 
@@ -333,3 +338,22 @@ def test_cdc_soak_bounded_metadata_and_flat_latency(spark, tmp_path):
     assert plan2["clustering"]["id"]["avg_overlap"] < 0.5, plan2
     assert not any(a.startswith("rezorder") for a in plan2["actions"]), plan2
     assert maint.read().count() == rows_before
+
+
+def test_ann_index_soak_object_store(spark, tmp_path):
+    """VERDICT r12 next-6: the ANN index aging loop under
+    storage="object" — the assignment table, its meta sidecar and the
+    maintenance cadence all live on the no-POSIX commit protocol
+    (conditional-PUT log objects, staged vacuum grace), like the CDC
+    soak does. Same invariants as the posix run, plus the log-object
+    bound that matters on an object store (every commit is a PUT;
+    retention must reference-count them down)."""
+    rep = run_ann_soak(spark, str(tmp_path), storage="object")
+    assert rep["batches"] >= 50
+    assert rep["min_recall"] >= 0.9, rep
+    assert rep["full_builds"] == 1 and rep["full_reassigns"] == 0, rep
+    assert rep["index_rows"] == rep["corpus_rows"], rep
+    assert rep["assign_versions_live"] <= 4, rep
+    assert rep["assign_files"] <= 64, rep
+    assert rep["assign_log_objects"] <= 24, rep
+    assert rep["refresh_ratio"] <= 2.0, rep["refresh_s"]

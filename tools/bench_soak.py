@@ -13,7 +13,11 @@ refresh, plan-driven optimize()/split_cell + vacuum cadence — printing
 the recall floor, refresh-latency flatness and bounded-metadata
 quantities for the BASELINE.md ledger.
 
-    python tools/bench_soak.py ann [rows_per_batch] [batches]
+    python tools/bench_soak.py ann [rows_per_batch] [batches] [storage]
+
+``storage`` (r13): "posix" (default) or "object" — the object-store
+variant ages the index's assignment table + meta sidecar under the
+conditional-PUT commit protocol and records the log-object bound.
 """
 
 from __future__ import annotations
@@ -30,6 +34,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def ann_main() -> None:
     rows = int(sys.argv[2]) if len(sys.argv) > 2 else 400
     batches = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+    storage = sys.argv[4] if len(sys.argv) > 4 else "posix"
 
     from tests.test_soak import run_ann_soak
     from yelp_data_engineering_pipeline_spark.session import get_spark
@@ -38,12 +43,13 @@ def ann_main() -> None:
     base = tempfile.mkdtemp(prefix="annsoak_")
     try:
         rep = run_ann_soak(spark, base, n_batches=batches,
-                           rows_per_batch=rows)
+                           rows_per_batch=rows, storage=storage)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     rep.pop("refresh_s", None)
     rep["metric"] = "ann_soak"
     rep["rows_per_batch"] = rows
+    rep["storage"] = storage
     print(json.dumps(rep))
 
 

@@ -26,7 +26,7 @@ def main() -> int:
     old = load(old_path)
     new = load(new_path)
     flagged = 0
-    for tier in ("queries", "tpch", "pipeline"):
+    for tier in ("queries", "tpch", "pipeline", "yelp_e2e", "ann_serving"):
         o, n = old.get(tier, {}), new.get(tier, {})
         for name in sorted(set(o) & set(n)):
             if o[name] > 0 and n[name] / o[name] > threshold:
