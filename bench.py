@@ -140,7 +140,10 @@ def main() -> None:
         from yelp_data_engineering_pipeline_spark.operators.upsert import (
             normalize_incremental,
         )
-        from yelp_data_engineering_pipeline_spark.plans.normalize import normalize
+        from yelp_data_engineering_pipeline_spark.plans.normalize import (
+            normalize,
+            write_star_schema,
+        )
         from yelp_data_engineering_pipeline_spark.plans.yelp_queries import (
             restaurants_by_category,
             restaurants_by_day,
@@ -156,13 +159,17 @@ def main() -> None:
             # batch 2 overlaps 500 re-scraped businesses + 2000 novel
             p2 = write_ndjson(rows[7_500:], Path(tmp) / "b2.ndjson")
 
+            # r13: the 13 independent table writes go through the
+            # engine's pooled writer (plans/normalize.write_star_schema,
+            # optimization guide §2.6) — same tables, same storage
+            # boundary, the jobs just overlap instead of idling the
+            # cluster through each tiny write's tail.
             def write_star(tables, vdir):
-                for name, df in tables.items():
-                    df.write.mode("overwrite").parquet(f"{tmp}/{vdir}/{name}")
+                write_star_schema(tables, f"{tmp}/{vdir}")
 
             def read_star(names, vdir):
                 return {
-                    name: spark.read.parquet(f"{tmp}/{vdir}/{name}")
+                    name: spark.read.parquet(f"{tmp}/{vdir}/{name}.parquet")
                     for name in names
                 }
 

@@ -45,12 +45,19 @@ def _quantize(vec_col: str) -> Column:
 def _nearest(q_vec: Column, cents: dict[int, tuple[int, list[int]]]) -> Column:
     """argmin_c ‖v − centroid_c‖² as a per-row expression over literal
     centroids; ties break on cluster id (struct comparison order)."""
+    from ..functions.bulklit import lit_long_array
+
     dists = []
     for c in sorted(cents):
         n, sums = cents[c]
         diff_sq = F.zip_with(
             q_vec,
-            F.array(*[F.lit(s) for s in sums]),
+            # one parsed expression per centroid (bulklit, r13) — the
+            # per-value F.lit form paid a py4j round trip per sum; the
+            # bigint arithmetic below is unchanged (q is bigint, so
+            # every term promoted to bigint under the old int-or-long
+            # element literals too)
+            lit_long_array(sums),
             lambda q, s: (q * F.lit(n) - s) * (q * F.lit(n) - s),
         )
         num = F.aggregate(diff_sq, F.lit(0).cast("bigint"), lambda acc, x: acc + x)

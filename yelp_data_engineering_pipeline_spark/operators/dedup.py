@@ -1306,14 +1306,25 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("2_canonical", F.col("n1") - F.col("n2"), F.col("n2")),
         ("3_near_dup", F.col("e3"), F.col("n2") - F.col("e3")),
     ]
-    out = None
-    for name, elim, surv in tiers:
-        row = counts.select(
-            F.lit(name).alias("tier"),
-            elim.alias("eliminated"),
-            surv.alias("survivors"),
-        )
-        out = row if out is None else out.unionAll(row)
+    # ONE evaluation of the counts subtree (r13): the previous 4-branch
+    # unionAll re-evaluated every count aggregate (c0/c1/c2 scans + the
+    # e3 label aggregate) once PER TIER ROW — 16 aggregate subtrees in
+    # one 163-node plan. Exploding an array of tier structs over the
+    # single counts row emits the same 4 rows from 4 subtrees.
+    out = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("tier"),
+                        elim.alias("eliminated"),
+                        surv.alias("survivors"),
+                    )
+                    for name, elim, surv in tiers
+                ]
+            )
+        ).alias("t")
+    ).select("t.tier", "t.eliminated", "t.survivors")
     return out.orderBy("tier")
 
 
@@ -1540,19 +1551,22 @@ def semdedup_cells(
         emb.filter(F.col("vec_id") < n_cells).select("vec_id", "embedding").collect(),
         key=lambda r: r.vec_id,
     )
+    from ..functions.bulklit import lit_double_array, lit_long_array
+
     sims = F.array(
         *[
             F.round(
                 cosine(
                     F.col("embedding"),
-                    F.array(*[F.lit(float(x)) for x in r.embedding]),
+                    # one parsed expr per centroid (bulklit, r13)
+                    lit_double_array([float(x) for x in r.embedding]),
                 ),
                 4,
             )
             for r in cent_rows
         ]
     )
-    ids_lit = F.array(*[F.lit(int(r.vec_id)) for r in cent_rows])
+    ids_lit = lit_long_array([int(r.vec_id) for r in cent_rows])
     cell = F.element_at(ids_lit, F.array_position(sims, F.array_max(sims)).cast("int"))
     assigned = widen_for_compute(emb).select(
         "vec_id", "embedding", cell.cast("bigint").alias("cell")

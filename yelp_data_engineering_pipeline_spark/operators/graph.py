@@ -71,6 +71,11 @@ def connected_components(
             .groupBy(F.col("s").alias("node"))
             .agg(F.min("label").alias("nbr_min"))
         )
+        # LAZY checkpoint + count = ONE action per round (r13): the
+        # convergence count's full-partition scan materializes the
+        # checkpoint blocks as a side effect, so the previous
+        # eager-checkpoint-then-count shape paid one redundant job per
+        # round for the same lineage truncation.
         stepped = (
             labels.join(nbr_min.hint("merge"), "node", "left")
             .select(
@@ -78,7 +83,7 @@ def connected_components(
                 F.col("label").alias("old_label"),
                 F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
             )
-            .localCheckpoint(eager=True)  # truncate iterative lineage
+            .localCheckpoint(eager=False)  # truncate iterative lineage
         )
         changed = stepped.filter(F.col("label") < F.col("old_label")).count()
         labels = stepped.select("node", "label")
@@ -397,8 +402,14 @@ def connected_components_star(
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        delta = nxt.exceptAll(cur).count() + cur.exceptAll(nxt).count()
+        # ONE action per round (r13, same lazy-checkpoint trick as
+        # min-propagation): the symmetric-difference count unions both
+        # exceptAll directions into a single job, and its scan of nxt
+        # materializes the lazy checkpoint. Previously 3 jobs/round
+        # (eager checkpoint + two directional counts); delta == 0 iff
+        # both directions are empty either way.
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+        delta = nxt.exceptAll(cur).unionAll(cur.exceptAll(nxt)).count()
         cur = nxt
         if delta == 0:
             break

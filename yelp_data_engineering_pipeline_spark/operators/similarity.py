@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..cache import tracked_persist
+from ..functions.bulklit import lit_double_array, lit_double_matrix, lit_long_array
 from ..partitioning import widen_for_compute
 from ..tables import load
 from ..plans.catalog import register
@@ -143,8 +144,15 @@ def rph_bucket(vec: Column, planes: list[list[float]]) -> Column:
     zip_with + left-fold aggregate is the SAME left-associated IEEE
     operation sequence the SQL oracle spells out term by term (init
     0.0 + t1 == t1 exactly; a ±0.0 sign difference cannot flip the
-    >= 0 bucket bit), so engine parity is preserved."""
-    planes_lit = F.lit([[float(x) for x in p] for p in planes])
+    >= 0 bucket bit), so engine parity is preserved.
+
+    The matrix literal is built by ONE parsed expression
+    (functions/bulklit — r13): the element-wise ``F.lit`` form paid a
+    py4j round trip per VALUE, ~1.9 s of serial driver time per plan
+    construction at 2 tables × 8 planes × 64 dims on the bench's
+    ``similarity_topk_lsh``. Identical Catalyst tree, bit-identical
+    double literals (test-pinned)."""
+    planes_lit = lit_double_matrix([[float(x) for x in p] for p in planes])
     bits = F.transform(
         planes_lit,
         lambda p: F.when(
@@ -275,8 +283,11 @@ def _cell_structs(vec: Column, cents: dict[int, list[float]]) -> Column:
     (:func:`_scored_cells_over`) instead; this literal kernel stays
     the join-free small-codebook path the plan-audit tests pin."""
     keys = sorted(cents)
-    mat = F.lit([[float(x) for x in cents[c]] for c in keys])
-    ids = F.lit([int(c) for c in keys])
+    # one parsed expression per literal (bulklit, r13): the per-value
+    # F.lit form cost ~1 s of driver time at 16 cells × 64 dims on
+    # every search/assign plan construction
+    mat = lit_double_matrix([[float(x) for x in cents[c]] for c in keys])
+    ids = lit_long_array([int(c) for c in keys])
     return F.transform(
         F.sequence(F.lit(1), F.lit(len(keys))),
         lambda i: F.struct(
@@ -839,7 +850,10 @@ def nearest_centroid_confusion(
     for lbl in sorted(by_label):
         n = n_by_label[lbl]
         sq = by_label[lbl]
-        sums = F.array(*[F.lit(sq[d]) for d in range(len(sq))])
+        # bulklit (r13): bigint array in one parsed expression; the
+        # zip_with arithmetic promotes to bigint exactly as the old
+        # int-or-long element literals did
+        sums = lit_long_array([sq[d] for d in range(len(sq))])
         num = F.aggregate(
             F.zip_with(
                 q_vec, sums, lambda q, s: (q * F.lit(n) - s) * (q * F.lit(n) - s)
@@ -1154,7 +1168,7 @@ def jl_project(vec: Column, signs: list[list[float]]) -> Column:
     BASELINE.md); 1/√16 = 0.25 is an exact binary scale."""
     comps = []
     for row in signs:
-        lit_arr = F.array(*[F.lit(s) for s in row])
+        lit_arr = lit_double_array(row)  # one parsed expr (bulklit, r13)
         comps.append(
             F.aggregate(
                 F.zip_with(vec, lit_arr, lambda x, s: x.cast("double") * s),

@@ -100,22 +100,19 @@ def normalize(results: DataFrame) -> dict[str, DataFrame]:
     highlight = _name_dim(keyed.select(F.explode("highlights").alias("name")))
     amenity = _name_dim(keyed.select(F.explode("amenities.amenity").alias("name")))
 
-    business_food_category = bridge("food_category", food_category, "food_category_id")
-    business_search_term = bridge("related_search_terms", search_term, "search_term_id")
-    business_highlight = bridge("highlights", highlight, "highlight_id")
-
-    # --- amenity bridge carries the is_available payload (N5) ---------------
-    am_ex = keyed.select(
-        F.col("id").alias("business_id"),
-        F.explode("amenities").alias("am"),
-    ).select("business_id", F.col("am.amenity").alias("name"), F.col("am.is_available").alias("is_available"))
-    business_amenity = _dense_ids(
-        am_ex.join(F.broadcast(amenity.withColumnRenamed("id", "amenity_id")), "name").select(
-            "business_id", "amenity_id", "is_available"
-        ),
-        "business_id",
-        "amenity_id",
-    ).select("id", "business_id", "amenity_id", "is_available")
+    def _business_amenity() -> DataFrame:
+        # --- amenity bridge carries the is_available payload (N5) -----------
+        am_ex = keyed.select(
+            F.col("id").alias("business_id"),
+            F.explode("amenities").alias("am"),
+        ).select("business_id", F.col("am.amenity").alias("name"), F.col("am.is_available").alias("is_available"))
+        return _dense_ids(
+            am_ex.join(F.broadcast(amenity.withColumnRenamed("id", "amenity_id")), "name").select(
+                "business_id", "amenity_id", "is_available"
+            ),
+            "business_id",
+            "amenity_id",
+        ).select("id", "business_id", "amenity_id", "is_available")
 
     # --- open_hours: double explode with range parsing (N1) -----------------
     entries = keyed.select(
@@ -129,25 +126,48 @@ def normalize(results: DataFrame) -> dict[str, DataFrame]:
     hours_rejects = entries.filter(F.col("ranges").isNull()).select(
         "business_id", "weekday_name", "hours_str"
     )
-    open_hours = (
-        entries.filter(F.col("ranges").isNotNull())
-        .select("business_id", "weekday_name", F.explode("ranges").alias("r"))
-        .join(
-            F.broadcast(
-                weekday.select(F.col("id").alias("weekday_id"), F.col("name").alias("weekday_name"))
-            ),
-            "weekday_name",
+
+    def _open_hours() -> DataFrame:
+        oh = (
+            entries.filter(F.col("ranges").isNotNull())
+            .select("business_id", "weekday_name", F.explode("ranges").alias("r"))
+            .join(
+                F.broadcast(
+                    weekday.select(F.col("id").alias("weekday_id"), F.col("name").alias("weekday_name"))
+                ),
+                "weekday_name",
+            )
+            .select(
+                "business_id",
+                "weekday_id",
+                F.col("r.open_time").alias("open_time"),
+                F.col("r.close_time").alias("close_time"),
+            )
         )
-        .select(
-            "business_id",
-            "weekday_id",
-            F.col("r.open_time").alias("open_time"),
-            F.col("r.close_time").alias("close_time"),
-        )
-    )
-    open_hours = _dense_ids(
-        open_hours, "business_id", "weekday_id", "open_time", "close_time"
-    ).select("id", "business_id", "weekday_id", "open_time", "close_time")
+        return _dense_ids(
+            oh, "business_id", "weekday_id", "open_time", "close_time"
+        ).select("id", "business_id", "weekday_id", "open_time", "close_time")
+
+    # The five child tables each pay an EAGER dense_ids step at plan-
+    # construction time (range-boundary sample + per-partition count —
+    # operators/ids.py), serialized on the driver. They are mutually
+    # independent once ``keyed`` exists, so their construction overlaps
+    # in a small pool (optimization guide §2.6); the shared ``keyed``
+    # cache is filled once under Spark's block locks. Results are
+    # byte-identical to the sequential build (goldens pin them).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        f_bfc = pool.submit(bridge, "food_category", food_category, "food_category_id")
+        f_bst = pool.submit(bridge, "related_search_terms", search_term, "search_term_id")
+        f_bhl = pool.submit(bridge, "highlights", highlight, "highlight_id")
+        f_bam = pool.submit(_business_amenity)
+        f_oh = pool.submit(_open_hours)
+        business_food_category = f_bfc.result()
+        business_search_term = f_bst.result()
+        business_highlight = f_bhl.result()
+        business_amenity = f_bam.result()
+        open_hours = f_oh.result()
 
     return {
         "business": business,
@@ -166,8 +186,33 @@ def normalize(results: DataFrame) -> dict[str, DataFrame]:
     }
 
 
-def write_star_schema(tables: dict[str, DataFrame], out_dir: str) -> None:
+def write_star_schema(
+    tables: dict[str, DataFrame], out_dir: str, max_concurrent: int = 4
+) -> None:
     """Persist the star schema as parquet (the engine's native store;
-    the JDBC sink in sources/jdbc.py is the drop-in alternative)."""
-    for name, df in tables.items():
+    the JDBC sink in sources/jdbc.py is the drop-in alternative).
+
+    The 13 table writes are independent jobs over mostly-tiny frames;
+    submitting them sequentially leaves the cluster idle through each
+    job's tail (optimization guide §2.6 — actions are only sequential
+    because the driver calls them sequentially). A small thread pool
+    keeps 4 writes in flight so the next job back-fills executors the
+    current one's stragglers freed (~25-30% off the bench's 8k-row
+    ingest leg at local[32] — see OPTIMIZATION_r13.md for the
+    recorded A/B). FIFO scheduling (the default) preserves the back-fill
+    behavior; per-thread job descriptions keep the UI readable. The
+    first write materializes the shared ``keyed`` cache exactly once —
+    concurrent fills of one cached plan are serialized by Spark's
+    cache manager, and every frame here derives from it, so duplicate
+    upstream compute is bounded to the race on the first fill."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(item: tuple[str, DataFrame]) -> None:
+        name, df = item
+        sc = df.sparkSession.sparkContext
+        sc.setJobDescription(f"write_star_schema: {name}")
         df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+        sc.setJobDescription(None)
+
+    with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+        list(pool.map(_write, tables.items()))

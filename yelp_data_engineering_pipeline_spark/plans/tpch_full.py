@@ -899,6 +899,8 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     late pairs on the same key (no new shuffle partitioning); the final
     per-supplier count is bounded by |supplier|.
     """
+    from pyspark.sql import Window
+
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = load(spark, sf_dir, "lineitem")
     pairs = (
@@ -913,15 +915,23 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("_late").alias("_supp_late"))
     )
-    pairs = tracked_persist(pairs)  # feeds the order registers AND the late probe
-    per_order = pairs.groupBy(F.col("l_orderkey").alias("_ok")).agg(
-        F.count(F.lit(1)).alias("_n_supp"),
-        F.sum("_supp_late").alias("_n_late"),
-    )
+    # The per-order registers ride a WINDOW over the key the pairs are
+    # re-joined on (r13): the previous aggregate-then-self-rejoin shape
+    # exchanged the pairs table by l_orderkey TWICE (once to build the
+    # register table, once to probe it) and needed a persist to stop
+    # the pair pipeline recomputing per branch; a count/sum window
+    # partitioned by l_orderkey is the identical 2-register state from
+    # ONE exchange, no self-join, no cache (guide §2.4: window keyed
+    # like the preceding operation shares its partitioning).
+    w = Window.partitionBy("l_orderkey")
     return (
-        pairs.filter(F.col("_supp_late") == 1)
-        .join(per_order, F.col("l_orderkey") == F.col("_ok"))
-        .filter((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
+        pairs.withColumn("_n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("_n_late", F.sum("_supp_late").over(w))
+        .filter(
+            (F.col("_supp_late") == 1)
+            & (F.col("_n_supp") > 1)
+            & (F.col("_n_late") == 1)
+        )
         .join(
             F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")),
             F.col("l_suppkey") == F.col("s_suppkey"),
