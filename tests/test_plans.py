@@ -258,6 +258,85 @@ def test_rph_buckets_match_between_expressions(spark, sf_dir):
     assert got == want
 
 
+def test_multitable_tag_sql_matches_rph_bucket(spark, sf_dir):
+    """The single-parse Spark-SQL tag expression used by
+    topk_lsh_multitable's keys() (r13 — one F.expr instead of hundreds
+    of py4j lambda round trips per plan) must produce bit-identical
+    bucket strings to the Column-API rph_bucket for EVERY plane table
+    and every vector, and the full multitable query must return the
+    same rows as a reference built on rph_bucket directly."""
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        PLANE_TABLES,
+        _rph_bucket_spark_sql,
+        rph_bucket,
+        similarity_topk_lsh,
+        topk_lsh_multitable,
+    )
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    for planes in PLANE_TABLES:
+        mismatch = (
+            emb.select(
+                rph_bucket(F.col("embedding"), planes).alias("col_api"),
+                F.expr(_rph_bucket_spark_sql("embedding", planes)).alias("sql_text"),
+            )
+            .filter(F.col("col_api") != F.col("sql_text"))
+            .count()
+        )
+        assert mismatch == 0
+
+    # End-to-end: the shipped query equals a reference multitable built
+    # from the Column-API bucket expression (pre-r13 formulation).
+    def ref_multitable(queries, corpus, k):
+        from pyspark.sql import Window
+
+        from yelp_data_engineering_pipeline_spark.operators.similarity import (
+            cosine,
+            widen_for_compute,
+        )
+
+        q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        c = widen_for_compute(corpus).select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        )
+
+        def keys(df, id_col, emb_col):
+            tagged = F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("tid"),
+                        rph_bucket(F.col(emb_col), p).alias("bucket"),
+                    )
+                    for i, p in enumerate(PLANE_TABLES)
+                ]
+            )
+            return df.select(id_col, F.col(emb_col), F.explode(tagged).alias("k")).select(
+                id_col, F.col(emb_col), F.col("k.tid").alias("tid"), F.col("k.bucket").alias("bucket")
+            )
+
+        pairs = (
+            F.broadcast(keys(q, "query_id", "q_emb"))
+            .join(keys(c, "neighbor_id", "c_emb"), ["tid", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("cos_sim"),
+            )
+            .distinct()
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+        return pairs.withColumn("rk", F.row_number().over(w).cast("bigint")).filter(F.col("rk") <= k)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = sorted(map(tuple, topk_lsh_multitable(queries, emb, 5, PLANE_TABLES).collect()))
+    want = sorted(map(tuple, ref_multitable(queries, emb, 5).collect()))
+    assert got == want
+    # and the catalog entry itself still runs green
+    assert similarity_topk_lsh(spark, sf_dir).count() > 0
+
+
 def test_bucketed_join_skips_exchange(spark, sf_dir):
     """Bucketing is the co-located-join lever at 100 TB: two tables
     bucketed+sorted on the join key must SortMergeJoin with NO Exchange

@@ -50,12 +50,19 @@ def lit_double_array(values: Iterable[float]) -> Column:
     return F.expr("array(" + ",".join(_d(v) for v in vals) + ")")
 
 
+def sql_double_matrix(rows: Sequence[Iterable[float]]) -> str:
+    """The ``array<array<double>>`` literal as SQL TEXT — for callers
+    that embed the matrix inside a larger single-parse expression
+    (e.g. the LSH bucket fold) instead of wrapping it themselves."""
+    inner = ("array(" + ",".join(_d(v) for v in r) + ")" for r in rows)
+    return "array(" + ",".join(inner) + ")"
+
+
 def lit_double_matrix(rows: Sequence[Iterable[float]]) -> Column:
     """``array<array<double>>`` literal from one parsed expression."""
     if not rows:
         return F.array().cast("array<array<double>>")
-    inner = ("array(" + ",".join(_d(v) for v in r) + ")" for r in rows)
-    return F.expr("array(" + ",".join(inner) + ")")
+    return F.expr(sql_double_matrix(rows))
 
 
 def lit_long_array(values: Iterable[int]) -> Column:

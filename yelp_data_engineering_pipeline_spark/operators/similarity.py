@@ -168,6 +168,25 @@ def rph_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return F.array_join(bits, "")
 
 
+def _rph_bucket_spark_sql(vec_name: str, planes: list[list[float]]) -> str:
+    """:func:`rph_bucket` as Spark SQL TEXT over a plain column name —
+    the single-parse form for construction-hot callers
+    (:func:`topk_lsh_multitable` builds 4 of these per plan). Renders
+    the SAME expression tree: transform over the literal plane matrix,
+    zip_with dot with the double cast on the vector element, 0.0 init,
+    left-fold ``+`` aggregate, ``>= 0`` sign CASE, array_join — so
+    bucket strings are bit-identical (test-pinned; the IEEE argument
+    in :func:`rph_bucket`'s docstring carries over unchanged)."""
+    from ..functions.bulklit import sql_double_matrix
+
+    mat = sql_double_matrix([[float(x) for x in p] for p in planes])
+    return (
+        f"array_join(transform({mat}, p -> CASE WHEN aggregate("
+        f"zip_with(`{vec_name}`, p, (x, w) -> CAST(x AS DOUBLE) * w), "
+        f"0.0D, (acc, t) -> acc + t) >= 0 THEN '1' ELSE '0' END), '')"
+    )
+
+
 def topk_rph(
     queries: DataFrame, corpus: DataFrame, k: int, planes: list[list[float]]
 ) -> DataFrame:
@@ -241,13 +260,23 @@ def topk_lsh_multitable(
     )
 
     def keys(df: DataFrame, id_col: str, emb: str) -> DataFrame:
-        tagged = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("tid"), rph_bucket(F.col(emb), p).alias("bucket")
-                )
+        # ONE parsed expression for the whole (tid, bucket) tag array
+        # (r13). The Column-API form built 2 tables x (matrix literal +
+        # 3 nested higher-order lambdas) through one py4j round trip
+        # per node — several hundred serial driver calls per plan; the
+        # SQL text below parses in one call into the SAME expressions
+        # (transform/zip_with/aggregate fold, 0.0D init, CASE sign
+        # bits), so bucket strings are bit-identical to rph_bucket —
+        # pinned by tests/test_plans.py::test_multitable_tag_sql_matches_rph_bucket.
+        tagged = F.expr(
+            "array("
+            + ",".join(
+                f"named_struct('tid', {i}, 'bucket', "
+                + _rph_bucket_spark_sql(emb, p)
+                + ")"
                 for i, p in enumerate(plane_tables)
-            ]
+            )
+            + ")"
         )
         return df.select(id_col, F.col(emb), F.explode(tagged).alias("k")).select(
             id_col, F.col(emb), F.col("k.tid").alias("tid"), F.col("k.bucket").alias("bucket")
