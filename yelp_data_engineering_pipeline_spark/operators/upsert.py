@@ -4569,7 +4569,12 @@ class ParquetMergeTable:
             if zorder_by is None:
                 # coalesce (no shuffle) when narrowing; a size-targeted
                 # fan-OUT (splitting oversized files) needs the shuffle
-                if n <= df.rdd.getNumPartitions():
+                from ..partitioning import estimated_width
+
+                cur = estimated_width(df)
+                if cur is None:
+                    cur = df.rdd.getNumPartitions()
+                if n <= cur:
                     return df.coalesce(n)
                 return df.repartition(n)
             from .zorder import zorder_layout_cols
