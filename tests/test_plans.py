@@ -920,3 +920,149 @@ def test_open_now_plan_shape(spark, tmp_path_factory):
     from yelp_data_engineering_pipeline_spark.cache import release_tracked
 
     release_tracked()
+
+
+def test_minhash_sql_twin_matches_column_formulation(spark, sf_dir):
+    """minhash_lsh_pairs builds its shingle/signature/band projections
+    from SQL strings parsed JVM-side (one selectExpr each) instead of
+    ~1700 py4j round trips of Column construction (r13, guide §7.3).
+    The Column builders remain the equivalence oracle: the two
+    formulations must produce the SAME canonical optimized plan and the
+    same rows."""
+    from yelp_data_engineering_pipeline_spark.cache import release_tracked, tracked_persist
+    from yelp_data_engineering_pipeline_spark.operators.dedup import (
+        N_HASHES,
+        band_keys,
+        minhash_lsh_pairs,
+        minhash_signature,
+        nonbroadcast_hint,
+        shingle_ab,
+        shingles,
+    )
+    from yelp_data_engineering_pipeline_spark.partitioning import widen_for_compute
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    def pairs_reference(docs, id_col, text_col, jaccard_threshold):
+        # the pre-r13 Column-by-Column formulation, verbatim
+        docs = widen_for_compute(docs)
+        base = (
+            docs.select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col)).alias("sh"))
+            .filter(F.size("sh") > 0)
+        )
+        base = tracked_persist(base)
+        sig = base.withColumn("ab", shingle_ab(F.col("sh"))).select(
+            "doc_id",
+            "sh",
+            *[c.alias(f"h{i}") for i, c in enumerate(minhash_signature(F.col("ab")))],
+        )
+        bands = sig.select(
+            "doc_id",
+            F.posexplode(
+                F.array(*band_keys([F.col(f"h{i}") for i in range(N_HASHES)]))
+            ).alias("band_idx", "band_key"),
+        )
+        bands = tracked_persist(bands)
+        cand = (
+            bands.alias("a")
+            .join(bands.alias("b"), ["band_idx", "band_key"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        sets = base.select("doc_id", "sh")
+        nb = nonbroadcast_hint(sets)
+        verified = (
+            cand.join(
+                sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")).hint(nb),
+                "doc_a",
+            )
+            .join(
+                sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")).hint(nb),
+                "doc_b",
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.size(F.array_intersect("sh_a", "sh_b"))
+                    / (
+                        F.size("sh_a")
+                        + F.size("sh_b")
+                        - F.size(F.array_intersect("sh_a", "sh_b"))
+                    )
+                ).alias("jaccard"),
+            )
+        )
+        return verified.filter(F.col("jaccard") >= jaccard_threshold)
+
+    docs = load(spark, sf_dir, "documents")
+    ref = pairs_reference(docs, "doc_id", "text", 0.5)
+    new = minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
+    ref_plan = ref._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    new_plan = new._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    assert ref_plan == new_plan
+    assert sorted(map(tuple, ref.collect())) == sorted(map(tuple, new.collect()))
+    release_tracked()
+
+
+def test_dense_ids_grid_long_matches_dense_ids(spark):
+    """dense_ids_grid_long (one eager count job, lazy rank window) must
+    assign the SAME ids as the two-phase range scheme for integer-led
+    total orders — including keys spanning multiple grid cells and
+    multi-column tiebreaks (r13, the star-schema child-table path)."""
+    from yelp_data_engineering_pipeline_spark.operators.ids import (
+        dense_ids,
+        dense_ids_grid_long,
+    )
+
+    rows = [
+        (int(k), int(f), float(v))
+        for k, f, v in zip(
+            [7, 3, 3, 200_000, 99_999, 65_536, 65_535, 0, 7, 3],
+            [2, 9, 1, 4, 4, 4, 4, 1, 1, 2],
+            [0.5, 1.5, -2.0, 3.25, 0.0, 9.0, 8.0, 7.0, 6.0, 5.0],
+        )
+    ]
+    df = spark.createDataFrame(rows, "k long, f long, v double")
+    a = dense_ids(df, "k", "f", "v", id_col="id")
+    b = dense_ids_grid_long(df, "k", "f", "v", id_col="id")
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    # the window must be partitioned (plan-audit posture: _cell spec)
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(_cell" in plan
+
+
+def test_cosine_sql_twin_matches_column_cosine(spark, sf_dir):
+    """_cosine_spark_sql must build the SAME expression tree as the
+    Column-API cosine() (r13 single-parse verify projection in
+    topk_lsh_multitable): canonical optimized plans equal, values
+    bit-identical."""
+    import struct
+
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        _cosine_spark_sql,
+        cosine,
+    )
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").limit(40)
+    two = (
+        emb.alias("a")
+        .crossJoin(
+            emb.alias("b")
+            .withColumnRenamed("embedding", "e2")
+            .withColumnRenamed("vec_id", "v2")
+        )
+        .limit(300)
+    )
+    col_form = two.select(F.round(cosine(F.col("embedding"), F.col("e2")), 4).alias("c"))
+    sql_form = two.select(
+        F.expr(f"round({_cosine_spark_sql('embedding', 'e2')}, 4)").alias("c")
+    )
+    po = col_form._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    pn = sql_form._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    assert po == pn
+    pack = lambda r: None if r["c"] is None else struct.pack("d", r["c"])  # noqa: E731
+    assert [pack(r) for r in col_form.collect()] == [pack(r) for r in sql_form.collect()]

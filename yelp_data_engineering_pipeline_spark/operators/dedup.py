@@ -103,6 +103,73 @@ def band_keys(sig_cols: list[Column], n_bands: int = N_BANDS) -> list[Column]:
     ]
 
 
+# --- SQL-string twins of the signature expression builders (guide §7.3) ----
+# Column-by-Column construction of the shingle→signature→band pipeline
+# costs ~1700 py4j ROUND TRIPS per call — ~0.7 s of pure driver socket
+# latency on a quiet JVM, 2-3 s under heap pressure — because every
+# operator and every higher-order-function lambda hop is a synchronous
+# socket exchange. Rendering the SAME expressions as SQL strings parsed
+# JVM-side (one selectExpr per projection) builds the identical Catalyst
+# tree in a handful of calls. The Column builders above stay the
+# equivalence oracle: tests/test_plans.py pins canonical optimizedPlan
+# equality AND row equality between the two formulations.
+
+
+def shingles_sql(text: str, n: int = 3) -> str:
+    """SQL twin of :func:`shingles` over column expression ``text``."""
+    ws = f"filter(split({text}, ' '), x -> x != '')"
+    m = f"(size({ws}) - {n - 1})"
+    zipped = f"slice({ws}, 1, {m})"
+    for k in range(1, n):
+        zipped = (
+            f"zip_with({zipped}, slice({ws}, {k + 1}, {m}), "
+            f"(a, b) -> concat_ws(' ', a, b))"
+        )
+    return (
+        f"case when {m} >= 1 then array_distinct({zipped}) "
+        f"else cast(array() as array<string>) end"
+    )
+
+
+# SQL twin of shingle_ab(F.col("sh"))
+_AB_SPARK_SQL = (
+    "transform(transform(sh, x -> md5(x)), "
+    "h -> struct(cast(conv(substring(h, 1, 8), 16, 10) as bigint) as a, "
+    "cast(conv(substring(h, 9, 8), 16, 10) as bigint) as b))"
+)
+
+
+def _sig_sqls(n_hashes: int = N_HASHES) -> list[str]:
+    """SQL twins of minhash_signature(F.col("ab")), aliased h0..h{n-1}."""
+    return [
+        f"array_min(transform(ab, p -> (p.a + {i} * p.b) % {_MERSENNE_P})) as h{i}"
+        for i in range(n_hashes)
+    ]
+
+
+def _bands_posexplode_sql(
+    n_hashes: int = N_HASHES, n_bands: int = N_BANDS
+) -> str:
+    """SQL twin of posexplode(array(*band_keys(...))) with the
+    (band_idx, band_key) aliases."""
+    r = n_hashes // n_bands
+    arr = ", ".join(
+        "md5(concat_ws('|', {}))".format(
+            ", ".join(f"h{i}" for i in range(b * r, (b + 1) * r))
+        )
+        for b in range(n_bands)
+    )
+    return f"posexplode(array({arr})) as (band_idx, band_key)"
+
+
+# SQL twin of the exact-Jaccard verify projection (|A∩B| / |A∪B| via
+# inclusion-exclusion, union never materialized).
+_JACCARD_SQL = (
+    "(size(array_intersect(sh_a, sh_b)) / "
+    "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))) as jaccard"
+)
+
+
 # ---------------------------------------------------------------------------
 # Operators
 # ---------------------------------------------------------------------------
@@ -142,19 +209,16 @@ def minhash_lsh_pairs(
     # letting Catalyst recompute the md5 pipeline per branch (measured
     # ~5x on bench). MEMORY_AND_DISK so the 100 TB path spills.
     base = (
-        docs.select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col)).alias("sh"))
-        .filter(F.size("sh") > 0)
+        docs.selectExpr(
+            f"`{id_col}` as doc_id", f"{shingles_sql(f'`{text_col}`')} as sh"
+        )
+        .filter("size(sh) > 0")
     )
     base = tracked_persist(base)
-    sig = base.withColumn("ab", shingle_ab(F.col("sh"))).select(
-        "doc_id", "sh", *[c.alias(f"h{i}") for i, c in enumerate(minhash_signature(F.col("ab")))]
+    sig = base.withColumn("ab", F.expr(_AB_SPARK_SQL)).selectExpr(
+        "doc_id", "sh", *_sig_sqls()
     )
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*band_keys([F.col(f"h{i}") for i in range(N_HASHES)]))).alias(
-            "band_idx", "band_key"
-        ),
-    )
+    bands = sig.selectExpr("doc_id", _bands_posexplode_sql())
     bands = tracked_persist(bands)
     cand = (
         bands.alias("a")
@@ -176,22 +240,12 @@ def minhash_lsh_pairs(
             sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")).hint(nb),
             "doc_b",
         )
-        .select(
-            "doc_a",
-            "doc_b",
-            # exact-int ratio: IEEE division is bit-identical across
-            # engines — rounding (not dividing) is what diverges.
-            # |A∪B| = |A|+|B|-|A∩B| (shingle arrays are distinct), so
-            # the union array is never materialized — one O(n) pass per
-            # pair instead of two.
-            (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / (
-                    F.size("sh_a") + F.size("sh_b")
-                    - F.size(F.array_intersect("sh_a", "sh_b"))
-                )
-            ).alias("jaccard"),
-        )
+        # exact-int ratio: IEEE division is bit-identical across
+        # engines — rounding (not dividing) is what diverges.
+        # |A∪B| = |A|+|B|-|A∩B| (shingle arrays are distinct), so
+        # the union array is never materialized — one O(n) pass per
+        # pair instead of two.
+        .selectExpr("doc_a", "doc_b", _JACCARD_SQL)
     )
     return verified.filter(F.col("jaccard") >= jaccard_threshold)
 
@@ -790,24 +844,16 @@ def minhash_incremental_pairs(
     base = (
         docs.select(
             F.col(id_col).alias("doc_id"),
-            shingles(F.col(text_col)).alias("sh"),
+            F.expr(shingles_sql(f"`{text_col}`")).alias("sh"),
             is_new.alias("is_new"),
         )
-        .filter(F.size("sh") > 0)
+        .filter("size(sh) > 0")
     )
     base = tracked_persist(base)
-    sig = base.withColumn("ab", shingle_ab(F.col("sh"))).select(
-        "doc_id",
-        "is_new",
-        *[c.alias(f"h{i}") for i, c in enumerate(minhash_signature(F.col("ab")))],
+    sig = base.withColumn("ab", F.expr(_AB_SPARK_SQL)).selectExpr(
+        "doc_id", "is_new", *_sig_sqls()
     )
-    bands = sig.select(
-        "doc_id",
-        "is_new",
-        F.posexplode(F.array(*band_keys([F.col(f"h{i}") for i in range(N_HASHES)]))).alias(
-            "band_idx", "band_key"
-        ),
-    )
+    bands = sig.selectExpr("doc_id", "is_new", _bands_posexplode_sql())
     bands = tracked_persist(bands)
     cand = (
         bands.filter(F.col("is_new"))
@@ -904,20 +950,15 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort-merge under a bare heap — plans/hints.py)."""
     docs = widen_for_compute(load(spark, sf_dir, "documents"))
     base = (
-        docs.select(F.col("doc_id"), shingles(F.col("text")).alias("sh"))
-        .filter(F.size("sh") > 0)
+        docs.selectExpr("doc_id", f"{shingles_sql('text')} as sh")
+        .filter("size(sh) > 0")
     )
     base = tracked_persist(base)
-    sig = base.withColumn("ab", shingle_ab(F.col("sh"))).select(
-        "doc_id", "sh", *[c.alias(f"h{i}") for i, c in enumerate(minhash_signature(F.col("ab")))]
+    sig = base.withColumn("ab", F.expr(_AB_SPARK_SQL)).selectExpr(
+        "doc_id", "sh", *_sig_sqls()
     )
     sig = tracked_persist(sig)
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*band_keys([F.col(f"h{i}") for i in range(N_HASHES)]))).alias(
-            "band_idx", "band_key"
-        ),
-    )
+    bands = sig.selectExpr("doc_id", _bands_posexplode_sql())
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band_idx", "band_key"])

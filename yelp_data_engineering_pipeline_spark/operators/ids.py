@@ -110,6 +110,59 @@ def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
     ).cast("int")
 
 
+def dense_ids_grid_long(
+    df: DataFrame, *order_cols: str, id_col: str = "id", cell_shift: int = 16
+) -> DataFrame:
+    """:func:`dense_ids` semantics (dense bigint ids 1..n in
+    ``order_cols`` order) for frames whose LEADING order column is a
+    non-negative integer — one eager job instead of two (r13,
+    guide §1.2 fewer passes).
+
+    The range-repartition scheme must run a boundary-SAMPLE job (a full
+    scan of the input pipeline), persist the shuffled frame (sampled
+    boundaries are action-nondeterministic), then run the count job —
+    two eager scans of the input per call, serialized at
+    plan-construction time. Quantizing the leading key to a fixed grid
+    (``cell = key >> cell_shift``) is deterministic, so only the
+    per-cell count job runs eagerly and the rank window runs lazily
+    inside the caller's action — no sample, no persist, no unpersist
+    churn. Ordering by (cell, *order_cols) equals (*order_cols) because
+    shift-right is monotone on non-negative keys.
+
+    Scale: with dense surrogate leading keys (the star-schema child
+    case) cells are uniformly filled; 2^cell_shift rows/cell bounds the
+    per-task window state, and the cell count grows with the data, so
+    the window is never global. Skewed/unbounded/string keys keep
+    :func:`dense_ids`.
+
+    Ids are identical to :func:`dense_ids` by construction (both are
+    the unique total order's row number); goldens and the DuckDB
+    oracle sweep pin it.
+    """
+    lead = order_cols[0]
+    cell = F.shiftright(F.col(lead).cast("long"), cell_shift)
+    tagged = df.withColumn("_cell", cell)
+    counts = tagged.groupBy("_cell").count().orderBy("_cell").collect()
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["_cell"], acc))
+        acc += r["count"]
+    offset_df = tagged.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_cell long, _off long"
+    )
+    w = Window.partitionBy("_cell").orderBy(*order_cols)
+    return (
+        tagged.join(F.broadcast(offset_df), "_cell", "left")
+        .withColumn(
+            id_col,
+            (F.row_number().over(w) + F.coalesce(F.col("_off"), F.lit(0))).cast(
+                "bigint"
+            ),
+        )
+        .drop("_cell", "_off")
+    )
+
+
 def rank_histogram_grid(
     df: DataFrame,
     value_col: str,

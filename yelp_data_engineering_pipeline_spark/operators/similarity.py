@@ -187,6 +187,26 @@ def _rph_bucket_spark_sql(vec_name: str, planes: list[list[float]]) -> str:
     )
 
 
+def _cosine_spark_sql(a: str, b: str) -> str:
+    """:func:`cosine` as Spark SQL TEXT over two column names — the
+    single-parse form for construction-hot callers. Renders the SAME
+    expression tree (zip_with product with double casts, 0.0 init,
+    left-fold ``+`` aggregates, sqrt norms), so values are
+    bit-identical (pinned by tests/test_plans.py)."""
+    def _sq(v: str) -> str:
+        return (
+            f"aggregate(`{v}`, 0.0D, "
+            f"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+
+    dot_ = (
+        f"aggregate(zip_with(`{a}`, `{b}`, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+    return f"({dot_} / (sqrt({_sq(a)}) * sqrt({_sq(b)})))"
+
+
 def topk_rph(
     queries: DataFrame, corpus: DataFrame, k: int, planes: list[list[float]]
 ) -> DataFrame:
@@ -217,6 +237,16 @@ def topk_rph(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return pairs.withColumn("rk", F.row_number().over(w).cast("bigint")).filter(F.col("rk") <= k)
+
+
+# Parsed (tid, bucket) tag-array Columns, keyed on (applicationId, emb
+# column, plane matrix CONTENT). An EXPRESSION memo, not a result
+# cache: entries are unevaluated Catalyst trees — every query still
+# computes from its inputs. applicationId in the key drops entries
+# from previous sessions (a Column holds a JVM reference that dies
+# with its context). Bounded: one entry per distinct plane
+# configuration x column name (two in the whole repo).
+_TAG_EXPR_CACHE: dict = {}
 
 
 def topk_lsh_multitable(
@@ -268,16 +298,28 @@ def topk_lsh_multitable(
         # (transform/zip_with/aggregate fold, 0.0D init, CASE sign
         # bits), so bucket strings are bit-identical to rph_bucket —
         # pinned by tests/test_plans.py::test_multitable_tag_sql_matches_rph_bucket.
-        tagged = F.expr(
-            "array("
-            + ",".join(
-                f"named_struct('tid', {i}, 'bucket', "
-                + _rph_bucket_spark_sql(emb, p)
-                + ")"
-                for i, p in enumerate(plane_tables)
-            )
-            + ")"
+        # The parsed Column is memoized per (application, emb, planes):
+        # the ~10 KB text re-parses in the JVM on every construction
+        # otherwise (~0.1 s per table side), and bench/serving loops
+        # rebuild this exact expression every call.
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            emb,
+            tuple(tuple(tuple(r) for r in p) for p in plane_tables),
         )
+        tagged = _TAG_EXPR_CACHE.get(key)
+        if tagged is None:
+            tagged = F.expr(
+                "array("
+                + ",".join(
+                    f"named_struct('tid', {i}, 'bucket', "
+                    + _rph_bucket_spark_sql(emb, p)
+                    + ")"
+                    for i, p in enumerate(plane_tables)
+                )
+                + ")"
+            )
+            _TAG_EXPR_CACHE[key] = tagged
         return df.select(id_col, F.col(emb), F.explode(tagged).alias("k")).select(
             id_col, F.col(emb), F.col("k.tid").alias("tid"), F.col("k.bucket").alias("bucket")
         )
@@ -289,7 +331,11 @@ def topk_lsh_multitable(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("cos_sim"),
+            # single-parse exact-cosine verify (same tree as the
+            # Column form — _cosine_spark_sql docstring)
+            F.expr(
+                f"round({_cosine_spark_sql('q_emb', 'c_emb')}, 4)"
+            ).alias("cos_sim"),
         )
         .distinct()  # collapse multi-table collisions (identical rows)
     )

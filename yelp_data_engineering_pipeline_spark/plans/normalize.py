@@ -35,13 +35,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hours import hours_ranges
-from ..operators.ids import dense_ids, dense_ids_window
+from ..operators.ids import dense_ids, dense_ids_grid_long, dense_ids_window
 from ..schemas import HEALTH_SCORE_PATTERN, PRICE_PATTERN, WEEKDAY_ORDER
 
-# Fact-scale tables (business, bridges, open_hours) get the two-phase
-# distributed id assigner; bounded dims use the plain window (cheaper
-# below ~millions of rows, identical results — equivalence tested).
+# Fact-scale tables (business, bridges, open_hours) get a distributed
+# id assigner; bounded dims use the plain window (cheaper below
+# ~millions of rows, identical results — equivalence tested). The
+# business table keys on the scraped string id → two-phase range
+# scheme; the five child tables lead with the dense business_id
+# surrogate → the fixed-grid scheme (ONE eager count job per table
+# instead of sample+persist+count — r13, guide §1.2; ids identical,
+# goldens + oracle sweep pin it).
 _dense_ids = dense_ids
+_child_dense_ids = dense_ids_grid_long
 
 
 def _name_dim(values: DataFrame) -> DataFrame:
@@ -91,7 +97,7 @@ def normalize(results: DataFrame) -> dict[str, DataFrame]:
         joined = ex.join(F.broadcast(dim.withColumnRenamed("id", fk_name)), "name").select(
             "business_id", fk_name
         )
-        return _dense_ids(joined, "business_id", fk_name).select("id", "business_id", fk_name)
+        return _child_dense_ids(joined, "business_id", fk_name).select("id", "business_id", fk_name)
 
     food_category = _name_dim(
         keyed.select(F.explode("food_category").alias("name"))
@@ -106,7 +112,7 @@ def normalize(results: DataFrame) -> dict[str, DataFrame]:
             F.col("id").alias("business_id"),
             F.explode("amenities").alias("am"),
         ).select("business_id", F.col("am.amenity").alias("name"), F.col("am.is_available").alias("is_available"))
-        return _dense_ids(
+        return _child_dense_ids(
             am_ex.join(F.broadcast(amenity.withColumnRenamed("id", "amenity_id")), "name").select(
                 "business_id", "amenity_id", "is_available"
             ),
@@ -144,17 +150,18 @@ def normalize(results: DataFrame) -> dict[str, DataFrame]:
                 F.col("r.close_time").alias("close_time"),
             )
         )
-        return _dense_ids(
+        return _child_dense_ids(
             oh, "business_id", "weekday_id", "open_time", "close_time"
         ).select("id", "business_id", "weekday_id", "open_time", "close_time")
 
-    # The five child tables each pay an EAGER dense_ids step at plan-
-    # construction time (range-boundary sample + per-partition count —
-    # operators/ids.py), serialized on the driver. They are mutually
-    # independent once ``keyed`` exists, so their construction overlaps
-    # in a small pool (optimization guide §2.6); the shared ``keyed``
-    # cache is filled once under Spark's block locks. Results are
-    # byte-identical to the sequential build (goldens pin them).
+    # The five child tables each pay an EAGER per-cell count job at
+    # plan-construction time (dense_ids_grid_long — operators/ids.py;
+    # the rank window itself runs lazily in the caller's action). They
+    # are mutually independent once ``keyed`` exists, so their
+    # construction overlaps in a small pool (optimization guide §2.6);
+    # the shared ``keyed`` cache is filled once under Spark's block
+    # locks. Results are byte-identical to the sequential build
+    # (goldens pin them).
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=5) as pool:
