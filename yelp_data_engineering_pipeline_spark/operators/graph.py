@@ -58,7 +58,11 @@ def connected_components(
         sym.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        # LAZY like the round checkpoints (r13): round 0's convergence
+        # count materializes seed blocks + the sym persist in the same
+        # job — the eager form paid one extra job for the same
+        # truncation.
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         # labels/nbr_min are O(nodes): a sort-merge hint pins the keyed join —
@@ -203,7 +207,12 @@ def pagerank(
                 "node",
                 (F.lit(150_000).cast("bigint") + F.expr("(85 * in_sum) div 100")).alias("r"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY (r13): rounds are fixed-count (no convergence read),
+            # so nothing needs a per-round action — the caller's single
+            # action computes all rounds once, each checkpoint
+            # truncating lineage when its blocks materialize; the eager
+            # form paid one scheduling round trip per round.
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -361,7 +370,9 @@ def connected_components_star(
     cur = (
         e.select(F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # LAZY (r13): round 0's symmetric-difference count materializes
+        # the seed edge set in the same job — see connected_components.
+        .localCheckpoint(eager=False)
     )
 
     def _sym(pairs: DataFrame) -> DataFrame:

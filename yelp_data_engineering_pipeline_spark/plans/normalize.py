@@ -223,3 +223,21 @@ def write_star_schema(
 
     with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
         list(pool.map(_write, tables.items()))
+
+
+def read_star_schema(
+    spark, written: dict[str, DataFrame], out_dir: str
+) -> dict[str, DataFrame]:
+    """Read back a star schema persisted by :func:`write_star_schema`,
+    planning job-free (r13, guide §7.3): a bare
+    ``spark.read.parquet`` runs a schema-INFERENCE Spark job per table
+    per call — 13 driver round trips per serving snapshot read — but
+    the writer just wrote these files, so each table's schema is the
+    written frame's schema (that is exactly what the parquet footer
+    records; the files are re-read, nothing is cached). A serving
+    deployment holds table schemas in its catalog for the same reason.
+    """
+    return {
+        name: spark.read.schema(df.schema).parquet(f"{out_dir}/{name}.parquet")
+        for name, df in written.items()
+    }

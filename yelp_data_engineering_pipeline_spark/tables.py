@@ -114,11 +114,37 @@ def _ts_long_schema(path: str):
     return T.StructType(fields), ts_exprs
 
 
+# Inferred parquet schemas, keyed on (path, file paths+mtimes+sizes).
+# A bare ``spark.read.parquet(path)`` runs a schema-INFERENCE job on
+# every call (~0.1 s of driver+scheduler latency) — one job per
+# ``load()`` at every plan construction (r13, guide §7.3). The schema
+# is pure metadata: re-reading it per call cannot change results, so
+# the first load per table pays the single inference job and every
+# later load passes the SAME schema explicitly (job-free planning).
+# The file signature in the key drops stale entries when a tier is
+# rewritten (stress fixtures); StructType is session-independent.
+_SCHEMA_CACHE: dict = {}
+
+
+def _file_sig(path: str) -> tuple:
+    import glob
+    import os
+
+    ps = sorted(glob.glob(f"{path}/*.parquet")) if os.path.isdir(path) else [path]
+    return tuple((p, os.path.getmtime(p), os.path.getsize(p)) for p in ps)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name != "events":
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        path = f"{sf_dir}/{name}.parquet"
+        key = (path, _file_sig(path))
+        schema = _SCHEMA_CACHE.get(key)
+        if schema is None:
+            schema = spark.read.parquet(path).schema
+            _SCHEMA_CACHE[key] = schema
+        return spark.read.schema(schema).parquet(path)
     # events: timestamp column read as raw epoch INT64 and converted to
     # a micros TIMESTAMP with integer arithmetic — exact (no double
     # round-trip; 1.7e18 ns exceeds double's 53-bit mantissa) and
