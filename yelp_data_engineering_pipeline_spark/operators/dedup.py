@@ -304,23 +304,22 @@ def token_hash16(token: Column) -> Column:
 
 def simhash16(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash per document (bit-voting over token hashes,
-    multiplicity counted)."""
+    multiplicity counted). The 16 vote aggregates and the bit fold are
+    parsed from SQL text (same trees as the Column loop they replaced
+    — r13, guide §7.3; integer arithmetic, oracle rows pin results)."""
     docs = widen_for_compute(docs)
     tok = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("w")
     ).withColumn("hv", token_hash16(F.col("w")))
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright(hv, {i}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"s{i}")
         for i in range(16)
     ]
     agg = tok.groupBy("doc_id").agg(*votes)
-    sim = None
-    for i in range(16):
-        bit = F.when(F.col(f"s{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
-        sim = bit if sim is None else sim + bit
-    return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
+    sim = " + ".join(f"CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(16))
+    return agg.selectExpr("doc_id", f"cast({sim} as bigint) as simhash")
 
 
 def _simhash_segments(col: Column, n_seg: int, bits: int = 16) -> list[Column]:
