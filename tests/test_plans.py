@@ -1066,3 +1066,37 @@ def test_cosine_sql_twin_matches_column_cosine(spark, sf_dir):
     assert po == pn
     pack = lambda r: None if r["c"] is None else struct.pack("d", r["c"])  # noqa: E731
     assert [pack(r) for r in col_form.collect()] == [pack(r) for r in sql_form.collect()]
+
+
+def test_semdedup_cell_sql_twin_matches_column_form(spark, sf_dir):
+    """semdedup_cells builds its nearest-centroid cell assignment as
+    ONE parsed expression (_semdedup_cell_expr, r13 guide §7.3) instead
+    of C × ~15 py4j round trips of Column construction. The verbatim
+    Column formulation (_semdedup_cell_column) stays as the equivalence
+    oracle: same canonical optimized plan, same rows."""
+    from yelp_data_engineering_pipeline_spark.operators.dedup import (
+        _SEM_CELLS,
+        _semdedup_cell_column,
+        _semdedup_cell_expr,
+    )
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent_rows = sorted(
+        emb.filter(F.col("vec_id") < _SEM_CELLS)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    col_form = emb.select(
+        "vec_id", _semdedup_cell_column(cent_rows).cast("bigint").alias("cell")
+    )
+    sql_form = emb.select(
+        "vec_id", _semdedup_cell_expr(cent_rows).cast("bigint").alias("cell")
+    )
+    po = col_form._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    pn = sql_form._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    assert po == pn
+    assert sorted(map(tuple, col_form.collect())) == sorted(
+        map(tuple, sql_form.collect())
+    )

@@ -42,12 +42,19 @@ def _d(x: float) -> str:
     return f"{v!r}D"
 
 
+def sql_double_array(values: Iterable[float]) -> str:
+    """The ``array<double>`` literal as SQL TEXT — for callers that
+    embed it inside a larger single-parse expression (e.g. the
+    semdedup cell fold) instead of wrapping it themselves."""
+    return "array(" + ",".join(_d(v) for v in values) + ")"
+
+
 def lit_double_array(values: Iterable[float]) -> Column:
     """``array<double>`` literal from one parsed expression."""
     vals = list(values)
     if not vals:
         return F.array().cast("array<double>")
-    return F.expr("array(" + ",".join(_d(v) for v in vals) + ")")
+    return F.expr(sql_double_array(vals))
 
 
 def sql_double_matrix(rows: Sequence[Iterable[float]]) -> str:

@@ -1532,6 +1532,49 @@ _SEM_CELLS = 16
 _SEM_T = 0.2  # cosine threshold within a cell
 
 
+def _semdedup_cell_expr(cent_rows) -> Column:
+    """The semdedup cell assignment (nearest-of-first-C centroids,
+    first-max tie resolution) as ONE parsed expression (r13, guide
+    §7.3): the per-centroid Column construction cost C × ~15 py4j
+    round trips (~2 s of serial driver time at C=16 in the catalog
+    construction profile). Same tree — :func:`_semdedup_cell_column`
+    is the verbatim Column-API twin kept as the equivalence oracle
+    (tests/test_plans.py pins canonical-plan AND row equality)."""
+    from ..functions.bulklit import sql_double_array
+    from .similarity import _cosine_sql_frag
+
+    sims_sql = "array(" + ",".join(
+        f"round({_cosine_sql_frag('`embedding`', sql_double_array(float(x) for x in r.embedding))}, 4)"
+        for r in cent_rows
+    ) + ")"
+    ids_sql = "array(" + ",".join(f"{int(r.vec_id)}L" for r in cent_rows) + ")"
+    return F.expr(
+        f"element_at({ids_sql}, "
+        f"CAST(array_position({sims_sql}, array_max({sims_sql})) AS INT))"
+    )
+
+
+def _semdedup_cell_column(cent_rows) -> Column:
+    """Pre-r13 Column-by-Column cell assignment, verbatim — the
+    equivalence oracle for :func:`_semdedup_cell_expr`."""
+    from ..functions.bulklit import lit_double_array, lit_long_array
+
+    sims = F.array(
+        *[
+            F.round(
+                cosine(
+                    F.col("embedding"),
+                    lit_double_array([float(x) for x in r.embedding]),
+                ),
+                4,
+            )
+            for r in cent_rows
+        ]
+    )
+    ids_lit = lit_long_array([int(r.vec_id) for r in cent_rows])
+    return F.element_at(ids_lit, F.array_position(sims, F.array_max(sims)).cast("int"))
+
+
 def semdedup_cells(
     emb: DataFrame,
     n_cells: int = _SEM_CELLS,
@@ -1591,23 +1634,7 @@ def semdedup_cells(
         emb.filter(F.col("vec_id") < n_cells).select("vec_id", "embedding").collect(),
         key=lambda r: r.vec_id,
     )
-    from ..functions.bulklit import lit_double_array, lit_long_array
-
-    sims = F.array(
-        *[
-            F.round(
-                cosine(
-                    F.col("embedding"),
-                    # one parsed expr per centroid (bulklit, r13)
-                    lit_double_array([float(x) for x in r.embedding]),
-                ),
-                4,
-            )
-            for r in cent_rows
-        ]
-    )
-    ids_lit = lit_long_array([int(r.vec_id) for r in cent_rows])
-    cell = F.element_at(ids_lit, F.array_position(sims, F.array_max(sims)).cast("int"))
+    cell = _semdedup_cell_expr(cent_rows)
     assigned = widen_for_compute(emb).select(
         "vec_id", "embedding", cell.cast("bigint").alias("cell")
     )

@@ -187,24 +187,32 @@ def _rph_bucket_spark_sql(vec_name: str, planes: list[list[float]]) -> str:
     )
 
 
-def _cosine_spark_sql(a: str, b: str) -> str:
-    """:func:`cosine` as Spark SQL TEXT over two column names — the
-    single-parse form for construction-hot callers. Renders the SAME
-    expression tree (zip_with product with double casts, 0.0 init,
-    left-fold ``+`` aggregates, sqrt norms), so values are
-    bit-identical (pinned by tests/test_plans.py)."""
+def _cosine_sql_frag(a: str, b: str) -> str:
+    """:func:`cosine` as Spark SQL TEXT over two raw SQL FRAGMENTS
+    (column references must arrive pre-quoted; fragments may be array
+    literals) — the literal-operand form semdedup's cell fold embeds.
+    Renders the SAME expression tree as the Column form (zip_with
+    product with double casts, 0.0 init, left-fold ``+`` aggregates,
+    sqrt norms), so values are bit-identical (pinned by
+    tests/test_plans.py)."""
     def _sq(v: str) -> str:
         return (
-            f"aggregate(`{v}`, 0.0D, "
+            f"aggregate({v}, 0.0D, "
             f"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
         )
 
     dot_ = (
-        f"aggregate(zip_with(`{a}`, `{b}`, "
+        f"aggregate(zip_with({a}, {b}, "
         f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         f"0.0D, (acc, x) -> acc + x)"
     )
     return f"({dot_} / (sqrt({_sq(a)}) * sqrt({_sq(b)})))"
+
+
+def _cosine_spark_sql(a: str, b: str) -> str:
+    """:func:`cosine` as Spark SQL TEXT over two column NAMES — the
+    single-parse form for construction-hot callers."""
+    return _cosine_sql_frag(f"`{a}`", f"`{b}`")
 
 
 def topk_rph(
