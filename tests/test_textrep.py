@@ -114,3 +114,88 @@ def test_gate_applies_gopher_thresholds(spark):
         df, "doc_id", "text",
         gates={k: 1.0 for k in GOPHER_GATES})
     assert all(r["keep_repetition"] for r in loose.collect())
+
+
+def test_profile_sql_twin_matches_column_formulation(spark, sf_dir):
+    """repetition_profile builds its words/lines/grams projections from
+    SQL strings parsed JVM-side (r13, guide §7.3) instead of ~300 py4j
+    round trips of higher-order-function Column construction. The
+    verbatim pre-r13 Column formulation below is the equivalence
+    oracle: same canonical optimized plan, same rows — in BOTH rounding
+    modes (the pytest round-4 plane and the catalog round_to=None
+    bit-parity plane)."""
+    from yelp_data_engineering_pipeline_spark.operators.textrep import (
+        _grams,
+        _round_opt,
+        _words,
+    )
+
+    def gram_fracs_ref(docs, id_col, words_col, n, round_to):
+        ex = docs.select(
+            F.col(id_col), F.explode(_grams(F.col(words_col), n)).alias("g")
+        )
+        counts = ex.groupBy(id_col, "g").agg(
+            F.count(F.lit(1)).alias("c"),
+        )
+        per_doc = counts.groupBy(id_col).agg(
+            F.max(F.struct(F.col("c"), F.col("g"))).alias("top"),
+            F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("g"))
+                  .otherwise(F.lit(0))).alias("dup_cov"),
+            F.sum(F.col("c") * F.length("g")).alias("tot_cov"),
+        )
+        top_cov = (F.col("top").getField("c")
+                   * F.length(F.col("top").getField("g")))
+        return per_doc.select(
+            id_col,
+            _round_opt(top_cov / F.col("tot_cov"), round_to)
+            .alias(f"top_ngram_char_frac_{n}"),
+            _round_opt(F.col("dup_cov") / F.col("tot_cov"), round_to)
+            .alias(f"dup_ngram_char_frac_{n}"),
+        )
+
+    def profile_ref(docs, id_col, text_col, top_ns, dup_ns, round_to):
+        base = docs.select(
+            F.col(id_col),
+            F.col(text_col).alias("_t"),
+            _words(F.col(text_col)).alias("_w"),
+        )
+        lines = F.filter(
+            F.transform(F.split(F.col("_t"), r"\n"), lambda l: F.trim(l)),
+            lambda l: l != F.lit(""),
+        )
+        lx = base.select(id_col, F.explode(lines).alias("ln"),
+                         F.length(F.col("_t")).alias("_chars"))
+        lcounts = lx.groupBy(id_col, "ln").agg(
+            F.count(F.lit(1)).alias("c"),
+            F.length(F.first("ln")).alias("llen"),
+            F.first("_chars").alias("chars"),
+        )
+        line_prof = lcounts.groupBy(id_col).agg(
+            _round_opt(
+                F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0))
+                / F.sum("c"), round_to).alias("dup_line_frac"),
+            _round_opt(
+                F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("llen"))
+                      .otherwise(0))
+                / F.greatest(F.first("chars"), F.lit(1)), round_to)
+            .alias("dup_line_char_frac"),
+        )
+        out = base.select(id_col).join(line_prof, id_col, "left")
+        for n in tuple(top_ns) + tuple(dup_ns):
+            prof = gram_fracs_ref(base, id_col, "_w", n, round_to)
+            keep = [f"top_ngram_char_frac_{n}"] if n in top_ns else []
+            keep += [f"dup_ngram_char_frac_{n}"] if n in dup_ns else []
+            out = out.join(prof.select(id_col, *keep), id_col, "left")
+        fill = {c: 0.0 for c in out.columns if c != id_col}
+        return out.fillna(fill)
+
+    docs = load(spark, sf_dir, "documents")
+    for round_to in (4, None):
+        ref = profile_ref(docs, "doc_id", "text", (2, 3, 4), (5,), round_to)
+        new = repetition_profile(docs, round_to=round_to)
+        po = ref._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+        pn = new._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+        assert po == pn, f"plan mismatch at round_to={round_to}"
+        assert sorted(map(tuple, ref.collect())) == sorted(
+            map(tuple, new.collect())
+        )

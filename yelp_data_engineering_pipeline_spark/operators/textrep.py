@@ -52,13 +52,16 @@ GOPHER_GATES = {
 }
 
 
+_WS_CLASS = r"[ \t\n\x0b\f\r]+"
+
+
 def _words(text: Column) -> Column:
     """Lower-cased whitespace tokens, empties dropped (split on a
     run of whitespace emits '' at the edges). Explicit class instead
     of \\s for cross-engine oracle parity (Java \\s includes \\x0b,
     RE2's excludes it — the textstats.whitespace_tokens convention)."""
     return F.filter(
-        F.split(F.lower(text), r"[ \t\n\x0b\f\r]+"),
+        F.split(F.lower(text), _WS_CLASS),
         lambda w: w != F.lit(""),
     )
 
@@ -73,6 +76,36 @@ def _grams(words: Column, n: int) -> Column:
             lambda i: F.concat_ws(" ", F.slice(words, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+# --- single-parse SQL twins of the projection expressions (r13, guide
+# §7.3): each higher-order-function lambda hop above is a synchronous
+# py4j round trip, and repetition_profile builds the gram pipeline for
+# FOUR n values — ~1.8 s of serial driver time per profile/gate plan
+# construction, zero Spark jobs. Rendering the projections as SQL text
+# parsed JVM-side produces the identical tree; the Column builders stay
+# as the equivalence oracle (tests/test_textrep.py pins canonical
+# optimizedPlan equality and rows). The regex literals double their
+# backslashes because the SQL parser processes escape sequences the
+# Python raw strings do not.
+
+def _words_sql(text_ref: str) -> str:
+    """:func:`_words` as Spark SQL TEXT over a pre-quoted column ref."""
+    ws = _WS_CLASS.replace("\\", "\\\\")
+    return f"filter(split(lower({text_ref}), '{ws}'), w -> w != '')"
+
+
+def _grams_sql(words_ref: str, n: int) -> str:
+    """:func:`_grams` as Spark SQL TEXT over a pre-quoted column ref."""
+    return (
+        f"CASE WHEN size({words_ref}) >= {n} THEN "
+        f"transform(sequence(1, size({words_ref}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({words_ref}, i, {n}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+_LINES_SQL = "filter(transform(split(_t, '\\\\n'), l -> trim(l)), l -> l != '')"
 
 
 def _round_opt(c: Column, round_to: int | None) -> Column:
@@ -96,26 +129,28 @@ def _gram_fracs(docs: DataFrame, id_col: str, words_col: str,
     normalization choice cancels out of threshold comparisons.
     (ADVICE r12: an earlier form took the max-COVERAGE gram, letting
     a longer-but-rarer gram inflate the signal past the paper's.)"""
-    ex = docs.select(
-        F.col(id_col), F.explode(_grams(F.col(words_col), n)).alias("g")
+    # single-parse projection (r13): see _grams_sql
+    ex = docs.selectExpr(
+        f"`{id_col}`", f"explode({_grams_sql(f'`{words_col}`', n)}) AS g"
     )
     counts = ex.groupBy(id_col, "g").agg(
-        F.count(F.lit(1)).alias("c"),
+        F.expr("count(1) AS c"),
     )
     per_doc = counts.groupBy(id_col).agg(
-        F.max(F.struct(F.col("c"), F.col("g"))).alias("top"),
-        F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("g"))
-              .otherwise(F.lit(0))).alias("dup_cov"),
-        F.sum(F.col("c") * F.length("g")).alias("tot_cov"),
+        F.expr("max(struct(c, g)) AS top"),
+        F.expr("sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)"
+               " AS dup_cov"),
+        F.expr("sum(c * length(g)) AS tot_cov"),
     )
-    top_cov = (F.col("top").getField("c")
-               * F.length(F.col("top").getField("g")))
-    return per_doc.select(
-        id_col,
-        _round_opt(top_cov / F.col("tot_cov"), round_to)
-        .alias(f"top_ngram_char_frac_{n}"),
-        _round_opt(F.col("dup_cov") / F.col("tot_cov"), round_to)
-        .alias(f"dup_ngram_char_frac_{n}"),
+
+    def _r(x: str) -> str:
+        return x if round_to is None else f"round({x}, {round_to})"
+
+    return per_doc.selectExpr(
+        f"`{id_col}`",
+        f"{_r('(top.c * length(top.g)) / tot_cov')}"
+        f" AS top_ngram_char_frac_{n}",
+        f"{_r('dup_cov / tot_cov')} AS dup_ngram_char_frac_{n}",
     )
 
 
@@ -128,17 +163,17 @@ def repetition_profile(
     with no lines/grams at a given n contributes 0.0 for that signal
     (nothing repeats in an empty population — the permissive reading;
     gates only ever DROP on high values)."""
-    base = docs.select(
-        F.col(id_col),
-        F.col(text_col).alias("_t"),
-        _words(F.col(text_col)).alias("_w"),
+    # single-parse projections (r13): see _words_sql/_LINES_SQL
+    base = docs.selectExpr(
+        f"`{id_col}`",
+        f"`{text_col}` AS _t",
+        f"{_words_sql(f'`{text_col}`')} AS _w",
     )
-    lines = F.filter(
-        F.transform(F.split(F.col("_t"), r"\n"), lambda l: F.trim(l)),
-        lambda l: l != F.lit(""),
+    lx = base.selectExpr(
+        f"`{id_col}`",
+        f"explode({_LINES_SQL}) AS ln",
+        "length(_t) AS _chars",
     )
-    lx = base.select(id_col, F.explode(lines).alias("ln"),
-                     F.length(F.col("_t")).alias("_chars"))
     lcounts = lx.groupBy(id_col, "ln").agg(
         F.count(F.lit(1)).alias("c"),
         F.length(F.first("ln")).alias("llen"),
