@@ -1100,3 +1100,76 @@ def test_semdedup_cell_sql_twin_matches_column_form(spark, sf_dir):
     assert sorted(map(tuple, col_form.collect())) == sorted(
         map(tuple, sql_form.collect())
     )
+
+
+def test_multiprobe_sql_twin_matches_column_form(spark, sf_dir):
+    """topk_rph_multiprobe builds its 1+n_bits probe projection and
+    corpus bucket from SQL strings parsed JVM-side (r13, guide §7.3).
+    The verbatim pre-r13 Column formulation below is the equivalence
+    oracle: same canonical optimized plan, same rows."""
+    from pyspark.sql import Window
+
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        RPH_PLANES,
+        cosine,
+        rph_bucket,
+        topk_rph_multiprobe,
+    )
+    from yelp_data_engineering_pipeline_spark.partitioning import (
+        widen_for_compute,
+    )
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    def multiprobe_ref(queries, corpus, k, planes):
+        n_bits = len(planes)
+        q_bucket = rph_bucket(F.col("embedding"), planes)
+        flips = [q_bucket] + [
+            F.concat(
+                F.substring(q_bucket, 1, i),
+                F.when(
+                    F.substring(q_bucket, i + 1, 1) == "1", F.lit("0")
+                ).otherwise(F.lit("1")),
+                F.substring(q_bucket, i + 2, n_bits - i - 1),
+            )
+            for i in range(n_bits)
+        ]
+        q = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(F.array(*flips)).alias("bucket"),
+        )
+        c = widen_for_compute(corpus).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            rph_bucket(F.col("embedding"), planes).alias("bucket"),
+        )
+        pairs = (
+            F.broadcast(q)
+            .join(c, "bucket")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias(
+                    "cos_sim"
+                ),
+            )
+            .distinct()
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            pairs.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rk") <= k)
+        )
+
+    emb = load(spark, sf_dir, "embeddings")
+    ref = multiprobe_ref(emb.filter(F.col("vec_id") < 10), emb, 5, RPH_PLANES)
+    new = topk_rph_multiprobe(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    po = ref._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    pn = new._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    assert po == pn
+    assert sorted(map(tuple, ref.collect())) == sorted(
+        map(tuple, new.collect())
+    )

@@ -1509,26 +1509,32 @@ def topk_rph_multiprobe(
 
     planes = planes or RPH_PLANES
     n_bits = len(planes)
-    q_bucket = rph_bucket(F.col("embedding"), planes)
-    flips = [q_bucket] + [
-        F.concat(
-            F.substring(q_bucket, 1, i),
-            F.when(F.substring(q_bucket, i + 1, 1) == "1", F.lit("0")).otherwise(
-                F.lit("1")
-            ),
-            F.substring(q_bucket, i + 2, n_bits - i - 1),
-        )
-        for i in range(n_bits)
-    ]
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.explode(F.array(*flips)).alias("bucket"),
+    # single-parse probe projection (r13, guide §7.3): the Column form
+    # issued ~10 py4j round trips per flip and re-analyzed the
+    # 1+n_bits-way inlined bucket fold expression by expression. SQL
+    # text renders the identical tree in one parse — the verbatim
+    # Column formulation stays as the equivalence oracle
+    # (tests/test_plans.py pins canonical-plan AND row equality).
+    b_sql = _rph_bucket_spark_sql("embedding", planes)
+    probes = ", ".join(
+        [b_sql]
+        + [
+            f"concat(substring({b_sql}, 1, {i}), "
+            f"CASE WHEN substring({b_sql}, {i + 1}, 1) = '1' "
+            f"THEN '0' ELSE '1' END, "
+            f"substring({b_sql}, {i + 2}, {n_bits - i - 1}))"
+            for i in range(n_bits)
+        ]
     )
-    c = widen_for_compute(corpus).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        rph_bucket(F.col("embedding"), planes).alias("bucket"),
+    q = queries.selectExpr(
+        "`vec_id` AS query_id",
+        "`embedding` AS q_emb",
+        f"explode(array({probes})) AS bucket",
+    )
+    c = widen_for_compute(corpus).selectExpr(
+        "`vec_id` AS neighbor_id",
+        "`embedding` AS c_emb",
+        f"{b_sql} AS bucket",
     )
     pairs = (
         F.broadcast(q)
@@ -1537,7 +1543,9 @@ def topk_rph_multiprobe(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("cos_sim"),
+            F.expr(f"round({_cosine_spark_sql('q_emb', 'c_emb')}, 4)").alias(
+                "cos_sim"
+            ),
         )
         .distinct()
     )
