@@ -195,30 +195,38 @@ def main() -> None:
             t0 = time.time()
             served = read_star(merged, "v2")
 
-            # r13: the three requests are INDEPENDENT (each resolves
-            # its own dim, counts its own cached join, fetches its own
-            # page), exactly what a serving deployment overlaps across
-            # concurrent clients — so the leg serves them from a small
-            # pool (optimization guide §2.6) instead of idling the
-            # cluster through each request's count/page job tails.
-            # Same three queries, same pages, same noop sink.
-            from concurrent.futures import ThreadPoolExecutor
-
             def _serve(fn):
                 res = fn()
                 page = res.get("businesses", res.get("restaurants"))
                 if page is not None:
                     page.write.format("noop").mode("overwrite").save()
 
-            with ThreadPoolExecutor(max_workers=3) as pool:
-                list(pool.map(_serve, (
-                    lambda: restaurants_by_category(served, "pizza", page=2),
-                    lambda: restaurants_by_day(served, "Mon", page=2),
-                    lambda: restaurants_open_now(
-                        served, datetime(2024, 3, 8, 19, 30, tzinfo=timezone.utc)
-                    ),
-                )))
+            _requests = (
+                lambda: restaurants_by_category(served, "pizza", page=2),
+                lambda: restaurants_by_day(served, "Mon", page=2),
+                lambda: restaurants_open_now(
+                    served, datetime(2024, 3, 8, 19, 30, tzinfo=timezone.utc)
+                ),
+            )
+
+            # r14 (VERDICT r13 what's-wrong #1 / next-4): the ledger key
+            # `api_three_endpoints` is SERIAL again — r12 semantics, so
+            # the row is round-comparable and drift_check tracks an
+            # engine number, not a harness concurrency choice. The r13
+            # thread-pool serve (guide §2.6 — what a deployment actually
+            # does across concurrent clients) is kept as the ADDITIVE
+            # `_pooled` key; it reuses the serial pass's warm endpoint
+            # cache, so it isolates the overlap benefit.
+            for fn in _requests:
+                _serve(fn)
             out["api_three_endpoints"] = round(time.time() - t0, 3)
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            t0 = time.time()
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                list(pool.map(_serve, _requests))
+            out["api_three_endpoints_pooled"] = round(time.time() - t0, 3)
 
             # deep page (VERDICT r11 next-7): the keyset route at an
             # arbitrary depth must cost ≈ a page-1 fetch — the seek is
@@ -321,6 +329,17 @@ def main() -> None:
                 "yelp_e2e_total": round(sum(yelp.values()), 3),
                 "ann_serving": ann_serving,
                 "ann_serving_total": round(sum(ann_serving.values()), 3),
+                # r14 (VERDICT r13 next-2): prove the CPU contract in
+                # the emitted line — session.py builds
+                # local[$SPARK_GRAFT_CPUS] and derives shuffle
+                # partitions from it; the driver's scaling block can
+                # now tell "env honored, overhead-bound at this SF"
+                # from "env ignored".
+                "master": spark.sparkContext.master,
+                "default_parallelism": spark.sparkContext.defaultParallelism,
+                "shuffle_partitions": int(
+                    spark.conf.get("spark.sql.shuffle.partitions")
+                ),
                 "sf": sf,
             }
         )

@@ -335,3 +335,32 @@ def test_ivf_nprobe_recall_curve(spark):
     assert curve[1] <= curve[2] <= curve[4] <= curve[10], curve
     assert curve[4] >= 0.9, curve
     assert curve[10] == 1.0, curve          # all cells == brute force
+
+
+def test_ntile_from_rank_col_matches_int_form(spark):
+    """ntile_from_rank_col (total count as a COLUMN — r14 lazy grid)
+    must reproduce ntile_from_rank for every (n, k) shape including
+    q == 0 (fewer rows than tiles) and non-dividing k."""
+    from yelp_data_engineering_pipeline_spark.operators.ids import (
+        ntile_from_rank,
+        ntile_from_rank_col,
+    )
+
+    for n in (1, 2, 3, 4, 5, 7, 12, 100):
+        for k in (1, 2, 4, 5, 13):
+            df = spark.range(1, n + 1).select(
+                F.col("id").alias("rank"), F.lit(n).cast("long").alias("n")
+            )
+            got = {
+                (r["rank"], r["t"])
+                for r in df.select(
+                    "rank", ntile_from_rank_col(F.col("rank"), F.col("n"), k).alias("t")
+                ).collect()
+            }
+            want = {
+                (r["rank"], r["t"])
+                for r in df.select(
+                    "rank", ntile_from_rank(F.col("rank"), n, k).alias("t")
+                ).collect()
+            }
+            assert got == want, f"n={n} k={k}"

@@ -122,6 +122,12 @@ _ALLOWED_GLOBAL_WINDOW: frozenset[str] = frozenset({
     # bucket-importance normalization over the n_buckets-row frame
     # (preptext.py:1306 — constant-sized by construction)
     "prep_dsir_scores",
+    # r14: the lazy grid-rank prefix sum (ids.rank_histogram_grid_lazy)
+    # windows over the PER-CELL COUNTS aggregate — rows/2^cell_shift
+    # cardinality at any scale (the fact-scale ranking itself stays the
+    # per-cell hash-partitioned window). Replaced the driver-side
+    # collect + prefix loop, so the bounded reduction moved JVM-side.
+    "window_rank_distribution",
 })
 
 

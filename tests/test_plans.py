@@ -1173,3 +1173,59 @@ def test_multiprobe_sql_twin_matches_column_form(spark, sf_dir):
     assert sorted(map(tuple, ref.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_ivf_kernel_sql_twin_matches_column_form(spark, sf_dir):
+    """ivf_assign's literal-codebook kernel is ONE parsed, memoized
+    expression (r14, guide §7.3); the ivf_assign_cell/ivf_probe_cells
+    Column builders stay the equivalence oracle: canonical optimized
+    plans AND rows must match for both the assign and the probe form."""
+    from yelp_data_engineering_pipeline_spark.operators.similarity import (
+        _ivf_kernel_expr,
+        ivf_assign_cell,
+        ivf_probe_cells,
+    )
+    from yelp_data_engineering_pipeline_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    }
+    base = emb.select("vec_id", "embedding")
+    for nprobe in (None, 2):
+        col_expr = (
+            ivf_assign_cell(F.col("embedding"), cents)
+            if nprobe is None
+            else ivf_probe_cells(F.col("embedding"), cents, nprobe)
+        )
+        ref = base.select("vec_id", col_expr.alias("cell"))
+        new = base.select(
+            "vec_id", _ivf_kernel_expr("embedding", cents, nprobe).alias("cell")
+        )
+        po = ref._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+        pn = new._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+        assert po == pn, f"nprobe={nprobe}: canonical plans diverge"
+        rr = [(r["vec_id"], r["cell"]) for r in ref.collect()]
+        rn = [(r["vec_id"], r["cell"]) for r in new.collect()]
+        assert sorted(rr) == sorted(rn)
+
+
+def test_rank_histogram_grid_lazy_matches_eager(spark):
+    """rank_histogram_grid_lazy (no collect, no eager job — r14) must
+    assign the SAME ranks and total as the eager grid scheme, including
+    across cell boundaries and on ties broken by the tiebreak column."""
+    from yelp_data_engineering_pipeline_spark.operators.ids import (
+        rank_histogram_grid,
+        rank_histogram_grid_lazy,
+    )
+
+    rows = [(float(v) * 655.36, i) for i, v in enumerate([3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5])]
+    df = spark.createDataFrame(rows, "v double, tb long")
+    eager, n = rank_histogram_grid(df, "v", "tb", cell_shift=4, id_col="r")
+    lazy = rank_histogram_grid_lazy(df, "v", "tb", cell_shift=4, id_col="r", n_col="_n")
+    re_ = sorted((r["tb"], r["r"]) for r in eager.collect())
+    rl = sorted((r["tb"], r["r"]) for r in lazy.collect())
+    assert re_ == rl
+    totals = {r["_n"] for r in lazy.collect()}
+    assert totals == {n}

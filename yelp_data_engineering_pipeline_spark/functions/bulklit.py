@@ -45,8 +45,14 @@ def _d(x: float) -> str:
 def sql_double_array(values: Iterable[float]) -> str:
     """The ``array<double>`` literal as SQL TEXT — for callers that
     embed it inside a larger single-parse expression (e.g. the
-    semdedup cell fold) instead of wrapping it themselves."""
-    return "array(" + ",".join(_d(v) for v in values) + ")"
+    semdedup cell fold) instead of wrapping it themselves. An empty
+    input renders typed (ADVICE r13: a bare ``array()`` parses as
+    ``array<void>``, silently diverging from ``lit_double_array``'s
+    typed-empty form)."""
+    body = ",".join(_d(v) for v in values)
+    if not body:
+        return "CAST(array() AS ARRAY<DOUBLE>)"
+    return "array(" + body + ")"
 
 
 def lit_double_array(values: Iterable[float]) -> Column:
@@ -62,7 +68,10 @@ def sql_double_matrix(rows: Sequence[Iterable[float]]) -> str:
     that embed the matrix inside a larger single-parse expression
     (e.g. the LSH bucket fold) instead of wrapping it themselves."""
     inner = ("array(" + ",".join(_d(v) for v in r) + ")" for r in rows)
-    return "array(" + ",".join(inner) + ")"
+    body = ",".join(inner)
+    if not body:
+        return "CAST(array() AS ARRAY<ARRAY<DOUBLE>>)"
+    return "array(" + body + ")"
 
 
 def lit_double_matrix(rows: Sequence[Iterable[float]]) -> Column:

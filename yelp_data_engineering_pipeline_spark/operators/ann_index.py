@@ -495,11 +495,15 @@ class IvfIndex:
         c = base.select(
             F.col(self.id_col).alias("neighbor_id"),
             self._stored_vec().alias("c_emb"), "cell")
+        from .similarity import _cosine_spark_sql
+
         pairs = (q.join(c, "cell")
                  .filter(F.col("query_id") != F.col("neighbor_id"))
                  .select("query_id", "q_emb", "neighbor_id",
-                         F.round(cosine(F.col("q_emb"),
-                                        F.col("c_emb")), 4)
+                         # single-parse exact-cosine verify (r14 —
+                         # same tree as the Column form, the
+                         # topk_lsh_multitable precedent)
+                         F.expr(f"round({_cosine_spark_sql('q_emb', 'c_emb')}, 4)")
                          .alias("cos_sim")))
         w = Window.partitionBy("query_id").orderBy(
             F.col("cos_sim").desc(), F.col("neighbor_id"))

@@ -1326,8 +1326,29 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     m2 = canon.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     s2 = tracked_persist(canon.join(m2, "doc_id").select("doc_id", "text"))
 
-    pairs = minhash_lsh_pairs(s2, "doc_id", "text", jaccard_threshold=0.5)
-    labels = connected_components(pairs, "doc_a", "doc_b")
+    # Overlap the tier-1/2 survivor materialization with the LSH/closure
+    # plan construction (r14, guide §2.6 — VERDICT r13 next-1): the
+    # closure's round-0 job needs the s2 persist filled, and the driver
+    # spends a few hundred ms single-threaded building the minhash and
+    # closure plans first — submit the fill from a helper thread so the
+    # cluster computes docs→s1→s2 while the driver builds plans. The
+    # cache manager serializes any per-partition race with round 0;
+    # results are unchanged (the fill is the same subtree round 0 would
+    # compute).
+    from concurrent.futures import ThreadPoolExecutor
+
+    sc = spark.sparkContext
+
+    def _fill_tiers() -> None:
+        sc.setJobDescription("dedup_cascade: tier-1/2 survivor fill")
+        s2.count()
+        sc.setJobDescription(None)
+
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _fill = _pool.submit(_fill_tiers)
+        pairs = minhash_lsh_pairs(s2, "doc_id", "text", jaccard_threshold=0.5)
+        labels = connected_components(pairs, "doc_a", "doc_b")
+        _fill.result()
     e3 = labels.filter(F.col("label") != F.col("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("e3")
     )

@@ -65,28 +65,34 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
-        # labels/nbr_min are O(nodes): a sort-merge hint pins the keyed join —
-        # a planner broadcast of a node-sized table dies at scale, and a
+        # labels is O(nodes): a sort-merge hint pins the keyed join — a
+        # planner broadcast of a node-sized table dies at scale, and a
         # shuffle-hash build map can exhaust a small heap (both observed
         # at the 10× stress tier under a 1 GiB bare driver, round 4);
         # sort-merge spills gracefully.
-        nbr_min = (
-            sym.join(labels.hint("merge"), sym["d"] == labels["node"])
-            .groupBy(F.col("s").alias("node"))
-            .agg(F.min("label").alias("nbr_min"))
+        msgs = sym.join(labels.hint("merge"), sym["d"] == labels["node"]).select(
+            F.col("s").alias("node"), "label", F.lit(False).alias("_self")
         )
-        # LAZY checkpoint + count = ONE action per round (r13): the
-        # convergence count's full-partition scan materializes the
-        # checkpoint blocks as a side effect, so the previous
-        # eager-checkpoint-then-count shape paid one redundant job per
-        # round for the same lineage truncation.
+        # ONE union-then-groupBy per round (r14, guide §2.4/§2.3): the
+        # previous shape re-joined labels onto nbr_min — a second
+        # sort-merge join and exchange per round. min(own ∪ neighbour
+        # labels) is the identical recurrence as
+        # least(label, coalesce(nbr_min, label)), and the groupBy's
+        # map-side partial aggregation collapses messages before the
+        # shuffle. Each node has exactly ONE self row (labels is keyed),
+        # so min(label WHERE _self) recovers old_label for the
+        # convergence test without the join.
         stepped = (
-            labels.join(nbr_min.hint("merge"), "node", "left")
-            .select(
-                "node",
-                F.col("label").alias("old_label"),
-                F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+            labels.select("node", "label", F.lit(True).alias("_self"))
+            .unionByName(msgs)
+            .groupBy("node")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("_self"), F.col("label"))).alias("old_label"),
             )
+            # LAZY checkpoint + count = ONE action per round (r13): the
+            # convergence count's full-partition scan materializes the
+            # checkpoint blocks as a side effect.
             .localCheckpoint(eager=False)  # truncate iterative lineage
         )
         changed = stepped.filter(F.col("label") < F.col("old_label")).count()

@@ -1128,19 +1128,22 @@ def _bpe_train(tokens_weighted: DataFrame, rounds: int):
         F.expr("transform(sequence(1, length(token)), i -> substring(token, i, 1))").alias("w"),
         F.col("n"),
     )
+    # Parse each per-round expression ONCE outside the loop (r14, guide
+    # §7.3 — VERDICT r13 next-8): Columns are reusable unresolved
+    # trees, so the adjacent-pair zip and the merge fold don't need a
+    # fresh py4j construction + parse per training round.
+    pair_col = F.explode(
+        F.arrays_zip(
+            F.expr("slice(w, 1, size(w) - 1)").alias("a"),
+            F.expr("slice(w, 2, size(w) - 1)").alias("b"),
+        )
+    ).alias("p")
+    merge_col = F.expr(_BPE_MERGE_EXPR).alias("w")
     out = None
     for r in range(1, rounds + 1):
         w = tracked_persist(w)
         pairs = (
-            w.select(
-                F.explode(
-                    F.arrays_zip(
-                        F.expr("slice(w, 1, size(w) - 1)").alias("a"),
-                        F.expr("slice(w, 2, size(w) - 1)").alias("b"),
-                    )
-                ).alias("p"),
-                "n",
-            )
+            w.select(pair_col, "n")
             .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "n")
             .groupBy("a", "b")
             .agg(F.sum("n").cast("bigint").alias("cnt"))
@@ -1154,9 +1157,7 @@ def _bpe_train(tokens_weighted: DataFrame, rounds: int):
             F.col("cnt").alias("pair_count"),
         )
         out = row if out is None else out.unionAll(row)
-        w = w.crossJoin(F.broadcast(best)).select(
-            F.expr(_BPE_MERGE_EXPR).alias("w"), "n"
-        )
+        w = w.crossJoin(F.broadcast(best)).select(merge_col, "n")
     return out.orderBy("merge_round"), w
 
 

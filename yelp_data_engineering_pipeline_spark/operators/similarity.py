@@ -431,6 +431,67 @@ def ivf_probe_cells(vec: Column, cents: dict[int, list[float]],
 _CODEBOOK_LITERAL_MAX_VALUES = 2048
 
 
+def _cell_structs_sql(vec_frag: str, cents: dict[int, list[float]]) -> str:
+    """:func:`_cell_structs` as Spark SQL TEXT over a raw vector
+    FRAGMENT (r14, guide §7.3 — the minhash/semdedup single-parse
+    pattern): the whole scored-cells transform — codebook matrix
+    literal, id array, cosine fold, struct — renders as one string for
+    a single ``F.expr`` parse, instead of ~500 py4j round trips of
+    Column chatter per search/assign construction (measured ~0.3 s per
+    ``ivf_assign`` call at 8 cells × 64 dims). Same expression tree,
+    bit-identical values — pinned by
+    tests/test_plans.py::test_cell_structs_sql_twin_matches_column_form."""
+    from ..functions.bulklit import sql_double_matrix
+
+    keys = sorted(cents)
+    mat = sql_double_matrix([[float(x) for x in cents[c]] for c in keys])
+    ids = "array(" + ",".join(f"{int(c)}L" for c in keys) + ")"
+    cos = _cosine_sql_frag(vec_frag, "element_at(_cb, i)")
+    return (
+        f"transform(sequence(1, {len(keys)}), i -> struct("
+        f"-round({cos.replace('_cb', mat)}, 4) AS neg_sim, "
+        f"CAST(element_at({ids}, i) AS BIGINT) AS cell))"
+    )
+
+
+# Parsed probe/assign Columns keyed on (applicationId, vector column,
+# nprobe, codebook CONTENT) — an EXPRESSION memo like the LSH tag
+# memo above (unevaluated Catalyst trees, never results); serving
+# loops rebuild the identical kernel every search call otherwise.
+_CELL_EXPR_CACHE: dict = {}
+
+
+def _ivf_kernel_expr(vec_col: str, cents: dict[int, list[float]],
+                     nprobe: int | None) -> Column:
+    """The literal-codebook assign (nprobe None) / probe-cells kernel
+    as ONE parsed, memoized expression."""
+    key = (
+        None,
+        vec_col,
+        nprobe,
+        tuple((int(c), tuple(float(x) for x in cents[c])) for c in sorted(cents)),
+    )
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    if sess is not None:
+        key = (sess.sparkContext.applicationId,) + key[1:]
+    cached = _CELL_EXPR_CACHE.get(key)
+    if cached is not None:
+        return cached
+    structs = _cell_structs_sql(f"`{vec_col}`", cents)
+    if nprobe is None:
+        text = f"array_min({structs})['cell']"
+    else:
+        text = (
+            f"transform(slice(array_sort({structs}), 1, {max(1, nprobe)}), "
+            f"s -> s['cell'])"
+        )
+    parsed = F.expr(text)
+    _CELL_EXPR_CACHE[key] = parsed
+    return parsed
+
+
 def _scored_cells_over(vec: Column, mat: Column, ids: Column) -> Column:
     """The codebook-as-data twin of :func:`_cell_structs`: score
     ``vec`` against every row of the matrix COLUMN (one broadcast row
@@ -480,9 +541,10 @@ def ivf_assign(df: DataFrame, cents: dict[int, list[float]],
     n_vals = sum(len(cents[c]) for c in keys)
     vec = F.col(vec_col)
     if n_vals <= _CODEBOOK_LITERAL_MAX_VALUES:
-        expr = (ivf_probe_cells(vec, cents, nprobe)
-                if nprobe is not None
-                else ivf_assign_cell(vec, cents))
+        # single-parse + memoized kernel (r14): same tree as the
+        # ivf_probe_cells/ivf_assign_cell Column builders, which stay
+        # as the twin-test equivalence oracle
+        expr = _ivf_kernel_expr(vec_col, cents, nprobe)
         if nprobe is not None and explode:
             expr = F.explode(expr)
         return df.select(*df.columns, expr.alias(cell_col))

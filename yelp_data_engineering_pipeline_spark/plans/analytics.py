@@ -23,11 +23,12 @@ def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged `Window.orderBy` over the whole fact table as a scale-killer:
     one task serializes the table). Two-phase instead: global rank =
     per-cell row_number + prefix-sum offset, with cells on a FIXED
-    integer grid (``rank_histogram_grid``, operators/ids.py) — two jobs
-    total, no boundary sampling, no persist (r6: replaces the
-    range-repartition scheme here, whose sampled boundaries forced a
-    persist + an extra job; dense_ids keeps that scheme for unbounded
-    domains). The ordering (o_totalprice, o_orderkey) is total, so
+    integer grid (``rank_histogram_grid_lazy``, operators/ids.py) —
+    ONE action, no boundary sampling, no persist, no driver collect
+    (r6 introduced the grid over the range-repartition scheme; r14
+    moved the prefix sum JVM-side so the counts ride a broadcast
+    instead of an eager job; dense_ids keeps the range scheme for
+    unbounded domains). The ordering (o_totalprice, o_orderkey) is total, so
     rank == row_number and the SQL-standard definitions reduce to pure
     integer arithmetic on (rank, n):
 
@@ -37,27 +38,30 @@ def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact-integer ratios are emitted unrounded (IEEE-identical in
     DuckDB, see module docstring).
     """
-    from ..operators.ids import rank_histogram_grid
+    from ..operators.ids import ntile_from_rank_col, rank_histogram_grid_lazy
 
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    # n comes free from the grid scheme's cell-count collect — no
-    # separate count job
-    ranked, n = rank_histogram_grid(
-        orders, "o_totalprice", "o_orderkey", id_col="_rank"
+    # r14 (VERDICT r13 next-6 class): the grid scheme's cell-count
+    # collect + eager job are gone — offsets AND the total n ride the
+    # broadcast-joined counts frame, so the whole query is ONE action
+    # with no driver materialization; the ntile/percent_rank/cume_dist
+    # arithmetic is the identical integer math with n as a column.
+    ranked = rank_histogram_grid_lazy(
+        orders, "o_totalprice", "o_orderkey", id_col="_rank", n_col="_n"
     )
-
-    from ..operators.ids import ntile_from_rank
-
     rank = F.col("_rank")
-    quartile = ntile_from_rank(rank, n, 4)
+    n = F.col("_n")
+    quartile = ntile_from_rank_col(rank, n, 4)
     pct_rank = (
-        F.lit(0.0) if n <= 1 else ((rank - 1) / F.lit(float(n - 1))).cast("double")
+        F.when(n <= 1, F.lit(0.0))
+        .otherwise((rank - 1) / (n - 1).cast("double"))
+        .cast("double")
     )
     return ranked.select(
         "o_orderkey",
         quartile.alias("quartile"),
         pct_rank.alias("pct_rank"),
-        (rank / F.lit(float(n))).cast("double").alias("cume"),
+        (rank / n.cast("double")).cast("double").alias("cume"),
     )
 
 

@@ -49,6 +49,14 @@ def get_spark(app_name: str = "yelp-pipeline-spark", *, shuffle_partitions: int 
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Pin the DEFAULT parser escape handling (ADVICE r13): the
+        # SQL-text projections (operators/textrep.py _words_sql/_LINES_SQL,
+        # dedup.shingles_sql) double their regex backslashes on the
+        # assumption that string literals are escape-processed; with the
+        # legacy escapedStringLiterals=true conf those literals would
+        # change meaning. Pinning false keeps the SQL-text twins
+        # equivalent to their Column forms under ANY ambient conf.
+        .config("spark.sql.parser.escapedStringLiterals", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # The engine session is provisioned (8g driver below), so hinted
         # non-broadcast joins may use the faster shuffled-hash build;
