@@ -40,85 +40,84 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # only after r3). Entries already driver-green with unchanged code
 # keep that evidence and move to the tail.
 #
-# Round-13 window (exactly 50) — the textrep-registration round.
-# Composition (evidence ages recomputed from CORRECTNESS_r01–r12:
-# r8=44, r9=41, r10=31, r11=42, r12=50):
+# Round-14 window (exactly 50) — the optimization-round-2 re-cert
+# window. Composition (evidence ages recomputed from
+# CORRECTNESS_r01–r13: r9=41, r10=31, r11=41, r12=48, r13=50; the 44
+# r8-agers were all refreshed green in r13, so nothing hits the
+# 5-round ceiling when the r14 artifact lands):
 # - flagship (always first: the driver's smoke query);
-# - the 44 r8-evidence entries (they hit the 5-round age ceiling when
-#   the r14 artifact lands — mandatory refreshes; code unchanged);
-# - text_repetition_profile / text_repetition_gate, NEW this round
-#   (operators/textrep.py shipped r12 pytest-only; VERDICT r12
-#   next-1 — new entries must take slots in the round that adds them);
-# - ann_index_search (operators/ann_index.py changed: store-record +
-#   replica-meta advice fixes, fused _lloyd, sample_n) and
-#   ann_index_search_bigbook, NEW (VERDICT r12 next-4: the >2048-value
-#   one-row-broadcast codebook plane gets its first driver row);
-# - emb_kmeans (operators/clustering.py changed: the fused Lloyd
-#   round — VERDICT r12 next-2; bit-identical by test, re-certified
-#   by the driver here).
+# - every entry whose FORMULATION changed in r14 (lazy grid rank,
+#   union-groupBy closure rounds + cascade overlap, single-parse IVF
+#   kernel + search cosine, hoisted BPE round expressions) — VERDICT
+#   r13 next-3 demands fresh driver rows for rewrites in the round
+#   that ships them;
+# - the r13 rewrites whose driver evidence predates their rewrite
+#   (VERDICT r13 what's-wrong #2: window rotated before the r13
+#   optimization work landed): tpch_q21, the minhash/simhash/semdedup
+#   single-parse family, the lsh/multiprobe/rph similarity family,
+#   pipeline_quality_dedup;
+# - the remaining slots filled oldest-evidence-first from the 41
+#   r9-age entries (dedup family complete — its module changed both
+#   rounds; tpch_q9 preferred over q17 because q9 sits on the bench
+#   TPCH tier). Ten r9 tpch entries (q2/q3/q4/q6/q7/q8/q17/q19/q20/
+#   q22, formulations untouched since ≤r9) don't fit the 50; with
+#   CORRECTNESS_r14 as the newest artifact the age floor is r9, so
+#   they carry no mechanical debt (test_evidence_max_age stays green).
 _PRIORITY: tuple[str, ...] = (
     "flagship_revenue_by_nation",
-    # -- the 44 r8-evidence refreshes (mandatory: max-age at r14) --
-    "agg_approx_sketches",
-    "agg_salted_groupby",
-    "array_higher_order",
-    "collect_sorted_list",
-    "dedup_passage_prune",
-    "event_transitions",
-    "explode_word_counts",
-    "explode_zip_pairs",
-    "filter_disjunctive_range",
-    "filter_quarantine",
-    "func_case_mapping",
-    "func_html_unescape",
-    "func_json_extract",
-    "func_time_parse",
-    "join_range_bucketed",
-    "map_functions",
-    "mm_audio_chunks",
-    "mm_binary_meta",
-    "mm_frame_sample",
-    "pipeline_corpus_prep",
-    "prep_interleave_sources",
+    # -- r14-changed formulations / direct consumers --
+    "window_rank_distribution",
+    "dedup_cascade",
+    "dedup_clusters",
+    "dedup_clusters_incremental",
     "prep_leakage_safe_split",
-    "prep_length_bins",
-    "prep_repetition_stats",
-    "prep_score_quantile_norm",
-    "prep_shard_histogram",
-    "prep_stratified_sample",
-    "prep_token_budget_mix",
-    "prep_vocab",
-    "profile_by_source",
-    "profile_table",
-    "sql_api_groupby",
-    "stream_session_window_native",
-    "stream_sliding_window",
-    "stream_stream_join",
-    "stream_window_approx_distinct",
-    "text_lang_id",
-    "text_tfidf_topk",
-    "tpch_q18_large_orders",
-    "tpch_q1_pricing_summary",
-    "tpch_q5_local_supplier_volume",
-    "ts_gapfill_locf",
-    "window_lag_lead",
-    "window_running_sum",
-    # -- NEW in r13: the Gopher repetition profile/gate (textrep.py) --
-    "text_repetition_profile",
-    "text_repetition_gate",
-    # -- ann_index.py changed in r13 (+ NEW big-codebook transport row) --
+    "similarity_topk_ivf",
     "ann_index_search",
     "ann_index_search_bigbook",
-    # -- clustering.py changed in r13 (fused Lloyd rounds) --
-    "emb_kmeans",
+    "prep_bpe_merges",
+    "prep_bpe_encode",
+    "graph_pagerank",
+    "graph_triangles",
+    # -- r13 rewrites owed a post-rewrite driver row --
+    "tpch_q21_waiting_suppliers",
+    "dedup_minhash_lsh",
+    "dedup_minhash_accuracy",
+    "dedup_simhash",
+    "dedup_exact",
+    "dedup_semdedup",
+    "pipeline_quality_dedup",
+    "similarity_topk_lsh",
+    "similarity_topk_multiprobe",
+    "similarity_topk_rph",
+    # -- oldest evidence (r9) fill --
+    "agg_conditional",
+    "agg_countmin_topk",
+    "agg_grouping_sets",
+    "agg_groupwise_ols",
+    "agg_mad_robust",
+    "agg_mode_argmax",
+    "agg_string_listagg",
+    "agg_winsorized_stats",
+    "cohort_retention",
+    "dedup_canonical",
+    "dedup_containment",
+    "dedup_exact_keep_first",
+    "dedup_incremental_pairs",
+    "dedup_jaccard_prefix",
+    "dedup_ngram_novelty",
+    "dedup_source_matrix",
+    "dedup_threshold_sweep",
+    "diag_key_skew",
+    "func_casts",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_types",
+    "tpch_q12_late_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_relation",
+    "tpch_q9_nation_profit",
 )
-# r14-window-first candidates (non-debt, informational): the entries
-# left on r9 evidence after this round (41 as of the r12 recompute —
-# recompute from CORRECTNESS_r01–r13 next round). They hit the
-# max-age ceiling when the r15 artifact lands, so the r14 window must
-# lead with them, plus entries registered by any r14-changed module.
-# The max-age debt guard (tests/test_plans.py::test_evidence_max_age)
-# enforces this mechanically.
 
 
 def _ordered(entries: dict) -> dict:
