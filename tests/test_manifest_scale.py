@@ -126,6 +126,7 @@ def test_vacuum_materializes_floor_and_sweeps_sidecars(spark, tmp_path):
     assert os.path.exists(t._ckpt_path(fman["ckpt"]))
 
 
+@pytest.mark.slow  # machine-speed budget probe (r14: see pytest.ini)
 def test_manifest_plane_budgets_at_20k_files(spark, tmp_path):
     """The CI bound mirroring the BASELINE.md manifest ladder:
     at 20k files the checkpoint write stays under 60 B/file and a
@@ -321,6 +322,7 @@ def test_dv_sidecar_survives_while_referenced_and_clone_rekeys(
     assert c.read().count() == 7000
 
 
+@pytest.mark.slow  # machine-speed budget probe (r14: see pytest.ini)
 def test_cold_skipping_resolve_budget_100k_files(spark, tmp_path):
     """VERDICT r9 next-1 CI budget: the SKIPPING resolve (predicate →
     surviving file list), not just keys-only, must stay ≤2 µs/file

@@ -195,6 +195,11 @@ def pagerank(
     sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     sym = tracked_persist(sym)
     deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    # deg is STATIC across rounds — join it onto the edge set ONCE and
+    # persist, instead of re-running the sym⋈deg sort-merge join inside
+    # every round (r14, guide §2.4: the exchange and join were pure
+    # per-round rework; rounds now join only the evolving ranks).
+    sym_deg = tracked_persist(sym.join(deg.hint("merge"), "s"))
     ranks = deg.select(F.col("s").alias("node"), F.lit(1_000_000).cast("bigint").alias("r"))
     for _ in range(rounds):
         # deg/ranks are O(nodes) and must never broadcast (10× stress
@@ -202,8 +207,7 @@ def pagerank(
         # shuffle_hash, whose per-partition build map also OOM'd the
         # bare heap — keeps every round a spill-safe keyed join.
         contrib = (
-            sym.join(deg.hint("merge"), "s")
-            .join(ranks.withColumnRenamed("node", "s").hint("merge"), "s")
+            sym_deg.join(ranks.withColumnRenamed("node", "s").hint("merge"), "s")
             .select(F.col("d").alias("node"), F.expr("r div deg").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
