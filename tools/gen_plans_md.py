@@ -32,10 +32,12 @@ COMMENTARY = {
         "— no all-pairs stage anywhere."
     ),
     "window_rank_distribution": (
-        "Two-phase global ranking on a FIXED integer grid (r6): "
+        "Global ranking on a FIXED integer grid (r6, lazy since r14): "
         "per-cell windows keyed by _cell + broadcast prefix-sum "
-        "offsets — two jobs, no boundary sampling, no persist, no "
-        "single-partition WindowExec."
+        "offsets computed JVM-side — ONE action, no boundary "
+        "sampling, no persist, no driver collect; the only "
+        "single-partition window runs over the per-cell COUNTS "
+        "aggregate (rows/2^16 at any scale), never the data."
     ),
     "window_pagination": (
         "Keyset page: seek predicate pushed to the scan, "
